@@ -1,0 +1,370 @@
+package graft
+
+/** DuckDB oracle SQL for every SQL-expressible entry in [[Queries.all]].
+  * Queries absent here (minhash/simhash/LSH/fingerprint) get the driver's
+  * weaker rows-only check — their semantics are hash- or
+  * approximation-based and not portably SQL-expressible.
+  *
+  * Each statement is written to be value-identical to the Spark query:
+  * decimal-exact sums cast to DOUBLE, identical rounding scales, identical
+  * CASE/null semantics, identical ORDER BY keys, and explicit ::INT casts
+  * where DuckDB widens to BIGINT (len/length/row_number/date_diff).
+  */
+object Oracles {
+
+  private val monthlyCte =
+    """WITH m AS (
+      |  SELECT o_custkey AS custkey,
+      |         date_trunc('month', o_orderdate::DATE)::DATE AS month_dt,
+      |         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS amt,
+      |         max(o_orderpriority) AS pmax,
+      |         count(*) AS cnt
+      |  FROM orders GROUP BY 1, 2)""".stripMargin
+
+  val all: Map[String, String] = Map(
+
+    "q_s1_ingest_scan" ->
+      """SELECT l_orderkey, l_linenumber AS line_no, l_quantity, l_extendedprice, l_returnflag
+        |FROM lineitem WHERE l_quantity > 30 ORDER BY l_orderkey, line_no""".stripMargin,
+
+    "q_p2_distinct" ->
+      "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem ORDER BY 1, 2",
+
+    "q_p5_expr_filter" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |WHERE o_totalprice > 150000 AND o_orderstatus = 'F' AND o_custkey IS NOT NULL
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q_p7_max_value_filter" ->
+      """SELECT o_orderkey, o_custkey, o_date FROM
+        |(SELECT o_orderkey, o_custkey, o_orderdate::DATE AS o_date FROM orders)
+        |WHERE o_date = (SELECT max(o_orderdate::DATE) FROM orders) ORDER BY o_orderkey""".stripMargin,
+
+    "q_p9_dedup_first" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+        |QUALIFY row_number() OVER (PARTITION BY l_orderkey
+        |  ORDER BY l_linenumber, l_quantity, l_extendedprice) = 1
+        |ORDER BY l_orderkey""".stripMargin,
+
+    "q_p10_na_standardize" ->
+      """SELECT c_custkey,
+        |  CASE WHEN c_mktsegment IN ('MACHINERY') THEN 'unknown' ELSE c_mktsegment END AS c_mktsegment
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "q_f_textnorm" ->
+      """SELECT p_partkey,
+        |  regexp_replace(regexp_replace(regexp_replace(lower(trim(p_name)),
+        |    '[\[\]()* :.;<?/,''&-]', '_', 'g'), '_+', '_', 'g'), '^_+|_+$', '', 'g') AS name_norm,
+        |  lower(trim(p_brand || ' ' || p_type)) AS brand_type,
+        |  lpad(p_size::VARCHAR, 4, '0') AS size_pad
+        |FROM part ORDER BY p_partkey""".stripMargin,
+
+    "q_f7_casemap" ->
+      """SELECT c_custkey,
+        |  CASE c_mktsegment WHEN 'AUTOMOBILE' THEN 1 WHEN 'BUILDING' THEN 2
+        |    WHEN 'FURNITURE' THEN 3 WHEN 'HOUSEHOLD' THEN 4 WHEN 'MACHINERY' THEN 5
+        |    ELSE 0 END AS segment_code,
+        |  CASE WHEN c_nationkey IN (1, 3, 5, 7) THEN 1 ELSE 0 END AS nation_flag,
+        |  CASE WHEN c_name LIKE '%1%' THEN 'has1' ELSE 'no1' END AS name_tag,
+        |  1::INT AS const_one
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "q_f9_shift_date" ->
+      """WITH o AS (SELECT o_orderkey, o_orderdate::DATE AS o_date,
+        |  (date_trunc('month', o_orderdate::DATE) + INTERVAL 1 MONTH)::DATE AS release_dt FROM orders)
+        |SELECT o_orderkey, o_date, release_dt,
+        |  strftime(release_dt, '%Y%m') AS release_yyyymm,
+        |  date_diff('month', DATE '1995-01-01', release_dt)::INT AS month_idx,
+        |  date_diff('day', o_date, release_dt)::INT AS shift_days
+        |FROM o ORDER BY o_orderkey""".stripMargin,
+
+    "q_f17_safe_ratio" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  CASE WHEN l_quantity <> 0
+        |    THEN floor(l_extendedprice / l_quantity * 10000.0 + 0.5) / 10000.0 END AS unit_price,
+        |  CASE WHEN l_discount <> 0
+        |    THEN floor(l_tax / l_discount * 10000.0 + 0.5) / 10000.0 END AS tax_to_disc_ratio,
+        |  round(l_discount / 1.0 * 100, 4) AS disc_pct,
+        |  CASE WHEN l_discount <> 0
+        |    THEN floor(l_tax / l_discount * 10000.0 + 0.5) / 10000.0 ELSE 0.0 END AS tax_to_disc_or0
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q_f_json" ->
+      """SELECT event_id, json_extract_string(props, '$.k')::INT AS prop_k
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "q_j1_scaffold" ->
+      """WITH opens AS (SELECT o_custkey AS c_custkey, min(o_orderdate::DATE) AS open_dt
+        |    FROM orders GROUP BY 1),
+        |  cust AS (SELECT c.c_custkey, open_dt FROM customer c JOIN opens USING (c_custkey)),
+        |  months AS (SELECT unnest(generate_series(DATE '1995-01-01', DATE '1995-12-01',
+        |    INTERVAL 1 MONTH))::DATE AS release_dt)
+        |SELECT c_custkey, release_dt FROM cust CROSS JOIN months
+        |WHERE release_dt >= open_dt ORDER BY c_custkey, release_dt""".stripMargin,
+
+    "q_j2_equi_join" ->
+      """SELECT o_orderkey, o_custkey AS c_custkey, c_name, c_mktsegment, o_totalprice
+        |FROM orders JOIN customer ON o_custkey = c_custkey ORDER BY o_orderkey""".stripMargin,
+
+    "q_j3_pit_join" ->
+      """WITH monthly AS (
+        |  SELECT o_custkey AS user_id, date_trunc('month', o_orderdate::DATE)::DATE AS month_dt,
+        |         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS amt
+        |  FROM orders GROUP BY 1, 2)
+        |SELECT e.event_id, e.user_id, e.ts::DATE AS event_date,
+        |       m.month_dt AS asof_month, m.amt AS monthly_total
+        |FROM events e ASOF LEFT JOIN monthly m
+        |  ON e.user_id = m.user_id AND m.month_dt <= e.ts::DATE
+        |ORDER BY event_id""".stripMargin,
+
+    "q_j4_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |  AND o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1996-01-01')
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_j7_outer_compare" ->
+      """WITH a AS (SELECT date_trunc('month', o_orderdate::DATE)::DATE AS month_dt,
+        |    count(*) AS orders_cnt FROM orders GROUP BY 1),
+        |  b AS (SELECT date_trunc('month', l_shipdate::DATE)::DATE AS month_dt,
+        |    count(*) AS ship_cnt FROM lineitem GROUP BY 1)
+        |SELECT COALESCE(a.month_dt, b.month_dt) AS month_dt,
+        |  COALESCE(orders_cnt, 0) AS orders_cnt, COALESCE(ship_cnt, 0) AS ship_cnt
+        |FROM a FULL OUTER JOIN b ON a.month_dt = b.month_dt ORDER BY month_dt""".stripMargin,
+
+    "q_j8_union_by_name" ->
+      """SELECT okey, amount, src, qty FROM (
+        |  SELECT o_orderkey AS okey, o_totalprice AS amount, 'orders' AS src, NULL::DOUBLE AS qty
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT l_orderkey, l_extendedprice, NULL, l_quantity FROM lineitem)
+        |ORDER BY okey, amount, COALESCE(src, ''), COALESCE(qty, -1.0)""".stripMargin,
+
+    "q_a1_grouped_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |  round(CAST(sum(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS avg_disc,
+        |  count(*) AS cnt
+        |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_a2_config_agg" ->
+      """SELECT o_orderstatus,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS o_totalprice_sum,
+        |  CAST(min(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS o_totalprice_min,
+        |  CAST(max(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS o_totalprice_max,
+        |  count(o_totalprice) AS o_totalprice_count
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_a3_conditional_pivot" ->
+      """SELECT o_custkey,
+        |  CAST(sum(CASE WHEN o_orderstatus = 'F' THEN p ELSE 0 END) AS DOUBLE) AS total_F,
+        |  CAST(sum(CASE WHEN o_orderstatus = 'O' THEN p ELSE 0 END) AS DOUBLE) AS total_O,
+        |  CAST(sum(CASE WHEN o_orderstatus = 'P' THEN p ELSE 0 END) AS DOUBLE) AS total_P,
+        |  sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) > 0 AS ind_has_F,
+        |  sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) > 0 AS ind_has_O,
+        |  sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) > 0 AS ind_has_P,
+        |  CAST(sum(p) AS DOUBLE) AS total_all_m
+        |FROM (SELECT o_custkey, o_orderstatus, CAST(o_totalprice AS DECIMAL(18,2)) AS p FROM orders)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_a4_pivot" ->
+      """SELECT o_custkey,
+        |  count(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS "1-URGENT",
+        |  count(*) FILTER (WHERE o_orderpriority = '2-HIGH') AS "2-HIGH",
+        |  count(*) FILTER (WHERE o_orderpriority = '3-MEDIUM') AS "3-MEDIUM",
+        |  count(*) FILTER (WHERE o_orderpriority = '4-NOT SPECIFIED') AS "4-NOT SPECIFIED",
+        |  count(*) FILTER (WHERE o_orderpriority = '5-LOW') AS "5-LOW"
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_a5_scalar_agg" ->
+      """SELECT count(*) AS n_rows,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  min(l_shipdate::DATE) AS min_ship, max(l_shipdate::DATE) AS max_ship,
+        |  count(DISTINCT l_partkey) AS n_parts
+        |FROM lineitem""".stripMargin,
+
+    "q_a6_group_counts" ->
+      """SELECT event_type, count(*) AS count FROM events GROUP BY 1 ORDER BY 1""",
+
+    "q_a7_distinct_values" ->
+      "SELECT DISTINCT o_orderpriority FROM orders ORDER BY 1",
+
+    "q_w1_lag_features" -> (monthlyCte +
+      """
+        |SELECT custkey, month_dt, amt,
+        |  lag(amt, 1) OVER w AS amt_lag_1m,
+        |  amt - lag(amt, 1) OVER w AS amt_diff_1m,
+        |  CASE WHEN lag(amt, 1) OVER w <> 0
+        |    THEN round((amt - lag(amt, 1) OVER w) / (lag(amt, 1) OVER w), 4) END AS amt_roc_1m,
+        |  lag(amt, 3) OVER w AS amt_lag_3m,
+        |  amt - lag(amt, 3) OVER w AS amt_diff_3m,
+        |  CASE WHEN lag(amt, 3) OVER w <> 0
+        |    THEN round((amt - lag(amt, 3) OVER w) / (lag(amt, 3) OVER w), 4) END AS amt_roc_3m
+        |FROM m WINDOW w AS (PARTITION BY custkey ORDER BY month_dt)
+        |ORDER BY custkey, month_dt""".stripMargin),
+
+    "q_w4_rolling_stats" -> (monthlyCte +
+      """
+        |SELECT custkey, month_dt, amt, pmax,
+        |  round(CAST(sum(CAST(amt AS DECIMAL(18,2))) OVER f AS DOUBLE)
+        |    / (count(*) OVER f), 4) AS amt_ravg_3m,
+        |  round(CASE WHEN count(*) OVER f > 1 THEN
+        |    sqrt(greatest(
+        |      (CAST(sum(CAST(amt * amt AS DECIMAL(28,4))) OVER f AS DOUBLE)
+        |       - CAST(sum(CAST(amt AS DECIMAL(18,2))) OVER f AS DOUBLE)
+        |         * CAST(sum(CAST(amt AS DECIMAL(18,2))) OVER f AS DOUBLE) / (count(*) OVER f))
+        |      / (count(*) OVER f - 1), 0.0)) END, 4) AS amt_rstd_3m,
+        |  min(pmax) OVER f AS pmax_rmin_3m,
+        |  max(pmax) OVER f AS pmax_rmax_3m
+        |FROM m WINDOW f AS (PARTITION BY custkey ORDER BY month_dt
+        |  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+        |ORDER BY custkey, month_dt""".stripMargin),
+
+    "q_w7_rsi" -> (monthlyCte +
+      """,
+        |  d AS (SELECT custkey, month_dt,
+        |    amt - lag(amt, 1) OVER (PARTITION BY custkey ORDER BY month_dt) AS delta FROM m),
+        |  g AS (SELECT custkey, month_dt,
+        |    CASE WHEN delta > 0 THEN delta ELSE 0.0 END AS gain,
+        |    CASE WHEN delta < 0 THEN abs(delta) ELSE 0.0 END AS loss FROM d)
+        |SELECT custkey, month_dt,
+        |  round(100.0 - 100.0 / (1.0 + (avg(gain) OVER f)
+        |    / COALESCE(CASE WHEN avg(loss) OVER f <> 0 THEN avg(loss) OVER f END, 1.0)), 4)
+        |    AS amt_rsi_6m
+        |FROM g WINDOW f AS (PARTITION BY custkey ORDER BY month_dt
+        |  ROWS BETWEEN 5 PRECEDING AND CURRENT ROW)
+        |ORDER BY custkey, month_dt""".stripMargin),
+
+    "q_w9_group_max" -> (monthlyCte +
+      """,
+        |  r AS (SELECT custkey, month_dt,
+        |    row_number() OVER (PARTITION BY custkey ORDER BY month_dt)::INT AS seq FROM m)
+        |SELECT custkey, month_dt, seq,
+        |  max(seq) OVER (PARTITION BY custkey) AS seq_max,
+        |  max(seq) OVER (PARTITION BY custkey) - seq AS lags_num,
+        |  'lag_' || (max(seq) OVER (PARTITION BY custkey) - seq)::VARCHAR AS lag_label
+        |FROM r ORDER BY custkey, month_dt""".stripMargin),
+
+    "q_o1_top1" ->
+      """SELECT event_id, event_type, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_str
+        |FROM events ORDER BY ts DESC, event_id DESC LIMIT 1""".stripMargin,
+
+    "q_stream_tumbling" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS win_start,
+        |  event_type, count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_pipeline_monthly" ->
+      """WITH i AS (SELECT o_custkey, date_trunc('month', o_orderdate::DATE)::DATE AS month_dt,
+        |    o_totalprice FROM orders
+        |    WHERE o_custkey IS NOT NULL AND o_custkey <> 999999999),
+        |  mo AS (SELECT o_custkey AS customer, month_dt, count(*) AS orders_cnt,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS amt_sum
+        |    FROM i GROUP BY 1, 2),
+        |  f AS (SELECT customer, month_dt, orders_cnt, amt_sum,
+        |    CASE WHEN orders_cnt <> 0 THEN round(amt_sum / orders_cnt, 4) END AS avg_order_value,
+        |    round(CAST(sum(CAST(amt_sum AS DECIMAL(18,2))) OVER f3 AS DOUBLE)
+        |      / (count(*) OVER f3), 4) AS amt_ravg_3m,
+        |    CASE WHEN lag(amt_sum, 1) OVER w <> 0
+        |      THEN round((amt_sum - lag(amt_sum, 1) OVER w) / (lag(amt_sum, 1) OVER w), 4)
+        |      END AS amt_roc_1m
+        |    FROM mo WINDOW w AS (PARTITION BY customer ORDER BY month_dt),
+        |      f3 AS (PARTITION BY customer ORDER BY month_dt ROWS BETWEEN 2 PRECEDING AND CURRENT ROW))
+        |SELECT customer::INT AS pk_customer, month_dt AS tpk_release_dt,
+        |  orders_cnt::INT AS cord_orders_cnt, amt_sum AS cord_amt_sum,
+        |  avg_order_value AS cord_avg_order_value, amt_ravg_3m AS cord_amt_ravg_3m,
+        |  amt_roc_1m AS cord_amt_roc_1m
+        |FROM f ORDER BY 1, 2""".stripMargin,
+
+    "q_text_stats" ->
+      """SELECT doc_id,
+        |  length(text)::INT AS n_chars_calc,
+        |  len(regexp_split_to_array(trim(text), '\s+'))::INT AS n_tokens_ws,
+        |  round(length(regexp_replace(text, '\s+', '', 'g'))
+        |    / greatest(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |        x -> x <> '')), 1)::DOUBLE, 4) AS mean_word_len,
+        |  round(len(regexp_extract_all(text, '[.,;:!?"''`()\[\]-]'))
+        |    / greatest(length(text), 1)::DOUBLE, 4) AS punct_ratio,
+        |  round(len(list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+        |      x -> list_contains(['the','a','an','and','or','of','to','in','is','it',
+        |        'that','was','for','on','with','as','at','by','be'], x)))
+        |    / greatest(len(list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+        |        x -> x <> '')), 1)::DOUBLE, 4) AS stopword_ratio
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_text_langid" ->
+      """WITH s AS (SELECT doc_id, lang,
+        |  len(list_filter(regexp_split_to_array(lower(text), '[^a-záéíóúñü]+'),
+        |    x -> list_contains(['the','a','an','and','or','of','to','in','is','it',
+        |      'that','was','for','on','with','as','at','by','be'], x))) AS en_hits,
+        |  len(list_filter(regexp_split_to_array(lower(text), '[^a-záéíóúñü]+'),
+        |    x -> list_contains(['el','la','los','las','un','una','y','o','de','del',
+        |      'que','en','es','por','con','para','se','su','al'], x))) AS es_hits
+        |  FROM documents)
+        |SELECT doc_id, lang,
+        |  CASE WHEN en_hits = 0 AND es_hits = 0 THEN 'unknown'
+        |       WHEN en_hits >= es_hits THEN 'en' ELSE 'es' END AS lang_pred
+        |FROM s ORDER BY doc_id""".stripMargin,
+
+    "q_dedup_exact" ->
+      """WITH aug AS (
+        |  SELECT * FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 10000, text, lang, source, n_chars FROM documents WHERE doc_id < 50)
+        |SELECT doc_id, n_chars FROM aug
+        |QUALIFY row_number() OVER (
+        |  PARTITION BY regexp_replace(lower(trim(text)), '\s+', ' ', 'g')
+        |  ORDER BY doc_id) = 1
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_dedup_ngram_jaccard" ->
+      """WITH aug AS (
+        |  SELECT * FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 20000, text || ' graftmarker', lang, source, n_chars
+        |  FROM documents WHERE doc_id < 50),
+        |  p AS (SELECT doc_id AS id,
+        |    list_distinct(list_transform(
+        |      range(1, greatest(len(regexp_split_to_array(
+        |        regexp_replace(lower(trim(text)), '[^a-z0-9áéíóúñü ]', '', 'g'),
+        |        '\s+')) - 2, 1) + 1),
+        |      i -> array_to_string(list_slice(regexp_split_to_array(
+        |        regexp_replace(lower(trim(text)), '[^a-z0-9áéíóúñü ]', '', 'g'),
+        |        '\s+'), i, i + 2), ' '))) AS grams,
+        |    floor(log2(greatest(length(text), 16))) AS lenband,
+        |    regexp_split_to_array(lower(trim(text)), '\s+')[1] AS tok0
+        |    FROM aug)
+        |SELECT a.id AS id_a, b.id AS id_b,
+        |  round(len(list_intersect(a.grams, b.grams))::DOUBLE
+        |    / (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))::DOUBLE), 4)
+        |    AS jaccard
+        |FROM p a JOIN p b ON a.lenband = b.lenband AND a.tok0 = b.tok0 AND a.id < b.id
+        |WHERE round(len(list_intersect(a.grams, b.grams))::DOUBLE
+        |    / (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))::DOUBLE), 4)
+        |  >= 0.5
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "q_sim_bruteforce_topk" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+        |    FROM embeddings WHERE vec_id < 5),
+        |  c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
+        |  scored AS (SELECT query_id, neighbor_id,
+        |    round(list_dot_product(cv, qv)
+        |      / (sqrt(list_dot_product(cv, cv)) * sqrt(list_dot_product(qv, qv))), 6)
+        |      AS cosine_sim
+        |    FROM c CROSS JOIN q WHERE neighbor_id <> query_id)
+        |SELECT query_id, neighbor_id, cosine_sim,
+        |  row_number() OVER (PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id)::INT
+        |    AS rank
+        |FROM scored
+        |QUALIFY rank <= 10
+        |ORDER BY query_id, rank""".stripMargin,
+
+    "q_mm_binary_meta" ->
+      """SELECT doc_id, octet_length(text::BLOB)::INT AS n_bytes, md5(text) AS checksum,
+        |  substr(md5(text), 1, 8) AS shard_key, source
+        |FROM documents ORDER BY doc_id""".stripMargin,
+  )
+}

@@ -1,0 +1,553 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.{Dates, Exprs, TextNorm, Types}
+import graft.ops.{Aggregations, Filters, Joins, Selection, Windows}
+import graft.text.{Dedup, TextStats}
+import graft.sim.Similarity
+
+/** The driver-facing query catalog: one entry per implemented operator from
+  * SURVEY.md §2 (+ the training-data extensions), each paired with an ANSI
+  * SQL oracle in [[Oracles]] runnable by DuckDB over the same parquet dirs.
+  *
+  * Determinism rules (the driver hash-compares values after sorting columns
+  * by NAME):
+  *  - every query ends in an ORDER BY over a unique key, in both engines;
+  *  - money aggregations sum DECIMAL-cast columns (exact, order-independent)
+  *    and only then cast to DOUBLE — bit-identical across engines;
+  *  - rolling stats are derived from exact decimal window sums
+  *    (sum/count, and stddev via the sum-of-squares identity) so that the
+  *    double math is a deterministic function of exact inputs;
+  *  - timestamps are emitted as formatted strings or DATE, never raw
+  *    TIMESTAMP (parquet tz-annotation differences would break the hash).
+  */
+object Queries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame = {
+    val df = s.read.parquet(s"$dir/$name.parquet")
+    // events.ts is TIMESTAMP(NANOS) parquet, which Spark only reads as a
+    // nanos LongType under spark.sql.legacy.parquet.nanosAsLong (set in
+    // Verify/Bench sessions); convert to a proper micros timestamp here.
+    if (name == "events" && df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else df
+  }
+
+  /** Decimal-exact sum emitted as double: order-independent across engines. */
+  private def dsum(c: Column): Column =
+    sum(c.cast("decimal(18,2)")).cast("double")
+
+  // =====================================================================
+  // Scans / projections / filters (S1, P1-P11)
+  // =====================================================================
+
+  def qS1IngestScan(s: SparkSession, dir: String): DataFrame =
+    Selection.rename(
+      Filters.exprFilter(
+        Selection.selectCols(t(s, dir, "lineitem"),
+          Seq("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_returnflag")),
+        Seq("l_quantity > 30")),
+      Map("l_linenumber" -> "line_no"))
+      .orderBy("l_orderkey", "line_no")
+
+  def qP2Distinct(s: SparkSession, dir: String): DataFrame =
+    Selection.selectDistinct(t(s, dir, "lineitem"), Seq("l_returnflag", "l_linestatus"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  def qP5ExprFilter(s: SparkSession, dir: String): DataFrame =
+    Filters.exprFilter(t(s, dir, "orders"),
+      Seq("o_totalprice > 150000", "o_orderstatus = 'F'", "o_custkey IS NOT NULL"))
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+      .orderBy("o_orderkey")
+
+  def qP7MaxValueFilter(s: SparkSession, dir: String): DataFrame =
+    Filters.maxValueFilter(
+        t(s, dir, "orders").withColumn("o_date", col("o_orderdate").cast("date")),
+        "o_date")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_date"))
+      .orderBy("o_orderkey")
+
+  def qP9DedupFirst(s: SparkSession, dir: String): DataFrame = {
+    // (l_orderkey, l_linenumber) is NOT unique in the synthetic data —
+    // tie-break on (quantity, price), which is verified unique.
+    val li = t(s, dir, "lineitem")
+    val w = Window.partitionBy(col("l_orderkey"))
+      .orderBy(col("l_linenumber"), col("l_quantity"), col("l_extendedprice"))
+    li.withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select("l_orderkey", "l_linenumber", "l_quantity")
+      .orderBy("l_orderkey")
+  }
+
+  def qP10NaStandardize(s: SparkSession, dir: String): DataFrame =
+    Filters.fillNa(
+      Filters.standardizeNa(t(s, dir, "customer"), Seq("c_mktsegment"), Seq("MACHINERY")),
+      Map("c_mktsegment" -> "unknown"))
+      .select("c_custkey", "c_mktsegment")
+      .orderBy("c_custkey")
+
+  // =====================================================================
+  // Scalar functions (F1-F25)
+  // =====================================================================
+
+  def qFTextnorm(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "part").select(
+      col("p_partkey"),
+      TextNorm.normalize(col("p_name")).as("name_norm"),
+      TextNorm.normalizeSoft(concat_ws(" ", col("p_brand"), col("p_type"))).as("brand_type"),
+      lpad(col("p_size").cast("string"), 4, "0").as("size_pad"))
+      .orderBy("p_partkey")
+
+  def qF7CaseMap(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer").select(
+      col("c_custkey"),
+      Exprs.caseMap(col("c_mktsegment"),
+        Seq("AUTOMOBILE" -> 1, "BUILDING" -> 2, "FURNITURE" -> 3,
+            "HOUSEHOLD" -> 4, "MACHINERY" -> 5), 0).as("segment_code"),
+      Exprs.binarize(col("c_nationkey"), Seq(1, 3, 5, 7)).as("nation_flag"),
+      Exprs.caseMapLike(col("c_name"), Seq("%1%" -> "has1"), "no1").as("name_tag"),
+      Exprs.litCol(1, "int").as("const_one"))
+      .orderBy("c_custkey")
+
+  def qF9ShiftDate(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+      .withColumn("o_date", col("o_orderdate").cast("date"))
+      .withColumn("release_dt",
+        Dates.shiftDate(col("o_date").cast("string"), "yyyy-MM-dd", days = 0, months = 1))
+    o.select(
+      col("o_orderkey"), col("o_date"), col("release_dt"),
+      date_format(col("release_dt"), "yyyyMM").as("release_yyyymm"),
+      Dates.monthsBetweenExact(col("release_dt"), to_date(lit("1995-01-01")))
+        .cast("int").as("month_idx"),
+      datediff(col("release_dt"), col("o_date")).as("shift_days"))
+      .orderBy("o_orderkey")
+  }
+
+  /** Fixed-point round: floor(x·10⁴ + ½)/10⁴ — pure double ops, so the
+    * result is bit-identical in any IEEE-754 engine (engine `round()`
+    * builtins disagree on decimal-boundary ties like 817.00475). */
+  private def detRound4(c: Column): Column = floor(c * 10000.0 + 0.5) / 10000.0
+
+  def qF17SafeRatio(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem").select(
+      col("l_orderkey"), col("l_linenumber"),
+      when(col("l_quantity") =!= 0,
+        detRound4(col("l_extendedprice") / col("l_quantity"))).as("unit_price"),
+      when(col("l_discount") =!= 0,
+        detRound4(col("l_tax") / col("l_discount"))).as("tax_to_disc_ratio"),
+      Exprs.safePct(col("l_discount"), lit(1.0)).as("disc_pct"),
+      when(col("l_discount") =!= 0,
+        detRound4(col("l_tax") / col("l_discount"))).otherwise(lit(0.0)).as("tax_to_disc_or0"))
+      .orderBy("l_orderkey", "l_linenumber")
+
+  def qFJson(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events").select(
+      col("event_id"),
+      get_json_object(col("props"), "$.k").cast("int").as("prop_k"))
+      .orderBy("event_id")
+
+  // =====================================================================
+  // Joins (J1-J8)
+  // =====================================================================
+
+  def qJ1Scaffold(s: SparkSession, dir: String): DataFrame = {
+    val opens = t(s, dir, "orders").groupBy(col("o_custkey").as("c_custkey"))
+      .agg(min(col("o_orderdate").cast("date")).as("open_dt"))
+    val cust = Joins.equiJoin(t(s, dir, "customer"), opens, Seq("c_custkey"))
+    val scaffold = Dates.monthScaffold(cust, "1995-01-01", "1995-12-01")
+    Joins.scaffoldJoin(cust, scaffold, "release_dt", "open_dt")
+      .select("c_custkey", "release_dt")
+      .orderBy("c_custkey", "release_dt")
+  }
+
+  def qJ2EquiJoin(s: SparkSession, dir: String): DataFrame =
+    Joins.equiJoin(
+        t(s, dir, "orders").withColumn("c_custkey", col("o_custkey")),
+        t(s, dir, "customer"), Seq("c_custkey"), "inner")
+      .select("o_orderkey", "c_custkey", "c_name", "c_mktsegment", "o_totalprice")
+      .orderBy("o_orderkey")
+
+  /** Monthly per-customer order rollup — shared base for PIT/window queries. */
+  private def monthlyOrders(s: SparkSession, dir: String, keyName: String = "custkey"): DataFrame =
+    t(s, dir, "orders")
+      .groupBy(col("o_custkey").as(keyName),
+        trunc(col("o_orderdate").cast("date"), "month").as("month_dt"))
+      .agg(dsum(col("o_totalprice")).as("amt"),
+        max(col("o_orderpriority")).as("pmax"),
+        count(lit(1)).as("cnt"))
+
+  def qJ3PitJoin(s: SparkSession, dir: String): DataFrame = {
+    val left = t(s, dir, "events")
+      .select(col("event_id"), col("user_id"), col("ts").cast("date").as("event_date"))
+    val right = monthlyOrders(s, dir, "user_id").select("user_id", "month_dt", "amt")
+    Joins.pointInTimeJoin(left, right, Seq("user_id"), "event_date", "month_dt")
+      .select(col("event_id"), col("user_id"), col("event_date"),
+        col("month_dt").as("asof_month"), col("amt").as("monthly_total"))
+      .orderBy("event_id")
+  }
+
+  def qJ4AntiJoin(s: SparkSession, dir: String): DataFrame = {
+    val excl = t(s, dir, "orders")
+      .where(col("o_orderdate") >= lit("1995-01-01") && col("o_orderdate") < lit("1996-01-01"))
+      .select(col("o_custkey").as("c_custkey"))
+    Joins.antiExclude(t(s, dir, "customer"), excl, Seq("c_custkey"))
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+  }
+
+  def qJ7OuterCompare(s: SparkSession, dir: String): DataFrame = {
+    val a = t(s, dir, "orders")
+      .groupBy(trunc(col("o_orderdate").cast("date"), "month").as("month_dt"))
+      .agg(count(lit(1)).as("orders_cnt"))
+    val b = t(s, dir, "lineitem")
+      .groupBy(trunc(col("l_shipdate").cast("date"), "month").as("month_dt"))
+      .agg(count(lit(1)).as("ship_cnt"))
+    Joins.outerCompare(a, b, "month_dt").orderBy("month_dt")
+  }
+
+  def qJ8UnionByName(s: SparkSession, dir: String): DataFrame = {
+    val a = t(s, dir, "orders")
+      .select(col("o_orderkey").as("okey"), col("o_totalprice").as("amount"),
+        lit("orders").as("src"))
+    val b = t(s, dir, "lineitem")
+      .select(col("l_orderkey").as("okey"), col("l_extendedprice").as("amount"),
+        col("l_quantity").as("qty"))
+    Joins.unionTables(Seq(a, b))
+      .orderBy(col("okey"), col("amount"), coalesce(col("src"), lit("")),
+        coalesce(col("qty"), lit(-1.0)))
+  }
+
+  // =====================================================================
+  // Aggregations (A1-A7)
+  // =====================================================================
+
+  def qA1GroupedAgg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base_price"),
+        round(sum(col("l_discount").cast("decimal(18,6)")).cast("double") / count(lit(1)), 6)
+          .as("avg_disc"),
+        count(lit(1)).as("cnt"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  def qA2ConfigAgg(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+      .withColumn("o_totalprice", col("o_totalprice").cast("decimal(18,2)"))
+    Aggregations.configAgg(o, Seq("o_orderstatus"),
+        Map("o_totalprice" -> Seq("sum", "min", "max", "count")))
+      .select(col("o_orderstatus"),
+        col("o_totalprice_sum").cast("double").as("o_totalprice_sum"),
+        col("o_totalprice_min").cast("double").as("o_totalprice_min"),
+        col("o_totalprice_max").cast("double").as("o_totalprice_max"),
+        col("o_totalprice_count"))
+      .orderBy("o_orderstatus")
+  }
+
+  def qA3ConditionalPivot(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+      .withColumn("price_dec", col("o_totalprice").cast("decimal(18,2)"))
+    Aggregations.conditionalPivot(o,
+        keys = Seq("o_custkey"), pivotCol = "o_orderstatus",
+        categories = Seq("F", "O", "P"),
+        measures = Seq(("sum", "price_dec", "total"), ("LIT", "price_dec", "has")),
+        totals = Seq(("sum", "price_dec", "total_all")))
+      .select(col("o_custkey"),
+        col("total_F").cast("double").as("total_F"),
+        col("total_O").cast("double").as("total_O"),
+        col("total_P").cast("double").as("total_P"),
+        col("ind_has_F"), col("ind_has_O"), col("ind_has_P"),
+        col("total_all_m").cast("double").as("total_all_m"))
+      .orderBy("o_custkey")
+  }
+
+  def qA4Pivot(s: SparkSession, dir: String): DataFrame =
+    Aggregations.pivot(t(s, dir, "orders"), Seq("o_custkey"), "o_orderpriority",
+        Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"),
+        count(lit(1)))
+      .na.fill(0)
+      .orderBy("o_custkey")
+
+  def qA5ScalarAgg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem").agg(
+      count(lit(1)).as("n_rows"),
+      dsum(col("l_quantity")).as("sum_qty"),
+      min(col("l_shipdate").cast("date")).as("min_ship"),
+      max(col("l_shipdate").cast("date")).as("max_ship"),
+      count_distinct(col("l_partkey")).as("n_parts"))
+
+  def qA6GroupCounts(s: SparkSession, dir: String): DataFrame =
+    Aggregations.groupCounts(t(s, dir, "events"), "event_type")
+      .orderBy("event_type")
+
+  def qA7DistinctValues(s: SparkSession, dir: String): DataFrame =
+    Aggregations.distinctValues(t(s, dir, "orders"), "o_orderpriority")
+      .orderBy("o_orderpriority")
+
+  // =====================================================================
+  // Windows (W1-W11) over the monthly rollup
+  // =====================================================================
+
+  def qW1LagFeatures(s: SparkSession, dir: String): DataFrame = {
+    val base = monthlyOrders(s, dir)
+    Windows.withLagFeatures(base.select("custkey", "month_dt", "amt"),
+        "custkey", "month_dt", Seq("amt"), Seq(1, 3))
+      .orderBy("custkey", "month_dt")
+  }
+
+  /** Rolling stats in exact-decimal form (sum/count + sum-of-squares
+    * identity) — deterministic across engines; the avg/stddev library form
+    * (Windows.rollingNumericCols) is spec-tested in ScalaTest instead. */
+  def qW4RollingStats(s: SparkSession, dir: String): DataFrame = {
+    val base = monthlyOrders(s, dir)
+    val w = Windows.entityWindow("custkey", "month_dt")
+    val f3 = Windows.rollingFrame(w, 3)
+    val ssum  = sum(col("amt").cast("decimal(18,2)")).over(f3).cast("double")
+    val ssum2 = sum((col("amt") * col("amt")).cast("decimal(28,4)")).over(f3).cast("double")
+    val n = count(lit(1)).over(f3).cast("double")
+    base.select(col("custkey"), col("month_dt"), col("amt"), col("pmax"),
+        round(ssum / n, 4).as("amt_ravg_3m"),
+        round(when(n > 1, sqrt(greatest((ssum2 - ssum * ssum / n) / (n - 1), lit(0.0)))), 4)
+          .as("amt_rstd_3m"),
+        min(col("pmax")).over(f3).as("pmax_rmin_3m"),
+        max(col("pmax")).over(f3).as("pmax_rmax_3m"))
+      .orderBy("custkey", "month_dt")
+  }
+
+  def qW7Rsi(s: SparkSession, dir: String): DataFrame = {
+    val base = monthlyOrders(s, dir)
+    val w = Windows.entityWindow("custkey", "month_dt")
+    base.select(col("custkey"), col("month_dt"),
+        Windows.rsiCol(w, col("amt"), periods = 6).as("amt_rsi_6m"))
+      .orderBy("custkey", "month_dt")
+  }
+
+  def qW9GroupMax(s: SparkSession, dir: String): DataFrame = {
+    val base = monthlyOrders(s, dir)
+    val withRn = Windows.rowNumber(base, Seq("custkey"), col("month_dt"), "seq")
+    Windows.withGroupMax(withRn, Seq("custkey"), "seq", "seq_max")
+      .withColumn("lags_num", col("seq_max") - col("seq"))
+      .withColumn("lag_label", concat(lit("lag_"), col("lags_num")))
+      .select("custkey", "month_dt", "seq", "seq_max", "lags_num", "lag_label")
+      .orderBy("custkey", "month_dt")
+  }
+
+  def qO1Top1(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .orderBy(col("ts").desc, col("event_id").desc).limit(1)
+      .select(col("event_id"), col("event_type"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_str"))
+
+  // =====================================================================
+  // Streaming mirror (tumbling-window agg; batch form of the readStream DAG)
+  // =====================================================================
+
+  def qStreamTumbling(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(window(col("ts"), "1 hour").as("win"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"))
+      .select(date_format(col("win.start"), "yyyy-MM-dd HH:mm:ss").as("win_start"),
+        col("event_type"), col("n_events"), col("sum_value"))
+      .orderBy("win_start", "event_type")
+
+  // =====================================================================
+  // Flagship pipeline-equivalent (the reference's feature-pipeline shape
+  // over the orders table): ingest → monthly agg → ratios → rolling →
+  // standardize (prefix + PK rename + coercions)
+  // =====================================================================
+
+  def qPipelineMonthly(s: SparkSession, dir: String): DataFrame = {
+    val ingested = Filters.validIds(t(s, dir, "orders"), "o_custkey")
+      .withColumn("month_dt", trunc(col("o_orderdate").cast("date"), "month"))
+    val monthly = ingested
+      .groupBy(col("o_custkey").as("customer"), col("month_dt"))
+      .agg(count(lit(1)).as("orders_cnt"), dsum(col("o_totalprice")).as("amt_sum"))
+      .withColumn("avg_order_value",
+        Exprs.safeRatio(col("amt_sum"), col("orders_cnt")))
+    val w = Windows.entityWindow("customer", "month_dt")
+    val f3 = Windows.rollingFrame(w, 3)
+    val ssum = sum(col("amt_sum").cast("decimal(18,2)")).over(f3).cast("double")
+    val n = count(lit(1)).over(f3).cast("double")
+    val lag1 = lag(col("amt_sum"), 1).over(w)
+    val featured = monthly.select(col("customer"), col("month_dt"),
+      col("orders_cnt"), col("amt_sum"), col("avg_order_value"),
+      round(ssum / n, 4).as("amt_ravg_3m"),
+      when(lag1 =!= 0, round((col("amt_sum") - lag1) / lag1, 4)).as("amt_roc_1m"))
+    val standardized = Types.standardize(
+      Selection.prefixFeatures(
+        Selection.toFeatureKeys(featured, "customer", "month_dt"),
+        "cord_", keep = Seq("pk_customer", "tpk_release_dt")))
+    standardized.orderBy("pk_customer", "tpk_release_dt")
+  }
+
+  // =====================================================================
+  // Training-data extensions: text stats, dedup, similarity, multimodal
+  // =====================================================================
+
+  def qTextStats(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(
+      col("doc_id"),
+      TextStats.charCount(col("text")).as("n_chars_calc"),
+      TextStats.tokenCountWs(col("text")).as("n_tokens_ws"),
+      TextStats.meanWordLen(col("text")).as("mean_word_len"),
+      TextStats.punctRatio(col("text")).as("punct_ratio"),
+      TextStats.stopwordRatio(col("text")).as("stopword_ratio"))
+      .orderBy("doc_id")
+
+  def qTextLangId(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(
+      col("doc_id"), col("lang"),
+      TextStats.langId(col("text")).as("lang_pred"))
+      .orderBy("doc_id")
+
+  /** Fingerprint + BPE-ish token count + quality — xxhash64-based, no SQL
+    * oracle (rows-only check). */
+  def qTextFingerprint(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(
+      col("doc_id"),
+      TextStats.fingerprint(col("text")).as("doc_fingerprint"),
+      TextStats.tokenCountBpe(col("text")).as("n_tokens_bpe"),
+      TextStats.qualityScore(col("text")).as("quality_score"))
+      .orderBy("doc_id")
+
+  /** documents ∪ exact clones (doc_id+10000 for doc_id<50) — deterministic
+    * dup injection shared with the oracle. */
+  private def docsWithExactDups(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    d.unionByName(
+      d.where(col("doc_id") < 50)
+        .withColumn("doc_id", col("doc_id") + 10000))
+  }
+
+  /** documents ∪ near-dup variants (doc_id+20000 for doc_id<50, one token
+    * appended). */
+  private def docsWithNearDups(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    d.unionByName(
+      d.where(col("doc_id") < 50)
+        .withColumn("doc_id", col("doc_id") + 20000)
+        .withColumn("text", concat(col("text"), lit(" graftmarker"))))
+  }
+
+  def qDedupExact(s: SparkSession, dir: String): DataFrame =
+    Dedup.exact(docsWithExactDups(s, dir), "text", "doc_id")
+      .select("doc_id", "n_chars")
+      .orderBy("doc_id")
+
+  def qDedupMinhashPairs(s: SparkSession, dir: String): DataFrame =
+    Dedup.minhashPairs(docsWithNearDups(s, dir), "text", "doc_id",
+        numHashes = 64, bands = 16, threshold = 0.5)
+      .orderBy("id_a", "id_b")
+
+  def qDedupSimhashPairs(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhashPairs(docsWithNearDups(s, dir), "text", "doc_id", maxHamming = 8)
+      .orderBy("id_a", "id_b")
+
+  def qDedupNgramJaccard(s: SparkSession, dir: String): DataFrame =
+    Dedup.ngramJaccardPairs(docsWithNearDups(s, dir), "text", "doc_id",
+        n = 3, threshold = 0.5)
+      .orderBy("id_a", "id_b")
+
+  def qSimBruteForce(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    Similarity.bruteForceTopK(emb, emb.where(col("vec_id") < 5),
+        "vec_id", "embedding", "vec_id", k = 10)
+      .orderBy("query_id", "rank")
+  }
+
+  def qSimLshTopK(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    Similarity.lshTopK(emb, emb.where(col("vec_id") < 5),
+        "vec_id", "embedding", "vec_id", dim = 64, k = 10, nBits = 8, nTables = 4)
+      .orderBy("query_id", "rank")
+  }
+
+  /** embeddings ∪ perturbed clones (vec_id+10000 for vec_id<20, first
+    * component +0.1 → cosine ≈ 0.995 vs the original, well above the 0.9
+    * threshold) → near-dup pairs by cosine. */
+  def qSimEmbeddingDedup(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val perturbed = e.where(col("vec_id") < 20)
+      .withColumn("vec_id", col("vec_id") + 10000)
+      .withColumn("embedding",
+        zip_with(col("embedding").cast("array<double>"),
+          sequence(lit(0), lit(63)),
+          (x, i) => when(i === 0, x + 0.1).otherwise(x)))
+    val corpus = e.withColumn("embedding", col("embedding").cast("array<double>"))
+      .unionByName(perturbed)
+    Similarity.cosineDupPairs(corpus, "vec_id", "embedding", dim = 64,
+        threshold = 0.9, nBits = 8, nTables = 4)
+      .orderBy("id_a", "id_b")
+  }
+
+  /** Multimodal plumbing: text → opaque binary column + typed metadata +
+    * deterministic fake "feature extraction" (byte stats standing in for an
+    * image/audio decoder — the real decode would be a mapPartitions /
+    * Arrow-batched stage with this exact schema). */
+  def qMmBinaryMeta(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(
+      col("doc_id"),
+      col("text").cast("binary").as("blob"),
+      col("source"))
+      .select(
+        col("doc_id"),
+        length(col("blob")).as("n_bytes"),
+        md5(col("blob")).as("checksum"),
+        substring(md5(col("blob")), 1, 8).as("shard_key"),
+        col("source"))
+      .orderBy("doc_id")
+
+  // =====================================================================
+  // Registry
+  // =====================================================================
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_s1_ingest_scan" -> (qS1IngestScan _),
+    "q_p2_distinct" -> (qP2Distinct _),
+    "q_p5_expr_filter" -> (qP5ExprFilter _),
+    "q_p7_max_value_filter" -> (qP7MaxValueFilter _),
+    "q_p9_dedup_first" -> (qP9DedupFirst _),
+    "q_p10_na_standardize" -> (qP10NaStandardize _),
+    "q_f_textnorm" -> (qFTextnorm _),
+    "q_f7_casemap" -> (qF7CaseMap _),
+    "q_f9_shift_date" -> (qF9ShiftDate _),
+    "q_f17_safe_ratio" -> (qF17SafeRatio _),
+    "q_f_json" -> (qFJson _),
+    "q_j1_scaffold" -> (qJ1Scaffold _),
+    "q_j2_equi_join" -> (qJ2EquiJoin _),
+    "q_j3_pit_join" -> (qJ3PitJoin _),
+    "q_j4_anti_join" -> (qJ4AntiJoin _),
+    "q_j7_outer_compare" -> (qJ7OuterCompare _),
+    "q_j8_union_by_name" -> (qJ8UnionByName _),
+    "q_a1_grouped_agg" -> (qA1GroupedAgg _),
+    "q_a2_config_agg" -> (qA2ConfigAgg _),
+    "q_a3_conditional_pivot" -> (qA3ConditionalPivot _),
+    "q_a4_pivot" -> (qA4Pivot _),
+    "q_a5_scalar_agg" -> (qA5ScalarAgg _),
+    "q_a6_group_counts" -> (qA6GroupCounts _),
+    "q_a7_distinct_values" -> (qA7DistinctValues _),
+    "q_w1_lag_features" -> (qW1LagFeatures _),
+    "q_w4_rolling_stats" -> (qW4RollingStats _),
+    "q_w7_rsi" -> (qW7Rsi _),
+    "q_w9_group_max" -> (qW9GroupMax _),
+    "q_o1_top1" -> (qO1Top1 _),
+    "q_stream_tumbling" -> (qStreamTumbling _),
+    "q_pipeline_monthly" -> (qPipelineMonthly _),
+    "q_text_stats" -> (qTextStats _),
+    "q_text_langid" -> (qTextLangId _),
+    "q_text_fingerprint" -> (qTextFingerprint _),
+    "q_dedup_exact" -> (qDedupExact _),
+    "q_dedup_minhash_pairs" -> (qDedupMinhashPairs _),
+    "q_dedup_simhash_pairs" -> (qDedupSimhashPairs _),
+    "q_dedup_ngram_jaccard" -> (qDedupNgramJaccard _),
+    "q_sim_bruteforce_topk" -> (qSimBruteForce _),
+    "q_sim_lsh_topk" -> (qSimLshTopK _),
+    "q_sim_embedding_dedup" -> (qSimEmbeddingDedup _),
+    "q_mm_binary_meta" -> (qMmBinaryMeta _),
+  )
+}

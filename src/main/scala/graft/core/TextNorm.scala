@@ -1,0 +1,69 @@
+package graft.core
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StringType
+
+/** Text normalization pipeline: trim → lower → de-accent → special-char
+  * collapse, applied schema-driven to every `StringType` column.
+  *
+  * Reference semantics: `/root/reference/notebooks/utils.py:322-473`
+  * (`_detect_string_columns`, `_unaccent_columns`, `_replace_special_chars`,
+  * `preprocessing_ingesting_tables`) and
+  * `src/packages/preprocessing/clean/clean_strings.py:168-252`.
+  *
+  * Spark-first design note: the reference folds accents with 30+ stacked
+  * `regexp_replace` projections (one per accent — an analyzer-depth
+  * anti-pattern, SURVEY §4 R5). Here the whole character map is one
+  * codegen'd `translate`, and the three structural regexes are fused into a
+  * single projection per column, so the optimized plan carries ONE Project
+  * node regardless of column count.
+  */
+object TextNorm {
+
+  /** Accent fold map per `utils.py:344-368` (Spanish/Portuguese accents). */
+  private val accented = "áéíóúàèìòùäëïöüâêîôûãõñç" + "ÁÉÍÓÚÀÈÌÒÙÄËÏÖÜÂÊÎÔÛÃÕÑÇ"
+  private val plain    = "aeiouaeiouaeiouaeiouaonc" + "AEIOUAEIOUAEIOUAEIOUAONC"
+
+  /** Regex class of chars replaced by `_` — `utils.py:397-419`. */
+  private val specialCharClass = """[\[\]\(\)\*\ \:\.\-\;\<\?\/\,\'\&]"""
+
+  def deaccent(c: Column): Column = translate(c, accented, plain)
+
+  /** special chars → `_`, collapse runs of `_`, strip leading/trailing `_`. */
+  def underscoreCollapse(c: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(c, specialCharClass, "_"),
+        "_+", "_"),
+      "^_+|_+$", "")
+
+  /** Full per-column normalization: trim → lower → deaccent → underscores. */
+  def normalize(c: Column): Column =
+    underscoreCollapse(deaccent(lower(trim(c))))
+
+  /** Light variant used on free-text values (no underscore collapse):
+    * trim → lower → deaccent. */
+  def normalizeSoft(c: Column): Column = deaccent(lower(trim(c)))
+
+  def stringColumns(df: DataFrame): Seq[String] =
+    df.schema.fields.collect { case f if f.dataType == StringType => f.name }.toSeq
+
+  /** Apply a column transform to every StringType column, in ONE projection. */
+  def applyToStringCols(df: DataFrame, fn: Column => Column,
+                        exclude: Set[String] = Set.empty): DataFrame = {
+    val targets = stringColumns(df).filterNot(exclude).toSet
+    if (targets.isEmpty) df
+    else df.select(df.columns.map { n =>
+      if (targets(n)) fn(col(n)).as(n) else col(n)
+    }.toIndexedSeq: _*)
+  }
+
+  /** `preprocessing_ingesting_tables` equivalent (`utils.py:464-473`):
+    * normalize the *values* of every string column. */
+  def normalizeTable(df: DataFrame, exclude: Set[String] = Set.empty): DataFrame =
+    applyToStringCols(df, normalize, exclude)
+
+  def trimTable(df: DataFrame): DataFrame = applyToStringCols(df, trim)
+  def lowerTable(df: DataFrame): DataFrame = applyToStringCols(df, lower)
+}

@@ -1,0 +1,61 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Filter / null-handling / dedup operator kit.
+  *
+  * Reference semantics: expression filters (`filters.py:10-40`,
+  * `dataframe.py:12-116`), max-value filter (`filters.py:43-64`), NA ops
+  * (`transform_column.py:90-129`, `data_quality.py:10-112`), ingest
+  * predicates (`fs_cus_demographic.py:113-115`).
+  */
+object Filters {
+
+  /** P5 — AND-fold of SQL expression strings (`filters.py:10-40`). All
+    * conjuncts land in one Filter node → full pushdown eligibility. */
+  def exprFilter(df: DataFrame, conditions: Seq[String]): DataFrame =
+    if (conditions.isEmpty) df
+    else df.where(conditions.map(expr).reduce(_ && _))
+
+  /** P6 — the ingest predicate shape: id not null and not the sentinel. */
+  def validIds(df: DataFrame, idCol: String, sentinel: String = "999999999"): DataFrame =
+    df.where(col(idCol).isNotNull && col(idCol) =!= sentinel)
+
+  /** P7 — keep rows carrying the max value of a column (`filters.py:43-64`).
+    * Done with a window max rather than the reference's collect-then-filter,
+    * so no driver round-trip and one job instead of two. */
+  def maxValueFilter(df: DataFrame, c: String): DataFrame =
+    df.withColumn("__max", max(col(c)).over(Window.partitionBy()))
+      .where(col(c) === col("__max")).drop("__max")
+
+  /** P7 variant — per-group latest row (used for latest-snapshot reads). */
+  def latestPerGroup(df: DataFrame, keys: Seq[String], timeCol: String): DataFrame =
+    df.withColumn("__max", max(col(timeCol)).over(Window.partitionBy(keys.map(col): _*)))
+      .where(col(timeCol) === col("__max")).drop("__max")
+
+  /** P8 — null fill with per-column values (`transform_column.py:90-129`). */
+  def fillNa(df: DataFrame, values: Map[String, Any]): DataFrame = df.na.fill(values)
+
+  /** P8 — null drop on a subset or all (`data_quality.py:41-75`). */
+  def dropNa(df: DataFrame, subset: Seq[String] = Nil): DataFrame =
+    if (subset.isEmpty) df.na.drop() else df.na.drop(subset)
+
+  /** P9 — dedup (`data_quality.py:78-112`). */
+  def dedup(df: DataFrame, subset: Seq[String] = Nil): DataFrame =
+    if (subset.isEmpty) df.dropDuplicates() else df.dropDuplicates(subset)
+
+  /** P10 — sentinel strings → NULL across given columns (`data_quality.py:10-38`). */
+  def standardizeNa(df: DataFrame, cols: Seq[String], sentinels: Seq[String]): DataFrame =
+    df.select(df.columns.map { n =>
+      if (cols.contains(n)) graft.core.Exprs.naStandardize(col(n), sentinels).as(n)
+      else col(n)
+    }.toIndexedSeq: _*)
+
+  /** P11 — date-range parameter filter (`fs_cus_demographic.py:35-46`). */
+  def dateRange(df: DataFrame, c: String, start: Option[String], end: Option[String]): DataFrame = {
+    val conds = start.map(s => col(c) >= lit(s)).toSeq ++ end.map(e => col(c) <= lit(e))
+    if (conds.isEmpty) df else df.where(conds.reduce(_ && _))
+  }
+}

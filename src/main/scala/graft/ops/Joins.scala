@@ -1,0 +1,123 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Join operator kit.
+  *
+  * Reference semantics: `src/packages/preprocessing/merge_tables/joins.py`
+  * (generic equi-join :11-112, point-in-time join :115-238, anti-exclusion
+  * :241-268), scaffold cross join (`fs_cus_demographic.py:108-113`), union
+  * (`union.py:8-23`), full-outer validation join (`monitor.py:397-407`).
+  *
+  * Scale design — the PIT join is the one operator whose reference shape
+  * (theta join `left.t >= right.t` + window dedup) explodes at scale:
+  * O(rows × history) intermediate tuples. `pointInTimeJoin` below is the
+  * union-tag rewrite (SURVEY §4): ONE hash shuffle by entity key, one sort,
+  * zero row blowup — the standard as-of-join trick used by large-scale
+  * feature stores. The naive shape is kept as `pointInTimeJoinNaive` for
+  * small broadcastable dimensions and as a differential-test oracle.
+  */
+object Joins {
+
+  /** J1 — scaffold join: entity × month-scaffold, kept where scaffold date ≥
+    * entity start date (`fs_cus_demographic.py:108-113`). The scaffold is a
+    * few hundred rows → Catalyst broadcasts it (BroadcastNestedLoopJoin);
+    * the big side never shuffles. */
+  def scaffoldJoin(entities: DataFrame, scaffold: DataFrame,
+                   scaffoldDate: String, entityStartDate: String): DataFrame =
+    entities.crossJoin(broadcast(scaffold))
+      .where(col(scaffoldDate) >= col(entityStartDate))
+
+  /** J2 — generic equi-join with key renaming and duplicate-column resolution,
+    * left wins (`joins.py:11-112`). */
+  def equiJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+               how: String = "inner", rightRenames: Map[String, String] = Map.empty,
+               dropNaSubset: Seq[String] = Nil): DataFrame = {
+    val r0 = rightRenames.foldLeft(right) { case (d, (from, to)) => d.withColumnRenamed(from, to) }
+    // duplicate non-key columns: left wins (reference drops the right copy)
+    val dups = r0.columns.toSet.intersect(left.columns.toSet) -- keys
+    val r = dups.foldLeft(r0)((d, c) => d.drop(c))
+    val joined = left.join(r, keys, how)
+    if (dropNaSubset.nonEmpty) joined.na.drop(dropNaSubset) else joined
+  }
+
+  /** J3 (reference shape) — as-of join via theta join + window dedup
+    * (`joins.py:115-238`): keys equal ∧ right.t <= left.t, keep the latest
+    * right row per (keys, left.t). Correct but O(n×history) — use only when
+    * one side is small. */
+  def pointInTimeJoinNaive(left: DataFrame, right: DataFrame, keys: Seq[String],
+                           leftTime: String, rightTime: String): DataFrame = {
+    val lt = col("l." + leftTime)
+    val rt = col("r." + rightTime)
+    val keyEq = keys.map(k => col("l." + k) === col("r." + k)).reduce(_ && _)
+    val l = left.alias("l")
+    val r = right.alias("r")
+    val joined = l.join(r, keyEq && rt <= lt, "left")
+    val w = Window.partitionBy(keys.map(k => col("l." + k)) :+ lt: _*).orderBy(rt.desc)
+    val rightPayload = right.columns.filterNot(c => keys.contains(c)).toSeq
+    joined.withColumn("__rn", row_number().over(w)).where(col("__rn") === 1)
+      .select(left.columns.map(c => col("l." + c)).toSeq ++
+              rightPayload.map(c => col("r." + c)): _*)
+  }
+
+  /** J3 (scale shape) — as-of join via union-tag + last(ignoreNulls) over a
+    * per-key running window. Semantics identical to the naive form (inclusive
+    * `right.t <= left.t`, latest right row wins); cost is one shuffle on
+    * `keys` + one sort, independent of history depth. */
+  def pointInTimeJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+                      leftTime: String, rightTime: String): DataFrame = {
+    val payloadCols = right.columns.filterNot(c => keys.contains(c) || c == rightTime).toSeq
+    val rTagged = right.select(
+      keys.map(col) ++ Seq(
+        col(rightTime).as("__t"), lit(0).as("__src"),
+        struct((col(rightTime).as(rightTime) +: payloadCols.map(col)): _*).as("__payload"),
+        lit(null).cast("long").as("__rowid")) ++
+      left.columns.filterNot(keys.contains).map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)
+    val lTagged = left.select(
+      keys.map(col) ++ Seq(
+        col(leftTime).as("__t"), lit(1).as("__src"),
+        lit(null).cast(rTagged.schema("__payload").dataType).as("__payload"),
+        monotonically_increasing_id().as("__rowid")) ++
+      left.columns.filterNot(keys.contains).map(col): _*)
+    // right rows sort before left rows at equal time (src 0 < 1) → inclusive asof
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col("__t"), col("__src"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val merged = rTagged.unionByName(lTagged)
+      .withColumn("__asof", last(col("__payload"), ignoreNulls = true).over(w))
+      .where(col("__src") === 1)
+    val rightTimeOut = if (left.columns.contains(rightTime)) rightTime + "_right" else rightTime
+    merged.select(
+      keys.map(col) ++
+      left.columns.filterNot(keys.contains).map(col) ++
+      Seq(col(s"__asof.$rightTime").as(rightTimeOut)) ++
+      payloadCols.filterNot(left.columns.contains).map(c => col(s"__asof.$c").as(c)): _*)
+  }
+
+  /** J4 — left-anti exclusion on distinct-projected keys (`joins.py:241-268`). */
+  def antiExclude(df: DataFrame, exclusions: DataFrame, keys: Seq[String]): DataFrame =
+    df.join(exclusions.select(keys.map(col): _*).distinct(), keys, "left_anti")
+
+  /** J5 — dimension resolve join; dimension side broadcast (`date.py:319-354`). */
+  def dimJoin(df: DataFrame, dim: DataFrame, key: String): DataFrame =
+    df.join(broadcast(dim), Seq(key))
+
+  /** J6 — agg-join-back done the windowed way: the grouped aggregate is
+    * attached via `agg.over(partitionBy(keys))` — one shuffle instead of the
+    * reference's groupBy + re-join (`aggregation.py:147-156`). */
+  def aggOver(df: DataFrame, keys: Seq[String], aggs: Seq[(String, String, String)]): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*)
+    val cols = aggs.map { case (op, c, alias) =>
+      graft.core.Exprs.resolve1(op)(col(c)).over(w).as(alias) }
+    df.select(col("*") +: cols: _*)
+  }
+
+  /** J7 — full-outer validation join, null counts → 0 (`monitor.py:397-407`). */
+  def outerCompare(a: DataFrame, b: DataFrame, key: String): DataFrame =
+    a.join(b, Seq(key), "outer").na.fill(0)
+
+  /** J8 — union by name tolerating missing columns (`union.py:8-23`). */
+  def unionTables(dfs: Seq[DataFrame]): DataFrame =
+    dfs.reduce(_.unionByName(_, allowMissingColumns = true))
+}

@@ -1,0 +1,123 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.{Window, WindowSpec}
+import org.apache.spark.sql.functions._
+
+/** Window-function operator kit: lags, lag-derived features, rolling stats,
+  * RSI — the heart of every reference pipeline.
+  *
+  * Reference semantics: `fs_cus_credit_risk.py:121-202,273-445` (duplicated
+  * across the four windowed notebooks), `lags.py:98-120`,
+  * `aggregation.py:11-57`.
+  *
+  * Scale design: ALL window columns for a given (partition, order) are
+  * emitted in ONE `select("*", ops…)` projection (the reference's own best
+  * pattern, SURVEY §4 R4) — Catalyst's `CollapseWindow` then plans a single
+  * Window node sharing one shuffle + one sort, however many features are
+  * derived. Frames are ROWS frames on purpose: the reference counts *rows*,
+  * not months, across gaps (SURVEY §7.5) — do not "fix" to RANGE.
+  */
+object Windows {
+
+  /** The canonical pipeline window (`fs_cus_credit_risk.py:545`). */
+  def entityWindow(partitionCol: String, orderCol: String): WindowSpec =
+    Window.partitionBy(partitionCol).orderBy(orderCol)
+
+  /** W1/W2 — per (col, lag n): `{c}_lag_{n}m`, diff `{c}_diff_{n}m`,
+    * rate-of-change `round((c-lag)/lag, 4)` as `{c}_roc_{n}m`
+    * (`fs_cus_credit_risk.py:273-324`; NOTE the reference builds these but
+    * never applies them — latent no-op, SURVEY §2.5 W2. The capability lives
+    * here; pipelines exclude them from parity outputs). */
+  def lagFeatureCols(w: WindowSpec, cols: Seq[String],
+                     lags: Seq[Int] = Seq(1, 3, 6)): Seq[Column] =
+    for { c <- cols; n <- lags; lagged = lag(col(c), n).over(w)
+          f <- Seq(
+            lagged.as(s"${c}_lag_${n}m"),
+            (col(c) - lagged).as(s"${c}_diff_${n}m"),
+            when(lagged =!= 0, round((col(c) - lagged) / lagged, 4))
+              .otherwise(lit(null)).as(s"${c}_roc_${n}m"))
+    } yield f
+
+  /** W3 frame: last n rows inclusive (`fs_cus_credit_risk.py:136-150`). */
+  def rollingFrame(w: WindowSpec, n: Int): WindowSpec = w.rowsBetween(-n + 1, 0)
+
+  /** W4 — rolling numeric stats: `round(avg,4)` as `{c}_ravg_{n}m`,
+    * `round(stddev_samp,4)` as `{c}_rstd_{n}m` (`fs_cus_credit_risk.py:336-368`). */
+  def rollingNumericCols(w: WindowSpec, cols: Seq[String],
+                         ns: Seq[Int] = Seq(3, 6)): Seq[Column] =
+    for { c <- cols; n <- ns; f <- Seq(
+            round(avg(col(c)).over(rollingFrame(w, n)), 4).as(s"${c}_ravg_${n}m"),
+            round(stddev(col(c)).over(rollingFrame(w, n)), 4).as(s"${c}_rstd_${n}m"))
+    } yield f
+
+  /** W5 — rolling categorical min/max, no rounding (`fs_cus_credit_risk.py:371-397`). */
+  def rollingMinMaxCols(w: WindowSpec, cols: Seq[String],
+                        ns: Seq[Int] = Seq(3, 6)): Seq[Column] =
+    for { c <- cols; n <- ns; f <- Seq(
+            min(col(c)).over(rollingFrame(w, n)).as(s"${c}_rmin_${n}m"),
+            max(col(c)).over(rollingFrame(w, n)).as(s"${c}_rmax_${n}m"))
+    } yield f
+
+  /** W6 — the single-projection driver (`fs_cus_credit_risk.py:400-445`):
+    * every rolling stat in one select → one Window exec, one sort. */
+  def withRollingStats(df: DataFrame, partitionCol: String, orderCol: String,
+                       numericCols: Seq[String], minMaxCols: Seq[String] = Nil,
+                       ns: Seq[Int] = Seq(3, 6)): DataFrame = {
+    val w = entityWindow(partitionCol, orderCol)
+    val ops = rollingNumericCols(w, numericCols, ns) ++ rollingMinMaxCols(w, minMaxCols, ns)
+    if (ops.isEmpty) df else df.select(col("*") +: ops: _*)
+  }
+
+  /** Generic lag application in one projection. */
+  def withLagFeatures(df: DataFrame, partitionCol: String, orderCol: String,
+                      cols: Seq[String], lags: Seq[Int] = Seq(1, 3, 6)): DataFrame = {
+    val ops = lagFeatureCols(entityWindow(partitionCol, orderCol), cols, lags)
+    df.select(col("*") +: ops: _*)
+  }
+
+  /** W7 — RSI over a 14-row frame (`fs_cus_credit_risk.py:167-202`; defined in
+    * all four notebooks, invoked in none — capability only):
+    * delta = c − lag(c,1); gains/losses split; avg over rows(-13,0);
+    * rs = avg_gain / coalesce(avg_loss, 1); rsi = 100 − 100/(1+rs). */
+  def rsiCol(w: WindowSpec, c: Column, periods: Int = 14): Column = {
+    val delta   = c - lag(c, 1).over(w)
+    val gain    = when(delta > 0, delta).otherwise(0.0)
+    val loss    = when(delta < 0, abs(delta)).otherwise(0.0)
+    val frame   = w.rowsBetween(-(periods - 1), 0)
+    val avgGain = avg(gain).over(frame)
+    val avgLoss = avg(loss).over(frame)
+    val rs      = avgGain / coalesce(when(avgLoss =!= 0, avgLoss), lit(1.0))
+    round(lit(100.0) - lit(100.0) / (lit(1.0) + rs), 4)
+  }
+
+  /** W8 — row numbering (`joins.py:230-236`, `lags.py:35-36`). */
+  def rowNumber(df: DataFrame, partitionCols: Seq[String], orderCol: Column,
+                as: String = "rn"): DataFrame =
+    df.withColumn(as,
+      row_number().over(Window.partitionBy(partitionCols.map(col): _*).orderBy(orderCol)))
+
+  /** W9 — group max over unordered window + lag-index arithmetic
+    * (`lags.py:39-50`). */
+  def withGroupMax(df: DataFrame, keys: Seq[String], c: String, as: String): DataFrame =
+    df.withColumn(as, max(col(c)).over(Window.partitionBy(keys.map(col): _*)))
+
+  /** W10 — generic window-op registry (`aggregation.py:11-57`): named agg
+    * functions applied `.over` a configured window. */
+  def windowOp(df: DataFrame, op: String, c: String, partitionCols: Seq[String],
+               orderCols: Seq[String], as: String): DataFrame = {
+    val base = Window.partitionBy(partitionCols.map(col): _*)
+    val w = if (orderCols.nonEmpty) base.orderBy(orderCols.map(col): _*) else base
+    df.withColumn(as, graft.core.Exprs.resolve1(op)(col(c)).over(w))
+  }
+
+  /** W11 — parameterized sliding mean/std frames (`lags.py:105-120`). */
+  def slidingStats(df: DataFrame, partitionCols: Seq[String], orderCol: String,
+                   c: String, start: Int, end: Int): DataFrame = {
+    val w = Window.partitionBy(partitionCols.map(col): _*).orderBy(orderCol)
+      .rowsBetween(start, end)
+    df.select(col("*"),
+      avg(col(c)).over(w).as(s"${c}_smean"),
+      stddev(col(c)).over(w).as(s"${c}_sstd"))
+  }
+}

@@ -1,0 +1,117 @@
+package graft.sim
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (`Array[Float]`). Extension beyond the reference surface (SURVEY §7.6).
+  *
+  * Two paths, per the standard vector-search playbook:
+  *  - [[bruteForceTopK]] — exact cosine top-k, broadcast the (small) query
+  *    set against the corpus: one pass, no corpus shuffle. Baseline +
+  *    correctness oracle for the approximate path.
+  *  - [[lshTopK]] — sign-random-projection (SRP) LSH bucketing: corpus is
+  *    hashed once into `nTables` bucket keys, queries probe only their own
+  *    buckets. Shuffle volume = corpus × nTables bucket rows, never
+  *    all-pairs; this is the 100 TB path (per-bucket candidate lists are
+  *    bounded, and the bucket join is a plain hash join Catalyst can
+  *    shuffle-partition).
+  *
+  * Vector math is done with `zip_with`/`aggregate` higher-order functions —
+  * Catalyst expressions, so codegen applies and no UDF serialization cost.
+  */
+object Similarity {
+
+  /** Dot product of two array<float/double> columns. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, v) => acc + v)
+
+  def l2Norm(a: Column): Column =
+    sqrt(aggregate(transform(a, x => x * x), lit(0.0d), (acc, v) => acc + v))
+
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (l2Norm(a) * l2Norm(b))
+
+  /** Exact top-k by cosine for each query vector. `queries` must be small
+    * (it is broadcast); corpus side streams — no corpus shuffle until the
+    * final per-query top-k, which is a window over k·|queries| rows. */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
+                     idCol: String, vecCol: String, queryIdCol: String,
+                     k: Int = 10): DataFrame = {
+    val q = broadcast(queries.select(col(queryIdCol).as("query_id"),
+      col(vecCol).cast("array<double>").as("__qv")))
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      col(vecCol).cast("array<double>").as("__cv"))
+    val scored = c.crossJoin(q)
+      .where(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cosine_sim", round(cosine(col("__cv"), col("__qv")), 6))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine_sim").desc, col("neighbor_id"))
+    scored.withColumn("__rn", row_number().over(w)).where(col("__rn") <= k)
+      .select("query_id", "neighbor_id", "cosine_sim", "__rn")
+      .withColumnRenamed("__rn", "rank")
+  }
+
+  /** SRP-LSH bucket key: sign bits of `nBits` seeded random hyperplane
+    * projections, packed into a long. Hyperplane components are derived
+    * deterministically from xxhash64(seed, dim-index) — no stored model. */
+  def srpKey(vec: Column, dim: Int, nBits: Int, tableSeed: Int): Column = {
+    val bits = (0 until nBits).map { bit =>
+      // pseudo-random ±1 hyperplane h[j] = sign(hash(table, bit, j))
+      val proj = aggregate(
+        zip_with(vec, sequence(lit(0), lit(dim - 1)),
+          (x, j) => x * when(pmod(xxhash64(lit(tableSeed), lit(bit), j), lit(2)) === 0, 1.0).otherwise(-1.0)),
+        lit(0.0d), (acc, v) => acc + v)
+      when(proj > 0, shiftleft(lit(1L), bit)).otherwise(lit(0L))
+    }
+    bits.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** Approximate top-k: probe SRP buckets across `nTables` hash tables,
+    * rank candidates by exact cosine. Recall grows with nTables; cost is
+    * bounded by bucket occupancy, not corpus size. */
+  def lshTopK(corpus: DataFrame, queries: DataFrame,
+              idCol: String, vecCol: String, queryIdCol: String,
+              dim: Int, k: Int = 10, nBits: Int = 12, nTables: Int = 4): DataFrame = {
+    def bucketed(df: DataFrame, id: String, outId: String, outVec: String) =
+      df.select(col(id).as(outId), col(vecCol).cast("array<double>").as(outVec))
+        .withColumn("__t", explode(array((0 until nTables).map(lit): _*)))
+        .withColumn("__key",
+          (0 until nTables).foldLeft(lit(0L)) { (acc, t) =>
+            when(col("__t") === t, srpKey(col(outVec), dim, nBits, t)).otherwise(acc)
+          })
+    val c = bucketed(corpus, idCol, "neighbor_id", "__cv")
+    val q = bucketed(queries, queryIdCol, "query_id", "__qv")
+    val cand = c.join(q, Seq("__t", "__key"))
+      .where(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"), col("__cv"), col("__qv"))
+      .dropDuplicates("query_id", "neighbor_id")
+      .withColumn("cosine_sim", round(cosine(col("__cv"), col("__qv")), 6))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine_sim").desc, col("neighbor_id"))
+    cand.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cosine_sim", "rank")
+  }
+
+  /** Embedding-cosine near-duplicate pairs over one corpus (id_a < id_b,
+    * cosine ≥ threshold), LSH-bucketed — the embedding flavor of
+    * [[graft.text.Dedup]]. */
+  def cosineDupPairs(corpus: DataFrame, idCol: String, vecCol: String,
+                     dim: Int, threshold: Double = 0.95,
+                     nBits: Int = 10, nTables: Int = 4): DataFrame = {
+    val b = corpus.select(col(idCol).as("__id"), col(vecCol).cast("array<double>").as("__v"))
+      .withColumn("__t", explode(array((0 until nTables).map(lit): _*)))
+      .withColumn("__key",
+        (0 until nTables).foldLeft(lit(0L)) { (acc, t) =>
+          when(col("__t") === t, srpKey(col("__v"), dim, nBits, t)).otherwise(acc)
+        })
+    val a = b.select(col("__t"), col("__key"), col("__id").as("id_a"), col("__v").as("v_a"))
+    val c = b.select(col("__t"), col("__key"), col("__id").as("id_b"), col("__v").as("v_b"))
+    a.join(c, Seq("__t", "__key")).where(col("id_a") < col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("cosine_sim", round(cosine(col("v_a"), col("v_b")), 6))
+      .where(col("cosine_sim") >= threshold)
+      .select("id_a", "id_b", "cosine_sim")
+  }
+}

