@@ -158,13 +158,13 @@ object Oracles {
 
     "q_a3_conditional_pivot" ->
       """SELECT o_custkey,
-        |  CAST(sum(CASE WHEN o_orderstatus = 'F' THEN p ELSE 0 END) AS DOUBLE) AS total_F,
-        |  CAST(sum(CASE WHEN o_orderstatus = 'O' THEN p ELSE 0 END) AS DOUBLE) AS total_O,
-        |  CAST(sum(CASE WHEN o_orderstatus = 'P' THEN p ELSE 0 END) AS DOUBLE) AS total_P,
-        |  sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) > 0 AS ind_has_F,
-        |  sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) > 0 AS ind_has_O,
-        |  sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) > 0 AS ind_has_P,
-        |  CAST(sum(p) AS DOUBLE) AS total_all_m
+        |  CAST(sum(CASE WHEN o_orderstatus = 'F' THEN p ELSE 0 END) AS DOUBLE) AS f_total,
+        |  CAST(sum(CASE WHEN o_orderstatus = 'O' THEN p ELSE 0 END) AS DOUBLE) AS o_total,
+        |  CAST(sum(CASE WHEN o_orderstatus = 'P' THEN p ELSE 0 END) AS DOUBLE) AS p_total,
+        |  sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) > 0 AS ind_f_order,
+        |  sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) > 0 AS ind_o_order,
+        |  sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) > 0 AS ind_p_order,
+        |  CAST(sum(p) AS DOUBLE) AS price_sum_m
         |FROM (SELECT o_custkey, o_orderstatus, CAST(o_totalprice AS DECIMAL(18,2)) AS p FROM orders)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 

@@ -251,17 +251,19 @@ object Queries {
   def qA3ConditionalPivot(s: SparkSession, dir: String): DataFrame = {
     val o = t(s, dir, "orders")
       .withColumn("price_dec", col("o_totalprice").cast("decimal(18,2)"))
-    Aggregations.conditionalPivot(o,
-        keys = Seq("o_custkey"), pivotCol = "o_orderstatus",
-        categories = Seq("F", "O", "P"),
-        measures = Seq(("sum", "price_dec", "total"), ("LIT", "price_dec", "has")),
-        totals = Seq(("sum", "price_dec", "total_all")))
+    Aggregations.calculateAggregations(o,
+        groupbyColumns = Seq("o_custkey"),
+        numericOps = Seq("price_dec" -> Seq("sum")),
+        pivotColumn = Some("o_orderstatus"),
+        pivotOps = Seq(Aggregations.PivotOp("SUM", "price_dec", "total"),
+                       Aggregations.PivotOp("LIT", "1", "order")),
+        catsToPivot = Seq("F" -> "f", "O" -> "o", "P" -> "p"))
       .select(col("o_custkey"),
-        col("total_F").cast("double").as("total_F"),
-        col("total_O").cast("double").as("total_O"),
-        col("total_P").cast("double").as("total_P"),
-        col("ind_has_F"), col("ind_has_O"), col("ind_has_P"),
-        col("total_all_m").cast("double").as("total_all_m"))
+        col("f_total").cast("double").as("f_total"),
+        col("o_total").cast("double").as("o_total"),
+        col("p_total").cast("double").as("p_total"),
+        col("ind_f_order"), col("ind_o_order"), col("ind_p_order"),
+        col("price_dec_sum_m").cast("double").as("price_sum_m"))
       .orderBy("o_custkey")
   }
 

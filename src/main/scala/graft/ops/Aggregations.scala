@@ -38,29 +38,69 @@ object Aggregations {
     if (joinBack) df.join(agg, keys) else agg
   }
 
-  /** A3 — manual pivot via conditional aggregation
-    * (`fs_cus_holding_products.py:199-305`). For each (category value v,
-    * measure col m, op): `op(CASE WHEN pivotCol = v THEN m ELSE 0 END)` named
-    * `{alias}_{v}`; the special op "LIT" yields the boolean holding indicator
-    * `SUM(CASE WHEN pivotCol = v THEN 1 ELSE 0 END) > 0` named `ind_{v}`
-    * (`:282-289`). Total (un-pivoted) aggs appended with `_m` suffix. */
-  def conditionalPivot(df: DataFrame, keys: Seq[String], pivotCol: String,
-                       categories: Seq[String],
-                       measures: Seq[(String, String, String)], // (op, measureCol, alias)
-                       totals: Seq[(String, String, String)] = Nil,
-                       fillZero: Boolean = true): DataFrame = {
-    val pivoted = for { v <- categories; (op, m, alias) <- measures } yield op match {
-      case "LIT" =>
-        (sum(when(col(pivotCol) === v, 1).otherwise(0)) > 0).as(s"ind_${alias}_$v")
-      case _ =>
-        graft.core.Exprs.resolve1(op)(when(col(pivotCol) === v, col(m)).otherwise(0))
-          .as(s"${alias}_$v")
+  /** One pivot measure: op("LIT" = boolean presence indicator), the measure
+    * column ("1" allowed, like the reference's literal), and the name alias. */
+  final case class PivotOp(operation: String, column: String, alias: String)
+
+  /** A3 — the reference's generic `calculate_aggregations`
+    * (`fs_cus_transactions.py:210-307`, used with pivot at
+    * `fs_cus_holding_products.py:607-640`): grouped aggregation with
+    *  - manual pivot via conditional aggregation: for each pivot value
+    *    `v -> renaming` and each PivotOp: `op(CASE WHEN pivotCol='v' THEN
+    *    col ELSE 0 END)` named `{renaming}_{alias}`; op "LIT" becomes
+    *    `SUM(CASE WHEN pivotCol='v' THEN 1 ELSE 0 END) > 0` named
+    *    `ind_{renaming}_{alias}`;
+    *  - total numeric aggs named `{col}_{op}_m`;
+    *  - optional na.fill.
+    * Single aggregation over N conditional columns — one shuffle with
+    * map-side partial aggregation, never N self-joins. */
+  def calculateAggregations(df: DataFrame, groupbyColumns: Seq[String],
+                            numericOps: Seq[(String, Seq[String])] = Nil,
+                            pivotColumn: Option[String] = None,
+                            pivotOps: Seq[PivotOp] = Nil,
+                            catsToPivot: Seq[(String, String)] = Nil,
+                            fillnaValue: Option[Any] = None): DataFrame = {
+    require(pivotColumn.isDefined == pivotOps.nonEmpty &&
+      pivotOps.nonEmpty == catsToPivot.nonEmpty,
+      "pivotColumn, catsToPivot and pivotOps must all be defined or all empty")
+    val pivoted = for {
+      op <- pivotOps
+      (value, renaming) <- catsToPivot
+    } yield {
+      val p = col(pivotColumn.get)
+      if (op.operation.toUpperCase == "LIT")
+        (sum(when(p === value, lit(1)).otherwise(lit(0))) > 0)
+          .as(s"ind_${renaming}_${op.alias}")
+      else {
+        val m = if (op.column == "1") lit(1) else col(op.column)
+        graft.core.Exprs.resolve1(op.operation.toLowerCase)(
+          when(p === value, m).otherwise(lit(0))).as(s"${renaming}_${op.alias}")
+      }
     }
-    val totalCols = totals.map { case (op, m, alias) =>
-      graft.core.Exprs.resolve1(op)(col(m)).as(s"${alias}_m") }
-    val all = pivoted ++ totalCols
-    val out = df.groupBy(keys.map(col): _*).agg(all.head, all.tail: _*)
-    if (fillZero) out.na.fill(0) else out
+    val totals = for { (c, ops) <- numericOps; op <- ops }
+      yield graft.core.Exprs.resolve1(op)(col(c)).as(s"${c}_${op}_m")
+    val all = pivoted ++ totals
+    val out = df.groupBy(groupbyColumns.map(col): _*).agg(all.head, all.tail: _*)
+    fillnaValue match {
+      case Some(v: Int) => out.na.fill(v)
+      case Some(v: Long) => out.na.fill(v)
+      case Some(v: Double) => out.na.fill(v)
+      case Some(v: String) => out.na.fill(v)
+      case _ => out
+    }
+  }
+
+  /** A1 (credit/payment form) — `calculate_aggregations(df, numeric_cols,
+    * categorical_cols)` (`fs_cus_credit_risk.py:213-261`): count(*) as
+    * credits_cnt, sum(c) as {c}_sum per numeric, max(c) as {c} per
+    * categorical, grouped by (id_customer, release_dt). */
+  def creditAggregations(df: DataFrame, numericCols: Seq[String],
+                         categoricalCols: Seq[String],
+                         keys: Seq[String] = Seq("id_customer", "release_dt")): DataFrame = {
+    val aggs = Seq(count(lit(1)).as("credits_cnt")) ++
+      numericCols.map(c => sum(col(c)).as(s"${c}_sum")) ++
+      categoricalCols.map(c => max(col(c)).as(c))
+    df.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
   }
 
   /** A4 — true pivot with explicit value list (`aggregation.py:142`).

@@ -1,0 +1,119 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.core.{Dates, Exprs, TextNorm, Types}
+
+class CoreSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // ---- shift_date truncation quirk (utils.py:526-527, SURVEY §7.5) ----
+
+  test("shiftDate floors to month start iff days == 0") {
+    val df = Seq("2024-03-17").toDF("d")
+    val floored = df.select(Dates.shiftDate($"d", "yyyy-MM-dd", days = 0, months = 1).cast("string"))
+      .first().getString(0)
+    assert(floored == "2024-04-01") // floored then +1 month
+    val notFloored = df.select(Dates.shiftDate($"d", "yyyy-MM-dd", days = 2, months = 1).cast("string"))
+      .first().getString(0)
+    assert(notFloored == "2024-04-19") // +2 days, no floor, +1 month
+  }
+
+  test("shiftDate property: days=0 result is always a month start") {
+    val rnd = new scala.util.Random(42)
+    val samples = Seq.fill(60)((rnd.nextLong(20000L).abs, rnd.nextInt(49) - 24))
+    val input = samples.map { case (ed, m) =>
+      (java.time.LocalDate.ofEpochDay(ed).toString, m) }.toDF("d", "m")
+    val got = input.select($"d", $"m",
+      // months is a per-row column here: replicate shiftDate inline
+      add_months(trunc(to_date($"d", "yyyy-MM-dd"), "month"), $"m").cast("string"))
+      .collect()
+    got.foreach { r =>
+      val expected = java.time.LocalDate.parse(r.getString(0))
+        .withDayOfMonth(1).plusMonths(r.getInt(1))
+      assert(r.getString(2) == expected.toString)
+      assert(r.getString(2).endsWith("-01"))
+    }
+    // and the operator itself for a fixed month shift
+    samples.take(10).foreach { case (ed, _) =>
+      val d = java.time.LocalDate.ofEpochDay(ed)
+      val res = Seq(d.toString).toDF("d")
+        .select(Dates.shiftDate($"d", "yyyy-MM-dd", days = 0, months = 7).cast("string"))
+        .first().getString(0)
+      assert(res == d.withDayOfMonth(1).plusMonths(7).toString)
+    }
+  }
+
+  test("releaseDt parses yyyy-MM and shifts one month") {
+    val got = Seq("2023-12").toDF("p")
+      .select(Dates.releaseDt($"p").cast("string")).first().getString(0)
+    assert(got == "2024-01-01")
+  }
+
+  // ---- text normalization (utils.py:322-473) ----
+
+  test("normalize: trim, lower, deaccent, special chars to underscore") {
+    val cases = Seq(
+      "  Crédito (Auto)  " -> "credito_auto",
+      "TARJETA DE CRÉDITO" -> "tarjeta_de_credito",
+      "a  b--c" -> "a_b_c",
+      "__x__" -> "x",
+      "ñandú" -> "nandu")
+    val got = cases.map(_._1).toDF("s").select(TextNorm.normalize($"s")).as[String].collect()
+    assert(got.toSeq == cases.map(_._2))
+  }
+
+  test("normalizeTable touches every string column in one projection") {
+    val df = Seq((1L, "  Á b ", "X–Y")).toDF("id", "a", "b")
+    val out = TextNorm.normalizeTable(df)
+    val row = out.first()
+    assert(row.getString(1) == "a_b" && row.getLong(0) == 1L)
+    // normalizeTable adds ONE Project (plus toDF's rename), never a stacked
+    // per-column projection chain (SURVEY §4 R5)
+    val projectsAfter = out.queryExecution.logical.collect {
+      case p: org.apache.spark.sql.catalyst.plans.logical.Project => p }.size
+    assert(projectsAfter <= 2)
+  }
+
+  // ---- type coercions (utils.py:538-564) ----
+
+  test("standardize coerces LONG->INT and DECIMAL->FLOAT, leaves others") {
+    val df = Seq((1L, BigDecimal("2.50"), 3.5, 4)).toDF("l", "d", "dbl", "i")
+    val out = Types.standardize(df)
+    val types = out.schema.fields.map(f => f.name -> f.dataType).toMap
+    assert(types("l") == IntegerType)
+    assert(types("d") == FloatType)
+    assert(types("dbl") == DoubleType)
+    assert(types("i") == IntegerType)
+    assert(out.first().getFloat(1) == 2.5f)
+  }
+
+  // ---- ratio semantics (fs_cus_credit_risk.py:456-486) ----
+
+  test("safeRatio: null on zero denominator, round 4") {
+    val df = Seq((10.0, 3.0), (1.0, 0.0)).toDF("n", "d")
+    val got = df.select(Exprs.safeRatio($"n", $"d")).as[Option[Double]].collect()
+    assert(got(0).contains(3.3333) && got(1).isEmpty)
+    val pct = df.select(Exprs.safePct($"n", $"d")).as[Option[Double]].collect()
+    assert(pct(0).contains(333.3333) && pct(1).isEmpty)
+  }
+
+  test("caseMap/binarize/naStandardize") {
+    val df = Seq("A", "E", "?").toDF("r")
+    val mapped = df.select(Exprs.caseMap($"r",
+      Seq("A" -> 1, "B" -> 2, "C" -> 3, "D" -> 4, "E" -> 5), 0)).as[Int].collect()
+    assert(mapped.toSeq == Seq(1, 5, 0))
+    val bin = df.select(Exprs.binarize($"r", Seq("A", "B"))).as[Int].collect()
+    assert(bin.toSeq == Seq(1, 0, 0))
+    val na = df.select(Exprs.naStandardize($"r", Seq("?"))).as[Option[String]].collect()
+    assert(na.toSeq == Seq(Some("A"), Some("E"), None))
+  }
+
+  test("function registry resolves and rejects") {
+    assert(Exprs.fn1.contains("sum") && Exprs.fn2.contains("truediv"))
+    intercept[IllegalArgumentException](Exprs.resolve1("no_such_fn"))
+  }
+}

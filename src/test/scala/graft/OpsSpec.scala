@@ -1,0 +1,118 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Aggregations, Filters, Joins, Windows}
+
+class OpsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // ---- rolling windows: ROWS frames over gapped months (SURVEY §7.5) ----
+
+  test("rolling stats use ROWS frames: a gap does NOT reset the window") {
+    // customer 1 is missing 2024-02: the 3-row frame at 2024-04 spans Jan..Apr
+    val df = Seq(
+      (1, "2024-01-01", 10.0), (1, "2024-03-01", 20.0), (1, "2024-04-01", 30.0),
+      (2, "2024-01-01", 5.0))
+      .toDF("id", "dt", "x").withColumn("dt", $"dt".cast("date"))
+    val out = Windows.withRollingStats(df, "id", "dt", Seq("x"), Nil, Seq(3))
+      .orderBy("id", "dt")
+      .select("x_ravg_3m").as[Double].collect()
+    assert(out(0) == 10.0)            // 1 row
+    assert(out(1) == 15.0)            // Jan+Mar (gap ignored — row frame)
+    assert(out(2) == 20.0)            // Jan+Mar+Apr
+    assert(out(3) == 5.0)
+  }
+
+  test("rolling stddev is sample stddev, null for a single row") {
+    val df = Seq((1, 1, 10.0), (1, 2, 14.0)).toDF("id", "t", "x")
+    val out = Windows.withRollingStats(df, "id", "t", Seq("x"), Nil, Seq(3))
+      .orderBy("t").select("x_rstd_3m").as[Option[Double]].collect()
+    assert(out(0).isEmpty)                       // stddev_samp of 1 row = null
+    assert(math.abs(out(1).get - 2.8284) < 1e-9) // sqrt(((10-12)^2+(14-12)^2)/1)=2.8284 (rounded 4)
+  }
+
+  test("lag features: lag, diff, roc naming and null-on-zero semantics") {
+    val df = Seq((1, 1, 0.0), (1, 2, 10.0), (1, 3, 12.0)).toDF("id", "t", "x")
+    val out = Windows.withLagFeatures(df, "id", "t", Seq("x"), Seq(1)).orderBy("t")
+    val rows = out.select("x_lag_1m", "x_diff_1m", "x_roc_1m").collect()
+    assert(rows(0).isNullAt(0) && rows(0).isNullAt(1) && rows(0).isNullAt(2))
+    assert(rows(1).getDouble(0) == 0.0 && rows(1).getDouble(1) == 10.0 && rows(1).isNullAt(2)) // lag=0 → roc null
+    assert(rows(2).getDouble(2) == 0.2) // (12-10)/10
+  }
+
+  test("RSI: all-gain series saturates toward 100, flat series is 0") {
+    val up = (1 to 8).map(i => (1, i, i * 10.0)).toDF("id", "t", "x")
+    val w = Windows.entityWindow("id", "t")
+    val rsiUp = up.select(Windows.rsiCol(w, $"x", 6)).as[Double].collect()
+    assert(rsiUp.last > 90.0)
+    val flat = (1 to 8).map(i => (1, i, 5.0)).toDF("id", "t", "x")
+    val rsiFlat = flat.select(Windows.rsiCol(w, $"x", 6)).as[Double].collect()
+    assert(rsiFlat.forall(_ == 0.0)) // no gains, no losses → rs=0 → rsi=0
+  }
+
+  // ---- PIT join: scale rewrite ≡ reference theta-join shape ----
+
+  test("pointInTimeJoin union-tag rewrite matches the naive theta form") {
+    val left = Seq(
+      (1, "2024-03-15"), (1, "2024-01-05"), (2, "2024-02-01"), (3, "2024-05-01"))
+      .toDF("k", "lt").withColumn("lt", $"lt".cast("date"))
+      .withColumn("lval", $"k" * 100)
+    val right = Seq(
+      (1, "2024-01-01", 11.0), (1, "2024-03-01", 13.0), (1, "2024-06-01", 16.0),
+      (2, "2024-02-01", 22.0)) // exact-date match: inclusive
+      .toDF("k", "rt", "feat").withColumn("rt", $"rt".cast("date"))
+    val fast = Joins.pointInTimeJoin(left, right, Seq("k"), "lt", "rt")
+      .orderBy("k", "lt").select("k", "lt", "rt", "feat").collect()
+    val naive = Joins.pointInTimeJoinNaive(left, right, Seq("k"), "lt", "rt")
+      .orderBy("k", "lt").select("k", "lt", "rt", "feat").collect()
+    assert(fast.toSeq == naive.toSeq)
+    // spot semantics: inclusive asof, no-match → nulls
+    val m = fast.map(r => (r.getInt(0), r.getDate(1).toString) -> Option(r.get(3))).toMap
+    assert(m((1, "2024-03-15")) == Some(13.0)) // latest ≤
+    assert(m((2, "2024-02-01")) == Some(22.0)) // inclusive
+    assert(m((3, "2024-05-01")).isEmpty)       // key with no history
+  }
+
+  test("antiExclude removes rows whose keys appear in the exclusion set") {
+    val df = Seq(1, 2, 3, 4).toDF("k")
+    val excl = Seq(2, 4, 4).toDF("k")
+    assert(Joins.antiExclude(df, excl, Seq("k")).as[Int].collect().sorted.toSeq == Seq(1, 3))
+  }
+
+  test("calculateAggregations: reference pivot naming incl. LIT indicator") {
+    val df = Seq(
+      (1, "a", "credit_card", 100.0), (1, "a", "mortgage", 50.0), (2, "a", "credit_card", 10.0))
+      .toDF("id", "p", "product", "amount")
+    val out = Aggregations.calculateAggregations(df,
+      groupbyColumns = Seq("id", "p"),
+      numericOps = Seq("amount" -> Seq("sum", "max")),
+      pivotColumn = Some("product"),
+      pivotOps = Seq(Aggregations.PivotOp("SUM", "amount", "amount_sum_m"),
+        Aggregations.PivotOp("LIT", "1", "product")),
+      catsToPivot = Seq("credit_card" -> "cc", "mortgage" -> "mtg"),
+      fillnaValue = Some(0)).orderBy("id")
+    val cols = out.columns.toSeq
+    assert(cols.contains("cc_amount_sum_m") && cols.contains("ind_mtg_product")
+      && cols.contains("amount_sum_m") && cols.contains("amount_max_m"))
+    val r1 = out.collect()(0)
+    assert(r1.getAs[Double]("cc_amount_sum_m") == 100.0)
+    assert(r1.getAs[Boolean]("ind_mtg_product"))
+    val r2 = out.collect()(1)
+    assert(!r2.getAs[Boolean]("ind_mtg_product"))
+    assert(r2.getAs[Double]("mtg_amount_sum_m") == 0.0)
+  }
+
+  test("maxValueFilter and latestPerGroup") {
+    val df = Seq((1, 1, "a"), (1, 3, "b"), (2, 2, "c"), (2, 3, "d")).toDF("g", "t", "v")
+    assert(Filters.maxValueFilter(df, "t").select("v").as[String].collect().sorted.toSeq == Seq("b", "d"))
+    assert(Filters.latestPerGroup(df, Seq("g"), "t").select("v").as[String].collect().sorted.toSeq == Seq("b", "d"))
+  }
+
+  test("validIds drops null and sentinel ids") {
+    val df = Seq(Some(1L), Some(999999999L), None).toDF("id")
+    assert(Filters.validIds(df, "id").count() == 1)
+  }
+}

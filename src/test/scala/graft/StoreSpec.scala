@@ -1,0 +1,103 @@
+package graft
+
+import java.nio.file.Files
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.types._
+
+import graft.store.{FeatureStore, SchemaDiff, TableStore}
+
+class StoreSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def freshStore() =
+    new TableStore(spark, Files.createTempDirectory("graft_store").toString)
+
+  test("schema diff classifies NEW / MISSING / TYPE_CHANGED") {
+    val stored = StructType.fromDDL("a INT, b STRING, c DOUBLE")
+    val incoming = StructType.fromDDL("a BIGINT, b STRING, d DATE")
+    val d = SchemaDiff.diff(stored, incoming)
+    assert(d.newColumns == Seq("d"))
+    assert(d.missingColumns == Seq("c"))
+    assert(d.typeChanged == Seq(("a", "int", "bigint")))
+    assert(!d.isCompatible)
+    assert(SchemaDiff.diff(stored, stored).isCompatible)
+  }
+
+  test("overwrite + read + versioned time travel") {
+    val store = freshStore()
+    store.overwrite("t", Seq((1, "x")).toDF("k", "v"), primaryKeys = Seq("k"))
+    store.overwrite("t", Seq((2, "y")).toDF("k", "v"))
+    assert(store.currentVersion("t") == 1)
+    assert(store.read("t").as[(Int, String)].collect().toSeq == Seq((2, "y")))
+    assert(store.readVersion("t", 0).as[(Int, String)].collect().toSeq == Seq((1, "x")))
+  }
+
+  test("upsert merges by PK: update matched, insert unmatched, idempotent replay") {
+    val store = freshStore()
+    store.overwrite("f", Seq((1, "2024-01", 10.0), (2, "2024-01", 20.0))
+      .toDF("pk", "month", "feat"), primaryKeys = Seq("pk", "month"))
+    val batch = Seq((2, "2024-01", 25.0), (3, "2024-01", 30.0)).toDF("pk", "month", "feat")
+    store.upsert("f", batch)
+    val after = store.read("f").orderBy("pk").as[(Int, String, Double)].collect().toSeq
+    assert(after == Seq((1, "2024-01", 10.0), (2, "2024-01", 25.0), (3, "2024-01", 30.0)))
+    // replay the same batch: same result (idempotence, SURVEY §5)
+    store.upsert("f", batch)
+    val replay = store.read("f").orderBy("pk").as[(Int, String, Double)].collect().toSeq
+    assert(replay == after)
+  }
+
+  test("upsert evolves schema by null-padding new columns") {
+    val store = freshStore()
+    store.overwrite("e", Seq((1, 1.0)).toDF("pk", "a"), primaryKeys = Seq("pk"))
+    store.upsert("e", Seq((2, 2.0, "new")).toDF("pk", "a", "b"))
+    val out = store.read("e").orderBy("pk").collect()
+    assert(out.map(_.getAs[Any]("b")).toSeq == Seq(null, "new"))
+  }
+
+  test("replaceWhere rewrites only the matching slice") {
+    val store = freshStore()
+    store.overwrite("r", Seq((1, "2024-01", 1.0), (2, "2024-02", 2.0))
+      .toDF("pk", "month", "x"), primaryKeys = Seq("pk"))
+    store.replaceWhere("r", Seq((9, "2024-02", 9.0)).toDF("pk", "month", "x"),
+      "month = '2024-02'")
+    val out = store.read("r").orderBy("pk").as[(Int, String, Double)].collect().toSeq
+    assert(out == Seq((1, "2024-01", 1.0), (9, "2024-02", 9.0)))
+  }
+
+  test("compact prunes old versions but keeps the latest") {
+    val store = freshStore()
+    store.overwrite("c", Seq(1).toDF("k"), primaryKeys = Seq("k"))
+    store.overwrite("c", Seq(2).toDF("k"))
+    store.compact("c", n = 1, retain = 1)
+    assert(store.read("c").as[Int].collect().toSeq == Seq(2))
+    intercept[Exception](store.readVersion("c", 0).collect()) // pruned
+  }
+
+  test("properties round-trip through _meta.json") {
+    val store = freshStore()
+    store.overwrite("p", Seq(1).toDF("k"), primaryKeys = Seq("k"),
+      timestampKeys = Seq("k"), description = "a \"quoted\" description\nline2")
+    store.setProperties("p", Map("team" -> "graft", "tier" -> "gold"))
+    val m = store.meta("p").get
+    assert(m.properties("team") == "graft")
+    assert(m.description.contains("\"quoted\""))
+    assert(m.primaryKeys == Seq("k") && m.timestampKeys == Seq("k"))
+  }
+
+  test("FeatureStore.save: fail-on-missing policy, then force path") {
+    val store = freshStore()
+    val r1 = FeatureStore.save(store, "fs", Seq((1, "m", 1.0)).toDF("pk", "ts", "a"),
+      Seq("pk", "ts"), Seq("ts"))
+    assert(r1.version == 0 && r1.diff.isEmpty)
+    // dropping column "a" must fail under FailOnMissing
+    intercept[RuntimeException] {
+      FeatureStore.save(store, "fs", Seq((1, "m")).toDF("pk", "ts"), Seq("pk", "ts"), Seq("ts"))
+    }
+    // new column via upsert path is fine
+    val r2 = FeatureStore.save(store, "fs", Seq((2, "m", 2.0, 5)).toDF("pk", "ts", "a", "b"),
+      Seq("pk", "ts"), Seq("ts"))
+    assert(r2.version == 1 && r2.diff.get.newColumns == Seq("b"))
+    assert(store.read("fs").count() == 2)
+  }
+}

@@ -1,0 +1,103 @@
+package graft
+
+import java.nio.file.Files
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.multimodal.Multimodal
+import graft.store.TableStore
+import graft.streaming.Streaming
+
+class StreamingMultimodalSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  /** events at sf0.001 rewritten as micros-timestamp parquet (the raw file
+    * is TIMESTAMP(NANOS), which the file-stream source can't infer). */
+  private lazy val eventsDir: String = {
+    val dir = Files.createTempDirectory("graft_events").toString
+    spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+    dir
+  }
+
+  test("streaming tumbling agg over a file source matches the batch result") {
+    val stream = Streaming.tumblingAgg(Streaming.eventsStream(spark, eventsDir))
+    val q = stream.writeStream.format("memory").queryName("tumbling_test")
+      .outputMode("update").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("tumbling_test")
+      .groupBy("win_start", "event_type").agg(max("n_events").as("n_events"))
+    val batch = spark.read.parquet(eventsDir)
+      .groupBy(window($"ts", "1 hour")("start").as("win_start"), $"event_type")
+      .agg(count(lit(1)).as("n_events"))
+    assert(streamed.join(batch, Seq("win_start", "event_type"))
+      .where(streamed("n_events") =!= batch("n_events")).isEmpty)
+    assert(streamed.count() == batch.count())
+  }
+
+  test("stateful runningPerUser accumulates counts via mapGroupsWithState") {
+    val stream = Streaming.runningPerUser(spark, Streaming.eventsStream(spark, eventsDir))
+    val q = stream.writeStream.format("memory").queryName("running_test")
+      .outputMode("update").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("running_test").groupBy("user_id").agg(max("n").as("n"))
+    val expected = spark.read.parquet(eventsDir).groupBy("user_id").count()
+    assert(got.join(expected, "user_id").where($"n" =!= $"count").isEmpty)
+  }
+
+  test("foreachBatch streams into the TableStore idempotently") {
+    val store = new TableStore(spark, Files.createTempDirectory("graft_ss").toString)
+    val agg = Streaming.tumblingAgg(Streaming.eventsStream(spark, eventsDir))
+    val cp = Files.createTempDirectory("graft_cp").toString
+    val q = Streaming.streamIntoStore(agg, store, "event_features",
+      Seq("win_start", "event_type"), cp)
+    q.awaitTermination(60000)
+    val n = store.read("event_features").count()
+    assert(n > 0)
+    // PK uniqueness after merge
+    assert(store.read("event_features")
+      .groupBy("win_start", "event_type").count().where($"count" > 1).isEmpty)
+  }
+
+  // ---- multimodal plumbing ----
+
+  private lazy val assets = Multimodal.toAssets(
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet"),
+    "doc_id", "text", "text/plain")
+
+  test("toAssets wraps blobs with typed metadata") {
+    val r = assets.orderBy("asset_id").first()
+    assert(r.schema.fieldNames.toSeq == Seq("asset_id", "blob", "meta"))
+    val meta = r.getStruct(2)
+    assert(meta.getAs[String]("media_type") == "text/plain")
+    assert(meta.getAs[Int]("n_bytes") > 0)
+    assert(meta.getAs[String]("checksum").length == 32)
+  }
+
+  test("extractFeatures: mapPartitions decode stage, deterministic output") {
+    val f1 = Multimodal.extractFeatures(Multimodal.shardForDecode(assets, 4), dim = 8)
+    val f2 = Multimodal.extractFeatures(assets.repartition(2), dim = 8)
+    assert(f1.count() == 500)
+    val a = f1.orderBy("asset_id").first()
+    assert(a.getAs[scala.collection.Seq[Float]]("features").length == 8)
+    // decode is a pure function of bytes: partitioning must not change results
+    val j = f1.select($"asset_id", $"features".as("fa"))
+      .join(f2.select($"asset_id", $"features".as("fb")), "asset_id")
+    assert(j.where($"fa" =!= $"fb").isEmpty)
+  }
+
+  test("sampleFrames emits k byte-range frames per asset") {
+    val frames = Multimodal.sampleFrames(assets, k = 4, frameLen = 64)
+    assert(frames.count() == 500 * 4)
+    assert(frames.groupBy("asset_id").count().where($"count" =!= 4).isEmpty)
+    val r = frames.where($"asset_id" === 0).orderBy("frame_idx").collect()
+    assert(r.map(_.getAs[Int]("frame_idx")).toSeq == Seq(0, 1, 2, 3))
+    assert(r.forall(_.getAs[Array[Byte]]("frame_bytes").nonEmpty))
+  }
+
+  test("resizeImages is an explicit stub") {
+    intercept[NotImplementedError](Multimodal.resizeImages(assets, 256))
+  }
+}

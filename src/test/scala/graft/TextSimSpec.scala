@@ -1,0 +1,126 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.text.{Dedup, TextStats}
+import graft.sim.Similarity
+
+class TextSimSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog and runs far away home"),
+    (2L, "the quick brown fox jumps over the lazy dog and runs far away home"), // exact dup of 1
+    (3L, "the quick brown fox jumps over the lazy dog and runs far away now"),  // near dup of 1
+    (4L, "completely different content about spark query engines and shuffles"),
+    (5L, "el rapido zorro marron salta sobre el perro perezoso y corre lejos"))
+    .toDF("doc_id", "text")
+
+  test("exact dedup keeps the lowest id per normalized text") {
+    val out = Dedup.exact(docs, "text", "doc_id").select("doc_id").as[Long].collect().sorted
+    assert(out.toSeq == Seq(1L, 3L, 4L, 5L))
+  }
+
+  test("minhash pairs find exact and near dups, not unrelated docs") {
+    val pairs = Dedup.minhashPairs(docs, "text", "doc_id", numHashes = 64,
+      bands = 16, threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(pairs.contains((1L, 3L)) || pairs.contains((2L, 3L)))
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("minhashLsh drops near-duplicates, keeps distinct docs") {
+    val out = Dedup.minhashLsh(docs, "text", "doc_id", threshold = 0.5)
+      .select("doc_id").as[Long].collect().sorted
+    assert(out.head == 1L)           // smallest id survives
+    assert(!out.contains(2L))        // exact clone dropped
+    assert(out.contains(4L) && out.contains(5L))
+  }
+
+  test("simhash: identical texts hash equal; near-dups within small hamming") {
+    val sh = docs.select($"doc_id", Dedup.simhash($"text").as("sh"))
+      .as[(Long, Long)].collect().toMap
+    assert(sh(1L) == sh(2L))
+    assert(java.lang.Long.bitCount(sh(1L) ^ sh(3L)) <= 12)
+    assert(java.lang.Long.bitCount(sh(1L) ^ sh(4L)) > 12)
+  }
+
+  test("ngram jaccard pairs: exact dup scores 1.0") {
+    val pairs = Dedup.ngramJaccardPairs(docs, "text", "doc_id", n = 3, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(pairs((1L, 2L)) == 1.0)
+    assert(pairs.get((1L, 3L)).exists(j => j > 0.5 && j < 1.0))
+  }
+
+  test("text stats: tokens, ratios, langid on clean inputs") {
+    val r = Seq((1L, "The quick brown fox. It was fast!"))
+      .toDF("doc_id", "text")
+      .select(
+        TextStats.tokenCountWs($"text").as("tok"),
+        TextStats.punctRatio($"text").as("punct"),
+        TextStats.stopwordRatio($"text").as("stop"),
+        TextStats.langId($"text").as("lang"))
+      .first()
+    assert(r.getAs[Int]("tok") == 7)
+    assert(r.getAs[Double]("punct") > 0.0)
+    assert(r.getAs[Double]("stop") > 0.2) // the, it, was
+    assert(r.getAs[String]("lang") == "en")
+    val es = Seq((2L, "el zorro salta sobre el perro y corre por la casa"))
+      .toDF("doc_id", "text").select(TextStats.langId($"text")).as[String].first()
+    assert(es == "es")
+  }
+
+  test("fingerprint is whitespace/case-insensitive content identity") {
+    val fps = Seq("a  b\tc", "A b C", "a b d").toDF("text")
+      .select(TextStats.fingerprint($"text")).as[Long].collect()
+    assert(fps(0) == fps(1) && fps(0) != fps(2))
+  }
+
+  // ---- similarity ----
+
+  private val vecs = {
+    val rnd = new scala.util.Random(7)
+    (0L until 50L).map { i =>
+      val v = Array.fill(16)(rnd.nextGaussian().toFloat)
+      (i, v)
+    }.toDF("vec_id", "embedding")
+  }
+
+  test("brute-force top-k: nearest neighbor of a clone is the original") {
+    val clone = vecs.where($"vec_id" === 0)
+      .select(lit(999L).as("vec_id"), $"embedding")
+    val corpus = vecs.unionByName(clone)
+    val top = Similarity.bruteForceTopK(corpus, clone, "vec_id", "embedding", "vec_id", k = 3)
+      .orderBy("rank").collect()
+    assert(top(0).getAs[Long]("neighbor_id") == 0L)
+    assert(top(0).getAs[Double]("cosine_sim") > 0.999999)
+  }
+
+  test("LSH top-k recall: candidates are ranked by true cosine") {
+    val queries = vecs.where($"vec_id" < 3)
+    val exact = Similarity.bruteForceTopK(vecs, queries, "vec_id", "embedding", "vec_id", k = 5)
+      .where($"rank" === 1).select("query_id", "neighbor_id").as[(Long, Long)].collect().toMap
+    val approx = Similarity.lshTopK(vecs, queries, "vec_id", "embedding", "vec_id",
+      dim = 16, k = 5, nBits = 6, nTables = 8)
+      .where($"rank" === 1).select("query_id", "neighbor_id").as[(Long, Long)].collect().toMap
+    // with 8 tables on 16-dim data, the true NN should be recalled for most queries
+    val hits = exact.keys.count(q => approx.get(q) == exact.get(q))
+    assert(hits >= 2, s"approx=$approx exact=$exact")
+  }
+
+  test("embedding dup pairs finds planted perturbed clones") {
+    val perturbed = vecs.where($"vec_id" < 5)
+      .select(($"vec_id" + 1000L).as("vec_id"),
+        transform($"embedding", (x, i) => when(i === 0, x + lit(0.05f)).otherwise(x))
+          .as("embedding"))
+    val corpus = vecs.unionByName(perturbed)
+    val pairs = Similarity.cosineDupPairs(corpus, "vec_id", "embedding",
+      dim = 16, threshold = 0.98, nBits = 6, nTables = 8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val planted = (0L until 5L).map(i => (i, i + 1000L)).toSet
+    assert(planted.intersect(pairs).size >= 4, s"found=$pairs")
+  }
+}
