@@ -1,9 +1,17 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main: every SparkEntry query on SPARK_GRAFT_SF_DIR plus the
+  * five banking feature pipelines at the reference's data scale
+  * (10k customers × 24 months, `dummy_data_generation.py:29-30`). Prints
+  * ONE JSON line: {"metric":"total","value":N,"unit":"sec","queries":{...}}.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      Runtime.getRuntime.availableProcessors().toString)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -12,15 +20,34 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    spark.range(1000000).selectExpr("sum(id)").collect() // JVM/codegen warmup
+
+    def time(fn: => Long): Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      try fn catch { case e: Throwable =>
+        System.err.println(s"[bench] failed: ${e.getMessage}"); -1L }
+      (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    val queryTimes = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      name -> time(fn(spark, sfDir).count())
+    }
+
+    // the five pipelines over reference-scale generated banking data
+    val sources = graft.datagen.BankingDataGen.all(spark)
+    val pipelineTimes = Seq(
+      "pipe_transactions" -> (() => graft.pipelines.Pipelines.transactions(sources("transacciones"))),
+      "pipe_credit_risk" -> (() => graft.pipelines.Pipelines.creditRisk(sources("buro_credito"))),
+      "pipe_payment_behavior" -> (() => graft.pipelines.Pipelines.paymentBehavior(sources("pagos"))),
+      "pipe_holding_products" -> (() => graft.pipelines.Pipelines.holdingProducts(sources("productos"))),
+      "pipe_demographic" -> (() => graft.pipelines.Pipelines.demographic(
+        sources("clientes"), "2023-01-01", graft.datagen.BankingDataGen.AnchorMonth)),
+    ).map { case (name, mk) => name -> time(mk().count()) }
+
+    val results = queryTimes ++ pipelineTimes
+    val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
+    val total = results.map(_._2).sum
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

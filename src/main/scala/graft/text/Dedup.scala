@@ -14,6 +14,15 @@ import org.apache.spark.sql.functions._
   * keep-one winner is resolved with one window pass — the standard
   * web-scale near-dedup topology (cf. the MinHashLSH design in Spark MLlib
   * and the Lee et al. "Deduplicating Training Data" recipe).
+  *
+  * Evaluation-cost note (measured, not theoretical): tokenization and
+  * n-gram building are staged as SEPARATE projections whose outputs are
+  * referenced at least twice downstream. Catalyst's `CollapseProject`
+  * inlines an alias referenced once, and an inlined array expression gets
+  * re-evaluated inside EVERY higher-order-function lambda element — a
+  * single-projection formulation re-ran the full regex tokenization once
+  * per minhash seed (64×/row). The staging below keeps a projection
+  * barrier so each stage computes once per row.
   */
 object Dedup {
 
@@ -40,68 +49,84 @@ object Dedup {
       i => norm.substr(i, lit(k))))
   }
 
-  /** Word n-grams of normalized text, distinct per doc. */
-  def wordNgrams(text: Column, n: Int = 3): Column = {
-    val tokens = split(regexp_replace(lower(trim(text)), "[^a-z0-9áéíóúñü ]", ""), "\\s+")
+  private def tokensCol(text: Column, keepAccents: Boolean = true): Column = {
+    val cls = if (keepAccents) "[^a-z0-9áéíóúñü ]" else "[^a-z0-9 ]"
+    split(regexp_replace(lower(trim(text)), cls, ""), "\\s+")
+  }
+
+  /** Word n-grams from a MATERIALIZED tokens column (an attribute, so the
+    * per-element `slice` reads a row field instead of re-tokenizing). */
+  def ngramsFromTokens(tokens: Column, n: Int): Column =
     array_distinct(transform(
       sequence(lit(0), greatest(size(tokens) - n, lit(0))),
       i => concat_ws(" ", slice(tokens, i + 1, lit(n)))))
-  }
+
+  /** Stage `__grams` behind projection barriers (see class doc). */
+  private def withGrams(df: DataFrame, textCol: String, n: Int): DataFrame =
+    df.withColumn("__tokens", tokensCol(col(textCol)))
+      .withColumn("__grams", ngramsFromTokens(col("__tokens"), n))
+      .drop("__tokens")
+
+  /** Word n-grams of normalized text, distinct per doc. Convenience form —
+    * inside repeated-evaluation contexts use withGrams staging instead. */
+  def wordNgrams(text: Column, n: Int = 3): Column =
+    ngramsFromTokens(tokensCol(text), n)
 
   // ------------------------------------------------------ minhash + LSH
 
   /** MinHash signature of a shingle/ngram array: for each of `numHashes`
-    * seeded permutations take min over xxhash64(shingle, seed). Computed
-    * set-wise (`transform` + `array_min`) — no UDF, no explode. */
+    * seeded permutations take min over xxhash64(shingle, seed). One nested
+    * higher-order expression (small codegen tree for any numHashes); the
+    * empty-guard doubles as the second `grams` reference that stops
+    * CollapseProject from inlining the grams computation into the per-seed
+    * lambda. */
   def minHashSignature(grams: Column, numHashes: Int = 64): Column =
-    array((0 until numHashes).map { seed =>
-      array_min(transform(grams, g => xxhash64(g, lit(seed))))
-    }: _*)
+    when(size(grams) > 0,
+      transform(sequence(lit(0), lit(numHashes - 1)),
+        seed => array_min(transform(grams, g => xxhash64(g, seed)))))
+      .otherwise(array_repeat(lit(Long.MaxValue), numHashes))
 
   /** LSH band keys: split the signature into `bands` bands of `rowsPerBand`
     * and hash each band — docs sharing ANY band key are candidates. */
   def bandKeys(sig: Column, bands: Int, rowsPerBand: Int): Column =
-    array((0 until bands).map { b =>
-      struct(lit(b).as("band"),
+    transform(sequence(lit(0), lit(bands - 1)), b =>
+      struct(b.as("band"),
         xxhash64(concat_ws(",",
-          slice(sig, b * rowsPerBand + 1, rowsPerBand).cast("array<string>"))).as("key"))
-    }: _*)
+          slice(sig, b * rowsPerBand + 1, lit(rowsPerBand)).cast("array<string>"))).as("key")))
+
+  /** doc → (id, sig) → exploded (id, sig, band, key). */
+  private def banded(df: DataFrame, textCol: String, idCol: String,
+                     numHashes: Int, bands: Int): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    withGrams(df, textCol, 3)
+      .withColumn("__sig", minHashSignature(col("__grams"), numHashes))
+      .select(col(idCol).as("__id"), col("__sig"),
+        explode(bandKeys(col("__sig"), bands, rowsPerBand)).as("__band"))
+      .select(col("__id"), col("__sig"), col("__band.band"), col("__band.key"))
+  }
+
+  private def estJaccard(numHashes: Int): Column = {
+    val eq = zip_with(col("sig_a"), col("sig_b"), (x, y) => when(x === y, 1).otherwise(0))
+    aggregate(eq, lit(0), (acc, v) => acc + v).cast("double") / lit(numHashes)
+  }
 
   /** MinHash-LSH near-dedup: shingle → minhash → band → bucket-join →
-    * per-bucket winner (lowest id survives), union-find-free greedy
-    * resolution: a doc is dropped iff ANY bucket contains a smaller id whose
-    * estimated Jaccard ≥ threshold.
+    * greedy resolution: a doc is dropped iff ANY bucket contains a smaller
+    * id whose estimated Jaccard ≥ threshold.
     *
     * Returns the deduplicated DataFrame (original columns). */
   def minhashLsh(df: DataFrame, textCol: String, idCol: String,
                  numHashes: Int = 64, bands: Int = 16,
                  shingleSize: Int = 5, threshold: Double = 0.8): DataFrame = {
-    val rowsPerBand = numHashes / bands
-    val withSig = df
-      .withColumn("__grams", wordNgrams(col(textCol), 3))
-      .withColumn("__sig", minHashSignature(col("__grams"), numHashes))
-      .drop("__grams")
-
-    // explode band keys: numDocs × bands rows — constant factor, not quadratic
-    val banded = withSig.select(col(idCol).as("__id"), col("__sig"),
-        explode(bandKeys(col("__sig"), bands, rowsPerBand)).as("__band"))
-      .select(col("__id"), col("__sig"), col("__band.band"), col("__band.key"))
-
-    // candidate pairs within a bucket, smaller id as potential survivor
-    val a = banded.select(col("band"), col("key"), col("__id").as("id_a"), col("__sig").as("sig_a"))
-    val b = banded.select(col("band"), col("key"), col("__id").as("id_b"), col("__sig").as("sig_b"))
-    val pairs = a.join(b, Seq("band", "key")).where(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("sig_a"), col("sig_b")).distinct()
-
-    // estimated Jaccard = fraction of equal signature positions
-    val simCol = {
-      val eq = zip_with(col("sig_a"), col("sig_b"), (x, y) => when(x === y, 1).otherwise(0))
-      aggregate(eq, lit(0), (acc, v) => acc + v).cast("double") / lit(numHashes)
-    }
-    val dupIds = pairs.withColumn("__sim", simCol)
+    val bd = banded(df, textCol, idCol, numHashes, bands)
+    val a = bd.select(col("band"), col("key"), col("__id").as("id_a"), col("__sig").as("sig_a"))
+    val b = bd.select(col("band"), col("key"), col("__id").as("id_b"), col("__sig").as("sig_b"))
+    // estimate Jaccard BEFORE the distinct so the pair shuffle carries
+    // scalars, not 64-element signature arrays
+    val dupIds = a.join(b, Seq("band", "key")).where(col("id_a") < col("id_b"))
+      .withColumn("__sim", estJaccard(numHashes))
       .where(col("__sim") >= threshold)
       .select(col("id_b").as("__dup")).distinct()
-
     df.join(dupIds, df(idCol) === dupIds("__dup"), "left_anti")
   }
 
@@ -110,39 +135,33 @@ object Dedup {
   def minhashPairs(df: DataFrame, textCol: String, idCol: String,
                    numHashes: Int = 64, bands: Int = 16,
                    threshold: Double = 0.8): DataFrame = {
-    val rowsPerBand = numHashes / bands
-    val withSig = df
-      .withColumn("__grams", wordNgrams(col(textCol), 3))
-      .withColumn("__sig", minHashSignature(col("__grams"), numHashes))
-    val banded = withSig.select(col(idCol).as("__id"), col("__sig"),
-        explode(bandKeys(col("__sig"), bands, rowsPerBand)).as("__band"))
-      .select(col("__id"), col("__sig"), col("__band.band"), col("__band.key"))
-    val a = banded.select(col("band"), col("key"), col("__id").as("id_a"), col("__sig").as("sig_a"))
-    val b = banded.select(col("band"), col("key"), col("__id").as("id_b"), col("__sig").as("sig_b"))
-    val pairs = a.join(b, Seq("band", "key")).where(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("sig_a"), col("sig_b")).distinct()
-    val eq = zip_with(col("sig_a"), col("sig_b"), (x, y) => when(x === y, 1).otherwise(0))
-    pairs
-      .withColumn("jaccard_est",
-        aggregate(eq, lit(0), (acc, v) => acc + v).cast("double") / lit(numHashes))
-      .where(col("jaccard_est") >= threshold)
+    val bd = banded(df, textCol, idCol, numHashes, bands)
+    val a = bd.select(col("band"), col("key"), col("__id").as("id_a"), col("__sig").as("sig_a"))
+    val b = bd.select(col("band"), col("key"), col("__id").as("id_b"), col("__sig").as("sig_b"))
+    a.join(b, Seq("band", "key")).where(col("id_a") < col("id_b"))
+      .withColumn("jaccard_est", estJaccard(numHashes))
       .select("id_a", "id_b", "jaccard_est")
+      .dropDuplicates("id_a", "id_b")
+      .where(col("jaccard_est") >= threshold)
   }
 
   // ------------------------------------------------------------- simhash
 
-  /** 64-bit SimHash over word tokens: per bit, sum ±1 weighted by token hash
-    * bit, sign → bit. Near-dups differ in few bits (Hamming distance). */
-  def simhash(text: Column): Column = {
-    val tokens = split(regexp_replace(lower(trim(text)), "[^a-z0-9 ]", ""), "\\s+")
-    val hashes = transform(tokens, t => xxhash64(t))
-    val bits = (0 until 64).map { i =>
-      val bitSum = aggregate(hashes, lit(0),
-        (acc, h) => acc + when(shiftright(h, i).bitwiseAND(1) === 1, 1).otherwise(-1))
-      when(bitSum > 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
-    }
-    bits.reduce((a, b) => a.bitwiseOR(b))
-  }
+  /** 64-bit SimHash from a materialized token-hash array: per bit, sum ±1 by
+    * hash bit, sign → bit. One nested `aggregate` over the 64 bit positions;
+    * the size-guard doubles as the second reference keeping the hash array
+    * materialized (class doc). */
+  def simhashFromHashes(hashes: Column): Column =
+    when(size(hashes) > 0,
+      aggregate(sequence(lit(0), lit(63)), lit(0L), (acc, i) => {
+        val bitSum = aggregate(hashes, lit(0),
+          (s, h) => s + when(call_function("shiftright", h, i).bitwiseAND(1) === 1, 1).otherwise(-1))
+        acc + when(bitSum > 0, call_function("shiftleft", lit(1L), i)).otherwise(lit(0L))
+      })).otherwise(lit(0L))
+
+  /** Convenience column form (tokenizes inline — fine for one-off use). */
+  def simhash(text: Column): Column =
+    simhashFromHashes(transform(tokensCol(text, keepAccents = false), t => xxhash64(t)))
 
   /** Hamming distance between two 64-bit simhashes. */
   def hammingDist(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
@@ -152,7 +171,11 @@ object Dedup {
     * full distance within buckets only. */
   def simhashPairs(df: DataFrame, textCol: String, idCol: String,
                    maxHamming: Int = 3): DataFrame = {
-    val withSh = df.select(col(idCol).as("__id"), simhash(col(textCol)).as("__sh"))
+    val withSh = df
+      .withColumn("__hashes", transform(tokensCol(col(textCol), keepAccents = false),
+        t => xxhash64(t)))
+      .withColumn("__sh", simhashFromHashes(col("__hashes")))
+      .select(col(idCol).as("__id"), col("__sh"))
     val chunked = withSh.select(col("__id"), col("__sh"),
       explode(array((0 until 4).map { c =>
         struct(lit(c).as("chunk"),
@@ -163,7 +186,7 @@ object Dedup {
     val b = chunked.select(col("chunk"), col("key"), col("__id").as("id_b"), col("__sh").as("sh_b"))
     a.join(b, Seq("chunk", "key")).where(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"), hammingDist(col("sh_a"), col("sh_b")).as("hamming"))
-      .distinct()
+      .dropDuplicates("id_a", "id_b")
       .where(col("hamming") <= maxHamming)
   }
 
@@ -174,11 +197,11 @@ object Dedup {
     * Returns (id_a, id_b, jaccard). */
   def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
                         n: Int = 3, threshold: Double = 0.5): DataFrame = {
-    val prepped = df.select(col(idCol).as("__id"),
-        wordNgrams(col(textCol), n).as("__grams"),
-        // blocking: docs within similar length and same leading token
-        (floor(log2(greatest(length(col(textCol)), lit(16))))).as("__lenband"),
-        split(lower(trim(col(textCol))), "\\s+").getItem(0).as("__tok0"))
+    val prepped = withGrams(df, textCol, n).select(col(idCol).as("__id"),
+      col("__grams"),
+      // blocking: docs within similar length and same leading token
+      floor(log2(greatest(length(col(textCol)), lit(16)))).as("__lenband"),
+      split(lower(trim(col(textCol))), "\\s+").getItem(0).as("__tok0"))
     val a = prepped.select(col("__lenband"), col("__tok0"),
       col("__id").as("id_a"), col("__grams").as("g_a"))
     val b = prepped.select(col("__lenband"), col("__tok0"),
