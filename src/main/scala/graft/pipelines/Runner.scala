@@ -1,0 +1,79 @@
+package graft.pipelines
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.store.{FeatureStore, TableStore}
+import graft.validate.Validation
+
+/** Orchestrated end-to-end run: parameter normalization, the five-pipeline
+  * task DAG, validation, and feature-table persistence + registration.
+  *
+  * Reference semantics: `notebooks_orchestator.py:50-130` (param
+  * validation; `end_date: "actual"` resolves to the first of the current
+  * month, `:9-16,92-94`), the per-workspace job DAGs
+  * (demographic → credit_risk; holding → payment → transactions —
+  * `config/dev/job_resources/feature-store-medpag-resource.yml:52-113`), and
+  * `FeatureStoreManager.save` + registration
+  * (`notebooks/utils.py:1919-2046`). Cross-workspace REST registration is
+  * out of scope for a single-process engine (SURVEY §3.4) — registration
+  * here is the TableStore metadata write (PKs, timestamp keys, tags).
+  */
+object Runner {
+
+  final case class Params(
+      startDate: String = "2023-01-01",
+      endDate: String = "actual", // "actual" → first of current month
+      forceOverwrite: Boolean = false,
+      overwriteSchema: Boolean = false,
+      omitValidationErrors: Boolean = false)
+
+  /** `end_date: "actual"` → first of current month (`notebooks_orchestator.py:9-16`).
+    * `today` injected for determinism. */
+  def resolveEndDate(endDate: String, today: java.time.LocalDate): String =
+    if (endDate == "actual") today.withDayOfMonth(1).toString else endDate
+
+  final case class PipelineResult(table: String, rows: Long, version: Int,
+                                  validationPassed: Boolean)
+
+  /** Run the five pipelines in reference DAG order, validate, save, register. */
+  def run(spark: SparkSession, sources: Map[String, DataFrame], store: TableStore,
+          params: Params = Params(),
+          today: java.time.LocalDate = java.time.LocalDate.now()): Seq[PipelineResult] = {
+    val endDate = resolveEndDate(params.endDate, today)
+    val outputs = Seq(
+      // workspace A DAG: demographic → credit_risk
+      "fs_cus_demographic" ->
+        (() => Pipelines.demographic(sources("clientes"), params.startDate, endDate)),
+      "fs_cus_credit_risk" -> (() => Pipelines.creditRisk(sources("buro_credito"))),
+      // workspace B DAG: holding → payment_behavior → transactions
+      "fs_cus_holding_products" -> (() => Pipelines.holdingProducts(sources("productos"))),
+      "fs_cus_payment_behavior" -> (() => Pipelines.paymentBehavior(sources("pagos"))),
+      "fs_cus_transactions" -> (() => Pipelines.transactions(sources("transacciones"))))
+
+    outputs.map { case (table, mk) =>
+      val df = mk().cache() // R6: cache across validate + write
+      try {
+        // cross-check vs previously saved snapshot (monitor.py:327-470)
+        val passed = if (!store.exists(table)) true
+          else {
+            val mismatches = Validation.crossCheckHistorical(
+              df, store.read(table), "tpk_release_dt", "tpk_release_dt")
+            // divergent months are expected on incremental refresh; only a
+            // SHRINKING month is a hard failure
+            mismatches.forall(m => m.sourceCnt >= m.targetCnt)
+          }
+        if (!passed && !params.omitValidationErrors)
+          sys.error(s"cross-check failed for $table")
+        val report = FeatureStore.save(store, table, df,
+          primaryKeys = Seq("pk_customer", "tpk_release_dt"),
+          timestampKeys = Seq("tpk_release_dt"),
+          description = s"graft feature table $table",
+          forceOverwrite = params.forceOverwrite,
+          overwriteSchema = params.overwriteSchema,
+          policy = if (params.omitValidationErrors) FeatureStore.IgnoreMissing
+            else FeatureStore.FailOnMissing)
+        PipelineResult(table, store.read(table).count(), report.version, passed)
+      } finally df.unpersist()
+    }
+  }
+}

@@ -1,0 +1,89 @@
+package graft.validate
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.store.TableStore
+
+/** Data-validation layer: cross-checking counts, outdatedness (freshness),
+  * and the validation log — the `src/packages/data_validation` surface.
+  *
+  * Reference semantics: `monitor.py:327-520` (per-month counts of the
+  * incoming source vs the previously saved target, full-outer joined,
+  * ±threshold tolerance on dimensional tables), `outdateness.py:20-169`
+  * (max event date + per-table availability lag vs the current month),
+  * `monitor.py:530-663` (summary/detail validation tables appended with
+  * explicit schemas).
+  */
+object Validation {
+
+  final case class CountMismatch(monthDt: String, sourceCnt: Long, targetCnt: Long)
+
+  /** Historical cross-check (`monitor.py:327-470`): per-month row counts of
+    * source vs previously-saved target; any divergent month is a finding.
+    * One count-aggregation per side + a broadcastable outer join on month. */
+  def crossCheckHistorical(source: DataFrame, target: DataFrame,
+                           sourceDate: String, targetDate: String): Seq[CountMismatch] = {
+    val s = source.groupBy(col(sourceDate).cast("date").as("month_dt"))
+      .agg(count(lit(1)).as("source_cnt"))
+    val t = target.groupBy(col(targetDate).cast("date").as("month_dt"))
+      .agg(count(lit(1)).as("target_cnt"))
+    s.join(t, Seq("month_dt"), "outer").na.fill(0)
+      .where(col("source_cnt") =!= col("target_cnt"))
+      .orderBy("month_dt")
+      .collect()
+      .map(r => CountMismatch(String.valueOf(r.getAs[java.sql.Date]("month_dt")),
+        r.getAs[Long]("source_cnt"), r.getAs[Long]("target_cnt"))).toSeq
+  }
+
+  /** Dimensional cross-check (`monitor.py:472-520`): total counts within a
+    * relative tolerance (reference threshold 5%). Returns (ok, srcN, tgtN). */
+  def crossCheckDimensional(source: DataFrame, target: DataFrame,
+                            tolerance: Double = 0.05): (Boolean, Long, Long) = {
+    val srcN = source.count()
+    val tgtN = target.count()
+    val ok = tgtN == 0 || math.abs(srcN - tgtN).toDouble / math.max(tgtN, 1) <= tolerance
+    (ok, srcN, tgtN)
+  }
+
+  final case class Outdatedness(table: String, maxEventDt: String,
+                                expectedThrough: String, monthsLate: Int) {
+    def isOutdated: Boolean = monthsLate > 0
+  }
+
+  /** Freshness check (`outdateness.py:20-169`): latest event month +
+    * declared availability lag must reach the current month. `now` is
+    * injected for testability (the reference reads the wall clock). */
+  def outdatedness(df: DataFrame, table: String, dateCol: String,
+                   availabilityLagMonths: Int, now: java.time.LocalDate): Outdatedness = {
+    val maxDt = df.agg(max(col(dateCol).cast("date"))).first().getDate(0)
+      .toLocalDate.withDayOfMonth(1)
+    val expected = now.withDayOfMonth(1).minusMonths(availabilityLagMonths)
+    val monthsLate = java.time.temporal.ChronoUnit.MONTHS.between(maxDt, expected).toInt
+    Outdatedness(table, maxDt.toString, expected.toString, math.max(monthsLate, 0))
+  }
+
+  /** Validation-log schemas (`monitor.py:530-557,645-662`). */
+  val summarySchema: StructType = StructType(Seq(
+    StructField("table_name", StringType, nullable = false),
+    StructField("validation", StringType, nullable = false),
+    StructField("passed", BooleanType, nullable = false),
+    StructField("detail", StringType, nullable = true),
+    StructField("executed_at", TimestampType, nullable = false)))
+
+  /** Append a validation result to the monitoring table (idempotent by
+    * (table, validation, executed_at) is NOT required — the reference
+    * appends, `monitor.py:557`). */
+  def logResult(spark: SparkSession, store: TableStore, logTable: String,
+                tableName: String, validation: String, passed: Boolean,
+                detail: String, executedAt: java.sql.Timestamp): Unit = {
+    val row = spark.createDataFrame(
+      java.util.List.of(org.apache.spark.sql.Row(tableName, validation, passed, detail, executedAt)),
+      summarySchema)
+    if (store.exists(logTable)) {
+      val merged = store.read(logTable).unionByName(row)
+      store.overwrite(logTable, merged)
+    } else store.overwrite(logTable, row, primaryKeys = Seq("table_name", "validation", "executed_at"))
+  }
+}
