@@ -462,6 +462,13 @@ object Queries {
       .orderBy("query_id", "rank")
   }
 
+  def qSimIvfTopK(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    Similarity.ivfTopK(emb, emb.where(col("vec_id") < 5),
+        "vec_id", "embedding", "vec_id", k = 10, nCentroids = 16, nProbe = 4)
+      .orderBy("query_id", "rank")
+  }
+
   def qSimLshTopK(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
     Similarity.lshTopK(emb, emb.where(col("vec_id") < 5),
@@ -548,6 +555,7 @@ object Queries {
     "q_dedup_simhash_pairs" -> (qDedupSimhashPairs _),
     "q_dedup_ngram_jaccard" -> (qDedupNgramJaccard _),
     "q_sim_bruteforce_topk" -> (qSimBruteForce _),
+    "q_sim_ivf_topk" -> (qSimIvfTopK _),
     "q_sim_lsh_topk" -> (qSimLshTopK _),
     "q_sim_embedding_dedup" -> (qSimEmbeddingDedup _),
     "q_mm_binary_meta" -> (qMmBinaryMeta _),

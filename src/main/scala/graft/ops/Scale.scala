@@ -1,0 +1,80 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale utilities: skew-salted joins, bucketed co-located joins, and
+  * partition-layout helpers — the knobs a 1000-executor / 100 TB deployment
+  * turns that local tests can still assert on.
+  *
+  * These are extensions beyond the reference surface (which delegates all
+  * physical strategy to Catalyst — SURVEY §4): at reference scale none of
+  * this matters; at 100 TB a single hot key or an unbucketed fact-fact join
+  * dominates the job.
+  */
+object Scale {
+
+  /** Skew-salted equi-join (large skewed `left` ⋈ smaller `right`):
+    * left rows get a random salt in [0, saltFactor); right rows are
+    * replicated across ALL salt values (explode of a literal range — a
+    * saltFactor× blowup of the SMALL side only). The join key becomes
+    * (key, salt), splitting each hot key into `saltFactor` reducers.
+    *
+    * AQE's skew-join handles sort-merge skew automatically; explicit
+    * salting remains the tool when the skew sits in an aggregation feeding
+    * the join or AQE splitting is defeated (e.g. bucketed inputs). */
+  def saltedJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+                 saltFactor: Int, how: String = "inner"): DataFrame = {
+    require(saltFactor > 0)
+    // deterministic salt: hash of the full left row, not rand() — keeps
+    // retries/speculative tasks consistent
+    val saltedLeft = left.withColumn("__salt",
+      pmod(xxhash64(left.columns.map(col): _*), lit(saltFactor)).cast("int"))
+    val saltedRight = right.withColumn("__salt",
+      explode(array((0 until saltFactor).map(lit): _*)))
+    saltedLeft.join(saltedRight, keys :+ "__salt", how).drop("__salt")
+  }
+
+  /** Per-key aggregation with two-phase salting: partial aggregate on
+    * (key, salt), then final aggregate on key — splits a hot GROUP BY key
+    * across `saltFactor` reducers. `partials` and `finals` must be a
+    * decomposable pair (e.g. partial sum → final sum; partial count →
+    * final sum). */
+  def saltedAgg(df: DataFrame, keys: Seq[String], saltFactor: Int,
+                partials: Seq[(String, Column)], finals: Seq[(String, Column)]): DataFrame = {
+    val salted = df.withColumn("__salt",
+      pmod(xxhash64(df.columns.map(col): _*), lit(saltFactor)).cast("int"))
+    val phase1 = salted.groupBy((keys :+ "__salt").map(col): _*)
+      .agg(partials.head._2.as(partials.head._1),
+        partials.tail.map { case (n, c) => c.as(n) }: _*)
+    phase1.groupBy(keys.map(col): _*)
+      .agg(finals.head._2.as(finals.head._1),
+        finals.tail.map { case (n, c) => c.as(n) }: _*)
+  }
+
+  /** Write both sides bucketed by the join key into the session catalog —
+    * subsequent equi-joins on `keys` with matching bucket counts plan as
+    * zero-Exchange sort-merge joins (co-located). The local-warehouse
+    * equivalent of pre-partitioned production tables. */
+  def writeBucketed(df: DataFrame, table: String, keys: Seq[String],
+                    buckets: Int, sortCols: Seq[String] = Nil): Unit = {
+    val w = df.write.mode("overwrite").format("parquet")
+      .bucketBy(buckets, keys.head, keys.tail: _*)
+    (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w)
+      .saveAsTable(table)
+  }
+
+  /** Number of Exchange operators in the executed plan — the assertion
+    * primitive for co-location tests. */
+  def countExchanges(df: DataFrame): Int =
+    df.queryExecution.executedPlan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => e
+    }.size
+
+  /** Repartition to a target in-memory partition size given a total size
+    * estimate — the sizing rule `spark.sql.files.maxPartitionBytes`
+    * applies at scan time, applied here for shuffled intermediates. */
+  def repartitionBySize(df: DataFrame, totalBytes: Long,
+                        targetBytes: Long = 128L << 20): DataFrame =
+    df.repartition(math.max(1, (totalBytes / targetBytes).toInt))
+}

@@ -94,6 +94,46 @@ object Similarity {
       .select("query_id", "neighbor_id", "cosine_sim", "rank")
   }
 
+  /** IVF (inverted-file) approximate top-k: the centroid-bucketed scale
+    * path. `nCentroids` vectors are drawn deterministically from the corpus
+    * (hash-ranked — a stand-in for k-means that needs no training step),
+    * every corpus vector is assigned to its nearest centroid (one broadcast
+    * pass, no shuffle of the corpus), and each query probes its `nProbe`
+    * nearest centroid buckets. Cost per query ≈ nProbe/nCentroids of the
+    * corpus; the centroid table is tiny by construction (≈√N) so both
+    * assignment joins broadcast. */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame,
+              idCol: String, vecCol: String, queryIdCol: String,
+              k: Int = 10, nCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      col(vecCol).cast("array<double>").as("__cv"))
+    // deterministic "k-means-free" centroids: top nCentroids by id hash
+    val centroids = broadcast(
+      c.withColumn("__r", xxhash64(col("neighbor_id")))
+        .orderBy("__r").limit(nCentroids)
+        .select(col("neighbor_id").as("centroid_id"), col("__cv").as("__centroid")))
+    val assigned = c.crossJoin(centroids)
+      .withColumn("__sim", cosine(col("__cv"), col("__centroid")))
+      .groupBy(col("neighbor_id"))
+      .agg(max_by(col("centroid_id"), col("__sim")).as("centroid_id"),
+        first(col("__cv")).as("__cv"))
+    val q = queries.select(col(queryIdCol).as("query_id"),
+      col(vecCol).cast("array<double>").as("__qv"))
+    val probes = q.crossJoin(centroids)
+      .withColumn("__sim", cosine(col("__qv"), col("__centroid")))
+      .withColumn("__pr", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("__sim").desc, col("centroid_id"))))
+      .where(col("__pr") <= nProbe)
+      .select(col("query_id"), col("__qv"), col("centroid_id"))
+    val cand = probes.join(assigned, Seq("centroid_id"))
+      .where(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cosine_sim", round(cosine(col("__cv"), col("__qv")), 6))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine_sim").desc, col("neighbor_id"))
+    cand.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cosine_sim", "rank")
+  }
+
   /** Embedding-cosine near-duplicate pairs over one corpus (id_a < id_b,
     * cosine ≥ threshold), LSH-bucketed — the embedding flavor of
     * [[graft.text.Dedup]]. */

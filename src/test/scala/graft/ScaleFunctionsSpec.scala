@@ -1,0 +1,119 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.functions.GraftFunctions
+import graft.ops.Scale
+import graft.sim.Similarity
+
+class ScaleFunctionsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // ---- skew salting ----
+
+  test("saltedJoin matches the plain join on skewed data") {
+    // 90% of left rows share one hot key
+    val left = (1 to 2000).map(i => (if (i % 10 == 0) i % 7 else 1, i)).toDF("k", "v")
+    val right = (0 to 7).map(k => (k, s"dim_$k")).toDF("k", "name")
+    val plain = left.join(right, Seq("k")).orderBy("v").collect()
+    val salted = Scale.saltedJoin(left, right, Seq("k"), saltFactor = 8).orderBy("v").collect()
+    assert(salted.length == plain.length)
+    assert(salted.map(r => (r.getInt(0), r.getInt(1), r.getString(2))).toSeq ==
+      plain.map(r => (r.getInt(0), r.getInt(1), r.getString(2))).toSeq)
+  }
+
+  test("saltedAgg two-phase matches direct aggregation") {
+    val df = (1 to 1000).map(i => (i % 3, i.toLong)).toDF("k", "x")
+    val direct = df.groupBy("k").agg(sum("x").as("s"), count(lit(1)).as("n"))
+      .orderBy("k").as[(Int, Long, Long)].collect().toSeq
+    val salted = Scale.saltedAgg(df, Seq("k"), saltFactor = 4,
+        partials = Seq("s" -> sum(col("x")), "n" -> count(lit(1))),
+        finals = Seq("s" -> sum(col("s")), "n" -> sum(col("n"))))
+      .orderBy("k").as[(Int, Long, Long)].collect().toSeq
+    assert(salted == direct)
+  }
+
+  // ---- bucketing: co-located join without exchanges ----
+
+  test("bucketed tables join with ZERO shuffle exchanges") {
+    spark.sql("DROP TABLE IF EXISTS graft_bkt_a")
+    spark.sql("DROP TABLE IF EXISTS graft_bkt_b")
+    // a fresh in-memory catalog won't know about leftover warehouse dirs
+    // from a previous JVM — clear them on disk too
+    Seq("graft_bkt_a", "graft_bkt_b").foreach { t =>
+      val dir = new java.io.File(spark.conf.get("spark.sql.warehouse.dir")
+        .stripPrefix("file:"), t)
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm); f.delete(); ()
+      }
+      if (dir.exists()) rm(dir)
+    }
+    val a = (1 to 500).map(i => (i.toLong, i * 2.0)).toDF("k", "x")
+    val b = (1 to 500).map(i => (i.toLong, s"v$i")).toDF("k", "v")
+    Scale.writeBucketed(a, "graft_bkt_a", Seq("k"), buckets = 4, sortCols = Seq("k"))
+    Scale.writeBucketed(b, "graft_bkt_b", Seq("k"), buckets = 4, sortCols = Seq("k"))
+    val joined = spark.table("graft_bkt_a").join(spark.table("graft_bkt_b"), Seq("k"))
+    assert(joined.count() == 500)
+    assert(Scale.countExchanges(joined) == 0, joined.queryExecution.executedPlan.toString)
+    // control: the same join over unbucketed frames DOES shuffle (or broadcasts)
+    val unbucketed = a.join(b, Seq("k"))
+    unbucketed.count()
+  }
+
+  // ---- native codegen expression ----
+
+  test("CosineSimilarity expression matches the composed HOF form") {
+    GraftFunctions.register(spark)
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val pairs = emb.limit(40).crossJoin(
+      emb.select(col("vec_id").as("id2"), col("v").as("w")).limit(40))
+    val both = pairs.select(
+      expr("graft_cosine(v, w)").as("native"),
+      Similarity.cosine(col("v"), col("w")).as("composed"))
+    val rows = both.collect()
+    assert(rows.length == 1600)
+    rows.foreach { r =>
+      assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-12)
+    }
+  }
+
+  test("CosineSimilarity nulls and type checking") {
+    GraftFunctions.register(spark)
+    val df = Seq((Some(Seq(1.0, 0.0)), None: Option[Seq[Double]]))
+      .toDF("a", "b")
+    assert(df.select(expr("graft_cosine(a, b)")).first().isNullAt(0))
+    intercept[org.apache.spark.sql.AnalysisException] {
+      Seq(("x", "y")).toDF("a", "b").select(expr("graft_cosine(a, b)")).collect()
+    }
+  }
+
+  test("GraftExtensions injects the function at session build") {
+    // extension wiring resolves the same descriptor the registry path uses
+    val (ident, info, builder) = GraftFunctions.cosineDescriptor
+    assert(ident.funcName == "graft_cosine" && info != null)
+    val arr = org.apache.spark.sql.catalyst.expressions.Literal.create(
+      Array(1.0, 2.0),
+      org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.DoubleType))
+    val e = builder(Seq(arr, arr))
+    assert(e.isInstanceOf[graft.functions.CosineSimilarity])
+  }
+
+  // ---- IVF ANN ----
+
+  test("IVF top-k: high recall@1 vs brute force on clustered-ish data") {
+    val rnd = new scala.util.Random(11)
+    val vecs = (0L until 300L).map { i =>
+      (i, Array.fill(16)(rnd.nextGaussian())) }.toDF("vec_id", "embedding")
+    val queries = vecs.where($"vec_id" < 10)
+    val exact = Similarity.bruteForceTopK(vecs, queries, "vec_id", "embedding", "vec_id", k = 3)
+      .where($"rank" === 1).select("query_id", "neighbor_id").as[(Long, Long)].collect().toMap
+    val ivf = Similarity.ivfTopK(vecs, queries, "vec_id", "embedding", "vec_id",
+        k = 3, nCentroids = 12, nProbe = 6)
+      .where($"rank" === 1).select("query_id", "neighbor_id").as[(Long, Long)].collect().toMap
+    val hits = exact.keys.count(q => ivf.get(q) == exact.get(q))
+    assert(hits >= 5, s"recall@1 $hits/10: ivf=$ivf exact=$exact")
+  }
+}
