@@ -20,7 +20,10 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    spark.range(1000000).selectExpr("sum(id)").collect() // JVM/codegen warmup
+    // JVM/codegen + parquet-reader warmup so the first measured query
+    // doesn't absorb one-time class-loading cost
+    spark.range(1000000).selectExpr("sum(id)").collect()
+    spark.read.parquet(s"$sfDir/region.parquet").count()
 
     def time(fn: => Long): Double = {
       val t0 = System.nanoTime()

@@ -27,6 +27,28 @@ object Oracles {
       """SELECT l_orderkey, l_linenumber AS line_no, l_quantity, l_extendedprice, l_returnflag
         |FROM lineitem WHERE l_quantity > 30 ORDER BY l_orderkey, line_no""".stripMargin,
 
+    "q_s6_sql_scan" ->
+      """SELECT o_orderkey AS order_id, o_custkey AS customer,
+        |       o_totalprice AS amount, o_orderpriority AS priority
+        |FROM orders
+        |WHERE o_custkey IS NOT NULL AND o_orderstatus = 'O' AND o_totalprice > 50000
+        |ORDER BY order_id""".stripMargin,
+
+    "q_f14_yearmonth" ->
+      """SELECT o_orderkey,
+        |  strptime(year(o_orderdate)::VARCHAR || lpad(month(o_orderdate)::VARCHAR, 2, '0'),
+        |    '%Y%m')::DATE AS ym_date,
+        |  date_diff('month', DATE '1995-01-01', o_orderdate::DATE)::INT AS months_since_epoch,
+        |  TRUE AS has_age
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "q_j6_agg_over" ->
+      """SELECT o_orderkey, o_custkey,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (PARTITION BY o_custkey) AS DOUBLE)
+        |    AS cust_total,
+        |  count(*) OVER (PARTITION BY o_custkey) AS cust_orders
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
     "q_p2_distinct" ->
       "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem ORDER BY 1, 2",
 

@@ -89,6 +89,18 @@ object Queries {
       .select("c_custkey", "c_mktsegment")
       .orderBy("c_custkey")
 
+  /** S1/S6 — the catalog-SQL ingest shape: temp view + spark.sql with
+    * projection/rename/filter (`fs_cus_credit_risk.py:59-83`). */
+  def qS6SqlScan(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "orders").createOrReplaceTempView("graft_orders_v")
+    s.sql(
+      """SELECT o_orderkey AS order_id, o_custkey AS customer,
+        |       o_totalprice AS amount, o_orderpriority AS priority
+        |FROM graft_orders_v
+        |WHERE o_custkey IS NOT NULL AND o_orderstatus = 'O' AND o_totalprice > 50000
+        |ORDER BY order_id""".stripMargin)
+  }
+
   // =====================================================================
   // Scalar functions (F1-F25)
   // =====================================================================
@@ -130,6 +142,19 @@ object Queries {
     * result is bit-identical in any IEEE-754 engine (engine `round()`
     * builtins disagree on decimal-boundary ties like 817.00475). */
   private def detRound4(c: Column): Column = floor(c * 10000.0 + 0.5) / 10000.0
+
+  /** F14/F10/F11 — year+month assembly (`date.py:57-96`) and
+    * months_between/datediff time features over the orders dates. */
+  def qF14YearMonth(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders").withColumn("o_date", col("o_orderdate").cast("date"))
+    o.select(
+      col("o_orderkey"),
+      Dates.yearMonthToDate(year(col("o_date")), month(col("o_date"))).as("ym_date"),
+      Dates.monthsBetweenRounded(col("o_date"), to_date(lit("1995-01-01")))
+        .cast("int").as("months_since_epoch"),
+      datediff(current_date(), col("o_date")).cast("int").isNotNull.as("has_age"))
+      .orderBy("o_orderkey")
+  }
 
   def qF17SafeRatio(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "lineitem").select(
@@ -188,6 +213,18 @@ object Queries {
         col("month_dt").as("asof_month"), col("amt").as("monthly_total"))
       .orderBy("event_id")
   }
+
+  /** J6 — agg-join-back, done as `agg.over(partitionBy(keys))` (one shuffle
+    * instead of groupBy + re-join; `aggregation.py:147-156`). */
+  def qJ6AggOver(s: SparkSession, dir: String): DataFrame =
+    Joins.aggOver(
+        t(s, dir, "orders")
+          .withColumn("price_dec", col("o_totalprice").cast("decimal(18,2)")),
+        Seq("o_custkey"),
+        Seq(("sum", "price_dec", "cust_total"), ("count", "price_dec", "cust_orders")))
+      .select(col("o_orderkey"), col("o_custkey"),
+        col("cust_total").cast("double").as("cust_total"), col("cust_orders"))
+      .orderBy("o_orderkey")
 
   def qJ4AntiJoin(s: SparkSession, dir: String): DataFrame = {
     val excl = t(s, dir, "orders")
@@ -517,6 +554,9 @@ object Queries {
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_s1_ingest_scan" -> (qS1IngestScan _),
+    "q_s6_sql_scan" -> (qS6SqlScan _),
+    "q_f14_yearmonth" -> (qF14YearMonth _),
+    "q_j6_agg_over" -> (qJ6AggOver _),
     "q_p2_distinct" -> (qP2Distinct _),
     "q_p5_expr_filter" -> (qP5ExprFilter _),
     "q_p7_max_value_filter" -> (qP7MaxValueFilter _),

@@ -85,6 +85,25 @@ class StoreSpec extends AnyFunSuite {
     assert(m.primaryKeys == Seq("k") && m.timestampKeys == Seq("k"))
   }
 
+  test("Sources: layered read/write resolution and existence probes") {
+    val tmp = Files.createTempDirectory("graft_layers")
+    val sources = new graft.store.Sources(spark, Map(
+      "source" -> "/root/testdata/sf0.001",
+      "ingestion" -> s"$tmp/ingestion",
+      "preprocessing" -> s"$tmp/preprocessing"))
+    // raw source layer
+    val raw = sources.getTable("region", "source")
+    assert(raw.count() == 5)
+    assert(sources.tableExists("region", "source"))
+    assert(!sources.tableExists("nope", "source"))
+    // curated layer via TableStore (upsert path)
+    sources.putTable("region_clean", "ingestion", raw, primaryKeys = Seq("r_regionkey"))
+    sources.putTable("region_clean", "ingestion", raw, primaryKeys = Seq("r_regionkey"))
+    assert(sources.getTable("region_clean", "ingestion").count() == 5) // idempotent
+    assert(sources.tableExists("region_clean", "ingestion"))
+    intercept[RuntimeException](sources.getTable("x", "nope"))
+  }
+
   test("FeatureStore.save: fail-on-missing policy, then force path") {
     val store = freshStore()
     val r1 = FeatureStore.save(store, "fs", Seq((1, "m", 1.0)).toDF("pk", "ts", "a"),
