@@ -92,9 +92,12 @@ object GraftFunctions {
       classOf[CosineSimilarity].getName, "graft_cosine"),
     (children: Seq[Expression]) => CosineSimilarity(children(0), children(1)))
 
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_cosine", exprs => CosineSimilarity(exprs(0), exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_minhash", exprs => MinHashSig(exprs(0), exprs(1)), "built-in")
+  }
 
   /** Column-API face (usable after [[register]]). */
   def graftCosine(spark: SparkSession, a: Column, b: Column): Column = {

@@ -94,12 +94,15 @@ object Dedup {
         xxhash64(concat_ws(",",
           slice(sig, b * rowsPerBand + 1, lit(rowsPerBand)).cast("array<string>"))).as("key")))
 
-  /** doc → (id, sig) → exploded (id, sig, band, key). */
+  /** doc → (id, sig) → exploded (id, sig, band, key). Signature runs
+    * through the native codegen'd [[graft.functions.MinHashSig]] kernel
+    * (one fused loop) instead of the interpreted HOF composition. */
   private def banded(df: DataFrame, textCol: String, idCol: String,
                      numHashes: Int, bands: Int): DataFrame = {
     val rowsPerBand = numHashes / bands
+    graft.functions.GraftFunctions.register(df.sparkSession)
     withGrams(df, textCol, 3)
-      .withColumn("__sig", minHashSignature(col("__grams"), numHashes))
+      .withColumn("__sig", call_function("graft_minhash", col("__grams"), lit(numHashes)))
       .select(col(idCol).as("__id"), col("__sig"),
         explode(bandKeys(col("__sig"), bands, rowsPerBand)).as("__band"))
       .select(col("__id"), col("__sig"), col("__band.band"), col("__band.key"))
