@@ -97,6 +97,8 @@ object GraftFunctions {
       "graft_cosine", exprs => CosineSimilarity(exprs(0), exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_minhash", exprs => MinHashSig(exprs(0), exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_simhash", exprs => SimHashSig(exprs(0)), "built-in")
   }
 
   /** Column-API face (usable after [[register]]). */

@@ -174,10 +174,10 @@ object Dedup {
     * full distance within buckets only. */
   def simhashPairs(df: DataFrame, textCol: String, idCol: String,
                    maxHamming: Int = 3): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
     val withSh = df
-      .withColumn("__hashes", transform(tokensCol(col(textCol), keepAccents = false),
-        t => xxhash64(t)))
-      .withColumn("__sh", simhashFromHashes(col("__hashes")))
+      .withColumn("__sh",
+        call_function("graft_simhash", tokensCol(col(textCol), keepAccents = false)))
       .select(col(idCol).as("__id"), col("__sh"))
     val chunked = withSh.select(col("__id"), col("__sh"),
       explode(array((0 until 4).map { c =>
