@@ -99,6 +99,8 @@ object GraftFunctions {
       "graft_minhash", exprs => MinHashSig(exprs(0), exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_simhash", exprs => SimHashSig(exprs(0)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_jaccard_sorted", exprs => JaccardSorted(exprs(0), exprs(1)), "built-in")
   }
 
   /** Column-API face (usable after [[register]]). */

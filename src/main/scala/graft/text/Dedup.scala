@@ -200,20 +200,22 @@ object Dedup {
     * Returns (id_a, id_b, jaccard). */
   def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
                         n: Int = 3, threshold: Double = 0.5): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    // grams hashed to SORTED long sets once per row — the pair stage then
+    // shuffles 8-byte elements and verifies via the native codegen'd
+    // merge-intersection kernel instead of interpreted array_intersect
     val prepped = withGrams(df, textCol, n).select(col(idCol).as("__id"),
-      col("__grams"),
+      array_sort(transform(col("__grams"), g => xxhash64(g))).as("__gh"),
       // blocking: docs within similar length and same leading token
       floor(log2(greatest(length(col(textCol)), lit(16)))).as("__lenband"),
       split(lower(trim(col(textCol))), "\\s+").getItem(0).as("__tok0"))
     val a = prepped.select(col("__lenband"), col("__tok0"),
-      col("__id").as("id_a"), col("__grams").as("g_a"))
+      col("__id").as("id_a"), col("__gh").as("g_a"))
     val b = prepped.select(col("__lenband"), col("__tok0"),
-      col("__id").as("id_b"), col("__grams").as("g_b"))
+      col("__id").as("id_b"), col("__gh").as("g_b"))
     a.join(b, Seq("__lenband", "__tok0")).where(col("id_a") < col("id_b"))
-      .withColumn("__inter", size(array_intersect(col("g_a"), col("g_b"))).cast("double"))
       .withColumn("jaccard",
-        round(col("__inter") /
-          (size(col("g_a")) + size(col("g_b")) - col("__inter")), 4))
+        round(call_function("graft_jaccard_sorted", col("g_a"), col("g_b")), 4))
       .where(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
   }
