@@ -101,6 +101,10 @@ object GraftFunctions {
       "graft_simhash", exprs => SimHashSig(exprs(0)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_jaccard_sorted", exprs => JaccardSorted(exprs(0), exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_ngram_hashes", exprs => NgramHashes(exprs(0), exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_minhash_long", exprs => MinHashLong(exprs(0), exprs(1)), "built-in")
   }
 
   /** Column-API face (usable after [[register]]). */

@@ -24,10 +24,12 @@ object Filters {
     df.where(col(idCol).isNotNull && col(idCol) =!= sentinel)
 
   /** P7 — keep rows carrying the max value of a column (`filters.py:43-64`).
-    * Done with a window max rather than the reference's collect-then-filter,
-    * so no driver round-trip and one job instead of two. */
+    * The scalar max is computed as a one-row aggregate broadcast against
+    * the input — no driver round-trip (unlike the reference's
+    * collect-then-filter) and no single-partition global window (which
+    * would serialize the table through one task at scale). */
   def maxValueFilter(df: DataFrame, c: String): DataFrame =
-    df.withColumn("__max", max(col(c)).over(Window.partitionBy()))
+    df.crossJoin(broadcast(df.agg(max(col(c)).as("__max"))))
       .where(col(c) === col("__max")).drop("__max")
 
   /** P7 variant — per-group latest row (used for latest-snapshot reads). */

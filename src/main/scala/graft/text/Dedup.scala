@@ -94,15 +94,16 @@ object Dedup {
         xxhash64(concat_ws(",",
           slice(sig, b * rowsPerBand + 1, lit(rowsPerBand)).cast("array<string>"))).as("key")))
 
-  /** doc → (id, sig) → exploded (id, sig, band, key). Signature runs
-    * through the native codegen'd [[graft.functions.MinHashSig]] kernel
-    * (one fused loop) instead of the interpreted HOF composition. */
+  /** doc → (id, sig) → exploded (id, sig, band, key). The whole signature
+    * path is native codegen: tokens → [[graft.functions.NgramHashes]]
+    * (gram strings never materialize) → [[graft.functions.MinHashLong]]. */
   private def banded(df: DataFrame, textCol: String, idCol: String,
                      numHashes: Int, bands: Int): DataFrame = {
     val rowsPerBand = numHashes / bands
     graft.functions.GraftFunctions.register(df.sparkSession)
-    withGrams(df, textCol, 3)
-      .withColumn("__sig", call_function("graft_minhash", col("__grams"), lit(numHashes)))
+    df.withColumn("__tokens", tokensCol(col(textCol)))
+      .withColumn("__gh", call_function("graft_ngram_hashes", col("__tokens"), lit(3)))
+      .withColumn("__sig", call_function("graft_minhash_long", col("__gh"), lit(numHashes)))
       .select(col(idCol).as("__id"), col("__sig"),
         explode(bandKeys(col("__sig"), bands, rowsPerBand)).as("__band"))
       .select(col("__id"), col("__sig"), col("__band.band"), col("__band.key"))
@@ -201,14 +202,16 @@ object Dedup {
   def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
                         n: Int = 3, threshold: Double = 0.5): DataFrame = {
     graft.functions.GraftFunctions.register(df.sparkSession)
-    // grams hashed to SORTED long sets once per row — the pair stage then
-    // shuffles 8-byte elements and verifies via the native codegen'd
-    // merge-intersection kernel instead of interpreted array_intersect
-    val prepped = withGrams(df, textCol, n).select(col(idCol).as("__id"),
-      array_sort(transform(col("__grams"), g => xxhash64(g))).as("__gh"),
-      // blocking: docs within similar length and same leading token
-      floor(log2(greatest(length(col(textCol)), lit(16)))).as("__lenband"),
-      split(lower(trim(col(textCol))), "\\s+").getItem(0).as("__tok0"))
+    // grams hashed to SORTED long sets once per row (native NgramHashes —
+    // gram strings never materialize); the pair stage shuffles 8-byte
+    // elements and verifies via the codegen'd merge-intersection kernel
+    val prepped = df
+      .withColumn("__tokens", tokensCol(col(textCol)))
+      .select(col(idCol).as("__id"),
+        call_function("graft_ngram_hashes", col("__tokens"), lit(n)).as("__gh"),
+        // blocking: docs within similar length and same leading token
+        floor(log2(greatest(length(col(textCol)), lit(16)))).as("__lenband"),
+        split(lower(trim(col(textCol))), "\\s+").getItem(0).as("__tok0"))
     val a = prepped.select(col("__lenband"), col("__tok0"),
       col("__id").as("id_a"), col("__gh").as("g_a"))
     val b = prepped.select(col("__lenband"), col("__tok0"),
