@@ -105,6 +105,8 @@ object GraftFunctions {
       "graft_ngram_hashes", exprs => NgramHashes(exprs(0), exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_minhash_long", exprs => MinHashLong(exprs(0), exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_srp_keys", exprs => SrpKeys(exprs(0), exprs(1), exprs(2)), "built-in")
   }
 
   /** Column-API face (usable after [[register]]). */

@@ -68,21 +68,25 @@ object Similarity {
     bits.reduce((a, b) => a.bitwiseOR(b))
   }
 
+  /** All-tables SRP bucketing in one native pass ([[graft.functions.SrpKeys]]). */
+  private def srpBucketed(df: DataFrame, id: String, vecCol: String,
+                          outId: String, outVec: String,
+                          nBits: Int, nTables: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    df.select(col(id).as(outId), col(vecCol).cast("array<double>").as(outVec))
+      .select(col(outId), col(outVec),
+        posexplode(call_function("graft_srp_keys", col(outVec), lit(nBits), lit(nTables)))
+          .as(Seq("__t", "__key")))
+  }
+
   /** Approximate top-k: probe SRP buckets across `nTables` hash tables,
     * rank candidates by exact cosine. Recall grows with nTables; cost is
     * bounded by bucket occupancy, not corpus size. */
   def lshTopK(corpus: DataFrame, queries: DataFrame,
               idCol: String, vecCol: String, queryIdCol: String,
               dim: Int, k: Int = 10, nBits: Int = 12, nTables: Int = 4): DataFrame = {
-    def bucketed(df: DataFrame, id: String, outId: String, outVec: String) =
-      df.select(col(id).as(outId), col(vecCol).cast("array<double>").as(outVec))
-        .withColumn("__t", explode(array((0 until nTables).map(lit): _*)))
-        .withColumn("__key",
-          (0 until nTables).foldLeft(lit(0L)) { (acc, t) =>
-            when(col("__t") === t, srpKey(col(outVec), dim, nBits, t)).otherwise(acc)
-          })
-    val c = bucketed(corpus, idCol, "neighbor_id", "__cv")
-    val q = bucketed(queries, queryIdCol, "query_id", "__qv")
+    val c = srpBucketed(corpus, idCol, vecCol, "neighbor_id", "__cv", nBits, nTables)
+    val q = srpBucketed(queries, queryIdCol, vecCol, "query_id", "__qv", nBits, nTables)
     val cand = c.join(q, Seq("__t", "__key"))
       .where(col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"), col("__cv"), col("__qv"))
@@ -140,12 +144,7 @@ object Similarity {
   def cosineDupPairs(corpus: DataFrame, idCol: String, vecCol: String,
                      dim: Int, threshold: Double = 0.95,
                      nBits: Int = 10, nTables: Int = 4): DataFrame = {
-    val b = corpus.select(col(idCol).as("__id"), col(vecCol).cast("array<double>").as("__v"))
-      .withColumn("__t", explode(array((0 until nTables).map(lit): _*)))
-      .withColumn("__key",
-        (0 until nTables).foldLeft(lit(0L)) { (acc, t) =>
-          when(col("__t") === t, srpKey(col("__v"), dim, nBits, t)).otherwise(acc)
-        })
+    val b = srpBucketed(corpus, idCol, vecCol, "__id", "__v", nBits, nTables)
     val a = b.select(col("__t"), col("__key"), col("__id").as("id_a"), col("__v").as("v_a"))
     val c = b.select(col("__t"), col("__key"), col("__id").as("id_b"), col("__v").as("v_b"))
     a.join(c, Seq("__t", "__key")).where(col("id_a") < col("id_b"))

@@ -112,6 +112,30 @@ class CoreSpec extends AnyFunSuite {
     assert(na.toSeq == Seq(Some("A"), Some("E"), None))
   }
 
+  test("repairHalfMonth: q1->day 01, q2->day 16 (F15)") {
+    val got = Seq("2024-03-q1", "2024-03-Q2").toDF("d")
+      .select(Dates.repairHalfMonth($"d").cast("string")).as[String].collect()
+    assert(got.toSeq == Seq("2024-03-01", "2024-03-16"))
+  }
+
+  test("yearToDate anchors a bare year to Dec 1 (F16)") {
+    val got = Seq("2021").toDF("y")
+      .select(Dates.yearToDate($"y").cast("string")).first().getString(0)
+    assert(got == "2021-12-01")
+  }
+
+  test("yearMonthToDate assembles yyyy + M with zero-pad (F14)") {
+    val got = Seq((2024, 3), (1999, 12)).toDF("y", "m")
+      .select(Dates.yearMonthToDate($"y", $"m").cast("string")).as[String].collect()
+    assert(got.toSeq == Seq("2024-03-01", "1999-12-01"))
+  }
+
+  test("caseMapLike routes on LIKE patterns (F7)") {
+    val got = Seq("abc123", "xyz").toDF("s")
+      .select(Exprs.caseMapLike($"s", Seq("%123%" -> "num"), "none")).as[String].collect()
+    assert(got.toSeq == Seq("num", "none"))
+  }
+
   test("function registry resolves and rejects") {
     assert(Exprs.fn1.contains("sum") && Exprs.fn2.contains("truediv"))
     intercept[IllegalArgumentException](Exprs.resolve1("no_such_fn"))
