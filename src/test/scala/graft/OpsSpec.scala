@@ -111,6 +111,32 @@ class OpsSpec extends AnyFunSuite {
     assert(Filters.latestPerGroup(df, Seq("g"), "t").select("v").as[String].collect().sorted.toSeq == Seq("b", "d"))
   }
 
+  test("W10 generic window op registry and W11 parameterized sliding frames") {
+    val df = Seq((1, 1, 2.0), (1, 2, 4.0), (1, 3, 6.0)).toDF("id", "t", "x")
+    val w10 = Windows.windowOp(df, "sum", "x", Seq("id"), Seq("t"), "run_sum")
+      .orderBy("t").select("run_sum").as[Double].collect()
+    assert(w10.toSeq == Seq(2.0, 6.0, 12.0)) // default running frame
+    val w11 = Windows.slidingStats(df, Seq("id"), "t", "x", -1, 1)
+      .orderBy("t").select("x_smean").as[Double].collect()
+    assert(w11.toSeq == Seq(3.0, 4.0, 5.0)) // centered ±1 frame
+  }
+
+  test("character shingles are windowed substrings of normalized text") {
+    val got = Seq("ab  cd").toDF("t")
+      .select(graft.text.Dedup.shingles($"t", 3)).as[Seq[String]].first()
+    assert(got == Seq("ab ", "b c", " cd")) // whitespace collapsed first
+  }
+
+  test("upperRatio and qualityScore respond to case and length") {
+    val r = Seq(("GOOD TEXT here", "x")).toDF("a", "b")
+      .select(graft.text.TextStats.upperRatio($"a").as("u"),
+        graft.text.TextStats.qualityScore($"a").as("qa"),
+        graft.text.TextStats.qualityScore($"b").as("qb"))
+      .first()
+    assert(r.getAs[Double]("u") > 0.5)
+    assert(r.getAs[Double]("qa") > r.getAs[Double]("qb")) // longer + stopwords
+  }
+
   test("validIds drops null and sentinel ids") {
     val df = Seq(Some(1L), Some(999999999L), None).toDF("id")
     assert(Filters.validIds(df, "id").count() == 1)
