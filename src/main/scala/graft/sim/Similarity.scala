@@ -33,6 +33,15 @@ object Similarity {
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (l2Norm(a) * l2Norm(b))
 
+  /** Native fused form ([[graft.functions.CosineSimilarity]]) — identical
+    * double semantics to [[cosine]] (same sequential accumulation order),
+    * one codegen'd loop instead of three interpreted HOF walks. Requires
+    * the session's function registry. */
+  private def cosineFast(spark: org.apache.spark.sql.SparkSession)(a: Column, b: Column): Column = {
+    graft.functions.GraftFunctions.register(spark)
+    call_function("graft_cosine", a, b)
+  }
+
   /** Exact top-k by cosine for each query vector. `queries` must be small
     * (it is broadcast); corpus side streams — no corpus shuffle until the
     * final per-query top-k, which is a window over k·|queries| rows. */
@@ -45,7 +54,8 @@ object Similarity {
       col(vecCol).cast("array<double>").as("__cv"))
     val scored = c.crossJoin(q)
       .where(col("neighbor_id") =!= col("query_id"))
-      .withColumn("cosine_sim", round(cosine(col("__cv"), col("__qv")), 6))
+      .withColumn("cosine_sim",
+        round(cosineFast(corpus.sparkSession)(col("__cv"), col("__qv")), 6))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine_sim").desc, col("neighbor_id"))
     scored.withColumn("__rn", row_number().over(w)).where(col("__rn") <= k)
@@ -91,7 +101,8 @@ object Similarity {
       .where(col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"), col("__cv"), col("__qv"))
       .dropDuplicates("query_id", "neighbor_id")
-      .withColumn("cosine_sim", round(cosine(col("__cv"), col("__qv")), 6))
+      .withColumn("cosine_sim",
+        round(cosineFast(corpus.sparkSession)(col("__cv"), col("__qv")), 6))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine_sim").desc, col("neighbor_id"))
     cand.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
@@ -117,21 +128,22 @@ object Similarity {
         .orderBy("__r").limit(nCentroids)
         .select(col("neighbor_id").as("centroid_id"), col("__cv").as("__centroid")))
     val assigned = c.crossJoin(centroids)
-      .withColumn("__sim", cosine(col("__cv"), col("__centroid")))
+      .withColumn("__sim", cosineFast(corpus.sparkSession)(col("__cv"), col("__centroid")))
       .groupBy(col("neighbor_id"))
       .agg(max_by(col("centroid_id"), col("__sim")).as("centroid_id"),
         first(col("__cv")).as("__cv"))
     val q = queries.select(col(queryIdCol).as("query_id"),
       col(vecCol).cast("array<double>").as("__qv"))
     val probes = q.crossJoin(centroids)
-      .withColumn("__sim", cosine(col("__qv"), col("__centroid")))
+      .withColumn("__sim", cosineFast(corpus.sparkSession)(col("__qv"), col("__centroid")))
       .withColumn("__pr", row_number().over(
         Window.partitionBy(col("query_id")).orderBy(col("__sim").desc, col("centroid_id"))))
       .where(col("__pr") <= nProbe)
       .select(col("query_id"), col("__qv"), col("centroid_id"))
     val cand = probes.join(assigned, Seq("centroid_id"))
       .where(col("neighbor_id") =!= col("query_id"))
-      .withColumn("cosine_sim", round(cosine(col("__cv"), col("__qv")), 6))
+      .withColumn("cosine_sim",
+        round(cosineFast(corpus.sparkSession)(col("__cv"), col("__qv")), 6))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine_sim").desc, col("neighbor_id"))
     cand.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
@@ -149,7 +161,8 @@ object Similarity {
     val c = b.select(col("__t"), col("__key"), col("__id").as("id_b"), col("__v").as("v_b"))
     a.join(c, Seq("__t", "__key")).where(col("id_a") < col("id_b"))
       .dropDuplicates("id_a", "id_b")
-      .withColumn("cosine_sim", round(cosine(col("v_a"), col("v_b")), 6))
+      .withColumn("cosine_sim",
+        round(cosineFast(corpus.sparkSession)(col("v_a"), col("v_b")), 6))
       .where(col("cosine_sim") >= threshold)
       .select("id_a", "id_b", "cosine_sim")
   }

@@ -25,7 +25,9 @@ final class Sources(spark: SparkSession, layerPaths: Map[String, String]) {
                format: String = "parquet"): DataFrame =
     if (layer == "source") format match {
       case "parquet" => spark.read.parquet(s"${base(layer)}/$dataset.parquet")
-      case "csv" => spark.read.option("header", "true").csv(s"${base(layer)}/$dataset.csv")
+      case "orc" => spark.read.orc(s"${base(layer)}/$dataset.orc")
+      case "csv" => spark.read.option("header", "true").option("inferSchema", "true")
+        .csv(s"${base(layer)}/$dataset.csv")
       case "json" => spark.read.json(s"${base(layer)}/$dataset.json")
       case other => sys.error(s"unsupported source format: $other")
     } else store(layer).read(dataset)

@@ -102,6 +102,16 @@ class StoreSpec extends AnyFunSuite {
     assert(sources.getTable("region_clean", "ingestion").count() == 5) // idempotent
     assert(sources.tableExists("region_clean", "ingestion"))
     intercept[RuntimeException](sources.getTable("x", "nope"))
+    // other raw formats route through the same resolution
+    val rawDir = Files.createTempDirectory("graft_raw").toString
+    val multi = new graft.store.Sources(spark, Map("source" -> rawDir))
+    raw.write.option("header", "true").mode("overwrite").csv(s"$rawDir/region.csv")
+    raw.write.mode("overwrite").json(s"$rawDir/region.json")
+    raw.write.mode("overwrite").orc(s"$rawDir/region.orc")
+    assert(multi.getTable("region", "source", "csv").count() == 5)
+    assert(multi.getTable("region", "source", "json").count() == 5)
+    assert(multi.getTable("region", "source", "orc").count() == 5)
+    intercept[RuntimeException](multi.getTable("region", "source", "avro"))
   }
 
   test("FeatureStore.save: fail-on-missing policy, then force path") {
