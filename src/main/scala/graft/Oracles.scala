@@ -268,6 +268,15 @@ object Oracles {
         |  'lag_' || (max(seq) OVER (PARTITION BY custkey) - seq)::VARCHAR AS lag_label
         |FROM r ORDER BY custkey, month_dt""".stripMargin),
 
+    "q_w11_sliding" -> (monthlyCte +
+      """
+        |SELECT custkey, month_dt, amt,
+        |  round(CAST(sum(CAST(amt AS DECIMAL(18,2))) OVER f AS DOUBLE)
+        |    / (count(*) OVER f), 4) AS amt_smean_c1
+        |FROM m WINDOW f AS (PARTITION BY custkey ORDER BY month_dt
+        |  ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING)
+        |ORDER BY custkey, month_dt""".stripMargin),
+
     "q_o1_top1" ->
       """SELECT event_id, event_type, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_str
         |FROM events ORDER BY ts DESC, event_id DESC LIMIT 1""".stripMargin,

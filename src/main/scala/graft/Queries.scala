@@ -365,6 +365,18 @@ object Queries {
       .orderBy("custkey", "month_dt")
   }
 
+  /** W11 — parameterized sliding frame (here centered ±1), in the exact
+    * decimal form (sum/count) for cross-engine determinism. */
+  def qW11Sliding(s: SparkSession, dir: String): DataFrame = {
+    val base = monthlyOrders(s, dir)
+    val w = Windows.entityWindow("custkey", "month_dt").rowsBetween(-1, 1)
+    val ssum = sum(col("amt").cast("decimal(18,2)")).over(w).cast("double")
+    val n = count(lit(1)).over(w).cast("double")
+    base.select(col("custkey"), col("month_dt"), col("amt"),
+        round(ssum / n, 4).as("amt_smean_c1"))
+      .orderBy("custkey", "month_dt")
+  }
+
   def qW9GroupMax(s: SparkSession, dir: String): DataFrame = {
     val base = monthlyOrders(s, dir)
     val withRn = Windows.rowNumber(base, Seq("custkey"), col("month_dt"), "seq")
@@ -584,6 +596,7 @@ object Queries {
     "q_w4_rolling_stats" -> (qW4RollingStats _),
     "q_w7_rsi" -> (qW7Rsi _),
     "q_w9_group_max" -> (qW9GroupMax _),
+    "q_w11_sliding" -> (qW11Sliding _),
     "q_o1_top1" -> (qO1Top1 _),
     "q_stream_tumbling" -> (qStreamTumbling _),
     "q_pipeline_monthly" -> (qPipelineMonthly _),

@@ -76,6 +76,32 @@ class OpsSpec extends AnyFunSuite {
     assert(m((3, "2024-05-01")).isEmpty)       // key with no history
   }
 
+  test("PIT join differential at generated-data scale (500 customers × 24 months)") {
+    // left: per-customer transaction months; right: payment snapshots —
+    // union-tag rewrite must equal the naive theta form on real-shaped data
+    val gen = graft.datagen.BankingDataGen
+    // parquet round-trip: sharing generator plan subtrees across both join
+    // forms inside exceptAll trips a Spark attribute-rebind internal error
+    def mat(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+      val dir = java.nio.file.Files.createTempDirectory("graft_pit").toString
+      df.write.mode("overwrite").parquet(dir)
+      spark.read.parquet(dir)
+    }
+    val left = mat(gen.transacciones(spark, 500, 24)
+      .select($"id_cliente".as("k"), to_date($"periodo", "yyyy-MM").as("lt"),
+        $"numero_transacciones".as("lval")))
+    val right = mat(gen.pagos(spark, 500, 12) // sparser history on the right
+      .select($"id_cliente".as("k"), to_date($"periodo", "yyyy-MM").as("rt"),
+        $"saldo_total_credito".as("feat"))
+      .dropDuplicates("k", "rt"))
+    val fast = Joins.pointInTimeJoin(left, right, Seq("k"), "lt", "rt")
+      .select("k", "lt", "rt", "feat")
+    val naive = Joins.pointInTimeJoinNaive(left, right, Seq("k"), "lt", "rt")
+      .select("k", "lt", "rt", "feat")
+    assert(fast.count() == left.count()) // left-join semantics: no row loss
+    assert(fast.exceptAll(naive).isEmpty && naive.exceptAll(fast).isEmpty)
+  }
+
   test("antiExclude removes rows whose keys appear in the exclusion set") {
     val df = Seq(1, 2, 3, 4).toDF("k")
     val excl = Seq(2, 4, 4).toDF("k")
