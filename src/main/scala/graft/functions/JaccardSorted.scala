@@ -68,3 +68,46 @@ case class JaccardSorted(left: Expression, right: Expression)
                                                  newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)
 }
+
+/** Native positional-equality counter for two equal-length `array<long>`
+  * columns — the MinHash Jaccard estimator (matching positions /
+  * signature length) without the interpreted `zip_with`+`aggregate` walk. */
+case class EqPositions(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def prettyName: String = "graft_eq_positions"
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires two array<long> arguments")
+    }
+
+  override def nullSafeEval(aAny: Any, bAny: Any): Any = {
+    val a = aAny.asInstanceOf[ArrayData]
+    val b = bAny.asInstanceOf[ArrayData]
+    val n = math.min(a.numElements(), b.numElements())
+    var i = 0; var eq = 0
+    while (i < n) { if (a.getLong(i) == b.getLong(i)) eq += 1; i += 1 }
+    java.lang.Integer.valueOf(eq)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n"); val i = ctx.freshName("i"); val eq = ctx.freshName("eq")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |int $eq = 0;
+         |for (int $i = 0; $i < $n; $i++)
+         |  if ($a.getLong($i) == $b.getLong($i)) $eq++;
+         |${ev.value} = $eq;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+                                                 newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}

@@ -109,10 +109,9 @@ object Dedup {
       .select(col("__id"), col("__sig"), col("__band.band"), col("__band.key"))
   }
 
-  private def estJaccard(numHashes: Int): Column = {
-    val eq = zip_with(col("sig_a"), col("sig_b"), (x, y) => when(x === y, 1).otherwise(0))
-    aggregate(eq, lit(0), (acc, v) => acc + v).cast("double") / lit(numHashes)
-  }
+  private def estJaccard(numHashes: Int): Column =
+    call_function("graft_eq_positions", col("sig_a"), col("sig_b"))
+      .cast("double") / lit(numHashes)
 
   /** MinHash-LSH near-dedup: shingle → minhash → band → bucket-join →
     * greedy resolution: a doc is dropped iff ANY bucket contains a smaller
