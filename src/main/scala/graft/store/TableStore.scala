@@ -41,15 +41,7 @@ final class TableStore(spark: SparkSession, root: String) {
 
   // ------------------------------------------------------------- metadata
 
-  final case class Meta(
-      version: Int,
-      schemaJson: String,
-      primaryKeys: Seq[String],
-      timestampKeys: Seq[String],
-      description: String,
-      properties: Map[String, String]) {
-    def schema: StructType = DataType.fromJson(schemaJson).asInstanceOf[StructType]
-  }
+  import TableStore.Meta
 
   private def esc(s: String): String = s.flatMap {
     case '"' => "\\\""
@@ -201,6 +193,18 @@ final class TableStore(spark: SparkSession, root: String) {
   private def deleteRecursively(p: Path): Unit = {
     if (Files.isDirectory(p)) Files.list(p).iterator().asScala.foreach(deleteRecursively)
     Files.deleteIfExists(p)
+  }
+}
+
+object TableStore {
+  final case class Meta(
+      version: Int,
+      schemaJson: String,
+      primaryKeys: Seq[String],
+      timestampKeys: Seq[String],
+      description: String,
+      properties: Map[String, String]) {
+    def schema: StructType = DataType.fromJson(schemaJson).asInstanceOf[StructType]
   }
 }
 
