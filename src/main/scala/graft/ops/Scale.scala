@@ -26,6 +26,13 @@ object Scale {
   def saltedJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
                  saltFactor: Int, how: String = "inner"): DataFrame = {
     require(saltFactor > 0)
+    // Replicating the right side saltFactor× would emit each unmatched
+    // right row saltFactor times under right/full outer joins — restrict to
+    // the join types whose semantics survive replication of the build side.
+    val normalized = how.toLowerCase.replace("_", "")
+    require(Set("inner", "left", "leftouter", "leftsemi", "leftanti", "cross")(normalized),
+      s"saltedJoin supports inner/left/left_semi/left_anti joins, not '$how' " +
+        "(right/full outer would duplicate unmatched right rows saltFactor times)")
     // deterministic salt: hash of the full left row, not rand() — keeps
     // retries/speculative tasks consistent
     val saltedLeft = left.withColumn("__salt",

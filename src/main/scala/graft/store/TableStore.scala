@@ -121,10 +121,20 @@ final class TableStore(spark: SparkSession, root: String) {
       case Some(m) =>
         val d = SchemaDiff.diff(m.schema, df.schema)
         if (d.isCompatible || overwriteSchema) df
-        else if (mergeSchema && d.typeChanged.isEmpty && d.newColumns.nonEmpty && d.missingColumns.isEmpty) df
-        else if (!d.isCompatible && !mergeSchema)
+        else if (mergeSchema) {
+          // Delta `mergeSchema` overwrite semantics (`utils.py:1694-1737`):
+          // the final schema is the UNION of stored and incoming — new
+          // columns are appended, stored columns absent from the incoming
+          // frame are kept and null-padded; type changes are never allowed
+          // under mergeSchema (overwriteSchema is the only escape hatch).
+          if (d.typeChanged.nonEmpty)
+            sys.error(s"type changes on $table require overwriteSchema (${d.describe})")
+          val padded = d.missingColumns.foldLeft(df) { (acc, c) =>
+            acc.withColumn(c, lit(null).cast(m.schema(c).dataType))
+          }
+          padded.select((m.schema.fieldNames.toSeq ++ d.newColumns).map(col): _*)
+        } else
           sys.error(s"schema mismatch for $table (${d.describe}); pass mergeSchema or overwriteSchema")
-        else df
       case None => df
     }
     val v = current.map(_.version + 1).getOrElse(0)
@@ -153,7 +163,13 @@ final class TableStore(spark: SparkSession, root: String) {
         val current = read(table).withColumn("__src", lit(0))
         val incoming = df.withColumn("__src", lit(1))
         val unioned = current.unionByName(incoming, allowMissingColumns = true)
-        val w = Window.partitionBy(pks.map(col): _*).orderBy(col("__src").desc)
+        // Tiebreak by a content hash of the non-key columns so that a batch
+        // containing the same PK twice resolves deterministically (Delta
+        // MERGE would fail on multiple matches; we pick a stable winner and
+        // replays stay idempotent).
+        val dataCols = unioned.columns.filterNot(c => c == "__src" || pks.contains(c))
+        val w = Window.partitionBy(pks.map(col): _*)
+          .orderBy(col("__src").desc, xxhash64(dataCols.map(col): _*).desc)
         val merged = unioned
           .withColumn("__rn", row_number().over(w))
           .where(col("__rn") === 1)

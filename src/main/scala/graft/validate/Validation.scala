@@ -57,11 +57,17 @@ object Validation {
     * injected for testability (the reference reads the wall clock). */
   def outdatedness(df: DataFrame, table: String, dateCol: String,
                    availabilityLagMonths: Int, now: java.time.LocalDate): Outdatedness = {
-    val maxDt = df.agg(max(col(dateCol).cast("date"))).first().getDate(0)
-      .toLocalDate.withDayOfMonth(1)
     val expected = now.withDayOfMonth(1).minusMonths(availabilityLagMonths)
-    val monthsLate = java.time.temporal.ChronoUnit.MONTHS.between(maxDt, expected).toInt
-    Outdatedness(table, maxDt.toString, expected.toString, math.max(monthsLate, 0))
+    // max() over an empty frame (or all-null dates) yields null — report
+    // that as maximally outdated rather than throwing.
+    Option(df.agg(max(col(dateCol).cast("date"))).first().getDate(0)) match {
+      case None =>
+        Outdatedness(table, "no data", expected.toString, Int.MaxValue)
+      case Some(d) =>
+        val maxDt = d.toLocalDate.withDayOfMonth(1)
+        val monthsLate = java.time.temporal.ChronoUnit.MONTHS.between(maxDt, expected).toInt
+        Outdatedness(table, maxDt.toString, expected.toString, math.max(monthsLate, 0))
+    }
   }
 
   /** Validation-log schemas (`monitor.py:530-557,645-662`). */

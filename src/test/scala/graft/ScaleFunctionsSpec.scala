@@ -24,6 +24,20 @@ class ScaleFunctionsSpec extends AnyFunSuite {
       plain.map(r => (r.getInt(0), r.getInt(1), r.getString(2))).toSeq)
   }
 
+  test("saltedJoin rejects join types the right-side replication would corrupt") {
+    val left = Seq((1, "a")).toDF("k", "v")
+    val right = Seq((1, "d")).toDF("k", "name")
+    intercept[IllegalArgumentException](
+      Scale.saltedJoin(left, right, Seq("k"), saltFactor = 4, how = "full_outer"))
+    intercept[IllegalArgumentException](
+      Scale.saltedJoin(left, right, Seq("k"), saltFactor = 4, how = "right"))
+    // left outer stays correct: unmatched LEFT rows appear exactly once
+    val l2 = Seq((1, "a"), (2, "b")).toDF("k", "v")
+    val lo = Scale.saltedJoin(l2, right, Seq("k"), saltFactor = 4, how = "left")
+      .orderBy("k").collect()
+    assert(lo.length == 2 && lo(1).getAs[Any]("name") == null)
+  }
+
   test("saltedAgg two-phase matches direct aggregation") {
     val df = (1 to 1000).map(i => (i % 3, i.toLong)).toDF("k", "x")
     val direct = df.groupBy("k").agg(sum("x").as("s"), count(lit(1)).as("n"))

@@ -55,6 +55,37 @@ class StoreSpec extends AnyFunSuite {
     assert(out.map(_.getAs[Any]("b")).toSeq == Seq(null, "new"))
   }
 
+  test("overwrite mergeSchema: union schema, null-pad missing stored columns, reject type changes") {
+    val store = freshStore()
+    store.overwrite("m", Seq((1, "x", 1.5)).toDF("pk", "a", "b"), primaryKeys = Seq("pk"))
+    // incoming drops `b`, adds `c` → merged schema keeps b (null-padded) and appends c
+    store.overwrite("m", Seq((2, "y", true)).toDF("pk", "a", "c"), mergeSchema = true)
+    val out = store.read("m")
+    assert(out.columns.toSeq == Seq("pk", "a", "b", "c"))
+    val row = out.collect().head
+    assert(row.getAs[Any]("b") == null && row.getAs[Boolean]("c"))
+    // type change is rejected under mergeSchema…
+    val typeChanged = Seq((3, 7, 2.0)).toDF("pk", "a", "b") // a: string → int
+    intercept[RuntimeException](store.overwrite("m", typeChanged, mergeSchema = true))
+    // …and accepted only under overwriteSchema
+    store.overwrite("m", typeChanged, overwriteSchema = true)
+    assert(store.read("m").schema("a").dataType == IntegerType)
+  }
+
+  test("upsert with duplicate PKs in one batch resolves deterministically") {
+    val store = freshStore()
+    store.overwrite("d", Seq((1, "old")).toDF("pk", "v"), primaryKeys = Seq("pk"))
+    val dupBatch = Seq((1, "b1"), (1, "b2"), (2, "n")).toDF("pk", "v")
+    store.upsert("d", dupBatch)
+    val first = store.read("d").orderBy("pk").as[(Int, String)].collect().toSeq
+    // replay (and a reshuffled replay) must pick the same winner
+    store.upsert("d", dupBatch.repartition(7))
+    val replay = store.read("d").orderBy("pk").as[(Int, String)].collect().toSeq
+    assert(first == replay)
+    assert(first.map(_._1) == Seq(1, 2))
+    assert(Set("b1", "b2").contains(first.head._2)) // incoming beats stored
+  }
+
   test("replaceWhere rewrites only the matching slice") {
     val store = freshStore()
     store.overwrite("r", Seq((1, "2024-01", 1.0), (2, "2024-02", 2.0))

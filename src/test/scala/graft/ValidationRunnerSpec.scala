@@ -40,6 +40,17 @@ class ValidationRunnerSpec extends AnyFunSuite {
     assert(!Validation.outdatedness(df, "t", "event_dt", 2, now).isOutdated)
   }
 
+  test("outdatedness on empty / all-null dates reports 'no data' instead of throwing") {
+    val now = java.time.LocalDate.of(2024, 6, 20)
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType.fromDDL("event_dt STRING"))
+    val oEmpty = Validation.outdatedness(empty, "t", "event_dt", 1, now)
+    assert(oEmpty.isOutdated && oEmpty.maxEventDt == "no data")
+    val allNull = Seq(Option.empty[String], Option.empty[String]).toDF("event_dt")
+    assert(Validation.outdatedness(allNull, "t", "event_dt", 1, now).maxEventDt == "no data")
+  }
+
   test("validation log appends typed rows") {
     val store = new TableStore(spark, Files.createTempDirectory("graft_vlog").toString)
     val ts = java.sql.Timestamp.valueOf("2024-06-01 10:00:00")

@@ -37,7 +37,8 @@ def main(sf_dir, out_dir):
         if not files:
             results[name] = "NO_SPARK_OUTPUT"
             continue
-        spark_tbl = pq.read_table(files[0])
+        import pyarrow as pa
+        spark_tbl = pa.concat_tables([pq.read_table(f) for f in sorted(files)])
         n_spark = spark_tbl.num_rows
         if name not in oracles:
             results[name] = f"ROWS_ONLY n={n_spark}" + (" EMPTY!" if n_spark == 0 else "")
