@@ -92,7 +92,13 @@ object GraftFunctions {
       classOf[CosineSimilarity].getName, "graft_cosine"),
     (children: Seq[Expression]) => CosineSimilarity(children(0), children(1)))
 
+  /** Session ids already registered — registration is cheap but re-running
+    * it per query floods the log with "function replaced" warnings. */
+  private val registered = java.util.Collections.newSetFromMap(
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]())
+
   def register(spark: SparkSession): Unit = {
+    if (!registered.add(System.identityHashCode(spark.sessionState.functionRegistry).toString)) return
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_cosine", exprs => CosineSimilarity(exprs(0), exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
