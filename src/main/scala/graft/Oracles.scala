@@ -397,5 +397,64 @@ object Oracles {
       """SELECT doc_id, octet_length(text::BLOB)::INT AS n_bytes, md5(text) AS checksum,
         |  substr(md5(text), 1, 8) AS shard_key, source
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_w12_sessionize" ->
+      """WITH e AS (SELECT user_id, event_id, ts, epoch_us(ts) AS us FROM events),
+        |  b AS (SELECT user_id, event_id, ts,
+        |    CASE WHEN lag(us) OVER w IS NULL OR us - lag(us) OVER w > 1800000000
+        |      THEN 1 ELSE 0 END AS boundary
+        |    FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |  sess AS (SELECT user_id, ts,
+        |    sum(boundary) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS session_seq
+        |    FROM b)
+        |SELECT user_id, session_seq::BIGINT AS session_seq, count(*) AS n_events,
+        |  strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start
+        |FROM sess GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_j9_range_join" ->
+      """WITH bands AS (SELECT band_id, band_id * 12.0 AS lo, band_id * 12.0 + 20.0 AS hi
+        |    FROM range(0, 41) t(band_id))
+        |SELECT band_id, count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        |FROM events e JOIN bands b ON e.value >= b.lo AND e.value < b.hi
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_docs_pipeline" ->
+      """WITH aug AS (
+        |  SELECT * FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 10000, text, lang, source, n_chars FROM documents WHERE doc_id < 50),
+        |  deduped AS (
+        |    SELECT * FROM aug
+        |    QUALIFY row_number() OVER (
+        |      PARTITION BY regexp_replace(lower(trim(text)), '\s+', ' ', 'g')
+        |      ORDER BY doc_id) = 1),
+        |  scored AS (SELECT doc_id, source,
+        |    CASE WHEN len(list_filter(regexp_split_to_array(lower(text), '[^a-záéíóúñü]+'),
+        |        x -> list_contains(['the','a','an','and','or','of','to','in','is','it',
+        |          'that','was','for','on','with','as','at','by','be'], x))) = 0
+        |      AND len(list_filter(regexp_split_to_array(lower(text), '[^a-záéíóúñü]+'),
+        |        x -> list_contains(['el','la','los','las','un','una','y','o','de','del',
+        |          'que','en','es','por','con','para','se','su','al'], x))) = 0 THEN 'unknown'
+        |      WHEN len(list_filter(regexp_split_to_array(lower(text), '[^a-záéíóúñü]+'),
+        |        x -> list_contains(['the','a','an','and','or','of','to','in','is','it',
+        |          'that','was','for','on','with','as','at','by','be'], x)))
+        |        >= len(list_filter(regexp_split_to_array(lower(text), '[^a-záéíóúñü]+'),
+        |        x -> list_contains(['el','la','los','las','un','una','y','o','de','del',
+        |          'que','en','es','por','con','para','se','su','al'], x)))
+        |      THEN 'en' ELSE 'es' END AS lang_pred,
+        |    len(regexp_split_to_array(trim(text), '\s+'))::INT AS n_tokens,
+        |    round(len(list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+        |        x -> list_contains(['the','a','an','and','or','of','to','in','is','it',
+        |          'that','was','for','on','with','as','at','by','be'], x)))
+        |      / greatest(len(list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+        |          x -> x <> '')), 1)::DOUBLE, 4) AS stopword_ratio,
+        |    length(text)::INT AS n_chars_m
+        |    FROM deduped)
+        |SELECT lang_pred, source, count(*) AS n_docs,
+        |  sum(n_tokens)::BIGINT AS sum_tokens, sum(n_chars_m)::BIGINT AS sum_chars
+        |FROM scored
+        |WHERE lang_pred <> 'unknown' AND stopword_ratio >= 0.05 AND n_chars_m >= 100
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
   )
 }

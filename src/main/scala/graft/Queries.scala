@@ -561,6 +561,76 @@ object Queries {
       .orderBy("doc_id")
 
   // =====================================================================
+  // Round-2 extensions: sessionization, range join, composite docs
+  // pipeline, sketches
+  // =====================================================================
+
+  /** W12 — gap-based sessionization (30-min gap) rolled up to sessions:
+    * one shuffle on user_id for the whole computation. */
+  def qW12Sessionize(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Windows.sessionize(t(s, dir, "events"), "user_id", "ts",
+        gapMicros = 30L * 60 * 1000000, tiebreak = Seq("event_id"))
+      .groupBy(col("user_id"), col("session_seq"))
+      .agg(count(lit(1)).as("n_events"),
+        date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss").as("session_start"))
+      .orderBy("user_id", "session_seq")
+
+  /** J9 — interval containment join (overlapping value bands) executed as a
+    * binned equi join; aggregated per band. */
+  def qJ9RangeJoin(s: SparkSession, dir: String): DataFrame = {
+    val bands = s.range(0, 41).select(
+      col("id").as("band_id"),
+      (col("id") * 12.0).as("lo"),
+      (col("id") * 12.0 + 20.0).as("hi"))
+    graft.ops.Joins.rangeJoin(
+        t(s, dir, "events").select("event_id", "value"), "value",
+        bands, "lo", "hi", binWidth = 16.0)
+      .groupBy("band_id")
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"))
+      .orderBy("band_id")
+  }
+
+  /** Composite training-data pipeline over documents (+ injected exact
+    * dups): exact dedup → language ID + quality stats → filter → per
+    * (lang, source) corpus stats. Integer-only output (determinism). */
+  def qDocsPipeline(s: SparkSession, dir: String): DataFrame = {
+    val deduped = Dedup.exact(docsWithExactDups(s, dir), "text", "doc_id")
+    val scored = deduped.select(
+      col("doc_id"), col("source"),
+      TextStats.langId(col("text")).as("lang_pred"),
+      TextStats.tokenCountWs(col("text")).as("n_tokens"),
+      TextStats.stopwordRatio(col("text")).as("stopword_ratio"),
+      length(col("text")).as("n_chars_m"))
+    scored
+      .where(col("lang_pred") =!= "unknown" &&
+        col("stopword_ratio") >= 0.05 && col("n_chars_m") >= 100)
+      .groupBy("lang_pred", "source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("sum_tokens"),
+        sum(col("n_chars_m")).as("sum_chars"))
+      .orderBy("lang_pred", "source")
+  }
+
+  /** HLL++ cardinality + exact reference per event_type (approximate —
+    * rows-only check; the spec asserts the rsd bound). */
+  def qSketchCardinality(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Sketches.approxDistinct(
+        t(s, dir, "events"), Seq("event_type"), "user_id",
+        rsd = 0.02, as = "approx_users")
+      .orderBy("event_type")
+
+  /** Quantile sketch of event values per type (approximate — rows-only). */
+  def qSketchQuantiles(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Sketches.approxQuantiles(
+        t(s, dir, "events"), Seq("event_type"), "value",
+        probabilities = Seq(0.5, 0.9, 0.99))
+      .select(col("event_type"),
+        col("quantiles")(0).as("p50"), col("quantiles")(1).as("p90"),
+        col("quantiles")(2).as("p99"))
+      .orderBy("event_type")
+
+  // =====================================================================
   // Registry
   // =====================================================================
 
@@ -612,5 +682,10 @@ object Queries {
     "q_sim_lsh_topk" -> (qSimLshTopK _),
     "q_sim_embedding_dedup" -> (qSimEmbeddingDedup _),
     "q_mm_binary_meta" -> (qMmBinaryMeta _),
+    "q_w12_sessionize" -> (qW12Sessionize _),
+    "q_j9_range_join" -> (qJ9RangeJoin _),
+    "q_docs_pipeline" -> (qDocsPipeline _),
+    "q_sketch_cardinality" -> (qSketchCardinality _),
+    "q_sketch_quantiles" -> (qSketchQuantiles _),
   )
 }

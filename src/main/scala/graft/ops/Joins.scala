@@ -120,4 +120,29 @@ object Joins {
   /** J8 — union by name tolerating missing columns (`union.py:8-23`). */
   def unionTables(dfs: Seq[DataFrame]): DataFrame =
     dfs.reduce(_.unionByName(_, allowMissingColumns = true))
+
+  /** J9 (extension) — interval/range join `left.v ∈ [right.lo, right.hi)`,
+    * executed as an EQUI join: both sides are binned to `floor(x / binWidth)`
+    * (each interval exploded over the bins it covers), hash-joined on the
+    * bin, then filtered on the exact containment predicate. Each (row,
+    * interval) pair meets in exactly ONE bin — the bin of `v` — so no
+    * dedup pass is needed.
+    *
+    * Without this rewrite Catalyst plans a non-equi join as
+    * BroadcastNestedLoopJoin — O(|L|·|R|) and driver-bound on the broadcast;
+    * binned, it is a shuffle hash join that scales like any other equi join.
+    * Pick `binWidth` near the median interval width: the interval side
+    * explodes by ~(width / binWidth + 1)×, the bin side stays 1×. */
+  def rangeJoin(left: DataFrame, valueCol: String,
+                right: DataFrame, loCol: String, hiCol: String,
+                binWidth: Double): DataFrame = {
+    require(binWidth > 0, "binWidth must be positive")
+    val binned = left.withColumn("__bin", floor(col(valueCol) / binWidth).cast("long"))
+    val exploded = right.withColumn("__bin",
+      explode(sequence(floor(col(loCol) / binWidth).cast("long"),
+        floor(col(hiCol) / binWidth).cast("long"))))
+    binned.join(exploded, Seq("__bin"))
+      .where(col(valueCol) >= col(loCol) && col(valueCol) < col(hiCol))
+      .drop("__bin")
+  }
 }

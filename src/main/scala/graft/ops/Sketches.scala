@@ -1,0 +1,66 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.util.sketch.{BloomFilter, CountMinSketch}
+
+/** Approximate-query sketch kit — the operators a 100 TB pipeline reaches
+  * for when exact answers would shuffle the world: HyperLogLog++
+  * cardinality, quantile sketches, Count-Min frequency, and Bloom-filter
+  * join pruning. Extension beyond the reference surface (which is exact
+  * smalls-scale batch); all built on Spark's own sketch implementations so
+  * partials merge map-side and the driver only ever sees a fixed-size
+  * sketch, never the data.
+  */
+object Sketches {
+
+  /** HLL++ distinct count per group: fixed-size state per (group, sketch) —
+    * the scalable form of `countDistinct` (whose exact form is a full
+    * shuffle of the distinct values). `rsd` = target relative error. */
+  def approxDistinct(df: DataFrame, groupCols: Seq[String], valueCol: String,
+                     rsd: Double = 0.05, as: String = "approx_distinct"): DataFrame =
+    df.groupBy(groupCols.map(col): _*)
+      .agg(approx_count_distinct(col(valueCol), rsd).as(as))
+
+  /** Quantile sketch per group (Greenwald-Khanna via `percentile_approx`):
+    * one pass, mergeable partials, bounded memory — vs an exact
+    * percentile's full sort. `accuracy` trades memory for error
+    * (1.0/accuracy relative rank error). */
+  def approxQuantiles(df: DataFrame, groupCols: Seq[String], valueCol: String,
+                      probabilities: Seq[Double],
+                      accuracy: Int = 10000): DataFrame =
+    df.groupBy(groupCols.map(col): _*)
+      .agg(percentile_approx(col(valueCol),
+        array(probabilities.map(lit): _*), lit(accuracy)).as("quantiles"))
+
+  /** Count-Min frequency sketch of a column, built distributed
+    * (mergeable per-partition sketches; `eps`/`confidence` bound the
+    * overestimate). Query it driver-side for heavy-hitter estimates. */
+  def countMin(df: DataFrame, valueCol: String,
+               eps: Double = 0.001, confidence: Double = 0.99,
+               seed: Int = 42): CountMinSketch =
+    df.stat.countMinSketch(valueCol, eps, confidence, seed)
+
+  /** Bloom filter over a (small-ish) key set, built distributed. */
+  def keyBloom(df: DataFrame, keyCol: String, expectedItems: Long,
+               fpp: Double = 0.01): BloomFilter =
+    df.stat.bloomFilter(keyCol, expectedItems, fpp)
+
+  /** Bloom-filter join pruning: pre-filter the BIG side of a join with a
+    * bloom of the small side's keys before the shuffle — rows that cannot
+    * match never enter the exchange (false positives are later dropped by
+    * the real join; false negatives are impossible). This is the manual
+    * form of AQE's runtime bloom pushdown
+    * (`spark.sql.optimizer.runtime.bloomFilter.enabled`), for when the
+    * build side isn't a scan Catalyst can see through. */
+  def bloomPruneJoin(large: DataFrame, largeKey: String,
+                     small: DataFrame, smallKey: String,
+                     expectedItems: Long, fpp: Double = 0.01): DataFrame = {
+    val bf = keyBloom(small, smallKey, expectedItems, fpp)
+    val spark = large.sparkSession
+    val bc = spark.sparkContext.broadcast(bf)
+    val mightContain = udf((k: java.lang.Long) => k != null && bc.value.mightContainLong(k))
+    large.where(mightContain(col(largeKey).cast("long")))
+      .join(small, large(largeKey) === small(smallKey))
+  }
+}

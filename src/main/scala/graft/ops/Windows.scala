@@ -120,4 +120,22 @@ object Windows {
       avg(col(c)).over(w).as(s"${c}_smean"),
       stddev(col(c)).over(w).as(s"${c}_sstd"))
   }
+
+  /** W12 (extension) — gap-based sessionization: a new session starts when
+    * the gap to the previous event of the same entity exceeds
+    * `gapMicros`. Two window passes over ONE hash partitioning on the
+    * entity (lag → boundary flag → running sum), so at cluster scale this
+    * is a single shuffle regardless of event volume; per-entity state is
+    * just the sort, no driver involvement. `tiebreak` makes the ordering
+    * total when timestamps collide (determinism rule). */
+  def sessionize(df: DataFrame, entityCol: String, tsCol: String,
+                 gapMicros: Long, tiebreak: Seq[String] = Nil,
+                 as: String = "session_seq"): DataFrame = {
+    val order = col(tsCol) +: tiebreak.map(col)
+    val w = Window.partitionBy(col(entityCol)).orderBy(order: _*)
+    val micros = unix_micros(col(tsCol))
+    val prev = lag(micros, 1).over(w)
+    val boundary = when(prev.isNull || micros - prev > gapMicros, 1L).otherwise(0L)
+    df.withColumn(as, sum(boundary).over(w))
+  }
 }

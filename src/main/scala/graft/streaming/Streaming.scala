@@ -35,6 +35,47 @@ object Streaming {
       .select(col("window.start").as("win_start"), col("event_type"),
         col("n_events"), col("sum_value"))
 
+  /** Sliding-window aggregation (overlapping windows): each event lands in
+    * window/slide windows; state bounded by the watermark like the tumbling
+    * form. */
+  def slidingAgg(events: DataFrame, window_ : String = "1 hour",
+                 slide: String = "30 minutes",
+                 watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), window_, slide), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("win_start"), col("event_type"),
+        col("n_events"), col("sum_value"))
+
+  /** Stream-stream inner join on user with an event-time band: each side is
+    * watermarked so the join state for rows outside the band is evicted —
+    * unbounded-state joins don't survive a week of uptime. */
+  def streamStreamJoin(left: DataFrame, right: DataFrame,
+                       watermark: String = "1 hour",
+                       bandSeconds: Long = 900): DataFrame = {
+    val l = left.select(col("user_id"), col("ts").as("l_ts"),
+      col("event_type").as("l_type"), col("value").as("l_value"))
+      .withWatermark("l_ts", watermark)
+    val r = right.select(col("user_id").as("r_user_id"), col("ts").as("r_ts"),
+      col("event_type").as("r_type"))
+      .withWatermark("r_ts", watermark)
+    l.join(r,
+      col("user_id") === col("r_user_id") &&
+        col("r_ts") >= col("l_ts") &&
+        col("r_ts") <= col("l_ts") + expr(s"INTERVAL $bandSeconds SECONDS"))
+      .drop("r_user_id")
+  }
+
+  /** Streaming exact dedup with bounded state: duplicates arriving within
+    * the watermark horizon are dropped, state older than the watermark is
+    * evicted (`dropDuplicatesWithinWatermark`). The streaming face of
+    * `text.Dedup.exact`. */
+  def dedupWithinWatermark(events: DataFrame, keys: Seq[String],
+                           watermark: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(keys)
+
   final case class UserEvent(user_id: Long, event_type: String, value: Double)
   final case class UserRunning(user_id: Long, n: Long, total: Double)
 

@@ -22,7 +22,8 @@ class EntrySpec extends AnyFunSuite {
     val rowsOnly = qs.diff(SparkEntry.oracleSql.keySet)
     assert(rowsOnly == Set("q_text_fingerprint", "q_dedup_minhash_pairs",
       "q_dedup_simhash_pairs", "q_sim_lsh_topk", "q_sim_ivf_topk",
-      "q_sim_embedding_dedup"), rowsOnly.toString)
+      "q_sim_embedding_dedup", "q_sketch_cardinality", "q_sketch_quantiles"),
+      rowsOnly.toString)
   }
 
   test("all queries are runnable at sf0.001 (no empty oracle-checked results)") {

@@ -26,6 +26,32 @@ class OpsSpec extends AnyFunSuite {
     assert(out(3) == 5.0)
   }
 
+  test("sessionize: 30-min gaps split sessions, per-entity numbering") {
+    val df = Seq(
+      (1L, "2024-01-01 10:00:00", 1L), (1L, "2024-01-01 10:10:00", 2L),
+      (1L, "2024-01-01 11:00:00", 3L), // 50-min gap → new session
+      (1L, "2024-01-01 11:20:00", 4L),
+      (2L, "2024-01-01 10:00:00", 5L))
+      .toDF("user_id", "ts", "event_id")
+      .withColumn("ts", $"ts".cast("timestamp"))
+    val out = Windows.sessionize(df, "user_id", "ts",
+        gapMicros = 30L * 60 * 1000000, tiebreak = Seq("event_id"))
+      .orderBy("event_id").select("session_seq").as[Long].collect()
+    assert(out.toSeq == Seq(1L, 1L, 2L, 2L, 1L))
+  }
+
+  test("rangeJoin (binned) matches the naive non-equi join, incl. overlapping intervals") {
+    val values = (1 to 500).map(i => (i.toLong, (i % 97) * 1.37)).toDF("id", "v")
+    // overlapping bands of width 20, stride 12 — some values match 2 bands
+    val bands = (0 to 12).map(b => (b.toLong, b * 12.0, b * 12.0 + 20.0)).toDF("band_id", "lo", "hi")
+    val naive = values.join(bands, $"v" >= $"lo" && $"v" < $"hi")
+      .select("id", "band_id").orderBy("id", "band_id").collect().toSeq
+    val binned = Joins.rangeJoin(values, "v", bands, "lo", "hi", binWidth = 7.0)
+      .select("id", "band_id").orderBy("id", "band_id").collect().toSeq
+    assert(binned == naive)
+    assert(binned.size > values.count()) // overlap produced multi-matches
+  }
+
   test("rolling stddev is sample stddev, null for a single row") {
     val df = Seq((1, 1, 10.0), (1, 2, 14.0)).toDF("id", "t", "x")
     val out = Windows.withRollingStats(df, "id", "t", Seq("x"), Nil, Seq(3))

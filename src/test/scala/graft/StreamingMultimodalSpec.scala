@@ -37,6 +37,51 @@ class StreamingMultimodalSpec extends AnyFunSuite {
     assert(streamed.count() == batch.count())
   }
 
+  test("streaming sliding-window agg matches the batch sliding windows") {
+    val stream = Streaming.slidingAgg(Streaming.eventsStream(spark, eventsDir),
+      window_ = "1 hour", slide = "30 minutes")
+    val q = stream.writeStream.format("memory").queryName("sliding_test")
+      .outputMode("update").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("sliding_test")
+      .groupBy("win_start", "event_type").agg(max("n_events").as("n_events"))
+    val batch = spark.read.parquet(eventsDir)
+      .groupBy(window($"ts", "1 hour", "30 minutes")("start").as("win_start"), $"event_type")
+      .agg(count(lit(1)).as("n_events"))
+    assert(streamed.join(batch, Seq("win_start", "event_type"))
+      .where(streamed("n_events") =!= batch("n_events")).isEmpty)
+    assert(streamed.count() == batch.count())
+  }
+
+  test("stream-stream band join matches the equivalent batch join") {
+    val joined = Streaming.streamStreamJoin(
+      Streaming.eventsStream(spark, eventsDir),
+      Streaming.eventsStream(spark, eventsDir), bandSeconds = 900)
+    val q = joined.writeStream.format("memory").queryName("ssjoin_test")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val batchEvents = spark.read.parquet(eventsDir)
+    val batchJoined = Streaming.streamStreamJoin(batchEvents, batchEvents,
+      bandSeconds = 900) // watermark is a no-op on batch frames
+    assert(spark.table("ssjoin_test").count() == batchJoined.count())
+    assert(batchJoined.count() > batchEvents.count()) // band produced real matches
+  }
+
+  test("dropDuplicatesWithinWatermark removes replayed events from the stream") {
+    // replay the whole feed twice into one source dir
+    val dupDir = Files.createTempDirectory("graft_dup_events").toString
+    val ev = spark.read.parquet(eventsDir)
+    ev.coalesce(1).write.mode("overwrite").parquet(dupDir)
+    ev.coalesce(1).write.mode("append").parquet(dupDir)
+    val dedup = Streaming.dedupWithinWatermark(
+      Streaming.eventsStream(spark, dupDir), Seq("event_id"))
+    val q = dedup.writeStream.format("memory").queryName("dedup_test")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    assert(spark.table("dedup_test").select("event_id").distinct().count() == ev.count())
+    assert(spark.table("dedup_test").count() == ev.count())
+  }
+
   test("stateful runningPerUser accumulates counts via mapGroupsWithState") {
     val stream = Streaming.runningPerUser(spark, Streaming.eventsStream(spark, eventsDir))
     val q = stream.writeStream.format("memory").queryName("running_test")
