@@ -125,6 +125,8 @@ object GraftFunctions {
 }
 
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
-  override def apply(e: org.apache.spark.sql.SparkSessionExtensions): Unit =
+  override def apply(e: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     e.injectFunction(GraftFunctions.cosineDescriptor)
+    e.injectOptimizerRule(_ => graft.plans.RangeJoinRewrite)
+  }
 }
