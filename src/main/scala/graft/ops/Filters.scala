@@ -60,4 +60,41 @@ object Filters {
     val conds = start.map(s => col(c) >= lit(s)).toSeq ++ end.map(e => col(c) <= lit(e))
     if (conds.isEmpty) df else df.where(conds.reduce(_ && _))
   }
+
+  /** In [0, 1): position of the key's hash on the unit interval. */
+  private def hashU(keyCols: Seq[String], salt: Int) =
+    pmod(xxhash64((keyCols.map(col) :+ lit(salt)): _*), lit(1000000007L))
+      .cast("double") / 1000000007.0
+
+  /** Deterministic hash sample (extension): keep a row iff the key's hash
+    * lands below `fraction` on the unit interval. Unlike `df.sample()`
+    * (rand-based: membership depends on partition layout and changes under
+    * retries/repartition), this is a pure function of the key — stable
+    * across runs, reproducible for train/eval splits, and the SAME rows are
+    * kept when the pipeline reruns on appended data. */
+  def hashSample(df: DataFrame, keyCols: Seq[String], fraction: Double,
+                 salt: Int = 42): DataFrame = {
+    require(fraction >= 0 && fraction <= 1, "fraction must be in [0,1]")
+    df.where(hashU(keyCols, salt) < fraction)
+  }
+
+  /** Deterministic disjoint split (train/eval): rows with hash < `fraction`
+    * go left, the rest right. The two sides partition the input exactly. */
+  def hashSplit(df: DataFrame, keyCols: Seq[String], fraction: Double,
+                salt: Int = 42): (DataFrame, DataFrame) = {
+    val u = hashU(keyCols, salt)
+    (df.where(u < fraction), df.where(u >= fraction))
+  }
+
+  /** Deterministic stratified sample: per-stratum keep fractions (strata
+    * missing from the map are dropped). The scalable form of
+    * `df.stat.sampleBy`, with hash determinism instead of rand. */
+  def stratifiedHashSample(df: DataFrame, strataCol: String,
+                           fractions: Map[String, Double],
+                           keyCols: Seq[String], salt: Int = 42): DataFrame = {
+    val frac = fractions.foldLeft(lit(0.0)) { case (acc, (k, f)) =>
+      when(col(strataCol) === k, f).otherwise(acc)
+    }
+    df.where(hashU(keyCols, salt) < frac)
+  }
 }

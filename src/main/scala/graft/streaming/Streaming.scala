@@ -48,6 +48,20 @@ object Streaming {
       .select(col("window.start").as("win_start"), col("event_type"),
         col("n_events"), col("sum_value"))
 
+  /** Gap-based session aggregation — the streaming counterpart of
+    * `ops.Windows.sessionize`: `session_window` merges events per user into
+    * sessions closed after `gap` of silence; state for closed sessions is
+    * evicted by the watermark. */
+  def sessionAgg(events: DataFrame, gap: String = "30 minutes",
+                 watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      .select(col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("user_id"), col("n_events"), col("sum_value"))
+
   /** Stream-stream inner join on user with an event-time band: each side is
     * watermarked so the join state for rows outside the band is evicted —
     * unbounded-state joins don't survive a week of uptime. */

@@ -52,6 +52,30 @@ class OpsSpec extends AnyFunSuite {
     assert(binned.size > values.count()) // overlap produced multi-matches
   }
 
+  test("hashSample/hashSplit: deterministic, disjoint, near-target fraction") {
+    val df = (1L to 5000L).toDF("id")
+    val s1 = Filters.hashSample(df, Seq("id"), 0.2).as[Long].collect().toSet
+    val s2 = Filters.hashSample(df.repartition(13), Seq("id"), 0.2).as[Long].collect().toSet
+    assert(s1 == s2) // partition-layout independent
+    assert(math.abs(s1.size - 1000) < 150)
+    val (train, eval_) = Filters.hashSplit(df, Seq("id"), 0.8)
+    assert(train.count() + eval_.count() == 5000)
+    assert(train.join(eval_, "id").isEmpty)
+    // sampled set ⊆ the larger-fraction set (nested samples, same salt)
+    val s3 = Filters.hashSample(df, Seq("id"), 0.5).as[Long].collect().toSet
+    assert(s1.subsetOf(s3))
+  }
+
+  test("stratifiedHashSample applies per-stratum fractions, drops unlisted strata") {
+    val df = (1L to 3000L).map(i => (i, if (i % 3 == 0) "a" else if (i % 3 == 1) "b" else "c"))
+      .toDF("id", "s")
+    val out = Filters.stratifiedHashSample(df, "s",
+      Map("a" -> 0.5, "b" -> 0.1), Seq("id"))
+    val counts = out.groupBy("s").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(!counts.contains("c"))
+    assert(math.abs(counts("a") - 500) < 100 && math.abs(counts("b") - 100) < 60)
+  }
+
   test("rolling stddev is sample stddev, null for a single row") {
     val df = Seq((1, 1, 10.0), (1, 2, 14.0)).toDF("id", "t", "x")
     val out = Windows.withRollingStats(df, "id", "t", Seq("x"), Nil, Seq(3))

@@ -53,6 +53,27 @@ class StreamingMultimodalSpec extends AnyFunSuite {
     assert(streamed.count() == batch.count())
   }
 
+  test("streaming session_window agg: emitted sessions match the batch sessionize rollup") {
+    // session-window agg only supports APPEND: sessions are emitted once
+    // finalized by the watermark, so sessions near the stream tail are
+    // (correctly) withheld — compare the emitted prefix against batch.
+    val stream = Streaming.sessionAgg(Streaming.eventsStream(spark, eventsDir),
+      gap = "30 minutes", watermark = "0 seconds")
+    val q = stream.writeStream.format("memory").queryName("session_test")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("session_test")
+      .select($"user_id", $"session_start", $"n_events".as("s_n"))
+    val batch = graft.ops.Windows.sessionize(spark.read.parquet(eventsDir),
+        "user_id", "ts", gapMicros = 30L * 60 * 1000000, tiebreak = Seq("event_id"))
+      .groupBy("user_id", "session_seq")
+      .agg(min("ts").as("session_start"), count(lit(1)).as("b_n"))
+    val joined = streamed.join(batch, Seq("user_id", "session_start"))
+    assert(streamed.count() > 0)
+    assert(joined.count() == streamed.count()) // every emitted session exists in batch
+    assert(joined.where($"s_n" =!= $"b_n").isEmpty) // with identical event counts
+  }
+
   test("stream-stream band join matches the equivalent batch join") {
     val joined = Streaming.streamStreamJoin(
       Streaming.eventsStream(spark, eventsDir),
