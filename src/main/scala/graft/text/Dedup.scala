@@ -121,12 +121,16 @@ object Dedup {
   def minhashLsh(df: DataFrame, textCol: String, idCol: String,
                  numHashes: Int = 64, bands: Int = 16,
                  shingleSize: Int = 5, threshold: Double = 0.8): DataFrame = {
+    // shuffle on the bucket key BEFORE aliasing the two self-join sides:
+    // both sides then hang off one identical Exchange subtree, ReuseExchange
+    // dedups it, and the signature pipeline runs ONCE instead of twice
     val bd = banded(df, textCol, idCol, numHashes, bands)
+      .repartition(col("band"), col("key"))
     val a = bd.select(col("band"), col("key"), col("__id").as("id_a"), col("__sig").as("sig_a"))
     val b = bd.select(col("band"), col("key"), col("__id").as("id_b"), col("__sig").as("sig_b"))
     // estimate Jaccard BEFORE the distinct so the pair shuffle carries
     // scalars, not 64-element signature arrays
-    val dupIds = a.join(b, Seq("band", "key")).where(col("id_a") < col("id_b"))
+    val dupIds = a.join(b.hint("shuffle_hash"), Seq("band", "key")).where(col("id_a") < col("id_b"))
       .withColumn("__sim", estJaccard(numHashes))
       .where(col("__sim") >= threshold)
       .select(col("id_b").as("__dup")).distinct()
@@ -138,10 +142,12 @@ object Dedup {
   def minhashPairs(df: DataFrame, textCol: String, idCol: String,
                    numHashes: Int = 64, bands: Int = 16,
                    threshold: Double = 0.8): DataFrame = {
+    // pre-shuffle before aliasing → one reused Exchange (see minhashLsh)
     val bd = banded(df, textCol, idCol, numHashes, bands)
+      .repartition(col("band"), col("key"))
     val a = bd.select(col("band"), col("key"), col("__id").as("id_a"), col("__sig").as("sig_a"))
     val b = bd.select(col("band"), col("key"), col("__id").as("id_b"), col("__sig").as("sig_b"))
-    a.join(b, Seq("band", "key")).where(col("id_a") < col("id_b"))
+    a.join(b.hint("shuffle_hash"), Seq("band", "key")).where(col("id_a") < col("id_b"))
       .withColumn("jaccard_est", estJaccard(numHashes))
       .select("id_a", "id_b", "jaccard_est")
       .dropDuplicates("id_a", "id_b")
@@ -185,9 +191,11 @@ object Dedup {
           shiftright(col("__sh"), c * 16).bitwiseAND(0xFFFFL).as("key"))
       }: _*)).as("__c"))
       .select(col("__id"), col("__sh"), col("__c.chunk"), col("__c.key"))
+      // pre-shuffle before aliasing → one reused Exchange (see minhashLsh)
+      .repartition(col("chunk"), col("key"))
     val a = chunked.select(col("chunk"), col("key"), col("__id").as("id_a"), col("__sh").as("sh_a"))
     val b = chunked.select(col("chunk"), col("key"), col("__id").as("id_b"), col("__sh").as("sh_b"))
-    a.join(b, Seq("chunk", "key")).where(col("id_a") < col("id_b"))
+    a.join(b.hint("shuffle_hash"), Seq("chunk", "key")).where(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"), hammingDist(col("sh_a"), col("sh_b")).as("hamming"))
       .dropDuplicates("id_a", "id_b")
       .where(col("hamming") <= maxHamming)
@@ -211,11 +219,13 @@ object Dedup {
         // blocking: docs within similar length and same leading token
         floor(log2(greatest(length(col(textCol)), lit(16)))).as("__lenband"),
         split(lower(trim(col(textCol))), "\\s+").getItem(0).as("__tok0"))
+      // pre-shuffle before aliasing → one reused Exchange (see minhashLsh)
+      .repartition(col("__lenband"), col("__tok0"))
     val a = prepped.select(col("__lenband"), col("__tok0"),
       col("__id").as("id_a"), col("__gh").as("g_a"))
     val b = prepped.select(col("__lenband"), col("__tok0"),
       col("__id").as("id_b"), col("__gh").as("g_b"))
-    a.join(b, Seq("__lenband", "__tok0")).where(col("id_a") < col("id_b"))
+    a.join(b.hint("shuffle_hash"), Seq("__lenband", "__tok0")).where(col("id_a") < col("id_b"))
       .withColumn("jaccard",
         round(call_function("graft_jaccard_sorted", col("g_a"), col("g_b")), 4))
       .where(col("jaccard") >= threshold)
