@@ -20,6 +20,7 @@ object Demo {
         Runtime.getRuntime.availableProcessors().toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
@@ -45,6 +46,30 @@ object Demo {
     store.read(t).orderBy("pk_customer", "tpk_release_dt").show(5, truncate = false)
     val meta = store.meta(t).get
     println(s"  registered PKs=${meta.primaryKeys.mkString(",")} tsKeys=${meta.timestampKeys.mkString(",")}")
+
+    // ---- training-data extensions over the documents corpus ----
+    val docsPath = "/root/testdata/sf0.001/documents.parquet"
+    if (java.nio.file.Files.exists(java.nio.file.Paths.get(docsPath))) {
+      import org.apache.spark.sql.functions._
+      println("== training-data pipeline (documents): quality -> langid -> dedup -> split")
+      val docs = spark.read.parquet(docsPath)
+      val scored = docs.select(col("doc_id"), col("text"), col("source"),
+        graft.text.TextStats.langId(col("text")).as("lang_pred"),
+        graft.text.TextStats.qualityScore(col("text")).as("quality"))
+      val kept = scored.where(col("quality") >= 0.3 && col("lang_pred") =!= "unknown")
+      val deduped = graft.text.Dedup.minhashLsh(kept, "text", "doc_id")
+      val (train, eval_) = graft.ops.Filters.hashSplit(deduped, Seq("doc_id"), 0.9)
+      println(f"  corpus=${docs.count()} kept=${kept.count()} deduped=${deduped.count()} " +
+        f"train=${train.count()} eval=${eval_.count()}")
+      println("== sessionization of the event stream (30-min gap)")
+      val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      graft.ops.Windows.sessionize(ev, "user_id", "ts",
+          gapMicros = 30L * 60 * 1000000, tiebreak = Seq("event_id"))
+        .groupBy("user_id").agg(max("session_seq").as("n_sessions"),
+          count(lit(1)).as("n_events"))
+        .orderBy(desc("n_sessions")).show(5)
+    }
     spark.stop()
   }
 }
