@@ -40,6 +40,42 @@ class OpsSpec extends AnyFunSuite {
     assert(out.toSeq == Seq(1L, 1L, 2L, 2L, 1L))
   }
 
+  test("sessionize property: matches a reference in-memory sessionizer on random data") {
+    val rnd = new scala.util.Random(7)
+    val gapUs = 1000L * 1000 * 60 // 1 minute
+    val rows = (1 to 800).map { i =>
+      val user = rnd.nextInt(5).toLong
+      val tsUs = rnd.nextLong(4L * 3600 * 1000000).abs // 4h span
+      (user, new java.sql.Timestamp(tsUs / 1000), i.toLong)
+    }
+    val df = rows.toDF("user_id", "ts", "event_id")
+    val got = Windows.sessionize(df, "user_id", "ts", gapUs, tiebreak = Seq("event_id"))
+      .select("user_id", "event_id", "session_seq")
+      .collect().map(r => (r.getLong(0), r.getLong(2))).groupBy(_._1)
+      .view.mapValues(_.map(_._2).max).toMap
+    val expected = rows.groupBy(_._1).view.mapValues { es =>
+      val sorted = es.map(e => e._2.getTime * 1000).sorted
+      1L + sorted.sliding(2).count(p => p.size == 2 && p(1) - p(0) > gapUs)
+    }.toMap
+    assert(got == expected)
+  }
+
+  test("rangeJoin property: random values/intervals/binWidths match the naive join") {
+    val rnd = new scala.util.Random(13)
+    val values = (1 to 300).map(i => (i.toLong, rnd.nextDouble() * 200 - 100)).toDF("id", "v")
+    val intervals = (1 to 40).map { b =>
+      val lo = rnd.nextDouble() * 180 - 100
+      (b.toLong, lo, lo + rnd.nextDouble() * 30)
+    }.toDF("band_id", "lo", "hi")
+    for (w <- Seq(0.5, 7.0, 64.0)) {
+      val naive = values.join(intervals, $"v" >= $"lo" && $"v" < $"hi")
+        .select("id", "band_id").orderBy("id", "band_id").collect().toSeq
+      val binned = Joins.rangeJoin(values, "v", intervals, "lo", "hi", w)
+        .select("id", "band_id").orderBy("id", "band_id").collect().toSeq
+      assert(binned == naive, s"binWidth=$w")
+    }
+  }
+
   test("rangeJoin (binned) matches the naive non-equi join, incl. overlapping intervals") {
     val values = (1 to 500).map(i => (i.toLong, (i % 97) * 1.37)).toDF("id", "v")
     // overlapping bands of width 20, stride 12 — some values match 2 bands
