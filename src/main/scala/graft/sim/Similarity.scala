@@ -97,12 +97,15 @@ object Similarity {
               dim: Int, k: Int = 10, nBits: Int = 12, nTables: Int = 4): DataFrame = {
     val c = srpBucketed(corpus, idCol, vecCol, "neighbor_id", "__cv", nBits, nTables)
     val q = srpBucketed(queries, queryIdCol, vecCol, "query_id", "__qv", nBits, nTables)
+    // cosine BEFORE the candidate-dedup: re-evaluates per bucket collision
+    // (bounded by nTables) but the distinct then shuffles one scalar per
+    // pair instead of two dim-length vectors
     val cand = c.join(q, Seq("__t", "__key"))
       .where(col("neighbor_id") =!= col("query_id"))
-      .select(col("query_id"), col("neighbor_id"), col("__cv"), col("__qv"))
-      .dropDuplicates("query_id", "neighbor_id")
       .withColumn("cosine_sim",
         round(cosineFast(corpus.sparkSession)(col("__cv"), col("__qv")), 6))
+      .select(col("query_id"), col("neighbor_id"), col("cosine_sim"))
+      .dropDuplicates("query_id", "neighbor_id")
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine_sim").desc, col("neighbor_id"))
     cand.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
@@ -163,10 +166,12 @@ object Similarity {
     val a = b.select(col("__t"), col("__key"), col("__id").as("id_a"), col("__v").as("v_a"))
     val c = b.select(col("__t"), col("__key"), col("__id").as("id_b"), col("__v").as("v_b"))
     a.join(c.hint("shuffle_hash"), Seq("__t", "__key")).where(col("id_a") < col("id_b"))
-      .dropDuplicates("id_a", "id_b")
+      // cosine + threshold BEFORE the pair-dedup (see lshTopK note): the
+      // distinct aggregates scalar rows of passing pairs only
       .withColumn("cosine_sim",
         round(cosineFast(corpus.sparkSession)(col("v_a"), col("v_b")), 6))
       .where(col("cosine_sim") >= threshold)
       .select("id_a", "id_b", "cosine_sim")
+      .dropDuplicates("id_a", "id_b")
   }
 }

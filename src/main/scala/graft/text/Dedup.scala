@@ -149,9 +149,12 @@ object Dedup {
     val b = bd.select(col("band"), col("key"), col("__id").as("id_b"), col("__sig").as("sig_b"))
     a.join(b.hint("shuffle_hash"), Seq("band", "key")).where(col("id_a") < col("id_b"))
       .withColumn("jaccard_est", estJaccard(numHashes))
+      // threshold BEFORE the pair-dedup: the estimate is a pure function of
+      // the pair, so this is equivalent — and the distinct aggregates only
+      // the passing pairs instead of every bucket collision
+      .where(col("jaccard_est") >= threshold)
       .select("id_a", "id_b", "jaccard_est")
       .dropDuplicates("id_a", "id_b")
-      .where(col("jaccard_est") >= threshold)
   }
 
   // ------------------------------------------------------------- simhash
@@ -197,8 +200,9 @@ object Dedup {
     val b = chunked.select(col("chunk"), col("key"), col("__id").as("id_b"), col("__sh").as("sh_b"))
     a.join(b.hint("shuffle_hash"), Seq("chunk", "key")).where(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"), hammingDist(col("sh_a"), col("sh_b")).as("hamming"))
-      .dropDuplicates("id_a", "id_b")
+      // filter before the pair-dedup (hamming is pair-pure; see minhashPairs)
       .where(col("hamming") <= maxHamming)
+      .dropDuplicates("id_a", "id_b")
   }
 
   // ----------------------------------------------------- n-gram jaccard
