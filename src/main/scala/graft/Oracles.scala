@@ -287,6 +287,18 @@ object Oracles {
         |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
+    "q_stream_sliding" ->
+      """WITH exploded AS (
+        |  SELECT unnest([time_bucket(INTERVAL '30 minutes', ts),
+        |                 time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes'])
+        |      AS win_start,
+        |    event_type, value
+        |  FROM events)
+        |SELECT strftime(win_start, '%Y-%m-%d %H:%M:%S') AS win_start, event_type,
+        |  count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        |FROM exploded GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
     "q_pipeline_monthly" ->
       """WITH i AS (SELECT o_custkey, date_trunc('month', o_orderdate::DATE)::DATE AS month_dt,
         |    o_totalprice FROM orders

@@ -397,6 +397,17 @@ object Queries {
   // Streaming mirror (tumbling-window agg; batch form of the readStream DAG)
   // =====================================================================
 
+  /** Batch mirror of Streaming.slidingAgg: 1-hour windows sliding every
+    * 30 min — each event lands in exactly two windows. */
+  def qStreamSliding(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(window(col("ts"), "1 hour", "30 minutes").as("win"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"))
+      .select(date_format(col("win.start"), "yyyy-MM-dd HH:mm:ss").as("win_start"),
+        col("event_type"), col("n_events"), col("sum_value"))
+      .orderBy("win_start", "event_type")
+
   def qStreamTumbling(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "events")
       .groupBy(window(col("ts"), "1 hour").as("win"), col("event_type"))
@@ -669,6 +680,7 @@ object Queries {
     "q_w11_sliding" -> (qW11Sliding _),
     "q_o1_top1" -> (qO1Top1 _),
     "q_stream_tumbling" -> (qStreamTumbling _),
+    "q_stream_sliding" -> (qStreamSliding _),
     "q_pipeline_monthly" -> (qPipelineMonthly _),
     "q_text_stats" -> (qTextStats _),
     "q_text_langid" -> (qTextLangId _),
