@@ -115,8 +115,10 @@ final class TableStore(spark: SparkSession, root: String) {
   def overwrite(table: String, df: DataFrame,
                 primaryKeys: Seq[String] = Nil, timestampKeys: Seq[String] = Nil,
                 description: String = "", mergeSchema: Boolean = false,
-                overwriteSchema: Boolean = false): Unit = {
+                overwriteSchema: Boolean = false,
+                expectedVersion: Option[Int] = None): Unit = {
     val current = meta(table)
+    checkExpected(table, current.map(_.version), expectedVersion)
     val out = current match {
       case Some(m) =>
         val d = SchemaDiff.diff(m.schema, df.schema)
@@ -152,12 +154,15 @@ final class TableStore(spark: SparkSession, root: String) {
     * columns on either side are null-padded (implicit ALTER ADD COLUMNS,
     * `utils.py:1727-1737`). Idempotent: replaying a batch yields the same
     * table. */
-  def upsert(table: String, df: DataFrame, primaryKeys: Seq[String] = Nil): Unit = {
+  def upsert(table: String, df: DataFrame, primaryKeys: Seq[String] = Nil,
+             expectedVersion: Option[Int] = None): Unit = {
     meta(table) match {
       case None =>
         require(primaryKeys.nonEmpty, "first write needs primaryKeys")
+        checkExpected(table, None, expectedVersion)
         overwrite(table, df, primaryKeys)
       case Some(m) =>
+        checkExpected(table, Some(m.version), expectedVersion)
         val pks = if (primaryKeys.nonEmpty) primaryKeys else m.primaryKeys
         require(pks.nonEmpty, s"$table has no primary keys; cannot upsert")
         val current = read(table).withColumn("__src", lit(0))
@@ -205,6 +210,20 @@ final class TableStore(spark: SparkSession, root: String) {
       .filter(p => p.getFileName.toString.drop(2).toInt <= v - retain)
       .foreach(deleteRecursively)
   }
+
+  /** Optimistic concurrency (the Delta `txnVersion` face): a writer that
+    * read version V passes `expectedVersion = Some(V)` (or None for a
+    * fresh table via -1 semantics) and the write fails instead of silently
+    * clobbering a concurrent writer's snapshot. Callers that don't care
+    * pass None and keep last-writer-wins. */
+  private def checkExpected(table: String, actual: Option[Int],
+                            expected: Option[Int]): Unit =
+    expected.foreach { e =>
+      val a = actual.getOrElse(-1)
+      if (a != e)
+        throw new java.util.ConcurrentModificationException(
+          s"$table: expected version $e but found $a (concurrent write)")
+    }
 
   private def deleteRecursively(p: Path): Unit = {
     if (Files.isDirectory(p)) Files.list(p).iterator().asScala.foreach(deleteRecursively)

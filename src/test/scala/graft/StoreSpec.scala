@@ -86,6 +86,21 @@ class StoreSpec extends AnyFunSuite {
     assert(Set("b1", "b2").contains(first.head._2)) // incoming beats stored
   }
 
+  test("optimistic concurrency: stale expectedVersion fails, current succeeds") {
+    val store = freshStore()
+    store.overwrite("oc", Seq((1, "a")).toDF("pk", "v"), primaryKeys = Seq("pk"))
+    store.overwrite("oc", Seq((2, "b")).toDF("pk", "v")) // v1: someone else wrote
+    // writer that read v0 must NOT clobber v1
+    intercept[java.util.ConcurrentModificationException](
+      store.overwrite("oc", Seq((3, "c")).toDF("pk", "v"), expectedVersion = Some(0)))
+    intercept[java.util.ConcurrentModificationException](
+      store.upsert("oc", Seq((3, "c")).toDF("pk", "v"), expectedVersion = Some(0)))
+    assert(store.read("oc").count() == 1) // v1 intact
+    // matching expectation commits
+    store.upsert("oc", Seq((3, "c")).toDF("pk", "v"), expectedVersion = Some(1))
+    assert(store.currentVersion("oc") == 2 && store.read("oc").count() == 2)
+  }
+
   test("replaceWhere rewrites only the matching slice") {
     val store = freshStore()
     store.overwrite("r", Seq((1, "2024-01", 1.0), (2, "2024-02", 2.0))
