@@ -431,6 +431,20 @@ object Oracles {
         |FROM events e JOIN bands b ON e.value >= b.lo AND e.value < b.hi
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    "q_text_vocab" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '[^a-z]+')) AS token
+        |  FROM documents),
+        |  by_token AS (
+        |    SELECT token, count(*)::BIGINT AS n_occurrences,
+        |      count(DISTINCT doc_id)::BIGINT AS n_docs
+        |    FROM toks WHERE token <> '' GROUP BY token)
+        |SELECT row_number() OVER (ORDER BY n_docs DESC, n_occurrences DESC, token)::INT
+        |    AS rank, token, n_docs, n_occurrences
+        |FROM by_token
+        |QUALIFY rank <= 25
+        |ORDER BY rank""".stripMargin,
+
     "q_docs_pipeline" ->
       """WITH aug AS (
         |  SELECT * FROM documents

@@ -623,6 +623,30 @@ object Queries {
       .orderBy("lang_pred", "source")
   }
 
+  /** Corpus vocabulary stats: top-25 tokens by document frequency —
+    * explode → two-level agg (token,doc) → token → rank. The per-token
+    * partial aggregation combines map-side, so the shuffle carries
+    * (token, count) pairs, never token occurrences. */
+  def qTextVocab(s: SparkSession, dir: String): DataFrame = {
+    val tokens = t(s, dir, "documents").select(
+      col("doc_id"),
+      explode(split(lower(trim(col("text"))), "[^a-z]+")).as("token"))
+      .where(col("token") =!= "")
+    val byToken = tokens.groupBy("token")
+      .agg(count(lit(1)).as("n_occurrences"),
+        countDistinct(col("doc_id")).as("n_docs"))
+    // top-k FIRST via orderBy+limit (TakeOrderedAndProject: per-partition
+    // heap then driver merge of 25×partitions rows) — the global ranking
+    // window then only ever sees 25 rows, not the vocabulary
+    val top = byToken
+      .orderBy(col("n_docs").desc, col("n_occurrences").desc, col("token"))
+      .limit(25)
+    val w = Window.orderBy(col("n_docs").desc, col("n_occurrences").desc, col("token"))
+    top.withColumn("rank", row_number().over(w).cast("int"))
+      .select("rank", "token", "n_docs", "n_occurrences")
+      .orderBy("rank")
+  }
+
   /** HLL++ cardinality + exact reference per event_type (approximate —
     * rows-only check; the spec asserts the rsd bound). */
   def qSketchCardinality(s: SparkSession, dir: String): DataFrame =
@@ -697,6 +721,7 @@ object Queries {
     "q_w12_sessionize" -> (qW12Sessionize _),
     "q_j9_range_join" -> (qJ9RangeJoin _),
     "q_docs_pipeline" -> (qDocsPipeline _),
+    "q_text_vocab" -> (qTextVocab _),
     "q_sketch_cardinality" -> (qSketchCardinality _),
     "q_sketch_quantiles" -> (qSketchQuantiles _),
   )
