@@ -1,9 +1,10 @@
 package graft
 
-/** DuckDB oracle SQL for every SQL-expressible entry in [[Queries.all]].
-  * Queries absent here (minhash/simhash/LSH/fingerprint) get the driver's
-  * weaker rows-only check — their semantics are hash- or
-  * approximation-based and not portably SQL-expressible.
+/** DuckDB oracle SQL for every entry in [[Queries.all]] — including the
+  * hash/LSH/sketch-based queries, which project to deterministic
+  * SQL-predictable surfaces (planted-duplicate recovery sets, exact
+  * reference values + in-bound booleans) so nothing is left to the
+  * driver's weaker rows-only check.
   *
   * Each statement is written to be value-identical to the Spark query:
   * decimal-exact sums cast to DOUBLE, identical rounding scales, identical
@@ -404,6 +405,61 @@ object Oracles {
         |FROM scored
         |QUALIFY rank <= 10
         |ORDER BY query_id, rank""".stripMargin,
+
+    // -------- planted-recovery oracles: the hash/LSH-based dedup and ANN
+    // queries project to their deterministic planted-duplicate recovery
+    // sets, which ARE exactly SQL-predictable even though the underlying
+    // signatures are not (see Queries.qDedupMinhashPairs doc)
+
+    "q_dedup_minhash_pairs" ->
+      """SELECT doc_id AS id_a, doc_id + 20000 AS id_b FROM documents
+        |WHERE doc_id < 50 ORDER BY id_a""".stripMargin,
+
+    "q_dedup_simhash_pairs" ->
+      """SELECT doc_id AS id_a, doc_id + 20000 AS id_b FROM documents
+        |WHERE doc_id < 50 ORDER BY id_a""".stripMargin,
+
+    "q_sim_embedding_dedup" ->
+      """SELECT vec_id AS id_a, vec_id + 10000 AS id_b FROM embeddings
+        |WHERE vec_id < 20 ORDER BY id_a""".stripMargin,
+
+    "q_sim_lsh_topk" ->
+      """SELECT vec_id + 10000 AS query_id, vec_id AS neighbor_id FROM embeddings
+        |WHERE vec_id < 20 ORDER BY query_id""".stripMargin,
+
+    "q_sim_ivf_topk" ->
+      """SELECT vec_id + 10000 AS query_id, vec_id AS neighbor_id FROM embeddings
+        |WHERE vec_id < 20 ORDER BY query_id""".stripMargin,
+
+    "q_text_fingerprint" ->
+      """WITH aug AS (
+        |  SELECT * FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 10000, text, lang, source, n_chars FROM documents WHERE doc_id < 50)
+        |SELECT doc_id,
+        |  (count(*) OVER (
+        |    PARTITION BY regexp_replace(lower(trim(text)), '\s+', ' ', 'g')))::INT
+        |    AS n_fp_dups,
+        |  len(regexp_extract_all(text, '[A-Za-z]{1,4}|[0-9]|[^A-Za-z0-9\s]'))::INT
+        |    AS n_tokens_bpe
+        |FROM aug ORDER BY doc_id""".stripMargin,
+
+    "q_sketch_cardinality" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_users_exact,
+        |  TRUE AS approx_ok
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_sketch_quantiles" ->
+      """WITH r AS (SELECT event_type, value,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS n
+        |  FROM events)
+        |SELECT event_type,
+        |  max(CASE WHEN rn = floor((n*50 + 99)/100.0) THEN value END) AS p50_exact,
+        |  max(CASE WHEN rn = floor((n*90 + 99)/100.0) THEN value END) AS p90_exact,
+        |  max(CASE WHEN rn = floor((n*99 + 99)/100.0) THEN value END) AS p99_exact,
+        |  TRUE AS approx_ok_p50, TRUE AS approx_ok_p90, TRUE AS approx_ok_p99
+        |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q_mm_binary_meta" ->
       """SELECT doc_id, octet_length(text::BLOB)::INT AS n_bytes, md5(text) AS checksum,

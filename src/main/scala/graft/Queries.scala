@@ -467,15 +467,23 @@ object Queries {
       TextStats.langId(col("text")).as("lang_pred"))
       .orderBy("doc_id")
 
-  /** Fingerprint + BPE-ish token count + quality — xxhash64-based, no SQL
-    * oracle (rows-only check). */
-  def qTextFingerprint(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "documents").select(
-      col("doc_id"),
-      TextStats.fingerprint(col("text")).as("doc_fingerprint"),
-      TextStats.tokenCountBpe(col("text")).as("n_tokens_bpe"),
-      TextStats.qualityScore(col("text")).as("quality_score"))
+  /** Fingerprint identity check over documents ∪ injected exact clones:
+    * per-doc count of docs sharing its 64-bit fingerprint. Equal normalized
+    * text ⇒ equal fingerprint (every clone must land in its original's
+    * group) and no collisions among distinct docs ⇒ the group size equals
+    * the normalized-text group size, which DuckDB computes directly — so
+    * the xxhash64-based fingerprint gets an exact SQL oracle without DuckDB
+    * knowing the hash. BPE-ish token count rides along (regex-count is
+    * engine-portable). */
+  def qTextFingerprint(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("__fp"))
+    docsWithExactDups(s, dir)
+      .withColumn("__fp", TextStats.fingerprint(col("text")))
+      .withColumn("n_fp_dups", count(lit(1)).over(w).cast("int"))
+      .select(col("doc_id"), col("n_fp_dups"),
+        TextStats.tokenCountBpe(col("text")).as("n_tokens_bpe"))
       .orderBy("doc_id")
+  }
 
   /** documents ∪ exact clones (doc_id+10000 for doc_id<50) — deterministic
     * dup injection shared with the oracle. */
@@ -501,14 +509,30 @@ object Queries {
       .select("doc_id", "n_chars")
       .orderBy("doc_id")
 
+  /** MinHash-LSH planted-recovery projection: every injected near-dup
+    * (one token appended → true n-gram Jaccard ≈ 0.9 ≫ 0.5) must come back
+    * as a candidate pair with estimated Jaccard ≥ threshold. Restricting to
+    * the deterministic planted offset makes the result exactly
+    * SQL-predictable (the estimate itself is hash-based and stays out of
+    * the projection); the unfiltered pair report is covered by
+    * TextSimSpec's recall tests. */
   def qDedupMinhashPairs(s: SparkSession, dir: String): DataFrame =
     Dedup.minhashPairs(docsWithNearDups(s, dir), "text", "doc_id",
         numHashes = 64, bands = 16, threshold = 0.5)
-      .orderBy("id_a", "id_b")
+      .where(col("id_b") === col("id_a") + 20000)
+      .select("id_a", "id_b")
+      .orderBy("id_a")
 
+  /** SimHash planted-recovery projection (same contract as
+    * [[qDedupMinhashPairs]]): every planted near-dup within Hamming ≤ 10
+    * must be found by the chunk-bucketed pair search (measured planted
+    * distances: max 9 across test SFs; chunking is pigeonhole-complete for
+    * the requested radius so recovery is deterministic, not probabilistic). */
   def qDedupSimhashPairs(s: SparkSession, dir: String): DataFrame =
-    Dedup.simhashPairs(docsWithNearDups(s, dir), "text", "doc_id", maxHamming = 8)
-      .orderBy("id_a", "id_b")
+    Dedup.simhashPairs(docsWithNearDups(s, dir), "text", "doc_id", maxHamming = 10)
+      .where(col("id_b") === col("id_a") + 20000)
+      .select("id_a", "id_b")
+      .orderBy("id_a")
 
   def qDedupNgramJaccard(s: SparkSession, dir: String): DataFrame =
     Dedup.ngramJaccardPairs(docsWithNearDups(s, dir), "text", "doc_id",
@@ -522,36 +546,56 @@ object Queries {
       .orderBy("query_id", "rank")
   }
 
-  def qSimIvfTopK(s: SparkSession, dir: String): DataFrame = {
-    val emb = t(s, dir, "embeddings")
-    Similarity.ivfTopK(emb, emb.where(col("vec_id") < 5),
-        "vec_id", "embedding", "vec_id", k = 10, nCentroids = 16, nProbe = 4)
-      .orderBy("query_id", "rank")
-  }
-
-  def qSimLshTopK(s: SparkSession, dir: String): DataFrame = {
-    val emb = t(s, dir, "embeddings")
-    Similarity.lshTopK(emb, emb.where(col("vec_id") < 5),
-        "vec_id", "embedding", "vec_id", dim = 64, k = 10, nBits = 8, nTables = 4)
-      .orderBy("query_id", "rank")
-  }
-
-  /** embeddings ∪ perturbed clones (vec_id+10000 for vec_id<20, first
-    * component +0.1 → cosine ≈ 0.995 vs the original, well above the 0.9
-    * threshold) → near-dup pairs by cosine. */
-  def qSimEmbeddingDedup(s: SparkSession, dir: String): DataFrame = {
-    val e = t(s, dir, "embeddings")
-    val perturbed = e.where(col("vec_id") < 20)
+  /** Perturbed copies of the first 20 embeddings (vec_id+10000, +0.1 on
+    * component 0 → cosine ≈ 0.995 vs the original; the max NATURAL pair
+    * cosine in the synthetic corpus is ≈ 0.6) — deterministic ANN probes
+    * whose expected rank-1 neighbor is exactly the original vector. */
+  private def perturbedQueries(e: DataFrame): DataFrame =
+    e.where(col("vec_id") < 20)
       .withColumn("vec_id", col("vec_id") + 10000)
       .withColumn("embedding",
         zip_with(col("embedding").cast("array<double>"),
           sequence(lit(0), lit(63)),
           (x, i) => when(i === 0, x + 0.1).otherwise(x)))
+
+  /** IVF planted-rank-1 recovery: each perturbed query probes its nProbe
+    * nearest centroid buckets and must rank its original at 1 — projected
+    * to the (query_id, neighbor_id) mapping DuckDB predicts exactly. */
+  def qSimIvfTopK(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    Similarity.ivfTopK(emb, perturbedQueries(emb),
+        "vec_id", "embedding", "vec_id", k = 10, nCentroids = 16, nProbe = 4)
+      .where(col("rank") === 1)
+      .select("query_id", "neighbor_id")
+      .orderBy("query_id")
+  }
+
+  /** SRP-LSH planted-rank-1 recovery (same contract as [[qSimIvfTopK]]):
+    * the original must share an SRP bucket with its perturbed clone in at
+    * least one of the nTables hash tables and win the candidate ranking. */
+  def qSimLshTopK(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    Similarity.lshTopK(emb, perturbedQueries(emb),
+        "vec_id", "embedding", "vec_id", dim = 64, k = 10, nBits = 8, nTables = 4)
+      .where(col("rank") === 1)
+      .select("query_id", "neighbor_id")
+      .orderBy("query_id")
+  }
+
+  /** embeddings ∪ perturbed clones → cosine near-dup pairs (threshold 0.9,
+    * no natural pair reaches 0.61), projected to the planted recovery set:
+    * every clone must pair with its original through the SRP-bucketed
+    * search. Cosine values stay out of the projection (DuckDB's float
+    * summation order differs); TextSimSpec covers them. */
+  def qSimEmbeddingDedup(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
     val corpus = e.withColumn("embedding", col("embedding").cast("array<double>"))
-      .unionByName(perturbed)
+      .unionByName(perturbedQueries(e))
     Similarity.cosineDupPairs(corpus, "vec_id", "embedding", dim = 64,
         threshold = 0.9, nBits = 8, nTables = 4)
-      .orderBy("id_a", "id_b")
+      .where(col("id_b") === col("id_a") + 10000)
+      .select("id_a", "id_b")
+      .orderBy("id_a")
   }
 
   /** Multimodal plumbing: text → opaque binary column + typed metadata +
@@ -647,23 +691,58 @@ object Queries {
       .orderBy("rank")
   }
 
-  /** HLL++ cardinality + exact reference per event_type (approximate —
-    * rows-only check; the spec asserts the rsd bound). */
-  def qSketchCardinality(s: SparkSession, dir: String): DataFrame =
-    graft.ops.Sketches.approxDistinct(
-        t(s, dir, "events"), Seq("event_type"), "user_id",
-        rsd = 0.02, as = "approx_users")
+  /** HLL++ cardinality per event_type, hash-checked against the exact
+    * count: the oracle-able columns are the exact distinct count plus an
+    * `approx_ok` boolean pinning the (deterministic) sketch within 3·rsd of
+    * exact — DuckDB emits literal TRUE, so a drifting sketch flips the hash. */
+  def qSketchCardinality(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val approx = graft.ops.Sketches.approxDistinct(
+      ev, Seq("event_type"), "user_id", rsd = 0.02, as = "__approx")
+    val exact = ev.groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("n_users_exact"))
+    exact.join(approx, Seq("event_type"))
+      .select(col("event_type"), col("n_users_exact"),
+        (abs(col("__approx") - col("n_users_exact"))
+          <= col("n_users_exact") * 0.06).as("approx_ok"))
       .orderBy("event_type")
+  }
 
-  /** Quantile sketch of event values per type (approximate — rows-only). */
-  def qSketchQuantiles(s: SparkSession, dir: String): DataFrame =
-    graft.ops.Sketches.approxQuantiles(
-        t(s, dir, "events"), Seq("event_type"), "value",
-        probabilities = Seq(0.5, 0.9, 0.99))
+  /** Quantile sketch vs exact discrete quantiles per event type: emits the
+    * exact rank-⌈p·n⌉ values plus booleans pinning the GK sketch within ±2%
+    * rank of exact. Ranks are computed as floor((n·k+99)/100) — pure integer
+    * arithmetic, identical in Spark and DuckDB (a decimal-vs-double `ceil`
+    * of p·n is NOT: DuckDB parses 0.9 as DECIMAL and Spark as double, and
+    * they can ceil across an integer boundary differently). */
+  def qSketchQuantiles(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events").select(col("event_type"), col("value"))
+    val approx = graft.ops.Sketches.approxQuantiles(
+        ev, Seq("event_type"), "value", probabilities = Seq(0.5, 0.9, 0.99))
+      .select(col("event_type"), col("quantiles")(0).as("__a50"),
+        col("quantiles")(1).as("__a90"), col("quantiles")(2).as("__a99"))
+    val ranked = ev
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("event_type")).orderBy(col("value"))))
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy(col("event_type"))))
+    // discrete quantile at percentile k/100 = value at rank ceil(n*k/100),
+    // computed integer-exactly as floor((n*k+99)/100)
+    def valueAtPct(k: Int): Column =
+      max(when(col("__rn") === floor((col("__n") * k + 99) / 100.0), col("value")))
+    val exact = ranked.groupBy("event_type").agg(
+      valueAtPct(50).as("p50_exact"),
+      valueAtPct(90).as("p90_exact"),
+      valueAtPct(99).as("p99_exact"),
+      valueAtPct(48).as("__lo50"), valueAtPct(52).as("__hi50"),
+      valueAtPct(88).as("__lo90"), valueAtPct(92).as("__hi90"),
+      valueAtPct(97).as("__lo99"), valueAtPct(100).as("__hi99"))
+    exact.join(approx, Seq("event_type"))
       .select(col("event_type"),
-        col("quantiles")(0).as("p50"), col("quantiles")(1).as("p90"),
-        col("quantiles")(2).as("p99"))
+        col("p50_exact"), col("p90_exact"), col("p99_exact"),
+        col("__a50").between(col("__lo50"), col("__hi50")).as("approx_ok_p50"),
+        col("__a90").between(col("__lo90"), col("__hi90")).as("approx_ok_p90"),
+        col("__a99").between(col("__lo99"), col("__hi99")).as("approx_ok_p99"))
       .orderBy("event_type")
+  }
 
   // =====================================================================
   // Registry

@@ -178,20 +178,32 @@ object Dedup {
   /** Hamming distance between two 64-bit simhashes. */
   def hammingDist(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
-  /** SimHash near-dup pairs: bucket by 4 × 16-bit chunks (a doc pair within
-    * Hamming distance 3 must share at least one chunk — pigeonhole), verify
-    * full distance within buckets only. */
+  /** SimHash near-dup pairs: bucket by `maxHamming + 1` bit chunks — a doc
+    * pair within Hamming distance d differs in at most d chunks, so with
+    * d+1 chunks at least one chunk is EQUAL (pigeonhole) and candidate
+    * generation is recall-complete, not probabilistic. The default d=3
+    * gives the classic 4 × 16-bit layout (Manku et al., WWW'07 §3); larger
+    * d narrows the chunk keys (64/(d+1) bits), growing bucket occupancy —
+    * the inherent simhash trade-off, so keep d small at corpus scale.
+    * Full distance is verified within buckets only. */
   def simhashPairs(df: DataFrame, textCol: String, idCol: String,
                    maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 16,
+      s"maxHamming=$maxHamming out of range: chunk keys would be under 4 bits")
+    val chunks = maxHamming + 1
+    val base = 64 / chunks
+    val widths = (0 until chunks).map(c => if (c < 64 % chunks) base + 1 else base)
+    val offsets = widths.scanLeft(0)(_ + _)
     graft.functions.GraftFunctions.register(df.sparkSession)
     val withSh = df
       .withColumn("__sh",
         call_function("graft_simhash", tokensCol(col(textCol), keepAccents = false)))
       .select(col(idCol).as("__id"), col("__sh"))
     val chunked = withSh.select(col("__id"), col("__sh"),
-      explode(array((0 until 4).map { c =>
+      explode(array((0 until chunks).map { c =>
         struct(lit(c).as("chunk"),
-          shiftright(col("__sh"), c * 16).bitwiseAND(0xFFFFL).as("key"))
+          shiftright(col("__sh"), offsets(c))
+            .bitwiseAND(lit((1L << widths(c)) - 1)).as("key"))
       }: _*)).as("__c"))
       .select(col("__id"), col("__sh"), col("__c.chunk"), col("__c.key"))
       // pre-shuffle before aliasing → one reused Exchange (see minhashLsh)
