@@ -101,6 +101,25 @@ object Oracles {
         |  date_diff('day', o_date, release_dt)::INT AS shift_days
         |FROM o ORDER BY o_orderkey""".stripMargin,
 
+    "q_f15_schema_qq" ->
+      """SELECT o_orderkey AS order_id,
+        |  strptime(strftime(o_orderdate::DATE, '%Y-%m-')
+        |    || CASE WHEN day(o_orderdate::DATE) < 16 THEN '01' ELSE '16' END,
+        |    '%Y-%m-%d')::DATE AS half_month_dt,
+        |  o_totalprice AS amount
+        |FROM orders ORDER BY order_id""".stripMargin,
+
+    "q_f16_year_date" ->
+      """SELECT o_orderkey,
+        |  strptime(year(o_orderdate::DATE)::VARCHAR || '-12-01', '%Y-%m-%d')::DATE
+        |    AS year_anchor_dt
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "q_j5_dim_join" ->
+      """SELECT c_custkey, n_name AS nation_name, c_acctbal
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |ORDER BY c_custkey""".stripMargin,
+
     "q_f17_safe_ratio" ->
       """SELECT l_orderkey, l_linenumber,
         |  CASE WHEN l_quantity <> 0

@@ -156,6 +156,32 @@ object Queries {
       .orderBy("o_orderkey")
   }
 
+  /** F15 + the declarative schema layer: build a raw frame with stringly
+    * columns (incl. a yyyy-MM-q1/q2 half-month date), run it through the
+    * config-driven cast/rename projection (`schemas.py:13-63` →
+    * [[graft.validate.Schemas.schemasValidation]]). */
+  def qF15SchemaQq(s: SparkSession, dir: String): DataFrame = {
+    import graft.validate.Schemas
+    val raw = t(s, dir, "orders").select(
+      col("o_orderkey").cast("string").as("id_raw"),
+      concat(date_format(col("o_orderdate"), "yyyy-MM-"),
+        when(dayofmonth(col("o_orderdate")) < 16, "q1").otherwise("q2")).as("qq_raw"),
+      col("o_totalprice").cast("string").as("amount_raw"))
+    Schemas.schemasValidation(raw, Schemas.SchemaConfig(Seq(
+      "id_raw" -> Schemas.FieldSpec("order_id", "bigint"),
+      "qq_raw" -> Schemas.FieldSpec("half_month_dt", "DATE", Some("yyyy-mm-qq")),
+      "amount_raw" -> Schemas.FieldSpec("amount", "double"))))
+      .orderBy("order_id")
+  }
+
+  /** F16 — year-only format anchored to Dec 1 (`outdateness.py:80-90`). */
+  def qF16YearDate(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders").select(
+      col("o_orderkey"),
+      Dates.yearToDate(year(col("o_orderdate").cast("date")).cast("string"))
+        .as("year_anchor_dt"))
+      .orderBy("o_orderkey")
+
   def qF17SafeRatio(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "lineitem").select(
       col("l_orderkey"), col("l_linenumber"),
@@ -187,6 +213,15 @@ object Queries {
       .select("c_custkey", "release_dt")
       .orderBy("c_custkey", "release_dt")
   }
+
+  /** J5 — dimension resolve join (broadcast dim side, `date.py:319-354`). */
+  def qJ5DimJoin(s: SparkSession, dir: String): DataFrame =
+    Joins.dimJoin(
+        t(s, dir, "customer").select(
+          col("c_custkey"), col("c_nationkey").as("n_nationkey"), col("c_acctbal")),
+        t(s, dir, "nation").select("n_nationkey", "n_name"), "n_nationkey")
+      .select(col("c_custkey"), col("n_name").as("nation_name"), col("c_acctbal"))
+      .orderBy("c_custkey")
 
   def qJ2EquiJoin(s: SparkSession, dir: String): DataFrame =
     Joins.equiJoin(
@@ -752,6 +787,9 @@ object Queries {
     "q_s1_ingest_scan" -> (qS1IngestScan _),
     "q_s6_sql_scan" -> (qS6SqlScan _),
     "q_f14_yearmonth" -> (qF14YearMonth _),
+    "q_f15_schema_qq" -> (qF15SchemaQq _),
+    "q_f16_year_date" -> (qF16YearDate _),
+    "q_j5_dim_join" -> (qJ5DimJoin _),
     "q_j6_agg_over" -> (qJ6AggOver _),
     "q_p2_distinct" -> (qP2Distinct _),
     "q_p5_expr_filter" -> (qP5ExprFilter _),
