@@ -3,7 +3,7 @@ package graft.pipelines
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.store.{FeatureStore, TableStore}
-import graft.validate.Validation
+import graft.validate.{SourceCheck, Validation}
 
 /** Orchestrated end-to-end run: parameter normalization, the five-pipeline
   * task DAG, validation, and feature-table persistence + registration.
@@ -40,6 +40,9 @@ object Runner {
           params: Params = Params(),
           today: java.time.LocalDate = java.time.LocalDate.now()): Seq[PipelineResult] = {
     val endDate = resolveEndDate(params.endDate, today)
+    // source battery before any pipeline logic (utils.py:1174-1291)
+    SourceCheck.requireSources(sources,
+      Seq("clientes", "buro_credito", "productos", "pagos", "transacciones"))
     val outputs = Seq(
       // workspace A DAG: demographic → credit_risk
       "fs_cus_demographic" ->

@@ -22,6 +22,122 @@ class ValidationRunnerSpec extends AnyFunSuite {
     assert(mismatches.head.sourceCnt == 2 && mismatches.head.targetCnt == 1)
   }
 
+  test("schemasValidation: one-projection cast/rename incl. yyyy-mm-qq repair") {
+    import graft.validate.Schemas
+    import Schemas.{FieldSpec, SchemaConfig}
+    val raw = Seq(
+      ("1", "2024-03-q1", "10.5", "drop_me"),
+      ("2", "2024-03-q2", "20.25", "drop_me too")).toDF("id_raw", "dt_raw", "amt_raw", "extra")
+    val out = Schemas.schemasValidation(raw, SchemaConfig(Seq(
+      "id_raw" -> FieldSpec("id", "bigint"),
+      "dt_raw" -> FieldSpec("event_dt", "DATE", Some("yyyy-mm-qq")),
+      "amt_raw" -> FieldSpec("amount", "double"))))
+    // exactly the configured columns, in config order; unconfigured dropped
+    assert(out.columns.toSeq == Seq("id", "event_dt", "amount"))
+    assert(out.schema("id").dataType.typeName == "long")
+    assert(out.schema("event_dt").dataType.typeName == "date")
+    assert(out.schema("amount").dataType.typeName == "double")
+    val rows = out.orderBy("id").collect()
+    assert(rows(0).getDate(1).toString == "2024-03-01")   // q1 -> day 01
+    assert(rows(1).getDate(1).toString == "2024-03-16")   // q2 -> day 16
+    assert(rows(1).getDouble(2) == 20.25)
+    // plain DATE format branch (schemas.py:52-53)
+    val plain = Schemas.schemasValidation(raw, SchemaConfig(Seq(
+      "id_raw" -> FieldSpec("id", "int"))))
+    assert(plain.schema("id").dataType.typeName == "integer")
+    // error contracts (schemas.py:36-43)
+    val eMissing = intercept[IllegalArgumentException] {
+      Schemas.schemasValidation(raw, SchemaConfig(Seq("id_raw" -> FieldSpec("", "bigint"))))
+    }
+    assert(eMissing.getMessage.contains("id_raw"))
+    val eFmt = intercept[RuntimeException] {
+      Schemas.schemasValidation(raw, SchemaConfig(Seq("dt_raw" -> FieldSpec("d", "date"))))
+    }
+    assert(eFmt.getMessage.contains("format_source"))
+  }
+
+  test("registerValidation: summary + detail rows after a failed cross-check") {
+    import graft.validate.Monitor
+    val ts = java.sql.Timestamp.valueOf("2024-05-01 10:00:00")
+    val reg = Monitor.registerValidation(ts, Some("feature_store"), "fs_cus_demographic",
+      "historical", "ingestion", successfullySaved = false,
+      outcomes = Map(
+        "MONTHLY_VAL" -> Monitor.Outcome(Some("SUCCESS"), None),
+        "CROSS_CHECKING" -> Monitor.Outcome(Some("FAIL"), Some("month 2024-03 shrank"),
+          Map("source_cnt" -> "90", "target_cnt" -> "100")),
+        "OUTDATENESS" -> Monitor.Outcome(Some("SUCCESS"), None)))
+    assert(!reg.passed)
+    // CROSS_CHECKING failure + the non-ignorable SAVING row (monitor.py:625-631)
+    assert(reg.failureReason.get ==
+      "CROSS_CHECKING: month 2024-03 shrank\nSAVING: did not pass all validations")
+    // 4 layer keys + saving row; MISSING_COLUMNS kept as null-status row
+    assert(reg.detail.length == 5)
+    val byType = reg.detail.map(r => r.getString(5) -> r).toMap
+    assert(byType("cross_checking").getString(4) == "FAIL")
+    assert(byType("cross_checking").getString(7) ==
+      """{"source_cnt": "90", "target_cnt": "100"}""")
+    assert(byType("missing_columns").get(4) == null)
+    assert(byType("saving").getString(4) == "FAIL")
+    assert(reg.summary.getString(4) == "FAIL")
+
+    // ignored failure doesn't fail the run; detail still records ignored=true
+    val reg2 = Monitor.registerValidation(ts, None, "t", "historical", "ingestion",
+      successfullySaved = true,
+      outcomes = Map("CROSS_CHECKING" -> Monitor.Outcome(Some("FAIL"), Some("boom"))),
+      ignoreValidations = Set("CROSS_CHECKING"))
+    assert(reg2.summary.getString(4) == "SUCCESS")
+    assert(reg2.detail.find(_.getString(5) == "cross_checking").get.getBoolean(6))
+    assert(reg2.summary.getString(6) == "CROSS_CHECKING")
+
+    // dimensional skips OUTDATENESS; never-saved skips CROSS_CHECKING too
+    val regDim = Monitor.registerValidation(ts, None, "t", "dimensional", "ingestion",
+      successfullySaved = true, outcomes = Map.empty, alreadySaved = false)
+    assert(regDim.detail.map(_.getString(5)) == Seq("monthly_val", "missing_columns", "saving"))
+
+    // both tables append through the store
+    val dir = Files.createTempDirectory("graft-monitor").toString
+    val store = new TableStore(spark, dir)
+    Monitor.save(spark, store, "val_summary", "val_detail", reg)
+    Monitor.save(spark, store, "val_summary", "val_detail", reg2)
+    assert(store.read("val_summary").count() == 2)
+    assert(store.read("val_detail").count() == reg.detail.length + reg2.detail.length)
+    assert(store.read("val_detail").schema.fieldNames.toSeq == Monitor.detailSchema.fieldNames.toSeq)
+  }
+
+  test("source battery: format/existence/empty/readable with aggregated errors") {
+    import graft.validate.SourceCheck
+    val dir = Files.createTempDirectory("graft-sourcecheck").toString
+    val store = new TableStore(spark, dir)
+    store.overwrite("good_table", Seq((1, "a")).toDF("id", "v"))
+    assert(SourceCheck.validateStoreTables(store, Seq(" good_table ")) == Seq("good_table"))
+    val e = intercept[IllegalArgumentException] {
+      SourceCheck.validateStoreTables(store, Seq("good_table", "missing_one", "bad.name"))
+    }
+    assert(e.getMessage.contains("'missing_one', table does not exist"))
+    assert(e.getMessage.contains("'bad.name', input format is incorrect"))
+
+    // catalog variant over a real temp view-backed table
+    spark.sql("CREATE DATABASE IF NOT EXISTS graft_check_db")
+    Seq((1, "x")).toDF("id", "v").write.mode("overwrite")
+      .saveAsTable("graft_check_db.src_ok")
+    assert(SourceCheck.validateDatabaseAndTable(spark,
+      Seq("graft_check_db.src_ok")) == Seq("graft_check_db.src_ok"))
+    val e2 = intercept[IllegalArgumentException] {
+      SourceCheck.validateDatabaseAndTable(spark, Seq(
+        "no_dot_name", "graft_check_db.absent", "nodb.tbl", "bad-chars.tbl!"))
+    }
+    assert(e2.getMessage.contains("'no_dot_name', input format is incorrect"))
+    assert(e2.getMessage.contains("table 'absent' does not exist"))
+    assert(e2.getMessage.contains("database 'nodb' does not exist"))
+    assert(e2.getMessage.contains("No alphanumeric characters"))
+
+    // Runner pre-flight: missing source key fails fast with the name
+    val e3 = intercept[IllegalArgumentException] {
+      SourceCheck.requireSources(Map("clientes" -> Seq(1).toDF("id")), Seq("clientes", "pagos"))
+    }
+    assert(e3.getMessage.contains("'pagos', source is not provided"))
+  }
+
   test("crossCheckDimensional tolerates small drift, rejects large") {
     val a100 = spark.range(100).toDF("id")
     val a104 = spark.range(104).toDF("id")
