@@ -395,18 +395,14 @@ object Oracles {
         |        '\s+')) - 2, 1) + 1),
         |      i -> array_to_string(list_slice(regexp_split_to_array(
         |        regexp_replace(lower(trim(text)), '[^a-z0-9áéíóúñü ]', '', 'g'),
-        |        '\s+'), i, i + 2), ' '))) AS grams,
-        |    floor(log2(greatest(length(text), 16))) AS lenband,
-        |    regexp_split_to_array(lower(trim(text)), '\s+')[1] AS tok0
-        |    FROM aug)
-        |SELECT a.id AS id_a, b.id AS id_b,
-        |  round(len(list_intersect(a.grams, b.grams))::DOUBLE
-        |    / (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))::DOUBLE), 4)
-        |    AS jaccard
-        |FROM p a JOIN p b ON a.lenband = b.lenband AND a.tok0 = b.tok0 AND a.id < b.id
-        |WHERE round(len(list_intersect(a.grams, b.grams))::DOUBLE
-        |    / (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))::DOUBLE), 4)
-        |  >= 0.5
+        |        '\s+'), i, i + 2), ' '))) AS grams
+        |    FROM aug),
+        |  j AS (SELECT a.id AS id_a, b.id AS id_b,
+        |    floor(len(list_intersect(a.grams, b.grams))::DOUBLE
+        |      / (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))::DOUBLE)
+        |      * 10000 + 0.5) / 10000 AS jaccard
+        |  FROM p a JOIN p b ON a.id < b.id)
+        |SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.5
         |ORDER BY id_a, id_b""".stripMargin,
 
     "q_sim_bruteforce_topk" ->

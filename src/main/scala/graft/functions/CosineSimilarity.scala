@@ -115,6 +115,8 @@ object GraftFunctions {
       "graft_srp_keys", exprs => SrpKeys(exprs(0), exprs(1), exprs(2)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_eq_positions", exprs => EqPositions(exprs(0), exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_bloom_might_contain", exprs => BloomMightContain(exprs(0), exprs(1)), "built-in")
   }
 
   /** Column-API face (usable after [[register]]). */

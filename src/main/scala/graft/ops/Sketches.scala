@@ -57,10 +57,14 @@ object Sketches {
                      small: DataFrame, smallKey: String,
                      expectedItems: Long, fpp: Double = 0.01): DataFrame = {
     val bf = keyBloom(small, smallKey, expectedItems, fpp)
-    val spark = large.sparkSession
-    val bc = spark.sparkContext.broadcast(bf)
-    val mightContain = udf((k: java.lang.Long) => k != null && bc.value.mightContainLong(k))
-    large.where(mightContain(col(largeKey).cast("long")))
+    val out = new java.io.ByteArrayOutputStream()
+    bf.writeTo(out)
+    graft.functions.GraftFunctions.register(large.sparkSession)
+    // native codegen predicate (graft_bloom_might_contain) — integral or
+    // string keys, type-checked instead of silently cast; the serialized
+    // filter ships with the plan like Spark's own runtime bloom pushdown
+    large.where(call_function("graft_bloom_might_contain",
+        col(largeKey), lit(out.toByteArray)))
       .join(small, large(largeKey) === small(smallKey))
   }
 }

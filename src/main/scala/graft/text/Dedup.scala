@@ -219,31 +219,58 @@ object Dedup {
 
   // ----------------------------------------------------- n-gram jaccard
 
-  /** Exact n-gram Jaccard similarity for candidate pairs produced by a
-    * cheap blocking key (doc-length band + first token), avoiding all-pairs.
-    * Returns (id_a, id_b, jaccard). */
+  /** ALL pairs with exact n-gram Jaccard ≥ `threshold` — candidate
+    * generation by PREFIX FILTERING (Bayardo/Ma/Srikant, "Scaling Up All
+    * Pairs Similarity Search", WWW'07; Chaudhuri et al. SSJoin): with gram
+    * sets sorted under one global order (here: the numeric order of the
+    * native NgramHashes values), any pair with J ≥ t must share at least
+    * one element of each other's first `|G| − ⌈t·|G|⌉ + 1` elements, so
+    * joining on exploded prefix hashes is recall-COMPLETE, not a lossy
+    * heuristic block — and prefix hashes distribute like hashes, so there
+    * is no "every doc starts with 'the'" hot key (the round-2 skew issue
+    * with first-token blocking).
+    *
+    * Topology (100 TB path): one kernel pass emits (prefix_hash, id, sz)
+    * SCALARS for the candidate join; the size filter t·max ≤ min prunes
+    * pairs before the distinct; only surviving candidate pairs fetch the
+    * two gram arrays back by id (pre-aliased repartition on id → ONE
+    * reused array Exchange for both sides). Gram arrays are never
+    * replicated through the prefix explode. Returns (id_a, id_b, jaccard).
+    */
   def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
                         n: Int = 3, threshold: Double = 0.5): DataFrame = {
     graft.functions.GraftFunctions.register(df.sparkSession)
-    // grams hashed to SORTED long sets once per row (native NgramHashes —
-    // gram strings never materialize); the pair stage shuffles 8-byte
-    // elements and verifies via the codegen'd merge-intersection kernel
     val prepped = df
       .withColumn("__tokens", tokensCol(col(textCol)))
       .select(col(idCol).as("__id"),
-        call_function("graft_ngram_hashes", col("__tokens"), lit(n)).as("__gh"),
-        // blocking: docs within similar length and same leading token
-        floor(log2(greatest(length(col(textCol)), lit(16)))).as("__lenband"),
-        split(lower(trim(col(textCol))), "\\s+").getItem(0).as("__tok0"))
+        call_function("graft_ngram_hashes", col("__tokens"), lit(n)).as("__gh"))
+    // scalar prefix keys: smallest (sz − ⌈t·sz⌉ + 1) hashes of the sorted set
+    val keys = prepped
+      .select(col("__id"), size(col("__gh")).as("__sz"), col("__gh"))
+      .select(col("__id"), col("__sz"),
+        explode(slice(col("__gh"), lit(1),
+          greatest(col("__sz") - ceil(lit(threshold) * col("__sz")).cast("int") + 1,
+            lit(1)))).as("__key"))
       // pre-shuffle before aliasing → one reused Exchange (see minhashLsh)
-      .repartition(col("__lenband"), col("__tok0"))
-    val a = prepped.select(col("__lenband"), col("__tok0"),
-      col("__id").as("id_a"), col("__gh").as("g_a"))
-    val b = prepped.select(col("__lenband"), col("__tok0"),
-      col("__id").as("id_b"), col("__gh").as("g_b"))
-    a.join(b.hint("shuffle_hash"), Seq("__lenband", "__tok0")).where(col("id_a") < col("id_b"))
+      .repartition(col("__key"))
+    val a = keys.select(col("__key"), col("__id").as("id_a"), col("__sz").as("sz_a"))
+    val b = keys.select(col("__key"), col("__id").as("id_b"), col("__sz").as("sz_b"))
+    val cand = a.join(b.hint("shuffle_hash"), Seq("__key"))
+      .where(col("id_a") < col("id_b") &&
+        // size filter: J ≥ t ⟹ t·max(|A|,|B|) ≤ min(|A|,|B|)
+        col("sz_a") * threshold <= col("sz_b") && col("sz_b") * threshold <= col("sz_a"))
+      .select("id_a", "id_b").distinct()
+    // fetch gram arrays for surviving candidates only; identical subtrees up
+    // to aliasing → the id-partitioned Exchange is computed once and reused
+    val arrays = prepped.repartition(col("__id"))
+    val ga = arrays.select(col("__id").as("id_a"), col("__gh").as("g_a"))
+    val gb = arrays.select(col("__id").as("id_b"), col("__gh").as("g_b"))
+    cand.join(ga.hint("shuffle_hash"), Seq("id_a"))
+      .join(gb.hint("shuffle_hash"), Seq("id_b"))
+      // fixed-point round (tie-free across engines; see Queries.detRound4)
       .withColumn("jaccard",
-        round(call_function("graft_jaccard_sorted", col("g_a"), col("g_b")), 4))
+        floor(call_function("graft_jaccard_sorted", col("g_a"), col("g_b")) * 10000.0 + 0.5)
+          / 10000.0)
       .where(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
   }

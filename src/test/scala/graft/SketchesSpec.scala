@@ -57,5 +57,20 @@ class SketchesSpec extends AnyFunSuite {
         expectedItems = 20)
       .select("event_id", "uid").orderBy("event_id", "uid").collect().toSeq
     assert(pruned == plain && plain.nonEmpty)
+    // native expression, not a Scala UDF, on the filter path
+    assert(!Sketches.bloomPruneJoin(large, "user_id", small, "uid", 20)
+      .queryExecution.executedPlan.toString.contains("UDF"))
+  }
+
+  test("bloomPruneJoin: string keys work; non-integral keys are a type error") {
+    val large = Seq((1L, "alice"), (2L, "bob"), (3L, "carol")).toDF("id", "name")
+    val small = Seq(("alice", 1), ("zed", 2)).toDF("name2", "x")
+    val joined = Sketches.bloomPruneJoin(large, "name", small, "name2", expectedItems = 10)
+    assert(joined.select("id").collect().map(_.getLong(0)).toSeq == Seq(1L))
+    // a double key must fail analysis, not silently null-filter (round-2 ADVICE)
+    val bad = Seq((1.5, "x")).toDF("d", "y")
+    intercept[org.apache.spark.sql.AnalysisException] {
+      Sketches.bloomPruneJoin(bad, "d", small, "name2", 10).collect()
+    }
   }
 }
