@@ -71,12 +71,27 @@ object Scale {
       .saveAsTable(table)
   }
 
-  /** Number of Exchange operators in the executed plan — the assertion
-    * primitive for co-location tests. */
-  def countExchanges(df: DataFrame): Int =
-    df.queryExecution.executedPlan.collect {
-      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => e
-    }.size
+  /** Number of shuffle Exchange operators in the executed plan — the
+    * assertion primitive for co-location tests. AQE-aware: descends into
+    * `AdaptiveSparkPlanExec` (whose inner plan is not a child) and
+    * `QueryStageExec` wrappers, so counts are meaningful with adaptive
+    * execution on (Spark 4 default); ReusedExchange does NOT count (it is
+    * precisely a shuffle that did not happen again). */
+  def countExchanges(df: DataFrame): Int = {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    def walk(p: SparkPlan): Int = {
+      val self = p match { case _: ShuffleExchangeLike => 1; case _ => 0 }
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case s: QueryStageExec => Seq(s.plan)
+        case other => other.children
+      }
+      self + kids.map(walk).sum
+    }
+    walk(df.queryExecution.executedPlan)
+  }
 
   /** Repartition to a target in-memory partition size given a total size
     * estimate — the sizing rule `spark.sql.files.maxPartitionBytes`

@@ -119,7 +119,15 @@ object Similarity {
     * pass, no shuffle of the corpus), and each query probes its `nProbe`
     * nearest centroid buckets. Cost per query ≈ nProbe/nCentroids of the
     * corpus; the centroid table is tiny by construction (≈√N) so both
-    * assignment joins broadcast. */
+    * assignment joins broadcast.
+    *
+    * SIZING: set `nCentroids ≈ √N` in production — per-query probe work is
+    * `nProbe·N/nCentroids` while assignment work is `N·nCentroids`
+    * comparisons, and √N balances the two at O(N^1.5) total for the build
+    * and O(√N) per probe. The default 16 is TEST-SCALE (N≈5k → √N≈70 would
+    * already over-fragment the tiny corpus). Beyond ~10⁹ vectors, go
+    * two-level (coarse IVF over √N cells, each cell IVF'd again) so no
+    * bucket outgrows executor memory — see SCALE.md. */
   def ivfTopK(corpus: DataFrame, queries: DataFrame,
               idCol: String, vecCol: String, queryIdCol: String,
               k: Int = 10, nCentroids: Int = 16, nProbe: Int = 4): DataFrame = {

@@ -59,6 +59,7 @@ final class TableStore(spark: SparkSession, root: String) {
       s"""{"version":${m.version},"schemaJson":"${esc(m.schemaJson)}",
          |"primaryKeys":[${m.primaryKeys.map(k => s""""${esc(k)}"""").mkString(",")}],
          |"timestampKeys":[${m.timestampKeys.map(k => s""""${esc(k)}"""").mkString(",")}],
+         |"buckets":${m.buckets},
          |"description":"${esc(m.description)}","properties":$props}""".stripMargin.replace("\n", "")
     Files.createDirectories(tableDir(table))
     Files.writeString(metaPath(table), json)
@@ -72,13 +73,15 @@ final class TableStore(spark: SparkSession, root: String) {
       import spark.implicits._
       val row = spark.read
         .schema("version INT, schemaJson STRING, primaryKeys ARRAY<STRING>, " +
-          "timestampKeys ARRAY<STRING>, description STRING, properties MAP<STRING,STRING>")
+          "timestampKeys ARRAY<STRING>, buckets INT, description STRING, " +
+          "properties MAP<STRING,STRING>")
         .json(Seq(Files.readString(p)).toDS()).first()
       Some(Meta(
         row.getAs[Int]("version"),
         row.getAs[String]("schemaJson"),
         Option(row.getAs[scala.collection.Seq[String]]("primaryKeys")).map(_.toSeq).getOrElse(Nil),
         Option(row.getAs[scala.collection.Seq[String]]("timestampKeys")).map(_.toSeq).getOrElse(Nil),
+        Option(row.getAs[java.lang.Integer]("buckets")).fold(0)(_.intValue),
         Option(row.getAs[String]("description")).getOrElse(""),
         Option(row.getAs[scala.collection.Map[String, String]]("properties")).map(_.toMap).getOrElse(Map.empty)))
     }
@@ -100,9 +103,43 @@ final class TableStore(spark: SparkSession, root: String) {
     readVersion(table, m.version)
   }
 
-  /** Time travel (S13): read any retained snapshot. */
-  def readVersion(table: String, version: Int): DataFrame =
-    spark.read.parquet(versionDir(table, version).toString)
+  /** Time travel (S13): read any retained snapshot. Bucketed snapshots are
+    * read through their catalog entry so the scan reports the PK hash
+    * partitioning (falls back to the path when the catalog entry is gone,
+    * e.g. a fresh session over an existing store — data is identical, only
+    * the co-location metadata is lost). */
+  def readVersion(table: String, version: Int): DataFrame = {
+    val cat = catalogName(table, version)
+    if (meta(table).exists(_.buckets > 0) && spark.catalog.tableExists(cat))
+      spark.table(cat)
+    else spark.read.parquet(versionDir(table, version).toString)
+  }
+
+  /** Catalog identifier for a bucketed snapshot — scoped by a store-root
+    * hash so stores over different temp dirs don't collide in a shared
+    * session catalog. */
+  private def catalogName(table: String, version: Int): String =
+    f"graft_${math.abs(root.hashCode)}%x_${table}_v$version"
+
+  /** Write one immutable snapshot. With `buckets > 0` the snapshot is a
+    * catalog-registered EXTERNAL bucketed table at the version dir: the
+    * files stay in the store layout, and readers via [[readVersion]] get a
+    * scan whose output partitioning is `hash(pks) % buckets` — so the next
+    * upsert's window/anti-join over the STORED side needs no Exchange.
+    * That is the production pattern for a 100 TB feature table: the big
+    * side is written hash-placed once and every later merge only shuffles
+    * the incoming batch. */
+  private def writeSnapshot(table: String, df: DataFrame, v: Int,
+                            buckets: Int, pks: Seq[String]): Unit = {
+    if (buckets > 0 && pks.nonEmpty) {
+      val w = df.repartition(buckets, pks.map(col): _*)
+        .write.mode("overwrite").format("parquet")
+        .option("path", versionDir(table, v).toString)
+        .bucketBy(buckets, pks.head, pks.tail: _*)
+        .sortBy(pks.head, pks.tail: _*)
+      w.saveAsTable(catalogName(table, v))
+    } else df.write.mode("overwrite").parquet(versionDir(table, v).toString)
+  }
 
   def currentVersion(table: String): Int =
     meta(table).map(_.version).getOrElse(-1)
@@ -116,7 +153,8 @@ final class TableStore(spark: SparkSession, root: String) {
                 primaryKeys: Seq[String] = Nil, timestampKeys: Seq[String] = Nil,
                 description: String = "", mergeSchema: Boolean = false,
                 overwriteSchema: Boolean = false,
-                expectedVersion: Option[Int] = None): Unit = {
+                expectedVersion: Option[Int] = None,
+                buckets: Int = 0): Unit = {
     val current = meta(table)
     checkExpected(table, current.map(_.version), expectedVersion)
     val out = current match {
@@ -140,10 +178,12 @@ final class TableStore(spark: SparkSession, root: String) {
       case None => df
     }
     val v = current.map(_.version + 1).getOrElse(0)
-    out.write.mode("overwrite").parquet(versionDir(table, v).toString)
-    writeMeta(table, Meta(v, out.schema.json,
-      if (primaryKeys.nonEmpty) primaryKeys else current.map(_.primaryKeys).getOrElse(Nil),
+    val pks = if (primaryKeys.nonEmpty) primaryKeys else current.map(_.primaryKeys).getOrElse(Nil)
+    val nb = if (buckets > 0) buckets else current.map(_.buckets).getOrElse(0)
+    writeSnapshot(table, out, v, nb, pks)
+    writeMeta(table, Meta(v, out.schema.json, pks,
       if (timestampKeys.nonEmpty) timestampKeys else current.map(_.timestampKeys).getOrElse(Nil),
+      nb,
       if (description.nonEmpty) description else current.map(_.description).getOrElse(""),
       current.map(_.properties).getOrElse(Map.empty)))
   }
@@ -165,23 +205,58 @@ final class TableStore(spark: SparkSession, root: String) {
         checkExpected(table, Some(m.version), expectedVersion)
         val pks = if (primaryKeys.nonEmpty) primaryKeys else m.primaryKeys
         require(pks.nonEmpty, s"$table has no primary keys; cannot upsert")
-        val current = read(table).withColumn("__src", lit(0))
-        val incoming = df.withColumn("__src", lit(1))
-        val unioned = current.unionByName(incoming, allowMissingColumns = true)
-        // Tiebreak by a content hash of the non-key columns so that a batch
-        // containing the same PK twice resolves deterministically (Delta
-        // MERGE would fail on multiple matches; we pick a stable winner and
-        // replays stay idempotent).
-        val dataCols = unioned.columns.filterNot(c => c == "__src" || pks.contains(c))
-        val w = Window.partitionBy(pks.map(col): _*)
-          .orderBy(col("__src").desc, xxhash64(dataCols.map(col): _*).desc)
-        val merged = unioned
-          .withColumn("__rn", row_number().over(w))
-          .where(col("__rn") === 1)
-          .drop("__src", "__rn")
+        val merged = mergedForUpsert(table, df, pks, m)
         val v = m.version + 1
-        merged.write.mode("overwrite").parquet(versionDir(table, v).toString)
+        writeSnapshot(table, merged, v, m.buckets, pks)
         writeMeta(table, m.copy(version = v, schemaJson = merged.schema.json))
+    }
+  }
+
+  /** Build the post-merge frame for an upsert (exposed for plan-shape
+    * specs). Two formulations with identical semantics — prefer the
+    * incoming row per PK, tiebreak within a batch by a content hash so
+    * replays stay idempotent (Delta MERGE would fail on multiple matches):
+    *
+    *  - unbucketed: union-tag + one window over the whole union (ONE
+    *    shuffle of current ∪ incoming);
+    *  - bucketed: dedup only the incoming batch (one shuffle of the BATCH),
+    *    left-anti the bucketed current against it (bucketed scan already
+    *    hash-placed on the PK → no Exchange on the stored side), union.
+    *    At 100 TB this is the difference between shuffling the table and
+    *    shuffling the day's increment. */
+  private[graft] def mergedForUpsert(table: String, df: DataFrame,
+                                     pks: Seq[String], m: Meta): DataFrame = {
+    if (m.buckets > 0) {
+      val current = read(table)
+      // implicit ALTER ADD COLUMNS on both sides (utils.py:1727-1737)
+      val curTypes = current.schema.map(f => f.name -> f.dataType).toMap
+      val incTypes = df.schema.map(f => f.name -> f.dataType).toMap
+      val allCols = (current.columns ++ df.columns.filterNot(curTypes.contains)).toSeq
+      def pad(d: DataFrame, types: Map[String, org.apache.spark.sql.types.DataType]) =
+        allCols.foldLeft(d) { (acc, c) =>
+          if (acc.columns.contains(c)) acc else acc.withColumn(c, lit(null).cast(types(c)))
+        }.select(allCols.map(col): _*)
+      val dataCols = allCols.filterNot(pks.contains)
+      val w = Window.partitionBy(pks.map(col): _*)
+        .orderBy(xxhash64(dataCols.map(col): _*).desc)
+      val incDedup = pad(df, curTypes)
+        .repartition(m.buckets, pks.map(col): _*)
+        .withColumn("__rn", row_number().over(w))
+        .where(col("__rn") === 1).drop("__rn")
+      pad(current, incTypes)
+        .join(incDedup.select(pks.map(col): _*), pks, "left_anti")
+        .unionByName(incDedup)
+    } else {
+      val current = read(table).withColumn("__src", lit(0))
+      val incoming = df.withColumn("__src", lit(1))
+      val unioned = current.unionByName(incoming, allowMissingColumns = true)
+      val dataCols = unioned.columns.filterNot(c => c == "__src" || pks.contains(c))
+      val w = Window.partitionBy(pks.map(col): _*)
+        .orderBy(col("__src").desc, xxhash64(dataCols.map(col): _*).desc)
+      unioned
+        .withColumn("__rn", row_number().over(w))
+        .where(col("__rn") === 1)
+        .drop("__src", "__rn")
     }
   }
 
@@ -193,7 +268,7 @@ final class TableStore(spark: SparkSession, root: String) {
     val kept = read(table).where(s"NOT ($predicate)")
     val out = kept.unionByName(df, allowMissingColumns = true)
     val v = m.version + 1
-    out.write.mode("overwrite").parquet(versionDir(table, v).toString)
+    writeSnapshot(table, out, v, m.buckets, m.primaryKeys)
     writeMeta(table, m.copy(version = v, schemaJson = out.schema.json))
   }
 
@@ -202,13 +277,20 @@ final class TableStore(spark: SparkSession, root: String) {
   def compact(table: String, n: Int = 1, retain: Int = 2): Unit = {
     val m = meta(table).getOrElse(sys.error(s"no such table: $table"))
     val v = m.version + 1
-    read(table).repartition(n).write.mode("overwrite").parquet(versionDir(table, v).toString)
+    // bucketed tables keep their bucket count (that IS the file layout);
+    // only unbucketed snapshots compact to n files
+    if (m.buckets > 0) writeSnapshot(table, read(table), v, m.buckets, m.primaryKeys)
+    else read(table).repartition(n).write.mode("overwrite")
+      .parquet(versionDir(table, v).toString)
     writeMeta(table, m.copy(version = v))
     val dir = tableDir(table)
     Files.list(dir).iterator().asScala
       .filter(p => p.getFileName.toString.startsWith("v="))
       .filter(p => p.getFileName.toString.drop(2).toInt <= v - retain)
-      .foreach(deleteRecursively)
+      .foreach { p =>
+        spark.sql(s"DROP TABLE IF EXISTS ${catalogName(table, p.getFileName.toString.drop(2).toInt)}")
+        deleteRecursively(p)
+      }
   }
 
   /** Optimistic concurrency (the Delta `txnVersion` face): a writer that
@@ -237,6 +319,7 @@ object TableStore {
       schemaJson: String,
       primaryKeys: Seq[String],
       timestampKeys: Seq[String],
+      buckets: Int,
       description: String,
       properties: Map[String, String]) {
     def schema: StructType = DataType.fromJson(schemaJson).asInstanceOf[StructType]

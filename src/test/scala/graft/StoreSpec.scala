@@ -47,6 +47,33 @@ class StoreSpec extends AnyFunSuite {
     assert(replay == after)
   }
 
+  test("bucketed snapshots: upsert matches plain semantics and never shuffles the stored side") {
+    val store = freshStore()
+    val base = (1L to 400L).map(i => (i, i * 2.0)).toDF("pk", "feat")
+    store.overwrite("bt", base, primaryKeys = Seq("pk"), buckets = 4)
+    val batch1 = (380L to 420L).map(i => (i, i * 3.0)).toDF("pk", "feat")
+    store.upsert("bt", batch1)
+    val after = store.read("bt").orderBy("pk").as[(Long, Double)].collect().toSeq
+    val expected = ((1L to 379L).map(i => (i, i * 2.0)) ++ (380L to 420L).map(i => (i, i * 3.0))).toSeq
+    assert(after == expected)
+    // the second upsert's merge plan: the stored side is read through the
+    // bucketed catalog entry, so the ONLY shuffle is the incoming batch's
+    // repartition — at 100 TB that is "shuffle the increment, not the table"
+    val batch2 = (1L to 50L).map(i => (i, i * 5.0)).toDF("pk", "feat")
+    val m = store.meta("bt").get
+    val merged = store.mergedForUpsert("bt", batch2, Seq("pk"), m)
+    merged.collect() // finalize THIS dataset's adaptive plan (stage reuse)
+    val n = graft.ops.Scale.countExchanges(merged)
+    assert(n == 1, s"expected 1 exchange (incoming only), got $n:\n" +
+      merged.queryExecution.executedPlan.toString)
+    // idempotent replay through the real write path, bucketing preserved
+    store.upsert("bt", batch2)
+    store.upsert("bt", batch2)
+    assert(store.meta("bt").get.buckets == 4)
+    assert(store.read("bt").count() == 420)
+    assert(store.read("bt").where($"pk" === 10L).head().getDouble(1) == 50.0)
+  }
+
   test("upsert evolves schema by null-padding new columns") {
     val store = freshStore()
     store.overwrite("e", Seq((1, 1.0)).toDF("pk", "a"), primaryKeys = Seq("pk"))

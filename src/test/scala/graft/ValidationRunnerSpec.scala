@@ -116,8 +116,17 @@ class ValidationRunnerSpec extends AnyFunSuite {
     assert(e.getMessage.contains("'missing_one', table does not exist"))
     assert(e.getMessage.contains("'bad.name', input format is incorrect"))
 
-    // catalog variant over a real temp view-backed table
+    // catalog variant over a real temp view-backed table; a fresh in-memory
+    // catalog won't know about leftover warehouse dirs from a previous JVM —
+    // clear them on disk first (same pattern as ScaleFunctionsSpec)
     spark.sql("CREATE DATABASE IF NOT EXISTS graft_check_db")
+    spark.sql("DROP TABLE IF EXISTS graft_check_db.src_ok")
+    val whDir = new java.io.File(spark.conf.get("spark.sql.warehouse.dir")
+      .stripPrefix("file:"), "graft_check_db.db/src_ok")
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm); f.delete(); ()
+    }
+    if (whDir.exists()) rm(whDir)
     Seq((1, "x")).toDF("id", "v").write.mode("overwrite")
       .saveAsTable("graft_check_db.src_ok")
     assert(SourceCheck.validateDatabaseAndTable(spark,
