@@ -8,10 +8,11 @@ import org.apache.spark.sql.types._
   * with typed metadata, plus decode / feature-extract / frame-sample stages.
   *
   * The Spark-side plumbing (schema, partitioning, batch shape, mapPartitions
-  * signature) is real and tested; the actual media decode is STUBBED with a
-  * deterministic byte-level fake because no image/audio codec libraries
-  * exist in this environment — swap [[fakeDecode]] for a real decoder (JNI
-  * codec / Arrow-batched python worker) without touching the pipeline shape.
+  * signature) is real and tested; the media decode/resize kernels are
+  * deterministic byte-level stand-ins because no image/audio codec libraries
+  * exist in this environment — swap [[fakeDecode]]/[[fakeResize]] for a real
+  * decoder (JNI codec / Arrow-batched python worker) without touching the
+  * pipeline shape. Every public API is callable end-to-end.
   *
   * Scale design: assets are repartitioned by a hash shard key before the
   * decode stage so a 100 TB corpus spreads evenly across executors, and the
@@ -95,11 +96,53 @@ object Multimodal {
         expr(s"substring(blob, cast(frame_idx * greatest(n - $frameLen, 1) / $k as int) + 1, $frameLen)")
           .as("frame_bytes"))
 
-  /** Resize stage for image assets. Genuinely unimplementable here (no
-    * codec libs in the container) — the contract is: same (asset_id, blob,
-    * meta) schema out, meta.n_bytes updated. */
-  def resizeImages(assets: DataFrame, maxEdge: Int): DataFrame =
-    throw new NotImplementedError(
-      "image resize requires a codec library; wire a real decoder into the " +
-        "extractFeatures/mapPartitions topology")
+  /** Deterministic byte-level "resize" kernel, consistent with
+    * [[fakeDecode]]: the blob is treated as a square raster of side ⌈√n⌉
+    * and nearest-neighbor-sampled down to maxEdge × maxEdge bytes; blobs
+    * already within budget pass through untouched. A real image decoder
+    * slots in here without changing the stage's shape. */
+  private[multimodal] def fakeResize(blob: Array[Byte], maxEdge: Int): Array[Byte] = {
+    val side = math.ceil(math.sqrt(blob.length.toDouble)).toInt
+    if (blob.isEmpty || side <= maxEdge) blob
+    else {
+      val out = new Array[Byte](maxEdge * maxEdge)
+      var y = 0
+      while (y < maxEdge) {
+        val sy = (y.toLong * side / maxEdge).toInt
+        var x = 0
+        while (x < maxEdge) {
+          val idx = sy * side + (x.toLong * side / maxEdge).toInt
+          out(y * maxEdge + x) = if (idx < blob.length) blob(idx) else 0
+          x += 1
+        }
+        y += 1
+      }
+      out
+    }
+  }
+
+  private val resizedSchema: StructType = StructType(Seq(
+    StructField("asset_id", LongType),
+    StructField("blob", BinaryType),
+    StructField("media_type", StringType)))
+
+  /** Resize stage for image assets: same mapPartitions topology as
+    * [[extractFeatures]] (per-partition codec init point), nearest-neighbor
+    * byte-raster downsample to ≤ maxEdge² bytes, meta recomputed (n_bytes +
+    * checksum) — same (asset_id, blob, meta) schema out as [[toAssets]]. */
+  def resizeImages(assets: DataFrame, maxEdge: Int): DataFrame = {
+    require(maxEdge > 0, s"maxEdge must be positive, got $maxEdge")
+    val enc = Encoders.row(resizedSchema)
+    assets
+      .select(col("asset_id"), col("blob"), col("meta.media_type").as("media_type"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          Row(r.getLong(0), fakeResize(r.getAs[Array[Byte]](1), maxEdge), r.getString(2))
+        }
+      }(enc)
+      .select(col("asset_id"), col("blob"),
+        struct(col("media_type"),
+          length(col("blob")).as("n_bytes"),
+          md5(col("blob")).as("checksum")).as("meta"))
+  }
 }

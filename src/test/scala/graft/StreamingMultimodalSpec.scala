@@ -163,7 +163,27 @@ class StreamingMultimodalSpec extends AnyFunSuite {
     assert(r.forall(_.getAs[Array[Byte]]("frame_bytes").nonEmpty))
   }
 
-  test("resizeImages is an explicit stub") {
-    intercept[NotImplementedError](Multimodal.resizeImages(assets, 256))
+  test("resizeImages: deterministic byte-raster downsample, meta recomputed") {
+    val resized = Multimodal.resizeImages(assets, maxEdge = 8)
+    // same canonical (asset_id, blob, meta) schema as toAssets
+    assert(resized.schema.fieldNames.toSeq == Seq("asset_id", "blob", "meta"))
+    assert(resized.schema("meta").dataType.asInstanceOf[org.apache.spark.sql.types.StructType]
+      .fieldNames.toSeq == Seq("media_type", "n_bytes", "checksum"))
+    val rows = resized.orderBy("asset_id").limit(5).collect()
+    // every blob bounded by maxEdge² bytes, meta consistent with the blob
+    rows.foreach { r =>
+      val blob = r.getAs[Array[Byte]]("blob")
+      assert(blob.length <= 64)
+      assert(r.getStruct(2).getInt(1) == blob.length)
+    }
+    // deterministic: same input → identical checksums
+    val c1 = resized.orderBy("asset_id").limit(5).collect().map(_.getStruct(2).getString(2)).toSeq
+    assert(c1 == rows.map(_.getStruct(2).getString(2)).toSeq)
+    // small blobs pass through untouched
+    val small = Multimodal.toAssets(
+      Seq((1L, "tiny")).toDF("id", "payload"), "id", "payload", "text/plain")
+    val out = Multimodal.resizeImages(small, maxEdge = 256).head()
+    assert(new String(out.getAs[Array[Byte]]("blob")) == "tiny")
+    intercept[IllegalArgumentException](Multimodal.resizeImages(assets, 0))
   }
 }
