@@ -70,6 +70,31 @@ object Validation {
     }
   }
 
+  /** Per-table availability-lag CONFIG TABLE — the operator-maintained
+    * `shift_tables` pattern (`outdateness.py:38-56`): each row declares a
+    * table's date column and `real_disponibilization_in_months`. Expected
+    * columns: (table STRING, date_column STRING, availability_lag_months INT).
+    * Like the reference, only tables present in the config are validated
+    * (the filter-IN at `outdateness.py:39-42`), and a config row with a
+    * NULL lag fails hard ("si no tiene un valor, se tiene que caer",
+    * `outdateness.py:52`). The config read is a tiny table scan; each
+    * freshness probe is one max() aggregate. */
+  def outdatednessFromConfig(store: TableStore, configTable: String,
+                             tables: Map[String, DataFrame],
+                             now: java.time.LocalDate): Seq[Outdatedness] = {
+    val names = tables.keys.toSeq
+    store.read(configTable)
+      .select(col("table"), col("date_column"), col("availability_lag_months"))
+      .where(col("table").isin(names: _*))
+      .collect().toSeq
+      .map { r =>
+        val t = r.getString(0)
+        val lag = Option(r.get(2)).map(_.asInstanceOf[Number].intValue).getOrElse(
+          sys.error(s"shift config for '$t' has no availability_lag_months value"))
+        outdatedness(tables(t), t, r.getString(1), lag, now)
+      }
+  }
+
   /** Validation-log schemas (`monitor.py:530-557,645-662`). */
   val summarySchema: StructType = StructType(Seq(
     StructField("table_name", StringType, nullable = false),

@@ -147,6 +147,31 @@ class ValidationRunnerSpec extends AnyFunSuite {
     assert(e3.getMessage.contains("'pagos', source is not provided"))
   }
 
+  test("outdatedness from shift-config table: per-table lag, null lag fails") {
+    val dir = Files.createTempDirectory("graft-shift").toString
+    val store = new TableStore(spark, dir)
+    store.overwrite("shift_tables", Seq(
+      ("fresh_t", "dt", Some(1)),
+      ("stale_t", "dt", Some(0)),
+      ("broken_t", "dt", None: Option[Int])).toDF("table", "date_column", "availability_lag_months"))
+    val now = java.time.LocalDate.of(2024, 5, 10)
+    val fresh = Seq("2024-04-15").toDF("dt") // lag 1 → expected through 2024-04 → ok
+    val stale = Seq("2024-02-01").toDF("dt") // lag 0 → expected 2024-05 → 3 months late
+    val results = Validation.outdatednessFromConfig(store, "shift_tables",
+      Map("fresh_t" -> fresh, "stale_t" -> stale), now)
+    val byTable = results.map(o => o.table -> o).toMap
+    assert(!byTable("fresh_t").isOutdated)
+    assert(byTable("stale_t").isOutdated && byTable("stale_t").monthsLate == 3)
+    // a table absent from the config is skipped (reference filter-IN)
+    assert(results.length == 2)
+    // null lag must fail hard (outdateness.py:52)
+    val e = intercept[RuntimeException] {
+      Validation.outdatednessFromConfig(store, "shift_tables",
+        Map("broken_t" -> fresh), now)
+    }
+    assert(e.getMessage.contains("broken_t"))
+  }
+
   test("crossCheckDimensional tolerates small drift, rejects large") {
     val a100 = spark.range(100).toDF("id")
     val a104 = spark.range(104).toDF("id")
