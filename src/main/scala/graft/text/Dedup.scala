@@ -74,9 +74,13 @@ object Dedup {
 
   // ------------------------------------------------------ minhash + LSH
 
-  /** MinHash signature of a shingle/ngram array: for each of `numHashes`
-    * seeded permutations take min over xxhash64(shingle, seed). One nested
-    * higher-order expression (small codegen tree for any numHashes); the
+  /** REFERENCE FORM ONLY — superseded on every hot path by the native
+    * [[graft.functions.MinHashLong]] kernel (HOFs are CodegenFallback);
+    * kept as the readable spec of the signature semantics. Do not use in
+    * pipelines.
+    *
+    * MinHash signature of a shingle/ngram array: for each of `numHashes`
+    * seeded permutations take min over xxhash64(shingle, seed). The
     * empty-guard doubles as the second `grams` reference that stops
     * CollapseProject from inlining the grams computation into the per-seed
     * lambda. */
