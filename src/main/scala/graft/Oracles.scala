@@ -405,6 +405,35 @@ object Oracles {
         |SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.5
         |ORDER BY id_a, id_b""".stripMargin,
 
+    "q_dedup_clusters" ->
+      """WITH RECURSIVE aug AS (
+        |  SELECT * FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 20000, text || ' graftmarker', lang, source, n_chars
+        |  FROM documents WHERE doc_id < 50),
+        |  p AS (SELECT doc_id AS id,
+        |    list_distinct(list_transform(
+        |      range(1, greatest(len(regexp_split_to_array(
+        |        regexp_replace(lower(trim(text)), '[^a-z0-9áéíóúñü ]', '', 'g'),
+        |        '\s+')) - 2, 1) + 1),
+        |      i -> array_to_string(list_slice(regexp_split_to_array(
+        |        regexp_replace(lower(trim(text)), '[^a-z0-9áéíóúñü ]', '', 'g'),
+        |        '\s+'), i, i + 2), ' '))) AS grams
+        |    FROM aug),
+        |  pair AS (SELECT a.id AS id_a, b.id AS id_b
+        |    FROM p a JOIN p b ON a.id < b.id
+        |    WHERE floor(len(list_intersect(a.grams, b.grams))::DOUBLE
+        |      / (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))::DOUBLE)
+        |      * 10000 + 0.5) / 10000 >= 0.5),
+        |  edges AS (SELECT id_a AS src, id_b AS dst FROM pair
+        |    UNION SELECT id_b, id_a FROM pair),
+        |  reach(id, label) AS (
+        |    SELECT DISTINCT src, src FROM edges
+        |    UNION
+        |    SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.id)
+        |SELECT id, min(label) AS cluster_id FROM reach GROUP BY id
+        |ORDER BY id""".stripMargin,
+
     "q_sim_bruteforce_topk" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
         |    FROM embeddings WHERE vec_id < 5),

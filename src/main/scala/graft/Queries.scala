@@ -574,6 +574,15 @@ object Queries {
         n = 3, threshold = 0.5)
       .orderBy("id_a", "id_b")
 
+  /** Duplicate CLUSTERS: connected components (min-label propagation) over
+    * the ngram near-dup pair list — the keep-one-per-cluster resolution
+    * step; oracle is a DuckDB recursive CTE over the same edges. */
+  def qDedupClusters(s: SparkSession, dir: String): DataFrame =
+    Dedup.duplicateClusters(
+        Dedup.ngramJaccardPairs(docsWithNearDups(s, dir), "text", "doc_id",
+          n = 3, threshold = 0.5))
+      .orderBy("id")
+
   def qSimBruteForce(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
     Similarity.bruteForceTopK(emb, emb.where(col("vec_id") < 5),
@@ -830,6 +839,7 @@ object Queries {
     "q_dedup_minhash_pairs" -> (qDedupMinhashPairs _),
     "q_dedup_simhash_pairs" -> (qDedupSimhashPairs _),
     "q_dedup_ngram_jaccard" -> (qDedupNgramJaccard _),
+    "q_dedup_clusters" -> (qDedupClusters _),
     "q_sim_bruteforce_topk" -> (qSimBruteForce _),
     "q_sim_ivf_topk" -> (qSimIvfTopK _),
     "q_sim_lsh_topk" -> (qSimLshTopK _),

@@ -39,6 +39,52 @@ object Dedup {
       .drop("__fp", "__rn")
   }
 
+  // ------------------------------------------------- duplicate clusters
+
+  /** Connected components over a near-dup PAIR list → `(id, cluster_id)`
+    * with `cluster_id` = the smallest id in the component. This is the step
+    * between "pairs above threshold" and "keep one document per duplicate
+    * CLUSTER" that a real dedup pipeline needs: near-duplication is not
+    * transitive (a~b, b~c does not imply a~c above threshold), so per-pair
+    * keep-min under-deletes chains.
+    *
+    * Algorithm: min-label propagation (the hash-to-min scheme of
+    * Rastogi et al., "Finding Connected Components in Map-Reduce in
+    * Logarithmic Rounds", ICDE'13): every node starts labeled with itself;
+    * each round a node takes the min of its own and its neighbors' labels;
+    * a driver loop iterates until no label changes. Each round is ONE
+    * hash-shuffle join on the edge list — near-dup components are
+    * tiny-diameter (clone clusters), so convergence is a handful of rounds;
+    * `maxIter` bounds adversarial chains. The driver sees only the changed
+    * COUNT per round (iteration control, never data). Each round's label
+    * table is `localCheckpoint`ed — iterative joins otherwise nest the
+    * whole previous round into the logical plan and the lineage (and
+    * planning cost) grows exponentially with rounds. */
+  def duplicateClusters(pairs: DataFrame, idA: String = "id_a",
+                        idB: String = "id_b", maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
+      .unionByName(pairs.select(col(idB).as("src"), col(idA).as("dst")))
+      .distinct().localCheckpoint()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id")).localCheckpoint()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val viaNeighbors = edges.join(labels.withColumnsRenamed(
+          Map("id" -> "dst", "label" -> "nlabel")), Seq("dst"))
+        .groupBy(col("src").as("id")).agg(min("nlabel").as("nmin"))
+      val next = labels.join(viaNeighbors, Seq("id"), "left")
+        .select(col("id"), least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
+        .localCheckpoint()
+      val changed = next.join(labels.withColumnRenamed("label", "old"), Seq("id"))
+        .where(col("label") =!= col("old")).limit(1).count()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    labels.select(col("id"), col("label").as("cluster_id"))
+  }
+
   // ------------------------------------------------------------- shingles
 
   /** Character k-shingles of normalized text, distinct per doc. */

@@ -55,6 +55,18 @@ class TextSimSpec extends AnyFunSuite {
     assert(pairs.get((1L, 3L)).exists(j => j > 0.5 && j < 1.0))
   }
 
+  test("duplicateClusters: transitive chains merge, min-id representative") {
+    // chain 1-2-3 (1~2, 2~3 but NOT 1~3) + isolated pair 10-11 + singleton edge-less 99
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val clusters = Dedup.duplicateClusters(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(clusters == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+    // a longer path exercises more than one propagation round
+    val chain = (1L until 9L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val c2 = Dedup.duplicateClusters(chain).collect().map(_.getLong(1)).distinct.toSeq
+    assert(c2 == Seq(1L))
+  }
+
   test("text stats: tokens, ratios, langid on clean inputs") {
     val r = Seq((1L, "The quick brown fox. It was fast!"))
       .toDF("doc_id", "text")
