@@ -63,6 +63,9 @@ object Sketches {
     // native codegen predicate (graft_bloom_might_contain) — integral or
     // string keys, type-checked instead of silently cast; the serialized
     // filter ships with the plan like Spark's own runtime bloom pushdown
+    // (task binaries are broadcast once per executor, so the cost is plan
+    // size, not per-task payload — for very large expectedItems keep the
+    // filter tens of MB, not hundreds: ~1.2 GB per 1e9 items at fpp 0.01)
     large.where(call_function("graft_bloom_might_contain",
         col(largeKey), lit(out.toByteArray)))
       .join(small, large(largeKey) === small(smallKey))

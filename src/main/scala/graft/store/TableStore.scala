@@ -100,7 +100,7 @@ final class TableStore(spark: SparkSession, root: String) {
 
   def read(table: String): DataFrame = {
     val m = meta(table).getOrElse(sys.error(s"no such table: $table"))
-    readVersion(table, m.version)
+    readVersionWith(table, m.version, m.buckets)
   }
 
   /** Time travel (S13): read any retained snapshot. Bucketed snapshots are
@@ -108,12 +108,22 @@ final class TableStore(spark: SparkSession, root: String) {
     * partitioning (falls back to the path when the catalog entry is gone,
     * e.g. a fresh session over an existing store — data is identical, only
     * the co-location metadata is lost). */
-  def readVersion(table: String, version: Int): DataFrame = {
+  def readVersion(table: String, version: Int): DataFrame =
+    readVersionWith(table, version, meta(table).map(_.buckets).getOrElse(0))
+
+  private def readVersionWith(table: String, version: Int, buckets: Int): DataFrame = {
     val cat = catalogName(table, version)
-    if (meta(table).exists(_.buckets > 0) && spark.catalog.tableExists(cat))
-      spark.table(cat)
+    if (buckets > 0 && spark.catalog.tableExists(cat)) spark.table(cat)
     else spark.read.parquet(versionDir(table, version).toString)
   }
+
+  /** Append-only log write: current ∪ rows as a new snapshot version
+    * (creates the table on first call). NOTE this is a snapshot store —
+    * "append" rewrites the table; intended for validation/monitoring logs
+    * (rows per run, not data volume). */
+  def append(table: String, df: DataFrame): Unit =
+    if (exists(table)) overwrite(table, read(table).unionByName(df))
+    else overwrite(table, df)
 
   /** Catalog identifier for a bucketed snapshot — scoped by a store-root
     * hash so stores over different temp dirs don't collide in a shared
@@ -128,16 +138,27 @@ final class TableStore(spark: SparkSession, root: String) {
     * upsert's window/anti-join over the STORED side needs no Exchange.
     * That is the production pattern for a 100 TB feature table: the big
     * side is written hash-placed once and every later merge only shuffles
-    * the incoming batch. */
+    * the incoming batch.
+    *
+    * `shuffleToBuckets` controls file layout, NOT correctness: the bucketed
+    * writer splits every task's rows into per-bucket files regardless of
+    * input partitioning. The initial overwrite pre-shuffles (one file per
+    * bucket — it is paying its one full shuffle anyway); the UPSERT path
+    * passes false so the already-hash-placed stored side streams straight
+    * to the writer and only the incoming batch has shuffled — otherwise
+    * the write would re-shuffle the whole table and undo the anti-join
+    * topology's point. Extra per-task bucket files are reconciled by
+    * [[compact]]. */
   private def writeSnapshot(table: String, df: DataFrame, v: Int,
-                            buckets: Int, pks: Seq[String]): Unit = {
+                            buckets: Int, pks: Seq[String],
+                            shuffleToBuckets: Boolean = true): Unit = {
     if (buckets > 0 && pks.nonEmpty) {
-      val w = df.repartition(buckets, pks.map(col): _*)
-        .write.mode("overwrite").format("parquet")
+      val in = if (shuffleToBuckets) df.repartition(buckets, pks.map(col): _*) else df
+      in.write.mode("overwrite").format("parquet")
         .option("path", versionDir(table, v).toString)
         .bucketBy(buckets, pks.head, pks.tail: _*)
         .sortBy(pks.head, pks.tail: _*)
-      w.saveAsTable(catalogName(table, v))
+        .saveAsTable(catalogName(table, v))
     } else df.write.mode("overwrite").parquet(versionDir(table, v).toString)
   }
 
@@ -207,7 +228,7 @@ final class TableStore(spark: SparkSession, root: String) {
         require(pks.nonEmpty, s"$table has no primary keys; cannot upsert")
         val merged = mergedForUpsert(table, df, pks, m)
         val v = m.version + 1
-        writeSnapshot(table, merged, v, m.buckets, pks)
+        writeSnapshot(table, merged, v, m.buckets, pks, shuffleToBuckets = false)
         writeMeta(table, m.copy(version = v, schemaJson = merged.schema.json))
     }
   }

@@ -48,18 +48,22 @@ object Dedup {
     * transitive (a~b, b~c does not imply a~c above threshold), so per-pair
     * keep-min under-deletes chains.
     *
-    * Algorithm: min-label propagation (the hash-to-min scheme of
-    * Rastogi et al., "Finding Connected Components in Map-Reduce in
-    * Logarithmic Rounds", ICDE'13): every node starts labeled with itself;
-    * each round a node takes the min of its own and its neighbors' labels;
-    * a driver loop iterates until no label changes. Each round is ONE
-    * hash-shuffle join on the edge list — near-dup components are
-    * tiny-diameter (clone clusters), so convergence is a handful of rounds;
-    * `maxIter` bounds adversarial chains. The driver sees only the changed
+    * Algorithm: neighbor-min label propagation — every node starts labeled
+    * with itself; each round a node takes the min of its own and its
+    * neighbors' labels; a driver loop iterates until no label changes.
+    * Convergence takes component-DIAMETER rounds (near-dup clusters are
+    * 2–4 hops; the log-round hash-to-min variants of Rastogi et al.
+    * ICDE'13 are the upgrade path for deep components). Each round is ONE
+    * hash-shuffle join on the edge list; the driver sees only a changed
     * COUNT per round (iteration control, never data). Each round's label
     * table is `localCheckpoint`ed — iterative joins otherwise nest the
     * whole previous round into the logical plan and the lineage (and
-    * planning cost) grows exponentially with rounds. */
+    * planning cost) grows exponentially with rounds.
+    *
+    * If `maxIter` rounds pass without convergence the method THROWS —
+    * returning half-propagated labels would silently split one component
+    * into several "clusters" and downstream keep-one-per-cluster would
+    * delete the wrong documents. */
   def duplicateClusters(pairs: DataFrame, idA: String = "id_a",
                         idB: String = "id_b", maxIter: Int = 20): DataFrame = {
     val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
@@ -82,6 +86,10 @@ object Dedup {
       converged = changed == 0
       iter += 1
     }
+    if (!converged)
+      sys.error(s"duplicateClusters did not converge in $maxIter rounds " +
+        "(a component's diameter exceeds maxIter); raise maxIter — " +
+        "partial labels would mis-split components")
     labels.select(col("id"), col("label").as("cluster_id"))
   }
 
@@ -251,9 +259,12 @@ object Dedup {
       .select(col(idCol).as("__id"), col("__sh"))
     val chunked = withSh.select(col("__id"), col("__sh"),
       explode(array((0 until chunks).map { c =>
+        // width 64 (maxHamming=0, exact-hash grouping): JVM shifts are
+        // mod 64, so (1L<<64)-1 would be 0 — mask with all-ones instead
+        val mask = if (widths(c) >= 64) -1L else (1L << widths(c)) - 1
         struct(lit(c).as("chunk"),
           shiftright(col("__sh"), offsets(c))
-            .bitwiseAND(lit((1L << widths(c)) - 1)).as("key"))
+            .bitwiseAND(lit(mask)).as("key"))
       }: _*)).as("__c"))
       .select(col("__id"), col("__sh"), col("__c.chunk"), col("__c.key"))
       // pre-shuffle before aliasing → one reused Exchange (see minhashLsh)
@@ -298,8 +309,12 @@ object Dedup {
     val keys = prepped
       .select(col("__id"), size(col("__gh")).as("__sz"), col("__gh"))
       .select(col("__id"), col("__sz"),
+        // the 1e-9 slack keeps exact-boundary sizes on the safe side of
+        // ceil when threshold·sz overshoots its decimal value in binary
+        // (e.g. 0.55·20 = 11.000000000000002 would ceil to 12 and shave
+        // one element off the safe prefix)
         explode(slice(col("__gh"), lit(1),
-          greatest(col("__sz") - ceil(lit(threshold) * col("__sz")).cast("int") + 1,
+          greatest(col("__sz") - ceil(lit(threshold) * col("__sz") - 1e-9).cast("int") + 1,
             lit(1)))).as("__key"))
       // pre-shuffle before aliasing → one reused Exchange (see minhashLsh)
       .repartition(col("__key"))
@@ -307,8 +322,10 @@ object Dedup {
     val b = keys.select(col("__key"), col("__id").as("id_b"), col("__sz").as("sz_b"))
     val cand = a.join(b.hint("shuffle_hash"), Seq("__key"))
       .where(col("id_a") < col("id_b") &&
-        // size filter: J ≥ t ⟹ t·max(|A|,|B|) ≤ min(|A|,|B|)
-        col("sz_a") * threshold <= col("sz_b") && col("sz_b") * threshold <= col("sz_a"))
+        // size filter: J ≥ t ⟹ t·max(|A|,|B|) ≤ min(|A|,|B|); the 1e-9
+        // slack keeps exact-boundary pairs (binary overshoot of t·sz)
+        col("sz_a") * threshold <= col("sz_b") + 1e-9 &&
+        col("sz_b") * threshold <= col("sz_a") + 1e-9)
       .select("id_a", "id_b").distinct()
     // fetch gram arrays for surviving candidates only; identical subtrees up
     // to aliasing → the id-partitioned Exchange is computed once and reused

@@ -77,9 +77,17 @@ object Monitor {
       s""""${jsonEsc(k)}": ${v.fold("null")(x => s""""${jsonEsc(x)}"""")}"""
     }.mkString("{", ", ", "}")
 
+  /** `resumeStatus` mirrors the reference's `resume_status`
+    * (`monitor.py:598-599`): false only when a NON-ignored validation
+    * failed. `failureReason` mirrors `failure_reason` (`monitor.py:636`):
+    * the joined messages of every evaluated validation — including ignored
+    * failures and informational SUCCESS messages, exactly like the
+    * reference — so it is a LOG, not the pass/fail signal. Gate on
+    * `passed`, not on `failureReason.isEmpty`. */
   final case class Register(summary: Row, detail: Seq[Row],
-                            failureReason: Option[String]) {
-    def passed: Boolean = failureReason.isEmpty
+                            failureReason: Option[String],
+                            resumeStatus: Boolean) {
+    def passed: Boolean = resumeStatus
   }
 
   /** Evaluate one table's validation outcomes into summary + detail rows
@@ -121,20 +129,18 @@ object Monitor {
     val summary = Row(executedAt, database.orNull, tableName, tableType,
       if (successfullySaved) "SUCCESS" else "FAIL", reason.orNull,
       if (ignoreValidations.isEmpty) null else ignoreValidations.toSeq.sorted.mkString(","))
-    Register(summary, detailRows :+ savingRow, reason)
+    Register(summary, detailRows :+ savingRow, reason, resume && successfullySaved)
   }
 
   /** Append a register's rows to the summary and detail tables
-    * (`monitor.py:648-662`: append when the table exists, else create). */
+    * (`monitor.py:648-662`: append when the table exists, else create),
+    * via [[TableStore.append]]. */
   def save(spark: SparkSession, store: TableStore, summaryTable: String,
            detailTable: String, register: Register): Unit = {
-    def append(table: String, rows: Seq[Row], schema: StructType): Unit = {
-      import scala.jdk.CollectionConverters._
-      val df = spark.createDataFrame(rows.asJava, schema)
-      if (store.exists(table)) store.overwrite(table, store.read(table).unionByName(df))
-      else store.overwrite(table, df)
-    }
-    append(summaryTable, Seq(register.summary), summarySchema)
-    append(detailTable, register.detail, detailSchema)
+    import scala.jdk.CollectionConverters._
+    store.append(summaryTable,
+      spark.createDataFrame(Seq(register.summary).asJava, summarySchema))
+    store.append(detailTable,
+      spark.createDataFrame(register.detail.asJava, detailSchema))
   }
 }

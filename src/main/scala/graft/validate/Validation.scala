@@ -112,9 +112,7 @@ object Validation {
     val row = spark.createDataFrame(
       java.util.List.of(org.apache.spark.sql.Row(tableName, validation, passed, detail, executedAt)),
       summarySchema)
-    if (store.exists(logTable)) {
-      val merged = store.read(logTable).unionByName(row)
-      store.overwrite(logTable, merged)
-    } else store.overwrite(logTable, row, primaryKeys = Seq("table_name", "validation", "executed_at"))
+    if (store.exists(logTable)) store.append(logTable, row)
+    else store.overwrite(logTable, row, primaryKeys = Seq("table_name", "validation", "executed_at"))
   }
 }

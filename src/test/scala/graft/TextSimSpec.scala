@@ -65,6 +65,32 @@ class TextSimSpec extends AnyFunSuite {
     val chain = (1L until 9L).map(i => (i, i + 1)).toDF("id_a", "id_b")
     val c2 = Dedup.duplicateClusters(chain).collect().map(_.getLong(1)).distinct.toSeq
     assert(c2 == Seq(1L))
+    // non-convergence THROWS instead of returning mis-split components
+    val e = intercept[RuntimeException] {
+      Dedup.duplicateClusters(chain, maxIter = 2)
+    }
+    assert(e.getMessage.contains("did not converge"))
+  }
+
+  test("ngram jaccard: exact-boundary threshold pair survives the size filter") {
+    // |A| = 11 grams ⊂ |B| = 20 grams → J = 11/20 = 0.55 exactly; the
+    // double repr of 0.55 overshoots, so an unslacked size filter would
+    // reject 20·0.55 ≤ 11. 13 tokens → 11 distinct trigrams (subset doc),
+    // 22 tokens → 20 trigrams (superset doc with distinct continuation).
+    val base = (1 to 13).map(i => s"w$i").mkString(" ")
+    val sup = base + " " + (14 to 22).map(i => s"x$i").mkString(" ")
+    val d = Seq((1L, base), (2L, sup)).toDF("doc_id", "text")
+    val pairs = Dedup.ngramJaccardPairs(d, "text", "doc_id", n = 3, threshold = 0.55)
+      .collect()
+    assert(pairs.length == 1 && pairs.head.getDouble(2) == 0.55)
+  }
+
+  test("simhash maxHamming=0 groups by exact hash, not one global bucket") {
+    val d = Seq((1L, "alpha beta gamma delta"), (2L, "alpha beta gamma delta"),
+      (3L, "totally different words here")).toDF("doc_id", "text")
+    val pairs = Dedup.simhashPairs(d, "text", "doc_id", maxHamming = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(pairs == Seq((1L, 2L))) // (1L<<64)-1 == 0 bug would also emit (1,3),(2,3) candidates — still filtered, but key must be the full hash
   }
 
   test("text stats: tokens, ratios, langid on clean inputs") {

@@ -86,6 +86,9 @@ class ValidationRunnerSpec extends AnyFunSuite {
       outcomes = Map("CROSS_CHECKING" -> Monitor.Outcome(Some("FAIL"), Some("boom"))),
       ignoreValidations = Set("CROSS_CHECKING"))
     assert(reg2.summary.getString(4) == "SUCCESS")
+    assert(reg2.passed, "an ignored FAIL must not fail the run (resume semantics)")
+    // the message still lands in the failure_reason LOG, like the reference
+    assert(reg2.failureReason.exists(_.contains("boom")))
     assert(reg2.detail.find(_.getString(5) == "cross_checking").get.getBoolean(6))
     assert(reg2.summary.getString(6) == "CROSS_CHECKING")
 
