@@ -3,7 +3,7 @@ package graft.pipelines
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.store.{FeatureStore, TableStore}
-import graft.validate.{SourceCheck, Validation}
+import graft.validate.{Monitor, SourceCheck, Validation}
 
 /** Orchestrated end-to-end run: parameter normalization, the five-pipeline
   * task DAG, validation, and feature-table persistence + registration.
@@ -25,7 +25,11 @@ object Runner {
       endDate: String = "actual", // "actual" → first of current month
       forceOverwrite: Boolean = false,
       overwriteSchema: Boolean = false,
-      omitValidationErrors: Boolean = false)
+      omitValidationErrors: Boolean = false,
+      // when set, every pipeline run appends its validation register to
+      // these (summaryTable, detailTable) — the reference's
+      // register_validation flow (monitor.py:566-663)
+      monitorTables: Option[(String, String)] = None)
 
   /** `end_date: "actual"` → first of current month (`notebooks_orchestator.py:9-16`).
     * `today` injected for determinism. */
@@ -57,14 +61,14 @@ object Runner {
       val df = mk().cache() // R6: cache across validate + write
       try {
         // cross-check vs previously saved snapshot (monitor.py:327-470)
-        val passed = if (!store.exists(table)) true
-          else {
-            val mismatches = Validation.crossCheckHistorical(
-              df, store.read(table), "tpk_release_dt", "tpk_release_dt")
-            // divergent months are expected on incremental refresh; only a
-            // SHRINKING month is a hard failure
-            mismatches.forall(m => m.sourceCnt >= m.targetCnt)
-          }
+        val alreadySaved = store.exists(table)
+        val mismatches =
+          if (!alreadySaved) Nil
+          else Validation.crossCheckHistorical(
+            df, store.read(table), "tpk_release_dt", "tpk_release_dt")
+        // divergent months are expected on incremental refresh; only a
+        // SHRINKING month is a hard failure
+        val passed = mismatches.forall(m => m.sourceCnt >= m.targetCnt)
         if (!passed && !params.omitValidationErrors)
           sys.error(s"cross-check failed for $table")
         val report = FeatureStore.save(store, table, df,
@@ -75,6 +79,23 @@ object Runner {
           overwriteSchema = params.overwriteSchema,
           policy = if (params.omitValidationErrors) FeatureStore.IgnoreMissing
             else FeatureStore.FailOnMissing)
+        // register the run's validations (monitor.py:566-663)
+        params.monitorTables.foreach { case (summaryTable, detailTable) =>
+          val reg = Monitor.registerValidation(
+            new java.sql.Timestamp(java.time.LocalDate.parse(endDate)
+              .atStartOfDay(java.time.ZoneOffset.UTC).toInstant.toEpochMilli),
+            database = None, tableName = table, tableType = "historical",
+            layer = "ingestion", successfullySaved = true,
+            outcomes = Map("CROSS_CHECKING" -> Monitor.Outcome(
+              Some(if (passed) "SUCCESS" else "FAIL"),
+              if (passed) None
+              else Some(s"${mismatches.size} shrinking month(s)"),
+              Map("mismatched_months" -> mismatches.size.toString))),
+            ignoreValidations =
+              if (params.omitValidationErrors) Set("CROSS_CHECKING") else Set.empty,
+            alreadySaved = alreadySaved)
+          Monitor.save(spark, store, summaryTable, detailTable, reg)
+        }
         PipelineResult(table, store.read(table).count(), report.version, passed)
       } finally df.unpersist()
     }

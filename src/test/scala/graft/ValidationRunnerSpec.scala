@@ -229,10 +229,19 @@ class ValidationRunnerSpec extends AnyFunSuite {
     val m = store.meta("fs_cus_transactions").get
     assert(m.primaryKeys == Seq("pk_customer", "tpk_release_dt"))
     assert(m.timestampKeys == Seq("tpk_release_dt"))
-    // rerun with identical sources: upsert path, same row counts (idempotent)
-    val r2 = Runner.run(spark, sources, store, Runner.Params(startDate = "2023-06-01"), today)
+    // rerun with identical sources: upsert path, same row counts (idempotent),
+    // and with monitorTables set the run registers its validations
+    val r2 = Runner.run(spark, sources, store,
+      Runner.Params(startDate = "2023-06-01",
+        monitorTables = Some(("val_summary", "val_detail"))), today)
     assert(r1.map(r => r.table -> r.rows).toMap == r2.map(r => r.table -> r.rows).toMap)
     assert(r2.forall(_.validationPassed))
+    // one summary row per pipeline; details carry the cross_checking rows
+    assert(store.read("val_summary").count() == 5)
+    val detail = store.read("val_detail")
+    assert(detail.where("validation_type = 'cross_checking' AND status = 'SUCCESS'")
+      .count() == 5)
+    assert(detail.where("validation_type = 'saving'").count() == 5)
   }
 
   test("resolveEndDate: 'actual' becomes first of current month") {
