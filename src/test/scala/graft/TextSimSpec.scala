@@ -85,6 +85,29 @@ class TextSimSpec extends AnyFunSuite {
     assert(pairs.length == 1 && pairs.head.getDouble(2) == 0.55)
   }
 
+  test("ngram prefix filtering is recall-complete vs brute force (random corpora)") {
+    val rnd = new scala.util.Random(42)
+    val docs = (1L to 40L).map { i =>
+      (i, Seq.fill(5 + rnd.nextInt(20))("tok" + rnd.nextInt(30)).mkString(" "))
+    }
+    def grams(s: String): Set[String] =
+      s.split(" ").toSeq.sliding(3).map(_.mkString(" ")).toSet
+    val gs = docs.map { case (i, s) => i -> grams(s) }.toMap
+    val df = docs.toDF("doc_id", "text")
+    for (t <- Seq(0.3, 0.5, 0.55, 0.7)) {
+      val got = Dedup.ngramJaccardPairs(df, "text", "doc_id", n = 3, threshold = t)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val expect = (for {
+        a <- docs.map(_._1); b <- docs.map(_._1) if a < b
+        inter = (gs(a) & gs(b)).size
+        uni = (gs(a) | gs(b)).size
+        j = math.floor(inter.toDouble / uni * 10000 + 0.5) / 10000
+        if j >= t
+      } yield (a, b)).toSet
+      assert(got == expect, s"threshold $t: got ${got.size}, expected ${expect.size}")
+    }
+  }
+
   test("simhash maxHamming=0 groups by exact hash, not one global bucket") {
     val d = Seq((1L, "alpha beta gamma delta"), (2L, "alpha beta gamma delta"),
       (3L, "totally different words here")).toDF("doc_id", "text")
