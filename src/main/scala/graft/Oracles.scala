@@ -475,6 +475,10 @@ object Oracles {
       """SELECT vec_id + 10000 AS query_id, vec_id AS neighbor_id FROM embeddings
         |WHERE vec_id < 20 ORDER BY query_id""".stripMargin,
 
+    "q_sim_ivf2_topk" ->
+      """SELECT vec_id + 10000 AS query_id, vec_id AS neighbor_id FROM embeddings
+        |WHERE vec_id < 20 ORDER BY query_id""".stripMargin,
+
     "q_text_fingerprint" ->
       """WITH aug AS (
         |  SELECT * FROM documents

@@ -614,6 +614,19 @@ object Queries {
       .orderBy("query_id")
   }
 
+  /** Two-level IVF planted-rank-1 recovery (same contract as
+    * [[qSimIvfTopK]]): coarse cell → fine bucket probing must still place
+    * each perturbed query's original at rank 1. */
+  def qSimIvf2TopK(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    Similarity.ivfTopK2(emb, perturbedQueries(emb),
+        "vec_id", "embedding", "vec_id", k = 10,
+        nCoarse = 4, nFinePerCell = 4, probeCoarse = 3, probeFine = 8)
+      .where(col("rank") === 1)
+      .select("query_id", "neighbor_id")
+      .orderBy("query_id")
+  }
+
   /** SRP-LSH planted-rank-1 recovery (same contract as [[qSimIvfTopK]]):
     * the original must share an SRP bucket with its perturbed clone in at
     * least one of the nTables hash tables and win the candidate ranking. */
@@ -837,6 +850,7 @@ object Queries {
     "q_text_fingerprint" -> (qTextFingerprint _),
     "q_dedup_exact" -> (qDedupExact _),
     "q_dedup_minhash_pairs" -> (qDedupMinhashPairs _),
+    "q_sim_ivf2_topk" -> (qSimIvf2TopK _),
     "q_dedup_simhash_pairs" -> (qDedupSimhashPairs _),
     "q_dedup_ngram_jaccard" -> (qDedupNgramJaccard _),
     "q_dedup_clusters" -> (qDedupClusters _),

@@ -161,6 +161,74 @@ object Similarity {
       .select("query_id", "neighbor_id", "cosine_sim", "rank")
   }
 
+  /** TWO-LEVEL IVF approximate top-k — the >10⁹-vector path sketched in
+    * SCALE.md, where a single-level bucket (N/√N vectors) would outgrow
+    * executor memory: `nCoarse` coarse cells, each refined by
+    * `nFinePerCell` fine centroids drawn FROM that cell; every corpus
+    * vector lands in a (cell, fine) bucket of ≈ N/(nCoarse·nFinePerCell)
+    * vectors. A query probes its `probeCoarse` nearest cells and, within
+    * them, the `probeFine` nearest fine centroids — candidate volume is
+    * probeFine buckets, independent of N's square root.
+    *
+    * Both centroid tables stay broadcast-sized (nCoarse, then
+    * nCoarse·nFinePerCell rows); the corpus is never self-joined and is
+    * assigned in two broadcast map passes — the same topology as
+    * [[ivfTopK]], nested. Centroids are hash-ranked picks (k-means-free,
+    * deterministic), like the single-level form. */
+  def ivfTopK2(corpus: DataFrame, queries: DataFrame,
+               idCol: String, vecCol: String, queryIdCol: String,
+               k: Int = 10, nCoarse: Int = 4, nFinePerCell: Int = 4,
+               probeCoarse: Int = 2, probeFine: Int = 4): DataFrame = {
+    val cos = cosineFast(corpus.sparkSession) _
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      col(vecCol).cast("array<double>").as("__cv"))
+    // level 1: coarse cells
+    val coarse = broadcast(
+      c.withColumn("__r", xxhash64(col("neighbor_id")))
+        .orderBy("__r").limit(nCoarse)
+        .select(col("neighbor_id").as("cell_id"), col("__cv").as("__cc")))
+    val inCell = c.crossJoin(coarse)
+      .withColumn("__sim", cos(col("__cv"), col("__cc")))
+      .groupBy(col("neighbor_id"))
+      .agg(max_by(col("cell_id"), col("__sim")).as("cell_id"),
+        first(col("__cv")).as("__cv"))
+    // level 2: per-cell fine centroids, hash-ranked within the cell
+    val fine = broadcast(
+      inCell.withColumn("__r", xxhash64(col("neighbor_id")))
+        .withColumn("__fr", row_number().over(
+          Window.partitionBy(col("cell_id")).orderBy(col("__r"), col("neighbor_id"))))
+        .where(col("__fr") <= nFinePerCell)
+        .select(col("cell_id"), col("neighbor_id").as("fine_id"), col("__cv").as("__fc")))
+    val assigned = inCell.join(fine, Seq("cell_id"))
+      .withColumn("__sim", cos(col("__cv"), col("__fc")))
+      .groupBy(col("neighbor_id"))
+      .agg(max_by(struct(col("cell_id"), col("fine_id")), col("__sim")).as("__b"),
+        first(col("__cv")).as("__cv"))
+      .select(col("__b.cell_id"), col("__b.fine_id"), col("neighbor_id"), col("__cv"))
+    // probing: coarse cells first, fine centroids within them
+    val q = queries.select(col(queryIdCol).as("query_id"),
+      col(vecCol).cast("array<double>").as("__qv"))
+    val qCells = q.crossJoin(coarse)
+      .withColumn("__sim", cos(col("__qv"), col("__cc")))
+      .withColumn("__pr", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("__sim").desc, col("cell_id"))))
+      .where(col("__pr") <= probeCoarse)
+      .select(col("query_id"), col("__qv"), col("cell_id"))
+    val qFine = qCells.join(fine, Seq("cell_id"))
+      .withColumn("__sim", cos(col("__qv"), col("__fc")))
+      .withColumn("__pf", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("__sim").desc, col("cell_id"), col("fine_id"))))
+      .where(col("__pf") <= probeFine)
+      .select(col("query_id"), col("__qv"), col("cell_id"), col("fine_id"))
+    val cand = qFine.join(assigned, Seq("cell_id", "fine_id"))
+      .where(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cosine_sim", round(cos(col("__cv"), col("__qv")), 6))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine_sim").desc, col("neighbor_id"))
+    cand.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cosine_sim", "rank")
+  }
+
   /** Embedding-cosine near-duplicate pairs over one corpus (id_a < id_b,
     * cosine ≥ threshold), LSH-bucketed — the embedding flavor of
     * [[graft.text.Dedup]]. */

@@ -130,4 +130,22 @@ class ScaleFunctionsSpec extends AnyFunSuite {
     val hits = exact.keys.count(q => ivf.get(q) == exact.get(q))
     assert(hits >= 5, s"recall@1 $hits/10: ivf=$ivf exact=$exact")
   }
+
+  test("two-level IVF: recall@1 comparable to single-level at the same probe budget") {
+    val rnd = new scala.util.Random(11)
+    val vecs = (0L until 300L).map { i =>
+      (i, Array.fill(16)(rnd.nextGaussian())) }.toDF("vec_id", "embedding")
+    val queries = vecs.where($"vec_id" < 10)
+    val exact = Similarity.bruteForceTopK(vecs, queries, "vec_id", "embedding", "vec_id", k = 3)
+      .where($"rank" === 1).select("query_id", "neighbor_id").as[(Long, Long)].collect().toMap
+    val ivf2 = Similarity.ivfTopK2(vecs, queries, "vec_id", "embedding", "vec_id",
+        k = 3, nCoarse = 4, nFinePerCell = 3, probeCoarse = 3, probeFine = 6)
+      .where($"rank" === 1).select("query_id", "neighbor_id").as[(Long, Long)].collect().toMap
+    val hits = exact.keys.count(q => ivf2.get(q) == exact.get(q))
+    assert(hits >= 5, s"recall@1 $hits/10: ivf2=$ivf2 exact=$exact")
+    // every query got k candidates despite the bounded probe set
+    assert(Similarity.ivfTopK2(vecs, queries, "vec_id", "embedding", "vec_id",
+      k = 3, nCoarse = 4, nFinePerCell = 3, probeCoarse = 3, probeFine = 6)
+      .groupBy("query_id").count().where($"count" < 3).count() == 0)
+  }
 }
