@@ -434,6 +434,28 @@ object Oracles {
         |SELECT id, min(label) AS cluster_id FROM reach GROUP BY id
         |ORDER BY id""".stripMargin,
 
+    "q_text_decontaminate" ->
+      """WITH aug AS (
+        |  SELECT * FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 20000, text || ' graftmarker', lang, source, n_chars
+        |  FROM documents WHERE doc_id < 50),
+        |  p AS (SELECT doc_id AS id,
+        |    list_distinct(list_transform(
+        |      range(1, greatest(len(regexp_split_to_array(
+        |        regexp_replace(lower(trim(text)), '[^a-z0-9áéíóúñü ]', '', 'g'),
+        |        '\s+')) - 4, 1) + 1),
+        |      i -> array_to_string(list_slice(regexp_split_to_array(
+        |        regexp_replace(lower(trim(text)), '[^a-z0-9áéíóúñü ]', '', 'g'),
+        |        '\s+'), i, i + 4), ' '))) AS grams
+        |    FROM aug),
+        |  bench AS (SELECT list_distinct(flatten(list(grams))) AS bg
+        |    FROM p WHERE id < 10)
+        |SELECT id, len(list_intersect(p.grams, bench.bg))::BIGINT AS n_overlap
+        |FROM p, bench
+        |WHERE len(list_intersect(p.grams, bench.bg)) >= 2
+        |ORDER BY id""".stripMargin,
+
     "q_sim_bruteforce_topk" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
         |    FROM embeddings WHERE vec_id < 5),

@@ -574,6 +574,16 @@ object Queries {
         n = 3, threshold = 0.5)
       .orderBy("id_a", "id_b")
 
+  /** Benchmark decontamination: flag docs (corpus ∪ clones) sharing ≥ 2
+    * distinct 5-grams with the "benchmark" set (doc_id < 10) — exact-count
+    * DuckDB oracle over the same gram formula. */
+  def qTextDecontaminate(s: SparkSession, dir: String): DataFrame =
+    Dedup.contaminationReport(
+        docsWithNearDups(s, dir), "text", "doc_id",
+        t(s, dir, "documents").where(col("doc_id") < 10), "text",
+        n = 5, minOverlap = 2)
+      .orderBy("id")
+
   /** Duplicate CLUSTERS: connected components (min-label propagation) over
     * the ngram near-dup pair list — the keep-one-per-cluster resolution
     * step; oracle is a DuckDB recursive CTE over the same edges. */
@@ -854,6 +864,7 @@ object Queries {
     "q_dedup_simhash_pairs" -> (qDedupSimhashPairs _),
     "q_dedup_ngram_jaccard" -> (qDedupNgramJaccard _),
     "q_dedup_clusters" -> (qDedupClusters _),
+    "q_text_decontaminate" -> (qTextDecontaminate _),
     "q_sim_bruteforce_topk" -> (qSimBruteForce _),
     "q_sim_ivf_topk" -> (qSimIvfTopK _),
     "q_sim_lsh_topk" -> (qSimLshTopK _),

@@ -215,6 +215,37 @@ object Dedup {
       .dropDuplicates("id_a", "id_b")
   }
 
+  // ----------------------------------------------------- decontamination
+
+  /** Benchmark DECONTAMINATION: flag corpus documents sharing at least
+    * `minOverlap` distinct word n-grams with ANY document of a benchmark /
+    * eval set — the training-data hygiene step of the GPT-3 appendix-C /
+    * C4-audit recipes (n-gram collision against held-out sets), which a
+    * 100 TB pretraining pipeline runs before training.
+    *
+    * Returns `(id, n_overlap)` for flagged documents only.
+    *
+    * Scale: the benchmark's distinct gram-hash set is small by definition
+    * (eval suites, not corpora) → broadcast; the corpus explodes its gram
+    * hashes ONCE and the broadcast hash-join filters map-side, so the only
+    * shuffle is the per-doc overlap count over rows that actually matched.
+    * Gram hashing is the native NgramHashes kernel — gram strings never
+    * materialize on either side. */
+  def contaminationReport(corpus: DataFrame, textCol: String, idCol: String,
+                          benchmark: DataFrame, benchTextCol: String,
+                          n: Int = 5, minOverlap: Int = 1): DataFrame = {
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
+    def gramHashes(df: DataFrame, c: String): Column =
+      call_function("graft_ngram_hashes", tokensCol(col(c)), lit(n))
+    val benchGrams = broadcast(
+      benchmark.select(explode(gramHashes(benchmark, benchTextCol)).as("__g")).distinct())
+    corpus
+      .select(col(idCol).as("id"), explode(gramHashes(corpus, textCol)).as("__g"))
+      .join(benchGrams, Seq("__g"))
+      .groupBy("id").agg(count(lit(1)).as("n_overlap"))
+      .where(col("n_overlap") >= minOverlap)
+  }
+
   // ------------------------------------------------------------- simhash
 
   /** 64-bit SimHash from a materialized token-hash array: per bit, sum ±1 by

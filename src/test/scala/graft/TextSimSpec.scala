@@ -85,6 +85,21 @@ class TextSimSpec extends AnyFunSuite {
     assert(pairs.length == 1 && pairs.head.getDouble(2) == 0.55)
   }
 
+  test("contaminationReport flags benchmark-overlapping docs, not clean ones") {
+    val bench = Seq((100L, "the quick brown fox jumps over the lazy dog tonight"))
+      .toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "intro words then the quick brown fox jumps over the lazy dog tonight and more"),
+      (2L, "completely unrelated content about distributed query engines and shuffles"),
+      (3L, "the quick brown fox appears briefly here")) // shares a 4-token prefix but NO full 5-gram
+      .toDF("doc_id", "text")
+    val flagged = Dedup.contaminationReport(corpus, "text", "doc_id", bench, "text",
+        n = 5, minOverlap = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(flagged.contains(1L) && flagged(1L) >= 2)
+    assert(!flagged.contains(2L) && !flagged.contains(3L))
+  }
+
   test("ngram prefix filtering is recall-complete vs brute force (random corpora)") {
     val rnd = new scala.util.Random(42)
     val docs = (1L to 40L).map { i =>
