@@ -434,6 +434,20 @@ object Oracles {
         |SELECT id, min(label) AS cluster_id FROM reach GROUP BY id
         |ORDER BY id""".stripMargin,
 
+    "q_pack_chunks" ->
+      """WITH d AS (SELECT doc_id,
+        |    len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens
+        |  FROM documents),
+        |  c AS (SELECT doc_id, n_tokens,
+        |    coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tok_start
+        |  FROM d)
+        |SELECT doc_id, n_tokens::INT AS n_tokens, tok_start::BIGINT AS tok_start,
+        |  floor(tok_start / 512)::BIGINT AS chunk_first,
+        |  greatest(floor((tok_start + n_tokens - 1) / 512),
+        |    floor(tok_start / 512))::BIGINT AS chunk_last
+        |FROM c ORDER BY doc_id""".stripMargin,
+
     "q_text_decontaminate" ->
       """WITH aug AS (
         |  SELECT * FROM documents

@@ -574,6 +574,17 @@ object Queries {
         n = 3, threshold = 0.5)
       .orderBy("id_a", "id_b")
 
+  /** Concat-and-chunk packing: global token offsets + context-window chunk
+    * spans per document (two-phase distributed prefix sum) — DuckDB
+    * reproduces with a plain running-sum window. */
+  def qPackChunks(s: SparkSession, dir: String): DataFrame =
+    text.Packing.chunkAssignments(
+        t(s, dir, "documents").select(col("doc_id"),
+          text.TextStats.tokenCountWs(col("text")).as("n_tokens")),
+        "doc_id", "n_tokens", chunkTokens = 512)
+      .select("doc_id", "n_tokens", "tok_start", "chunk_first", "chunk_last")
+      .orderBy("doc_id")
+
   /** Benchmark decontamination: flag docs (corpus ∪ clones) sharing ≥ 2
     * distinct 5-grams with the "benchmark" set (doc_id < 10) — exact-count
     * DuckDB oracle over the same gram formula. */
@@ -865,6 +876,7 @@ object Queries {
     "q_dedup_ngram_jaccard" -> (qDedupNgramJaccard _),
     "q_dedup_clusters" -> (qDedupClusters _),
     "q_text_decontaminate" -> (qTextDecontaminate _),
+    "q_pack_chunks" -> (qPackChunks _),
     "q_sim_bruteforce_topk" -> (qSimBruteForce _),
     "q_sim_ivf_topk" -> (qSimIvfTopK _),
     "q_sim_lsh_topk" -> (qSimLshTopK _),

@@ -1,0 +1,58 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-example packing: the concat-and-chunk preparation step of
+  * GPT-style pretraining — documents are concatenated in a deterministic
+  * order and the token stream is cut into fixed-size context windows; each
+  * document is assigned its global token offset and the chunk range it
+  * spans. Downstream, (chunk_first..chunk_last) IS the map from documents
+  * to training examples (and its inverse drives per-example provenance).
+  *
+  * Scale: a global running sum is NOT computed with one unpartitioned
+  * window (that serializes the corpus through a single task). Instead the
+  * classic two-phase distributed prefix sum:
+  *   1. range-repartition on the order column (partitions hold contiguous
+  *      ranges, so per-partition order ⊂ global order);
+  *   2. per-partition token totals → a PARTITIONS-sized table whose own
+  *      running sum (driver-scale window) yields each partition's global
+  *      starting offset, broadcast back;
+  *   3. one partition-local window adds local prefix + partition offset.
+  * Every stage is bounded: the only full pass is the partition-local
+  * window sort, which range partitioning has already clustered. The
+  * output is independent of the partition count (offsets depend only on
+  * the global order, not on where the range boundaries fall).
+  */
+object Packing {
+
+  /** Assign each document its global token offset and chunk span.
+    * Returns the input columns plus `tok_start`, `chunk_first`,
+    * `chunk_last` (chunks of `chunkTokens` tokens; a zero-token document
+    * collapses to `chunk_first`). `orderCol` must be globally unique — it
+    * defines the concatenation order. */
+  def chunkAssignments(df: DataFrame, orderCol: String, tokenCountCol: String,
+                       chunkTokens: Int, partitions: Int = 0): DataFrame = {
+    require(chunkTokens > 0, s"chunkTokens must be positive, got $chunkTokens")
+    val nParts = if (partitions > 0) partitions
+      else df.sparkSession.sessionState.conf.numShufflePartitions
+    val ranged = df.repartitionByRange(nParts, col(orderCol))
+      .withColumn("__part", spark_partition_id())
+    val offsets = broadcast(
+      ranged.groupBy("__part").agg(sum(col(tokenCountCol)).as("__psum"))
+        .withColumn("__offset", coalesce(
+          sum("__psum").over(Window.orderBy("__part")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select("__part", "__offset"))
+    val localW = Window.partitionBy("__part").orderBy(col(orderCol))
+    val chunk: Column => Column = t => floor(t / chunkTokens)
+    ranged.join(offsets, Seq("__part"))
+      .withColumn("tok_start",
+        col("__offset") + sum(col(tokenCountCol)).over(localW) - col(tokenCountCol))
+      .withColumn("chunk_first", chunk(col("tok_start")))
+      .withColumn("chunk_last",
+        greatest(chunk(col("tok_start") + col(tokenCountCol) - 1), chunk(col("tok_start"))))
+      .drop("__part", "__offset")
+  }
+}

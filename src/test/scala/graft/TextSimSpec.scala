@@ -3,7 +3,7 @@ package graft
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions._
 
-import graft.text.{Dedup, TextStats}
+import graft.text.{Dedup, Packing, TextStats}
 import graft.sim.Similarity
 
 class TextSimSpec extends AnyFunSuite {
@@ -83,6 +83,24 @@ class TextSimSpec extends AnyFunSuite {
     val pairs = Dedup.ngramJaccardPairs(d, "text", "doc_id", n = 3, threshold = 0.55)
       .collect()
     assert(pairs.length == 1 && pairs.head.getDouble(2) == 0.55)
+  }
+
+  test("chunkAssignments: exact prefix offsets, independent of partition count") {
+    val d = (1L to 100L).map(i => (i, (i % 7 + 1).toInt)).toDF("id", "n_tok")
+    def run(parts: Int) = Packing.chunkAssignments(d, "id", "n_tok", 16, partitions = parts)
+      .select("id", "tok_start", "chunk_first", "chunk_last")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1).toSeq
+    val one = run(1)
+    assert(run(7) == one && run(13) == one)
+    // exact prefix sums + span arithmetic vs a sequential reference
+    var cum = 0L
+    val expected = (1L to 100L).map { i =>
+      val n = (i % 7 + 1)
+      val start = cum; cum += n
+      (i, start, start / 16, math.max((start + n - 1) / 16, start / 16))
+    }
+    assert(one == expected)
   }
 
   test("contaminationReport flags benchmark-overlapping docs, not clean ones") {
