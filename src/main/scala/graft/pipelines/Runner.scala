@@ -68,35 +68,45 @@ object Runner {
             df, store.read(table), "tpk_release_dt", "tpk_release_dt")
         // divergent months are expected on incremental refresh; only a
         // SHRINKING month is a hard failure
-        val passed = mismatches.forall(m => m.sourceCnt >= m.targetCnt)
-        if (!passed && !params.omitValidationErrors)
-          sys.error(s"cross-check failed for $table")
-        val report = FeatureStore.save(store, table, df,
-          primaryKeys = Seq("pk_customer", "tpk_release_dt"),
-          timestampKeys = Seq("tpk_release_dt"),
-          description = s"graft feature table $table",
-          forceOverwrite = params.forceOverwrite,
-          overwriteSchema = params.overwriteSchema,
-          policy = if (params.omitValidationErrors) FeatureStore.IgnoreMissing
-            else FeatureStore.FailOnMissing)
-        // register the run's validations (monitor.py:566-663)
+        val shrinking = mismatches.count(m => m.sourceCnt < m.targetCnt)
+        val passed = shrinking == 0
+        // save only when validations pass (or are explicitly ignored); a
+        // save failure is recorded, not swallowed
+        var saveReport: Option[FeatureStore.SaveReport] = None
+        var saveError: Option[Throwable] = None
+        if (passed || params.omitValidationErrors) {
+          try saveReport = Some(FeatureStore.save(store, table, df,
+            primaryKeys = Seq("pk_customer", "tpk_release_dt"),
+            timestampKeys = Seq("tpk_release_dt"),
+            description = s"graft feature table $table",
+            forceOverwrite = params.forceOverwrite,
+            overwriteSchema = params.overwriteSchema,
+            policy = if (params.omitValidationErrors) FeatureStore.IgnoreMissing
+              else FeatureStore.FailOnMissing))
+          catch { case scala.util.control.NonFatal(e) => saveError = Some(e) }
+        }
+        // register the run's validations BEFORE aborting, so failed runs
+        // leave a trace in the monitor tables (monitor.py:566-663)
         params.monitorTables.foreach { case (summaryTable, detailTable) =>
           val reg = Monitor.registerValidation(
-            new java.sql.Timestamp(java.time.LocalDate.parse(endDate)
-              .atStartOfDay(java.time.ZoneOffset.UTC).toInstant.toEpochMilli),
+            java.sql.Timestamp.valueOf(today.atStartOfDay()),
             database = None, tableName = table, tableType = "historical",
-            layer = "ingestion", successfullySaved = true,
+            layer = "ingestion", successfullySaved = saveReport.isDefined,
             outcomes = Map("CROSS_CHECKING" -> Monitor.Outcome(
               Some(if (passed) "SUCCESS" else "FAIL"),
-              if (passed) None
-              else Some(s"${mismatches.size} shrinking month(s)"),
-              Map("mismatched_months" -> mismatches.size.toString))),
+              if (passed) None else Some(s"$shrinking shrinking month(s)"),
+              Map("mismatched_months" -> mismatches.size.toString,
+                "shrinking_months" -> shrinking.toString))),
             ignoreValidations =
               if (params.omitValidationErrors) Set("CROSS_CHECKING") else Set.empty,
             alreadySaved = alreadySaved)
           Monitor.save(spark, store, summaryTable, detailTable, reg)
         }
-        PipelineResult(table, store.read(table).count(), report.version, passed)
+        saveError.foreach(e => throw e)
+        if (!passed && !params.omitValidationErrors)
+          sys.error(s"cross-check failed for $table ($shrinking shrinking month(s))")
+        PipelineResult(table, store.read(table).count(),
+          saveReport.map(_.version).getOrElse(store.currentVersion(table)), passed)
       } finally df.unpersist()
     }
   }

@@ -235,12 +235,12 @@ object Dedup {
                           benchmark: DataFrame, benchTextCol: String,
                           n: Int = 5, minOverlap: Int = 1): DataFrame = {
     graft.functions.GraftFunctions.register(corpus.sparkSession)
-    def gramHashes(df: DataFrame, c: String): Column =
+    def gramHashes(c: String): Column =
       call_function("graft_ngram_hashes", tokensCol(col(c)), lit(n))
     val benchGrams = broadcast(
-      benchmark.select(explode(gramHashes(benchmark, benchTextCol)).as("__g")).distinct())
+      benchmark.select(explode(gramHashes(benchTextCol)).as("__g")).distinct())
     corpus
-      .select(col(idCol).as("id"), explode(gramHashes(corpus, textCol)).as("__g"))
+      .select(col(idCol).as("id"), explode(gramHashes(textCol)).as("__g"))
       .join(benchGrams, Seq("__g"))
       .groupBy("id").agg(count(lit(1)).as("n_overlap"))
       .where(col("n_overlap") >= minOverlap)

@@ -37,8 +37,14 @@ object Packing {
     require(chunkTokens > 0, s"chunkTokens must be positive, got $chunkTokens")
     val nParts = if (partitions > 0) partitions
       else df.sparkSession.sessionState.conf.numShufflePartitions
+    // localCheckpoint pins ONE materialization of the (sampled) range
+    // partitioning: `ranged` feeds both the offsets subtree and the probe
+    // subtree, and without pinning, a plan change that defeats exchange
+    // reuse could re-sample different range boundaries per subtree —
+    // making __part disagree between the two and corrupting offsets
     val ranged = df.repartitionByRange(nParts, col(orderCol))
       .withColumn("__part", spark_partition_id())
+      .localCheckpoint()
     val offsets = broadcast(
       ranged.groupBy("__part").agg(sum(col(tokenCountCol)).as("__psum"))
         .withColumn("__offset", coalesce(

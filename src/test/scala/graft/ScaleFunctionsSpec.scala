@@ -138,14 +138,13 @@ class ScaleFunctionsSpec extends AnyFunSuite {
     val queries = vecs.where($"vec_id" < 10)
     val exact = Similarity.bruteForceTopK(vecs, queries, "vec_id", "embedding", "vec_id", k = 3)
       .where($"rank" === 1).select("query_id", "neighbor_id").as[(Long, Long)].collect().toMap
-    val ivf2 = Similarity.ivfTopK2(vecs, queries, "vec_id", "embedding", "vec_id",
+    val ivf2Full = Similarity.ivfTopK2(vecs, queries, "vec_id", "embedding", "vec_id",
         k = 3, nCoarse = 4, nFinePerCell = 3, probeCoarse = 3, probeFine = 6)
-      .where($"rank" === 1).select("query_id", "neighbor_id").as[(Long, Long)].collect().toMap
+      .select("query_id", "neighbor_id", "rank").as[(Long, Long, Int)].collect()
+    val ivf2 = ivf2Full.filter(_._3 == 1).map(r => r._1 -> r._2).toMap
     val hits = exact.keys.count(q => ivf2.get(q) == exact.get(q))
     assert(hits >= 5, s"recall@1 $hits/10: ivf2=$ivf2 exact=$exact")
     // every query got k candidates despite the bounded probe set
-    assert(Similarity.ivfTopK2(vecs, queries, "vec_id", "embedding", "vec_id",
-      k = 3, nCoarse = 4, nFinePerCell = 3, probeCoarse = 3, probeFine = 6)
-      .groupBy("query_id").count().where($"count" < 3).count() == 0)
+    assert(ivf2Full.groupBy(_._1).forall(_._2.length == 3))
   }
 }

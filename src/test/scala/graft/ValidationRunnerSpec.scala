@@ -242,6 +242,21 @@ class ValidationRunnerSpec extends AnyFunSuite {
     assert(detail.where("validation_type = 'cross_checking' AND status = 'SUCCESS'")
       .count() == 5)
     assert(detail.where("validation_type = 'saving'").count() == 5)
+    // a FAILING cross-check still registers monitor rows BEFORE aborting:
+    // shrink the transactions source so its months lose rows vs the saved
+    // snapshot (transactions is the last pipeline — the first four pass)
+    val shrunk = sources.updated("transacciones",
+      sources("transacciones").where("id_cliente % 2 = 0"))
+    intercept[RuntimeException] {
+      Runner.run(spark, shrunk, store,
+        Runner.Params(startDate = "2023-06-01",
+          monitorTables = Some(("val_summary", "val_detail"))), today)
+    }
+    val sum2 = store.read("val_summary")
+    assert(sum2.count() == 10) // 5 prior + 4 SUCCESS + 1 FAIL
+    assert(sum2.where("status = 'FAIL'").count() == 1)
+    assert(store.read("val_detail")
+      .where("validation_type = 'cross_checking' AND status = 'FAIL'").count() == 1)
   }
 
   test("resolveEndDate: 'actual' becomes first of current month") {
