@@ -371,6 +371,71 @@ object Oracles {
         |       WHEN en_hits >= es_hits THEN 'en' ELSE 'es' END AS lang_pred
         |FROM s ORDER BY doc_id""".stripMargin,
 
+    "q_text_repetition" ->
+      """WITH d AS (SELECT doc_id,
+        |    list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS words,
+        |    regexp_split_to_array(regexp_replace(lower(trim(text)),
+        |      '[^a-z0-9áéíóúñü ]', '', 'g'), '\s+') AS toks
+        |  FROM documents),
+        |seg AS (SELECT doc_id,
+        |    len(words) AS nw, len(list_distinct(words)) AS ndw,
+        |    coalesce(list_sum(list_transform(words, x -> length(x))), 0) AS cw,
+        |    coalesce(list_sum(list_transform(list_distinct(words),
+        |      x -> length(x))), 0) AS cdw
+        |  FROM d),
+        |g AS (SELECT doc_id, length(array_to_string(toks, ' ')) AS nchars,
+        |    list_transform(range(1,
+        |        (CASE WHEN len(toks) >= 2 THEN len(toks) - 1 ELSE 0 END) + 1),
+        |      i -> array_to_string(list_slice(toks, i, i + 1), ' ')) AS g2,
+        |    list_transform(range(1,
+        |        (CASE WHEN len(toks) >= 3 THEN len(toks) - 2 ELSE 0 END) + 1),
+        |      i -> array_to_string(list_slice(toks, i, i + 2), ' ')) AS g3
+        |  FROM d),
+        |a2 AS (SELECT doc_id, max(cnt * glen) AS topcover FROM (
+        |    SELECT doc_id, gram, count(*) AS cnt, length(gram) AS glen
+        |    FROM (SELECT doc_id, unnest(g2) AS gram FROM g) GROUP BY doc_id, gram)
+        |  GROUP BY doc_id),
+        |a3 AS (SELECT doc_id,
+        |    sum(CASE WHEN cnt > 1 THEN cnt * glen END) AS dupchars,
+        |    sum(cnt * glen) AS totchars
+        |  FROM (SELECT doc_id, gram, count(*) AS cnt, length(gram) AS glen
+        |    FROM (SELECT doc_id, unnest(g3) AS gram FROM g) GROUP BY doc_id, gram)
+        |  GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  floor((seg.nw - seg.ndw) / greatest(seg.nw, 1)::DOUBLE * 10000 + 0.5)
+        |    / 10000 AS dup_word_frac,
+        |  floor((seg.cw - seg.cdw) / greatest(seg.cw, 1)::DOUBLE * 10000 + 0.5)
+        |    / 10000 AS dup_word_char_frac,
+        |  coalesce(floor(a2.topcover / greatest(g.nchars, 1)::DOUBLE * 10000 + 0.5)
+        |    / 10000, 0.0) AS top_2gram_char_frac,
+        |  coalesce(floor(a3.dupchars / greatest(a3.totchars, 1)::DOUBLE * 10000 + 0.5)
+        |    / 10000, 0.0) AS dup_3gram_char_frac
+        |FROM d LEFT JOIN seg USING (doc_id) LEFT JOIN g USING (doc_id)
+        |  LEFT JOIN a2 USING (doc_id) LEFT JOIN a3 USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_text_redact" ->
+      """WITH aug AS (SELECT doc_id,
+        |    text || ' contact user' || doc_id::VARCHAR
+        |      || '@example.com or call +1 555 01' || (doc_id % 100)::VARCHAR
+        |      || ' at 192.168.0.' || (doc_id % 256)::VARCHAR
+        |      || ' ref 123456' AS text
+        |  FROM documents)
+        |SELECT doc_id,
+        |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+        |    '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}', '[IP]', 'g'),
+        |    '\+?[0-9][0-9()\-\. ]{5,}[0-9]', '[PHONE]', 'g'),
+        |    '[0-9]{6,}', '[NUMBER]', 'g') AS text_redacted,
+        |  len(regexp_extract_all(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))::INT AS n_emails,
+        |  len(regexp_extract_all(text,
+        |    '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}'))::INT AS n_ips,
+        |  len(regexp_extract_all(text,
+        |    '\+?[0-9][0-9()\-\. ]{5,}[0-9]'))::INT AS n_phones,
+        |  len(regexp_extract_all(text, '[0-9]{6,}'))::INT AS n_digit_runs
+        |FROM aug ORDER BY doc_id""".stripMargin,
+
     "q_dedup_exact" ->
       """WITH aug AS (
         |  SELECT * FROM documents

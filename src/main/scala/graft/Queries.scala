@@ -502,6 +502,41 @@ object Queries {
       TextStats.langId(col("text")).as("lang_pred"))
       .orderBy("doc_id")
 
+  /** Gopher-style repetition filters over documents: duplicate-word
+    * fractions (pure codegen array exprs, zero shuffle) + top-2-gram /
+    * dup-3-gram character fractions (single tagged explode, scalar-only
+    * shuffle) — see [[graft.text.Repetition]] for the determinism and
+    * scale rationale. */
+  def qTextRepetition(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "documents").select("doc_id", "text")
+    val seg = graft.text.Repetition.withSegmentRepetition(
+      base, "text", delim = "\\s+", prefix = "word")
+    graft.text.Repetition.withNgramRepetition(seg, "text", "doc_id",
+        topN = 2, dupN = 3)
+      .select("doc_id", "dup_word_frac", "dup_word_char_frac",
+        "top_2gram_char_frac", "dup_3gram_char_frac")
+      .orderBy("doc_id")
+  }
+
+  /** PII redaction over documents with deterministically planted PII (a
+    * suffix built from doc_id: email, phone, IPv4, 6-digit account run) —
+    * the redaction chain and counts are RE2-compatible regexes, so DuckDB
+    * reproduces the rewrite byte-for-byte. See [[graft.text.Redact]]. */
+  def qTextRedact(s: SparkSession, dir: String): DataFrame = {
+    val aug = t(s, dir, "documents").select(
+      col("doc_id"),
+      concat(col("text"),
+        lit(" contact user"), col("doc_id").cast("string"),
+        lit("@example.com or call +1 555 01"),
+        (col("doc_id") % 100).cast("string"),
+        lit(" at 192.168.0."), (col("doc_id") % 256).cast("string"),
+        lit(" ref 123456")).as("text"))
+    graft.text.Redact.withRedaction(aug, "text")
+      .select("doc_id", "text_redacted", "n_emails", "n_ips", "n_phones",
+        "n_digit_runs")
+      .orderBy("doc_id")
+  }
+
   /** Fingerprint identity check over documents ∪ injected exact clones:
     * per-doc count of docs sharing its 64-bit fingerprint. Equal normalized
     * text ⇒ equal fingerprint (every clone must land in its original's
@@ -868,6 +903,8 @@ object Queries {
     "q_pipeline_monthly" -> (qPipelineMonthly _),
     "q_text_stats" -> (qTextStats _),
     "q_text_langid" -> (qTextLangId _),
+    "q_text_repetition" -> (qTextRepetition _),
+    "q_text_redact" -> (qTextRedact _),
     "q_text_fingerprint" -> (qTextFingerprint _),
     "q_dedup_exact" -> (qDedupExact _),
     "q_dedup_minhash_pairs" -> (qDedupMinhashPairs _),

@@ -103,7 +103,7 @@ object Dedup {
       i => norm.substr(i, lit(k))))
   }
 
-  private def tokensCol(text: Column, keepAccents: Boolean = true): Column = {
+  private[text] def tokensCol(text: Column, keepAccents: Boolean = true): Column = {
     val cls = if (keepAccents) "[^a-z0-9áéíóúñü ]" else "[^a-z0-9 ]"
     split(regexp_replace(lower(trim(text)), cls, ""), "\\s+")
   }

@@ -1,0 +1,137 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Gopher-style repetition quality filters (Rae et al. 2021, "Scaling
+  * Language Models", appendix A1.1): documents dominated by repeated lines
+  * or repeated n-grams are low-quality training data and get filtered by
+  * thresholding these fractions. Extension beyond the reference surface
+  * (SURVEY §2.11 training-data scope).
+  *
+  * Two families, two scale profiles:
+  *
+  *  - SEGMENT metrics (duplicate lines/words): pure Catalyst array
+  *    expressions per row — whole-stage codegen, zero shuffle, scales as a
+  *    map over input splits.
+  *  - N-GRAM metrics (top/duplicate n-gram character fractions): one tagged
+  *    explode over both gram sizes, one partial-aggregated groupBy (all
+  *    grams of a doc sit in one partition, so map-side combine collapses to
+  *    distinct-grams-per-doc BEFORE the shuffle), one per-doc aggregation,
+  *    then a left join back to preserve gram-less (short) documents. The
+  *    shuffle carries scalars only — (id, gram xxhash64, gram length) —
+  *    never gram text. (64-bit gram-hash collisions would merge two gram
+  *    counts; at ≤1e5 distinct grams per doc the per-doc collision odds are
+  *    ~1e-9 — documented, not handled.)
+  *
+  * Determinism (driver hash-compare vs DuckDB): the "top n-gram" metric is
+  * defined as max over grams of count×length (maximum covered characters)
+  * rather than "chars of the most frequent gram" — the latter is
+  * tie-ambiguous when two grams share the top count, the max of products is
+  * a deterministic scalar. All fractions are ratios of exact ints rounded
+  * via floor(x·10⁴+0.5)/10⁴ on both engines.
+  */
+object Repetition {
+
+  /** Non-empty segments of `text` split by regex `delim`. */
+  private def segsCol(text: Column, delim: String): Column =
+    filter(split(text, delim), s => s =!= "")
+
+  private def detRound4(c: Column): Column = floor(c * 10000.0 + 0.5) / 10000.0
+
+  private def charSum(arr: Column): Column =
+    aggregate(arr, lit(0), (acc, x) => acc + length(x))
+
+  /** Duplicate-segment fractions in two staged projections (`__segs` and
+    * `__dsegs` are each referenced ≥2 times downstream, so CollapseProject
+    * keeps the barrier and the split/distinct run once per row — see
+    * [[Dedup]] class doc for the measured re-evaluation hazard):
+    *
+    *  - `dup_<prefix>_frac`: fraction of segments that are repeat
+    *    occurrences (1 − distinct/total);
+    *  - `dup_<prefix>_char_frac`: fraction of segment characters sitting in
+    *    repeat occurrences.
+    *
+    * `delim` defaults to newline (Gopher's duplicate-line filter); pass
+    * `"\\s+"` for word-granularity repetition on unstructured text. */
+  def withSegmentRepetition(df: DataFrame, textCol: String,
+                            delim: String = "\n", prefix: String = "line")
+      : DataFrame = {
+    val staged = df
+      .withColumn("__segs", segsCol(col(textCol), delim))
+      .withColumn("__dsegs", array_distinct(col("__segs")))
+    val n      = size(col("__segs"))
+    val nDist  = size(col("__dsegs"))
+    val chars  = charSum(col("__segs"))
+    val dChars = charSum(col("__dsegs"))
+    staged
+      .withColumn(s"dup_${prefix}_frac",
+        detRound4((n - nDist) / greatest(n, lit(1)).cast("double")))
+      .withColumn(s"dup_${prefix}_char_frac",
+        detRound4((chars - dChars) / greatest(chars, lit(1)).cast("double")))
+      .drop("__segs", "__dsegs")
+  }
+
+  /** NON-distinct word n-grams (repetition counting needs occurrence
+    * multiplicity; [[Dedup.ngramsFromTokens]] is distinct-by-design for set
+    * similarity). Empty when the doc has fewer than `n` tokens. */
+  private def allNgrams(tokens: Column, n: Int): Column =
+    when(size(tokens) >= n,
+      transform(sequence(lit(1), size(tokens) - (n - 1)),
+        i => concat_ws(" ", slice(tokens, i, lit(n)))))
+      .otherwise(array().cast("array<string>"))
+
+  /** Adds `top_<topN>gram_char_frac` (fraction of normalized-doc characters
+    * covered by the highest-coverage topN-gram) and
+    * `dup_<dupN>gram_char_frac` (fraction of dupN-gram characters occurring
+    * in grams seen more than once). Docs too short for a gram get 0.0. */
+  def withNgramRepetition(df: DataFrame, textCol: String, idCol: String,
+                          topN: Int = 2, dupN: Int = 3): DataFrame = {
+    require(topN >= 1 && dupN >= 1, "gram sizes must be >= 1")
+    // Stage tokens behind a projection barrier (referenced 3×: nchars + two
+    // gram builders), then the tagged gram union (referenced by explode).
+    val tagged = df
+      .withColumn("__toks", Dedup.tokensCol(col(textCol)))
+      .select(
+        col(idCol),
+        length(array_join(col("__toks"), " ")).as("__nchars"),
+        (if (topN == dupN) transform(allNgrams(col("__toks"), topN),
+            g => struct(lit(topN).as("n"), g.as("gram")))
+         else concat(
+           transform(allNgrams(col("__toks"), topN),
+             g => struct(lit(topN).as("n"), g.as("gram"))),
+           transform(allNgrams(col("__toks"), dupN),
+             g => struct(lit(dupN).as("n"), g.as("gram"))))).as("__tagged"))
+
+    val exploded = tagged
+      .select(col(idCol), col("__nchars"), explode(col("__tagged")).as("__g"))
+      .select(col(idCol), col("__nchars"),
+        col("__g.n").as("__n"),
+        xxhash64(col("__g.gram")).as("__gh"),
+        length(col("__g.gram")).as("__glen"))
+
+    val gramCounts = exploded
+      .groupBy(col(idCol), col("__n"), col("__gh"))
+      .agg(count(lit(1)).as("__cnt"),
+        first(col("__glen")).as("__glen"),
+        first(col("__nchars")).as("__nchars"))
+
+    val cover = col("__cnt") * col("__glen")
+    val perDoc = gramCounts
+      .groupBy(col(idCol))
+      .agg(
+        max(when(col("__n") === topN, cover)).as("__topCover"),
+        sum(when(col("__n") === dupN && col("__cnt") > 1, cover)).as("__dupChars"),
+        sum(when(col("__n") === dupN, cover)).as("__totChars"),
+        first(col("__nchars")).as("__nchars2"))
+
+    df.join(perDoc, Seq(idCol), "left")
+      .withColumn(s"top_${topN}gram_char_frac",
+        coalesce(detRound4(col("__topCover")
+          / greatest(col("__nchars2"), lit(1)).cast("double")), lit(0.0)))
+      .withColumn(s"dup_${dupN}gram_char_frac",
+        coalesce(detRound4(col("__dupChars")
+          / greatest(col("__totChars"), lit(1)).cast("double")), lit(0.0)))
+      .drop("__topCover", "__dupChars", "__totChars", "__nchars2")
+  }
+}

@@ -1,0 +1,71 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.text.Repetition
+
+class RepetitionSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // Hand-computed fixtures (see per-doc comments).
+  private val docs = Seq(
+    (1L, "ab ab ab cd"),             // 3×ab + cd
+    (2L, "x y x y x y"),             // fully alternating
+    (3L, "unique words only here"),  // no repetition
+    (4L, "th"))                      // too short for any 2/3-gram
+    .toDF("doc_id", "text")
+
+  private def metrics(): Map[Long, (Double, Double, Double, Double)] = {
+    val seg = Repetition.withSegmentRepetition(docs, "text", delim = "\\s+",
+      prefix = "word")
+    Repetition.withNgramRepetition(seg, "text", "doc_id", topN = 2, dupN = 3)
+      .select("doc_id", "dup_word_frac", "dup_word_char_frac",
+        "top_2gram_char_frac", "dup_3gram_char_frac")
+      .as[(Long, Double, Double, Double, Double)]
+      .collect().map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+  }
+
+  test("duplicate-word fractions match hand computation") {
+    val m = metrics()
+    // doc 1: words [ab,ab,ab,cd] → (4-2)/4 = 0.5; chars (8-4)/8 = 0.5
+    assert(m(1L)._1 == 0.5 && m(1L)._2 == 0.5)
+    // doc 2: [x,y]×3 → (6-2)/6 = 0.6667; chars (6-2)/6 = 0.6667
+    assert(m(2L)._1 == 0.6667 && m(2L)._2 == 0.6667)
+    // docs 3, 4: no repeats
+    assert(m(3L)._1 == 0.0 && m(3L)._2 == 0.0)
+    assert(m(4L)._1 == 0.0 && m(4L)._2 == 0.0)
+  }
+
+  test("top-2gram coverage fraction is max(count × len) / doc chars") {
+    val m = metrics()
+    // doc 1: "ab ab"×2 covers 10 of 11 chars → 0.9091
+    assert(m(1L)._3 == 0.9091)
+    // doc 2: "x y"×3 covers 9 of 11 → 0.8182
+    assert(m(2L)._3 == 0.8182)
+    // doc 3: best gram "unique words" (12 of 22) → 0.5455
+    assert(m(3L)._3 == 0.5455)
+    // doc 4: no 2-grams → 0.0
+    assert(m(4L)._3 == 0.0)
+  }
+
+  test("dup-3gram char fraction counts only grams occurring more than once") {
+    val m = metrics()
+    assert(m(1L)._4 == 0.0)   // "ab ab ab", "ab ab cd" unique
+    assert(m(2L)._4 == 1.0)   // "x y x"×2 and "y x y"×2 — all duplicated
+    assert(m(3L)._4 == 0.0)
+    assert(m(4L)._4 == 0.0)
+  }
+
+  test("metrics are partition-layout independent") {
+    val seg = Repetition.withSegmentRepetition(docs.repartition(7), "text",
+      delim = "\\s+", prefix = "word")
+    val out = Repetition.withNgramRepetition(seg, "text", "doc_id")
+      .select("doc_id", "dup_word_frac", "top_2gram_char_frac",
+        "dup_3gram_char_frac")
+      .as[(Long, Double, Double, Double)].collect().toSet
+    val m = metrics()
+    assert(out == m.map { case (id, (a, _, c, d)) => (id, a, c, d) }.toSet)
+  }
+}
