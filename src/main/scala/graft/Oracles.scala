@@ -436,6 +436,22 @@ object Oracles {
         |  len(regexp_extract_all(text, '[0-9]{6,}'))::INT AS n_digit_runs
         |FROM aug ORDER BY doc_id""".stripMargin,
 
+    "q_text_boilerplate" ->
+      """WITH d AS (SELECT doc_id,
+        |    list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS words
+        |  FROM documents),
+        |freq AS (SELECT word, count(DISTINCT doc_id) AS df
+        |  FROM (SELECT doc_id, unnest(words) AS word FROM d) GROUP BY word),
+        |total AS (SELECT count(*) AS n FROM documents),
+        |bp AS (SELECT coalesce(list(word), []::VARCHAR[]) AS bad
+        |  FROM freq, total WHERE df >= 0.3 * n)
+        |SELECT doc_id,
+        |  coalesce(array_to_string(list_filter(d.words,
+        |    w -> NOT list_contains(bp.bad, w)), ' '), '') AS text_clean,
+        |  (len(d.words) - len(list_filter(d.words,
+        |    w -> NOT list_contains(bp.bad, w))))::INT AS n_removed
+        |FROM d CROSS JOIN bp ORDER BY doc_id""".stripMargin,
+
     "q_dedup_exact" ->
       """WITH aug AS (
         |  SELECT * FROM documents

@@ -518,6 +518,17 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** Corpus-level boilerplate removal at word granularity: words present
+    * in ≥ 30% of documents are stripped from every doc, order/multiplicity
+    * of survivors preserved ([[graft.text.Repetition.removeBoilerplate]] —
+    * broadcast single-row bad-set array, zero corpus shuffle). */
+  def qTextBoilerplate(s: SparkSession, dir: String): DataFrame =
+    graft.text.Repetition.removeBoilerplate(
+        t(s, dir, "documents").select("doc_id", "text"),
+        "text", "doc_id", delim = "\\s+", minDocFrac = 0.3)
+      .select("doc_id", "text_clean", "n_removed")
+      .orderBy("doc_id")
+
   /** PII redaction over documents with deterministically planted PII (a
     * suffix built from doc_id: email, phone, IPv4, 6-digit account run) —
     * the redaction chain and counts are RE2-compatible regexes, so DuckDB
@@ -905,6 +916,7 @@ object Queries {
     "q_text_langid" -> (qTextLangId _),
     "q_text_repetition" -> (qTextRepetition _),
     "q_text_redact" -> (qTextRedact _),
+    "q_text_boilerplate" -> (qTextBoilerplate _),
     "q_text_fingerprint" -> (qTextFingerprint _),
     "q_dedup_exact" -> (qDedupExact _),
     "q_dedup_minhash_pairs" -> (qDedupMinhashPairs _),

@@ -72,6 +72,80 @@ object Repetition {
       .drop("__segs", "__dsegs")
   }
 
+  // ---------------------------------------------------- boilerplate removal
+
+  /** Corpus-level boilerplate segments: segments (lines; words with
+    * delim="\\s+") whose DOCUMENT frequency is ≥ `minDocFrac` of the corpus
+    * — navigation chrome, license headers, cookie banners. Returns
+    * `(segment, doc_freq)`.
+    *
+    * Scale note: the result is SMALL by construction — a segment needs
+    * ≥ minDocFrac·N docs to qualify, and total (doc, distinct segment)
+    * incidences are ≤ N·avgSegs, so at most avgSegs/minDocFrac distinct
+    * segments qualify (e.g. ≤ 100·avgSegs for 1%) regardless of corpus
+    * size. That bound is what makes the broadcast form of
+    * [[removeBoilerplate]] safe at 100 TB. */
+  def boilerplateSegments(df: DataFrame, textCol: String, idCol: String,
+                          delim: String, minDocFrac: Double): DataFrame = {
+    val nDocs = df.count()
+    df.select(col(idCol), explode(segsCol(col(textCol), delim)).as("segment"))
+      .groupBy("segment")
+      .agg(countDistinct(col(idCol)).as("doc_freq"))
+      .where(col("doc_freq") >= lit(minDocFrac) * lit(nDocs))
+  }
+
+  /** Strip boilerplate segments from every document, preserving the order
+    * and multiplicity of the surviving segments. Adds `text_clean` (the
+    * surviving segments re-joined with `joinDelim`) and `n_removed`.
+    *
+    * The qualifying set is collected into ONE single-row array frame and
+    * broadcast-cross-joined (safe — see [[boilerplateSegments]] size
+    * bound); each row then filters its own segment array in place: order-
+    * preserving, duplicate-preserving, zero extra shuffle of the corpus.
+    * Per-token cost is O(|bad|) — for pathological thresholds that make the
+    * set large, use [[removeBoilerplateViaJoin]]. */
+  def removeBoilerplate(df: DataFrame, textCol: String, idCol: String,
+                        delim: String = "\n", minDocFrac: Double = 0.5,
+                        joinDelim: String = " "): DataFrame = {
+    val badArr = boilerplateSegments(df, textCol, idCol, delim, minDocFrac)
+      .agg(coalesce(collect_list(col("segment")),
+        array().cast("array<string>")).as("__bad"))
+    val staged = df.withColumn("__segs", segsCol(col(textCol), delim))
+      .crossJoin(broadcast(badArr))
+      .withColumn("__clean",
+        filter(col("__segs"), s => !array_contains(col("__bad"), s)))
+    staged
+      .withColumn("text_clean", array_join(col("__clean"), joinDelim))
+      .withColumn("n_removed", (size(col("__segs")) - size(col("__clean"))))
+      .drop("__segs", "__bad", "__clean")
+  }
+
+  /** Shuffle-join form of [[removeBoilerplate]] for thresholds low enough
+    * that the qualifying set no longer fits a broadcast: posexplode →
+    * left-anti join on the segment value → order-restoring reassembly
+    * (array_sort over (pos, segment) structs). Same output contract. */
+  def removeBoilerplateViaJoin(df: DataFrame, textCol: String, idCol: String,
+                               delim: String = "\n", minDocFrac: Double = 0.5,
+                               joinDelim: String = " "): DataFrame = {
+    val bad = boilerplateSegments(df, textCol, idCol, delim, minDocFrac)
+      .select(col("segment"))
+    val staged = df.withColumn("__segs", segsCol(col(textCol), delim))
+    val kept = staged
+      .select(col(idCol), posexplode(col("__segs")).as(Seq("__pos", "segment")))
+      .join(bad, Seq("segment"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(array_sort(collect_list(struct(col("__pos"), col("segment"))))
+        .as("__kept"))
+      .select(col(idCol),
+        transform(col("__kept"), s => s.getField("segment")).as("__clean"))
+    staged.join(kept, Seq(idCol), "left")
+      .withColumn("__clean2",
+        coalesce(col("__clean"), array().cast("array<string>")))
+      .withColumn("text_clean", array_join(col("__clean2"), joinDelim))
+      .withColumn("n_removed", (size(col("__segs")) - size(col("__clean2"))))
+      .drop("__segs", "__clean", "__clean2")
+  }
+
   /** NON-distinct word n-grams (repetition counting needs occurrence
     * multiplicity; [[Dedup.ngramsFromTokens]] is distinct-by-design for set
     * similarity). Empty when the doc has fewer than `n` tokens. */

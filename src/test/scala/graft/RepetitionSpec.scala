@@ -58,6 +58,40 @@ class RepetitionSpec extends AnyFunSuite {
     assert(m(4L)._4 == 0.0)
   }
 
+  private val corpus = Seq(
+    (1L, "header alpha body one footer"),
+    (2L, "header beta body two footer"),
+    (3L, "header gamma body three footer"),
+    (4L, "delta epsilon zeta"))
+    .toDF("doc_id", "text")
+
+  test("boilerplate words (>=75% doc frequency) are stripped, order kept") {
+    // header/body/footer appear in 3/4 docs = 0.75
+    val out = graft.text.Repetition.removeBoilerplate(
+        corpus, "text", "doc_id", delim = "\\s+", minDocFrac = 0.75)
+      .select("doc_id", "text_clean", "n_removed")
+      .as[(Long, String, Int)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out(1L) == (("alpha one", 3)))
+    assert(out(2L) == (("beta two", 3)))
+    assert(out(4L) == (("delta epsilon zeta", 0)))
+  }
+
+  test("broadcast and anti-join boilerplate forms agree (incl. empty docs)") {
+    val all = Seq((1L, "x x x"), (2L, "x y"), (3L, "x")).toDF("doc_id", "text")
+    val a = graft.text.Repetition.removeBoilerplate(
+        all, "text", "doc_id", "\\s+", minDocFrac = 0.9)
+      .select("doc_id", "text_clean", "n_removed")
+      .as[(Long, String, Int)].collect().toSet
+    val b = graft.text.Repetition.removeBoilerplateViaJoin(
+        all, "text", "doc_id", "\\s+", minDocFrac = 0.9)
+      .select("doc_id", "text_clean", "n_removed")
+      .as[(Long, String, Int)].collect().toSet
+    assert(a == b)
+    assert(a.contains((3L, "", 1))) // doc fully consumed by boilerplate
+    // multiplicity preserved: doc 1 loses all three x occurrences
+    assert(a.contains((1L, "", 3)))
+  }
+
   test("metrics are partition-layout independent") {
     val seg = Repetition.withSegmentRepetition(docs.repartition(7), "text",
       delim = "\\s+", prefix = "word")
