@@ -452,6 +452,26 @@ object Oracles {
         |    w -> NOT list_contains(bp.bad, w))))::INT AS n_removed
         |FROM d CROSS JOIN bp ORDER BY doc_id""".stripMargin,
 
+    "q_text_rarity" ->
+      """WITH d AS (SELECT doc_id,
+        |    list_filter(regexp_split_to_array(regexp_replace(lower(trim(text)),
+        |      '[^a-z0-9áéíóúñü ]', '', 'g'), '\s+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |tok AS (SELECT doc_id, unnest(toks) AS token FROM d),
+        |cnt AS (SELECT token, count(*) AS c FROM tok GROUP BY token),
+        |tot AS (SELECT count(*) AS t FROM tok),
+        |r AS (SELECT doc_id, length(((t // c))::VARCHAR) AS rar
+        |  FROM tok JOIN cnt USING (token) CROSS JOIN tot),
+        |agg AS (SELECT doc_id, count(*) AS n, sum(rar) AS rsum, max(rar) AS rmax
+        |  FROM r GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  coalesce(agg.n, 0)::INT AS n_tokens_lm,
+        |  coalesce(floor(agg.rsum / agg.n::DOUBLE * 10000 + 0.5) / 10000, 0.0)
+        |    AS rarity_mean,
+        |  coalesce(agg.rmax, 0)::INT AS rarity_max
+        |FROM d LEFT JOIN agg USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+
     "q_dedup_exact" ->
       """WITH aug AS (
         |  SELECT * FROM documents

@@ -529,6 +529,15 @@ object Queries {
       .select("doc_id", "text_clean", "n_removed")
       .orderBy("doc_id")
 
+  /** Corpus-unigram rarity scoring (KenLM-style quality-filter proxy where
+    * the corpus is its own model): integer-exact digit-bucket rarity so the
+    * DuckDB hash matches bit-for-bit — see [[graft.text.UnigramLM]]. */
+  def qTextRarity(s: SparkSession, dir: String): DataFrame =
+    graft.text.UnigramLM.withRarityScore(
+        t(s, dir, "documents").select("doc_id", "text"), "text", "doc_id")
+      .select("doc_id", "n_tokens_lm", "rarity_mean", "rarity_max")
+      .orderBy("doc_id")
+
   /** PII redaction over documents with deterministically planted PII (a
     * suffix built from doc_id: email, phone, IPv4, 6-digit account run) —
     * the redaction chain and counts are RE2-compatible regexes, so DuckDB
@@ -917,6 +926,7 @@ object Queries {
     "q_text_repetition" -> (qTextRepetition _),
     "q_text_redact" -> (qTextRedact _),
     "q_text_boilerplate" -> (qTextBoilerplate _),
+    "q_text_rarity" -> (qTextRarity _),
     "q_text_fingerprint" -> (qTextFingerprint _),
     "q_dedup_exact" -> (qDedupExact _),
     "q_dedup_minhash_pairs" -> (qDedupMinhashPairs _),

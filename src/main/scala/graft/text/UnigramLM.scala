@@ -1,0 +1,80 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus-derived unigram language-model scoring: how "expected" a
+  * document's tokens are under the corpus's own token distribution — the
+  * self-contained proxy for the KenLM-perplexity quality filters used in
+  * CCNet/Gopher data pipelines (no external model, the corpus IS the
+  * model). Rare-token-dominated docs (OCR noise, codes, mojibake) score as
+  * outliers. Extension beyond the reference surface (SURVEY §2.11).
+  *
+  * Topology (both variants): ONE explode of the token stream → wordcount
+  * aggregation (map-side combine; shuffle = distinct tokens per partition)
+  * → token stream joins the frequency table (BROADCAST by default — a
+  * natural-language vocabulary is millions of entries, not corpus-sized;
+  * pass broadcastVocab=false to let Catalyst/AQE pick a shuffle join when
+  * the "vocabulary" is unbounded) → one per-doc aggregation.
+  *
+  * Two scores:
+  *  - [[withRarityScore]] — ORACLE-GRADE determinism: per-token rarity is
+  *    the decimal digit count of `totalTokens DIV cnt(w)` (an integer-only
+  *    ⌈−log₁₀ p⌉ bucket), per-doc mean/max are exact-integer aggregates
+  *    rounded once. No floating-point accumulation anywhere, so any engine
+  *    reproduces the hash bit-for-bit.
+  *  - [[withUnigramLogProb]] — the continuous mean log₁₀ P(w) users
+  *    actually filter on. Double summation order is partition-dependent
+  *    (like any float agg), so this one is spec-tested, not hash-compared.
+  */
+object UnigramLM {
+
+  /** Normalized non-empty tokens (same normalization as the dedup kit). */
+  private def toks(text: Column): Column =
+    filter(Dedup.tokensCol(text), t => t =!= "")
+
+  /** `(token, cnt)` corpus frequencies. */
+  def unigramCounts(df: DataFrame, textCol: String): DataFrame =
+    df.select(explode(toks(col(textCol))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+
+  private def joined(df: DataFrame, textCol: String, idCol: String,
+                     broadcastVocab: Boolean): (DataFrame, Long) = {
+    val counts = unigramCounts(df, textCol)
+    val total = counts.agg(sum("cnt")).head().getLong(0)
+    val vocab = if (broadcastVocab) broadcast(counts) else counts
+    val stream = df.select(col(idCol), explode(toks(col(textCol))).as("token"))
+    (stream.join(vocab, Seq("token")), total)
+  }
+
+  /** Adds `n_tokens_lm`, `rarity_mean` (round-4), `rarity_max` — the
+    * integer-exact bucketed rarity (see class doc). Docs with no tokens
+    * get 0 / 0.0 / 0. */
+  def withRarityScore(df: DataFrame, textCol: String, idCol: String,
+                      broadcastVocab: Boolean = true): DataFrame = {
+    val (j, total) = joined(df, textCol, idCol, broadcastVocab)
+    val perDoc = j
+      .withColumn("__rar", length(expr(s"CAST($total DIV cnt AS STRING)")))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("__n"), sum("__rar").as("__rsum"),
+        max("__rar").as("__rmax"))
+    df.join(perDoc, Seq(idCol), "left")
+      .withColumn("n_tokens_lm", coalesce(col("__n"), lit(0L)).cast("int"))
+      .withColumn("rarity_mean", coalesce(
+        floor(col("__rsum") / col("__n").cast("double") * 10000 + 0.5) / 10000,
+        lit(0.0)))
+      .withColumn("rarity_max", coalesce(col("__rmax"), lit(0)).cast("int"))
+      .drop("__n", "__rsum", "__rmax")
+  }
+
+  /** Adds `mean_log10_prob` = mean over tokens of log₁₀(cnt(w)/total) —
+    * the continuous filter score (float aggregation; see class doc). */
+  def withUnigramLogProb(df: DataFrame, textCol: String, idCol: String,
+                         broadcastVocab: Boolean = true): DataFrame = {
+    val (j, total) = joined(df, textCol, idCol, broadcastVocab)
+    val perDoc = j
+      .withColumn("__lp", log10(col("cnt") / lit(total.toDouble)))
+      .groupBy(col(idCol)).agg(avg("__lp").as("mean_log10_prob"))
+    df.join(perDoc, Seq(idCol), "left")
+  }
+}
