@@ -472,6 +472,55 @@ object Oracles {
         |FROM d LEFT JOIN agg USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
 
+    "q_text_quantile_filter" ->
+      """SELECT doc_id, source, n_chars FROM (
+        |  SELECT doc_id, source, n_chars,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY n_chars DESC, doc_id) AS rn,
+        |    count(*) OVER (PARTITION BY source) AS n
+        |  FROM documents)
+        |WHERE rn <= ceil(0.25 * n)
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_text_inverted" ->
+      """WITH d AS (SELECT doc_id,
+        |    list_filter(regexp_split_to_array(regexp_replace(lower(trim(text)),
+        |      '[^a-z0-9áéíóúñü ]', '', 'g'), '\s+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |tok AS (SELECT doc_id, unnest(toks) AS token FROM d),
+        |tf AS (SELECT token, doc_id, count(*)::INT AS tf
+        |  FROM tok GROUP BY token, doc_id),
+        |total AS (SELECT count(*) AS n FROM documents),
+        |p AS (SELECT token, doc_id, tf,
+        |    row_number() OVER (PARTITION BY token ORDER BY doc_id)::INT
+        |      AS posting_rank,
+        |    count(*) OVER (PARTITION BY token)::INT AS doc_freq
+        |  FROM tf)
+        |SELECT token, doc_id, tf, posting_rank, doc_freq
+        |FROM p CROSS JOIN total WHERE doc_freq < 0.1 * n
+        |ORDER BY token, doc_id""".stripMargin,
+
+    "q_text_tfidf" ->
+      """WITH d AS (SELECT doc_id,
+        |    list_filter(regexp_split_to_array(regexp_replace(lower(trim(text)),
+        |      '[^a-z0-9áéíóúñü ]', '', 'g'), '\s+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |tok AS (SELECT doc_id, unnest(toks) AS token FROM d),
+        |tf AS (SELECT token, doc_id, count(*) AS tf
+        |  FROM tok GROUP BY token, doc_id),
+        |dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+        |total AS (SELECT count(*) AS n FROM documents),
+        |s AS (SELECT tf.doc_id,
+        |    tf.tf * length(((n // df))::VARCHAR) AS score
+        |  FROM tf JOIN dfreq USING (token) CROSS JOIN total),
+        |agg AS (SELECT doc_id, sum(score) AS ts, max(score) AS tm
+        |  FROM s GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  coalesce(agg.ts, 0)::INT AS tfidf_sum,
+        |  coalesce(agg.tm, 0)::INT AS tfidf_max
+        |FROM d LEFT JOIN agg USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+
     "q_dedup_exact" ->
       """WITH aug AS (
         |  SELECT * FROM documents

@@ -538,6 +538,37 @@ object Queries {
       .select("doc_id", "n_tokens_lm", "rarity_mean", "rarity_max")
       .orderBy("doc_id")
 
+  /** Per-source quality-quantile cut: keep the top 25% of documents per
+    * source by n_chars (integer row_number ≤ ceil semantics — exact and
+    * engine-independent; [[graft.ops.Filters.topFractionByGroup]]). */
+  def qTextQuantileFilter(s: SparkSession, dir: String): DataFrame =
+    Filters.topFractionByGroup(
+        t(s, dir, "documents").select("doc_id", "source", "n_chars"),
+        groupCol = "source", scoreCol = "n_chars", fraction = 0.25,
+        tieCol = "doc_id")
+      .orderBy("doc_id")
+
+  /** Inverted-index build (flat postings: token, doc, tf, posting rank,
+    * doc_freq — the two-stage distributed index topology); restricted to
+    * tokens with doc_freq < 10% of docs to keep the dump row count
+    * bounded by rare terms, which is also the half an index lookup
+    * actually serves ([[graft.text.InvertedIndex]]). */
+  def qTextInverted(s: SparkSession, dir: String): DataFrame = {
+    val nDocs = t(s, dir, "documents").count()
+    graft.text.InvertedIndex.postings(
+        t(s, dir, "documents"), "text", "doc_id")
+      .where(col("doc_freq") < lit(0.1) * lit(nDocs))
+      .orderBy("token", "doc_id")
+  }
+
+  /** Integer-exact TF-IDF rollup per document (digit-bucket idf — same
+    * determinism scheme as q_text_rarity). */
+  def qTextTfidf(s: SparkSession, dir: String): DataFrame =
+    graft.text.InvertedIndex.withTfIdf(
+        t(s, dir, "documents").select("doc_id", "text"), "text", "doc_id")
+      .select("doc_id", "tfidf_sum", "tfidf_max")
+      .orderBy("doc_id")
+
   /** PII redaction over documents with deterministically planted PII (a
     * suffix built from doc_id: email, phone, IPv4, 6-digit account run) —
     * the redaction chain and counts are RE2-compatible regexes, so DuckDB
@@ -927,6 +958,9 @@ object Queries {
     "q_text_redact" -> (qTextRedact _),
     "q_text_boilerplate" -> (qTextBoilerplate _),
     "q_text_rarity" -> (qTextRarity _),
+    "q_text_quantile_filter" -> (qTextQuantileFilter _),
+    "q_text_inverted" -> (qTextInverted _),
+    "q_text_tfidf" -> (qTextTfidf _),
     "q_text_fingerprint" -> (qTextFingerprint _),
     "q_dedup_exact" -> (qDedupExact _),
     "q_dedup_minhash_pairs" -> (qDedupMinhashPairs _),

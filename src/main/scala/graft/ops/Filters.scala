@@ -97,4 +97,27 @@ object Filters {
     }
     df.where(hashU(keyCols, salt) < frac)
   }
+
+  /** Keep the top `fraction` of rows per group, ranked by `scoreCol`
+    * descending with `tieCol` as a deterministic tiebreak — the per-source
+    * quality-quantile cut every curation pipeline ends with ("keep the best
+    * 20% of each crawl"). Integer rank semantics (`row_number ≤
+    * ceil(fraction·group_size)`), so the kept set is exact and engine-
+    * independent — no percent_rank float edge cases, and every non-empty
+    * group keeps ≥1 row.
+    *
+    * Scale: ONE hash shuffle on the group key + one in-partition sort; no
+    * global sort, no quantile sketch round-trip to the driver. Skewed
+    * group sizes are AQE's skew-split problem, not a plan problem. */
+  def topFractionByGroup(df: DataFrame, groupCol: String, scoreCol: String,
+                         fraction: Double, tieCol: String): DataFrame = {
+    require(fraction > 0 && fraction <= 1, "fraction must be in (0, 1]")
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col(scoreCol).desc, col(tieCol))
+    val cnt = Window.partitionBy(col(groupCol))
+    df.withColumn("__rn", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(cnt))
+      .where(col("__rn") <= ceil(lit(fraction) * col("__n")))
+      .drop("__rn", "__n")
+  }
 }

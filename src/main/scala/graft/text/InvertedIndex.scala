@@ -1,0 +1,91 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Inverted-index construction and lexical relevance scoring over a
+  * document corpus — the retrieval side of a training-data platform
+  * (dedup-adjacent: candidate generation, contamination lookups, BM25
+  * hard-negative mining). Extension beyond the reference surface
+  * (SURVEY §2.11).
+  *
+  * The index is emitted FLAT — `(token, doc_id, tf, posting_rank,
+  * doc_freq)` — the exchange format every index shard/bucket writer wants
+  * (and exactly hash-comparable by the DuckDB gate). `posting_rank` is the
+  * doc's position in the token's doc_id-ordered posting list, so a
+  * consumer gets posting lists back with a `groupBy(token)
+  * sort_array(collect_list(...))` or reads a token-bucketed write
+  * directly.
+  *
+  * Scale: token stream explodes once; tf aggregation shuffles on
+  * (token, doc) with map-side combine; posting rank/doc_freq is ONE more
+  * shuffle on token — the classic two-stage distributed index build. Write
+  * the result bucketed by token (`Scale.writeBucketed`) and lookups become
+  * single-bucket scans.
+  */
+object InvertedIndex {
+
+  private def toks(text: Column): Column =
+    filter(Dedup.tokensCol(text), t => t =!= "")
+
+  /** Flat postings (see class doc). */
+  def postings(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val tf = df
+      .select(col(idCol).as("doc_id"), explode(toks(col(textCol))).as("token"))
+      .groupBy("token", "doc_id").agg(count(lit(1)).cast("int").as("tf"))
+    val byToken = Window.partitionBy(col("token"))
+    tf.withColumn("posting_rank",
+        row_number().over(byToken.orderBy(col("doc_id"))).cast("int"))
+      .withColumn("doc_freq", count(lit(1)).over(byToken).cast("int"))
+  }
+
+  /** Integer-exact TF-IDF per document: idf is bucketed as the decimal
+    * digit count of `nDocs DIV doc_freq` (the same ⌈−log₁₀⌉ quantization
+    * as [[UnigramLM.withRarityScore]], same determinism rationale), so
+    * `tfidf_sum = Σ_term tf·idfBucket` and `tfidf_max` are pure-integer
+    * aggregates any engine reproduces bit-for-bit. Adds both per doc;
+    * token-less docs get 0. */
+  def withTfIdf(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val nDocs = df.count()
+    // tf + UNORDERED doc_freq window (no posting_rank → no per-token sort)
+    val tf = df
+      .select(col(idCol).as("doc_id"), explode(toks(col(textCol))).as("token"))
+      .groupBy("token", "doc_id").agg(count(lit(1)).cast("int").as("tf"))
+    val p = tf
+      .withColumn("doc_freq", count(lit(1)).over(Window.partitionBy(col("token"))))
+      .withColumn("__idfb", length(expr(s"CAST($nDocs DIV doc_freq AS STRING)")))
+    val perDoc = p.groupBy(col("doc_id").as(idCol))
+      .agg(sum(col("tf") * col("__idfb")).as("__ts"),
+        max(col("tf") * col("__idfb")).as("__tm"))
+    df.join(perDoc, Seq(idCol), "left")
+      .withColumn("tfidf_sum", coalesce(col("__ts"), lit(0L)).cast("int"))
+      .withColumn("tfidf_max", coalesce(col("__tm"), lit(0L)).cast("int"))
+      .drop("__ts", "__tm")
+  }
+
+  /** Continuous BM25 (Robertson/Spärck Jones; k1/b defaults per the
+    * classic Okapi setting) of every document against a fixed query token
+    * set — hard-negative mining / contamination lookup scoring. Float math
+    * (log + division), so spec-tested rather than hash-gated. The query
+    * side is a handful of terms: its df table rides in the filter, the
+    * corpus streams once. */
+  def bm25(df: DataFrame, textCol: String, idCol: String,
+           query: Seq[String], k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(query.nonEmpty, "query must have at least one term")
+    val nDocs = df.count()
+    val lens = df.select(col(idCol).as("doc_id"),
+      size(toks(col(textCol))).as("dl"))
+    val avgdl = lens.agg(avg("dl")).head().getDouble(0)
+    val p = postings(df, textCol, idCol)
+      .where(col("token").isInCollection(query))
+    val idf = log((lit(nDocs.toDouble) - col("doc_freq") + 0.5)
+      / (col("doc_freq") + 0.5) + 1.0)
+    val scored = p.join(lens, Seq("doc_id"))
+      .withColumn("__s", idf * (col("tf") * (k1 + 1))
+        / (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / avgdl)))
+      .groupBy("doc_id").agg(sum("__s").as("bm25"))
+    df.select(col(idCol).as("doc_id")).join(scored, Seq("doc_id"), "left")
+      .na.fill(0.0, Seq("bm25"))
+  }
+}

@@ -1,0 +1,69 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.ops.Filters
+import graft.text.InvertedIndex
+
+class InvertedIndexSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "spark spark shuffle"),
+    (2L, "spark join"),
+    (3L, "join join join"))
+    .toDF("doc_id", "text")
+
+  test("postings: tf, doc-ordered rank, doc_freq") {
+    val p = InvertedIndex.postings(docs, "text", "doc_id")
+      .select("token", "doc_id", "tf", "posting_rank", "doc_freq")
+      .as[(String, Long, Int, Int, Int)].collect().toSet
+    assert(p == Set(
+      ("spark", 1L, 2, 1, 2), ("spark", 2L, 1, 2, 2),
+      ("shuffle", 1L, 1, 1, 1),
+      ("join", 2L, 1, 1, 2), ("join", 3L, 3, 2, 2)))
+  }
+
+  test("tfidf: digit-bucket idf, hand computation") {
+    // nDocs=3; df(spark)=2 → 3 DIV 2 = 1 → bucket 1; df(shuffle)=1 → 3 → 1
+    // every bucket is 1 here, so tfidf_sum = token count, max = max tf
+    val out = InvertedIndex.withTfIdf(docs, "text", "doc_id")
+      .select("doc_id", "tfidf_sum", "tfidf_max")
+      .as[(Long, Int, Int)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out(1L) == ((3, 2)))
+    assert(out(2L) == ((2, 1)))
+    assert(out(3L) == ((3, 3)))
+  }
+
+  test("tfidf: rare terms outweigh common ones across a wider corpus") {
+    val wide = (Seq((100L, "rareterm")) ++
+      (1L to 20L).map(i => (i, "common"))).toDF("doc_id", "text")
+    // df(common)=20, nDocs=21 → 21 DIV 20 = 1 → bucket 1 → max 1·1 = 1
+    // df(rareterm)=1 → 21 DIV 1 = 21 → bucket 2 → max 1·2 = 2
+    val out = InvertedIndex.withTfIdf(wide, "text", "doc_id")
+      .select("doc_id", "tfidf_max").as[(Long, Int)].collect().toMap
+    assert(out(100L) == 2 && out(1L) == 1)
+  }
+
+  test("bm25 ranks the query-term-dense doc first, zero for no overlap") {
+    val out = InvertedIndex.bm25(docs, "text", "doc_id", Seq("join"))
+      .as[(Long, Double)].collect().toMap
+    assert(out(3L) > out(2L))      // tf 3 beats tf 1
+    assert(out(1L) == 0.0)         // no query term
+  }
+
+  test("topFractionByGroup keeps exact per-group top fraction with ties") {
+    val rows = Seq(
+      ("a", 1L, 10), ("a", 2L, 10), ("a", 3L, 5), ("a", 4L, 1),
+      ("b", 5L, 7),
+      ("c", 6L, 2), ("c", 7L, 9))
+      .toDF("source", "id", "score")
+    val kept = Filters.topFractionByGroup(rows, "source", "score", 0.5, "id")
+      .select("id").as[Long].collect().toSet
+    // a: ceil(0.5*4)=2 → ids 1,2 (tie broken by id); b: ceil(0.5)=1 → 5;
+    // c: ceil(0.5*2)=1 → 7
+    assert(kept == Set(1L, 2L, 5L, 7L))
+  }
+}
