@@ -653,6 +653,91 @@ object Oracles {
       """SELECT vec_id AS id_a, vec_id + 10000 AS id_b FROM embeddings
         |WHERE vec_id < 20 ORDER BY id_a""".stripMargin,
 
+    // cluster assignment / SemDeDup: FULL SQL replication (not a planted
+    // prediction) — the integer micro-unit quantization makes the argmin
+    // exact, so DuckDB recomputes the identical assignment, including
+    // which perturbed clones cross a cluster boundary
+
+    "q_cluster_assign" ->
+      """WITH q AS (SELECT vec_id,
+        |    list_transform(embedding,
+        |      x -> CAST(round(CAST(x AS DOUBLE)*1000000) AS BIGINT)) AS v
+        |  FROM embeddings),
+        |c AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cidx, v AS cv
+        |  FROM q WHERE vec_id < 8),
+        |d AS (SELECT q.vec_id, c.cidx,
+        |    list_sum(list_transform(range(1, 65),
+        |      i -> (q.v[i]-c.cv[i])*(q.v[i]-c.cv[i]))) AS dist
+        |  FROM q CROSS JOIN c),
+        |r AS (SELECT vec_id, cidx,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, cidx) AS rn
+        |  FROM d)
+        |SELECT vec_id, CAST(cidx AS INT) AS cluster FROM r WHERE rn = 1
+        |ORDER BY vec_id""".stripMargin,
+
+    "q_sem_dedup" ->
+      """WITH base AS (SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |aug AS (SELECT vec_id, v FROM base
+        |  UNION ALL
+        |  SELECT vec_id + 10000,
+        |    list_transform(range(1, 65),
+        |      i -> CASE WHEN i = 1 THEN v[i] + 0.1 ELSE v[i] END)
+        |  FROM base WHERE vec_id < 20),
+        |qv AS (SELECT vec_id, v,
+        |    list_transform(v, x -> CAST(round(x*1000000) AS BIGINT)) AS q
+        |  FROM aug),
+        |c AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cidx, q AS cq
+        |  FROM qv WHERE vec_id < 8),
+        |d AS (SELECT qv.vec_id, qv.v, c.cidx,
+        |    list_sum(list_transform(range(1, 65),
+        |      i -> (qv.q[i]-c.cq[i])*(qv.q[i]-c.cq[i]))) AS dist
+        |  FROM qv CROSS JOIN c),
+        |a AS (SELECT vec_id, v, cidx AS cluster FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id
+        |      ORDER BY dist, cidx) AS rn FROM d)
+        |  WHERE rn = 1),
+        |p AS (SELECT x.vec_id AS id_a, y.vec_id AS id_b
+        |  FROM a x JOIN a y ON x.cluster = y.cluster AND x.vec_id < y.vec_id
+        |  WHERE list_sum(list_transform(range(1,65), i -> x.v[i]*y.v[i]))
+        |    / (sqrt(list_sum(list_transform(range(1,65), i -> x.v[i]*x.v[i])))
+        |     * sqrt(list_sum(list_transform(range(1,65), i -> y.v[i]*y.v[i]))))
+        |    >= 0.9)
+        |SELECT id_a, id_b FROM p WHERE id_b = id_a + 10000
+        |ORDER BY id_a""".stripMargin,
+
+    "q_curate_buckets" ->
+      """SELECT doc_id, source, n_chars,
+        |  CAST(ntile(10) OVER (PARTITION BY source
+        |    ORDER BY n_chars DESC, doc_id) AS INT) AS bucket
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_curate_mixture" ->
+      """WITH w(source, wt) AS (VALUES
+        |  ('src0', CAST(0.5 AS DOUBLE)),
+        |  ('src1', CAST(0.25 AS DOUBLE)),
+        |  ('src2', CAST(0.25 AS DOUBLE))),
+        |cnt AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+        |tot AS (SELECT min(CAST(floor(n / wt) AS BIGINT)) AS total
+        |  FROM cnt JOIN w USING (source)),
+        |k AS (SELECT source, CAST(floor(wt * total) AS BIGINT) AS keep_n
+        |  FROM w CROSS JOIN tot),
+        |r AS (SELECT doc_id, source, n_chars,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY n_chars DESC, doc_id) AS rn
+        |  FROM documents WHERE source IN (SELECT source FROM w))
+        |SELECT doc_id, source, n_chars FROM r JOIN k USING (source)
+        |WHERE rn <= keep_n ORDER BY doc_id""".stripMargin,
+
+    "q_pack_sliding" ->
+      """WITH c AS (SELECT doc_id, n_chars,
+        |    unnest(range(0, n_chars, 100)) AS chunk_start
+        |  FROM documents WHERE n_chars > 0)
+        |SELECT doc_id, CAST(chunk_start // 100 AS INT) AS chunk_idx,
+        |  chunk_start, least(chunk_start + 200, n_chars) AS chunk_end
+        |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
+
     "q_sim_lsh_topk" ->
       """SELECT vec_id + 10000 AS query_id, vec_id AS neighbor_id FROM embeddings
         |WHERE vec_id < 20 ORDER BY query_id""".stripMargin,

@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 import graft.core.{Dates, Exprs, TextNorm, Types}
 import graft.ops.{Aggregations, Filters, Joins, Selection, Windows}
 import graft.text.{Dedup, TextStats}
-import graft.sim.Similarity
+import graft.sim.{Cluster, Similarity}
 
 /** The driver-facing query catalog: one entry per implemented operator from
   * SURVEY.md §2 (+ the training-data extensions), each paired with an ANSI
@@ -762,6 +762,73 @@ object Queries {
       .orderBy("id_a")
   }
 
+  /** Quantized vectors of the 8 smallest vec_ids — the fixed centroid set
+    * shared between [[qClusterAssign]]/[[qSemDedup]] and their oracles
+    * (integer micro-units → argmin margins are exact, engine-identical). */
+  private def fixedCentroids(emb: DataFrame): Seq[Seq[Long]] =
+    emb.where(col("vec_id") < 8).orderBy("vec_id")
+      .select(Cluster.quantize(col("embedding")).as("__q"))
+      .collect().map(_.getSeq[Long](0).toVector).toVector
+
+  /** Fixed-centroid cluster assignment over the embedding corpus
+    * ([[graft.sim.Cluster.assignQuantized]]): map-only argmin against 8
+    * broadcast literal centroids, bit-identical across engines by integer
+    * quantization. */
+  def qClusterAssign(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    Cluster.assignQuantized(emb, "embedding", fixedCentroids(emb))
+      .select("vec_id", "cluster")
+      .orderBy("vec_id")
+  }
+
+  /** SemDeDup planted recovery: embeddings ∪ perturbed clones, clustered
+    * to the 8 fixed centroids, paired within clusters at cosine ≥ 0.9
+    * (clones sit at ≈0.995, the max natural pair ≈0.61 — wide margins).
+    * WHICH clones share their original's cluster is itself deterministic
+    * (integer argmin), so the oracle reproduces the exact recovered set —
+    * including the clones the algorithm honestly loses to a cluster
+    * boundary. */
+  def qSemDedup(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val corpus = e.withColumn("embedding", col("embedding").cast("array<double>"))
+      .unionByName(perturbedQueries(e))
+    Cluster.semanticDupPairs(corpus, "vec_id", "embedding",
+        fixedCentroids(e), threshold = 0.9)
+      .where(col("id_b") === col("id_a") + 10000)
+      .select("id_a", "id_b")
+      .orderBy("id_a")
+  }
+
+  /** Per-source quality-rank deciles ([[graft.ops.Filters.rankBuckets]]):
+    * ntile bucket boundaries are integer and the (n_chars desc, doc_id)
+    * order is unique — deterministic in both engines. */
+  def qCurateBuckets(s: SparkSession, dir: String): DataFrame =
+    Filters.rankBuckets(
+        t(s, dir, "documents").select("doc_id", "source", "n_chars"),
+        groupCol = "source", scoreCol = "n_chars", nBuckets = 10,
+        tieCol = "doc_id")
+      .orderBy("doc_id")
+
+  /** Mixture rebalance to a 50/25/25 target over three sources
+    * ([[graft.ops.Filters.rebalanceMixture]]); binary-fraction weights
+    * keep the floor arithmetic exact in double on both engines. */
+  def qCurateMixture(s: SparkSession, dir: String): DataFrame =
+    Filters.rebalanceMixture(
+        t(s, dir, "documents").select("doc_id", "source", "n_chars"),
+        groupCol = "source",
+        weights = Map("src0" -> 0.5, "src1" -> 0.25, "src2" -> 0.25),
+        scoreCol = "n_chars", tieCol = "doc_id")
+      .orderBy("doc_id")
+
+  /** Sliding character-window chunking (window 200, step 100) — map-only
+    * explode with integer spans ([[graft.text.Packing.slidingChunks]]). */
+  def qPackSliding(s: SparkSession, dir: String): DataFrame =
+    text.Packing.slidingChunks(
+        t(s, dir, "documents").select("doc_id", "n_chars"),
+        "n_chars", window = 200, step = 100)
+      .select("doc_id", "chunk_idx", "chunk_start", "chunk_end")
+      .orderBy("doc_id", "chunk_idx")
+
   /** Multimodal plumbing: text → opaque binary column + typed metadata +
     * deterministic fake "feature extraction" (byte stats standing in for an
     * image/audio decoder — the real decode would be a mapPartitions /
@@ -974,6 +1041,11 @@ object Queries {
     "q_sim_ivf_topk" -> (qSimIvfTopK _),
     "q_sim_lsh_topk" -> (qSimLshTopK _),
     "q_sim_embedding_dedup" -> (qSimEmbeddingDedup _),
+    "q_cluster_assign" -> (qClusterAssign _),
+    "q_sem_dedup" -> (qSemDedup _),
+    "q_curate_buckets" -> (qCurateBuckets _),
+    "q_curate_mixture" -> (qCurateMixture _),
+    "q_pack_sliding" -> (qPackSliding _),
     "q_mm_binary_meta" -> (qMmBinaryMeta _),
     "q_w12_sessionize" -> (qW12Sessionize _),
     "q_j9_range_join" -> (qJ9RangeJoin _),

@@ -120,4 +120,59 @@ object Filters {
       .where(col("__rn") <= ceil(lit(fraction) * col("__n")))
       .drop("__rn", "__n")
   }
+
+  /** Per-group quality-rank buckets (`ntile` semantics): bucket 1 holds
+    * the best rows of each group by `scoreCol` descending (`tieCol`
+    * breaks ties deterministically). The curriculum / quality-tier
+    * assignment step — downstream samplers draw per-bucket rates instead
+    * of re-sorting the corpus.
+    *
+    * Scale: ONE hash shuffle on the group key + in-partition sort —
+    * never a global single-partition window (callers wanting corpus-wide
+    * tiers should bucket within shards and stratify, or accept the group
+    * key being a corpus-level constant is a scale bug, not a plan
+    * feature). */
+  def rankBuckets(df: DataFrame, groupCol: String, scoreCol: String,
+                  nBuckets: Int, tieCol: String,
+                  bucketCol: String = "bucket"): DataFrame = {
+    require(nBuckets > 0, "nBuckets must be positive")
+    df.withColumn(bucketCol, ntile(nBuckets).over(
+      Window.partitionBy(col(groupCol)).orderBy(col(scoreCol).desc, col(tieCol))))
+  }
+
+  /** Rebalance a corpus to a target source mixture: given per-group
+    * weights (fractions of the OUTPUT), keep the largest total T such
+    * that no group is over-drawn (`T = min_g floor(count_g / w_g)`), then
+    * keep the best `floor(w_g · T)` rows of each group by `scoreCol`
+    * descending. Groups absent from `weights` are dropped. This is the
+    * data-mixture step of a pretraining pipeline ("50% web, 25% books,
+    * 25% code") executed as exact per-group top-n — deterministic, no
+    * sampling noise.
+    *
+    * Scale: per-group counts are one k-row aggregate (k = number of
+    * sources, driver-sized by definition); selection is the same single
+    * group-key shuffle as [[topFractionByGroup]]. Weights should be exact
+    * binary fractions if the keep-set must be engine-reproducible (the
+    * floor sits on a float product). */
+  def rebalanceMixture(df: DataFrame, groupCol: String,
+                       weights: Map[String, Double],
+                       scoreCol: String, tieCol: String): DataFrame = {
+    require(weights.nonEmpty && weights.values.forall(_ > 0),
+      "weights must be non-empty and positive")
+    val counts = df.groupBy(col(groupCol)).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = weights.collect { case (g, w) if counts.contains(g) =>
+      math.floor(counts(g) / w).toLong
+    } match {
+      case ts if ts.isEmpty => 0L
+      case ts => ts.min
+    }
+    val keepN = typedLit(weights.map { case (g, w) => g -> math.floor(w * total).toLong })
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col(scoreCol).desc, col(tieCol))
+    df.where(element_at(keepN, col(groupCol)).isNotNull)
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") <= element_at(keepN, col(groupCol)))
+      .drop("__rn")
+  }
 }

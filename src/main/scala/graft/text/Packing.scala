@@ -61,4 +61,27 @@ object Packing {
         greatest(chunk(col("tok_start") + col(tokenCountCol) - 1), chunk(col("tok_start"))))
       .drop("__part", "__offset")
   }
+
+  /** Per-document overlapping sliding windows: cut each document's unit
+    * span `[0, lengthCol)` into chunks starting every `step` units, each
+    * `window` units long (clipped at the document end). Emits one row per
+    * chunk: `chunk_idx` (0-based), `chunk_start`, `chunk_end` (exclusive).
+    * Documents with length 0 emit no chunks. The long-document
+    * split-with-overlap step (RAG indexing, context-window prep) —
+    * complements [[chunkAssignments]], which packs the corpus-level
+    * stream; this one splits within each document.
+    *
+    * Scale: MAP-ONLY — `sequence` + `posexplode` generate chunk rows in
+    * place; no shuffle, no state. Output size is input-length/step rows,
+    * the operator's inherent fan-out. */
+  def slidingChunks(df: DataFrame, lengthCol: String,
+                    window: Int, step: Int): DataFrame = {
+    require(window > 0 && step > 0 && step <= window,
+      s"need 0 < step <= window, got window=$window step=$step")
+    df.where(col(lengthCol) > 0)
+      .select(df.columns.map(col) :+
+        posexplode(sequence(lit(0L), col(lengthCol).cast("long") - 1, lit(step.toLong)))
+          .as(Seq("chunk_idx", "chunk_start")): _*)
+      .withColumn("chunk_end", least(col("chunk_start") + window, col(lengthCol).cast("long")))
+  }
 }

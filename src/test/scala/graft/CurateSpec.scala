@@ -1,0 +1,60 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Filters
+import graft.text.Packing
+
+class CurateSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("rankBuckets: ntile semantics per group, deterministic ties") {
+    val df = Seq(
+      ("a", 1L, 30), ("a", 2L, 20), ("a", 3L, 20), ("a", 4L, 10), ("a", 5L, 5),
+      ("b", 6L, 1))
+      .toDF("source", "id", "score")
+    val out = Filters.rankBuckets(df, "source", "score", nBuckets = 2, tieCol = "id")
+      .select("id", "bucket").as[(Long, Int)].collect().toMap
+    // a: 5 rows -> buckets of 3 and 2 in (score desc, id) order
+    assert(out == Map(1L -> 1, 2L -> 1, 3L -> 1, 4L -> 2, 5L -> 2, 6L -> 1))
+  }
+
+  test("rebalanceMixture: exact per-group counts, best rows kept, unlisted groups dropped") {
+    val df = (
+      (1L to 10L).map(i => ("web", i, i * 10)) ++    // 10 rows, weight .5
+      (11L to 14L).map(i => ("books", i, i)) ++      //  4 rows, weight .25
+      (15L to 20L).map(i => ("code", i, i)) ++       //  6 rows, weight .25
+      Seq(("junk", 99L, 1L))                         // unlisted
+    ).map { case (s, i, v) => (s, i, v.toLong) }.toDF("source", "id", "score")
+    // T = min(10/.5, 4/.25, 6/.25) = min(20, 16, 24) = 16
+    // keep: web floor(.5*16)=8, books 4, code 4
+    val out = Filters.rebalanceMixture(df, "source",
+      Map("web" -> 0.5, "books" -> 0.25, "code" -> 0.25), "score", "id")
+    val bySource = out.select("source", "id").as[(String, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(bySource("web") == (3L to 10L).toSet)     // top 8 by score
+    assert(bySource("books") == (11L to 14L).toSet)
+    assert(bySource("code") == (17L to 20L).toSet)   // top 4 of 6
+    assert(!bySource.contains("junk"))
+  }
+
+  test("rebalanceMixture with a weighted group absent from the data") {
+    val df = Seq(("web", 1L, 5L), ("web", 2L, 6L)).toDF("source", "id", "score")
+    // T = floor(2/0.5) = 4 from the only present group; web keeps floor(.5*4)=2
+    val out = Filters.rebalanceMixture(df, "source",
+      Map("web" -> 0.5, "ghost" -> 0.5), "score", "id")
+    assert(out.count() == 2)
+  }
+
+  test("slidingChunks: clipped spans, overlap, zero-length docs emit nothing") {
+    val df = Seq((1L, 25L), (2L, 10L), (3L, 0L)).toDF("id", "len")
+    val out = Packing.slidingChunks(df, "len", window = 10, step = 5)
+      .select("id", "chunk_idx", "chunk_start", "chunk_end")
+      .as[(Long, Int, Long, Long)].collect().toSet
+    assert(out == Set(
+      (1L, 0, 0L, 10L), (1L, 1, 5L, 15L), (1L, 2, 10L, 20L),
+      (1L, 3, 15L, 25L), (1L, 4, 20L, 25L),
+      (2L, 0, 0L, 10L), (2L, 1, 5L, 10L)))
+  }
+}
