@@ -857,5 +857,144 @@ object Oracles {
         |FROM scored
         |WHERE lang_pred <> 'unknown' AND stopword_ratio >= 0.05 AND n_chars_m >= 100
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_feat_minmax" ->
+      """WITH s AS (SELECT
+        |    CAST(min(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qmin,
+        |    CAST(max(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qmax,
+        |    CAST(min(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS pmin,
+        |    CAST(max(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS pmax
+        |  FROM lineitem)
+        |SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
+        |  CASE WHEN qmax <> qmin
+        |    THEN (l_quantity - qmin) / (qmax - qmin) END AS l_quantity_scaled,
+        |  CASE WHEN pmax <> pmin
+        |    THEN (l_extendedprice - pmin) / (pmax - pmin) END AS l_extendedprice_scaled
+        |FROM lineitem CROSS JOIN s
+        |WHERE l_orderkey < 600
+        |ORDER BY l_orderkey, l_linenumber, l_quantity, l_extendedprice""".stripMargin,
+
+    "q_feat_zscore" ->
+      """WITH st AS (SELECT o_orderpriority,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS s,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)) *
+        |             CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS q,
+        |    count(*) AS n
+        |  FROM orders GROUP BY 1)
+        |SELECT o_orderkey, o_orderpriority, o_totalprice,
+        |  floor(CASE WHEN n >= 2
+        |    AND (q - s * s / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0) > 0.0
+        |    THEN (o_totalprice - s / CAST(n AS DOUBLE)) /
+        |      sqrt((q - s * s / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0))
+        |  END * 1e6 + 0.5) / 1e6 AS o_totalprice_z
+        |FROM orders JOIN st USING (o_orderpriority)
+        |WHERE o_orderkey < 1000
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q_feat_target_encode" ->
+      """WITH g AS (SELECT
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS gs,
+        |    CAST(count(*) AS DOUBLE) AS gn FROM orders),
+        |c AS (SELECT o_orderpriority,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS s,
+        |    count(*) AS n
+        |  FROM orders GROUP BY 1)
+        |SELECT o_orderpriority, n,
+        |  (s + 16.0 * (gs / gn)) / (CAST(n AS DOUBLE) + 16.0) AS enc
+        |FROM c CROSS JOIN g
+        |ORDER BY o_orderpriority""".stripMargin,
+
+    "q_feat_woe_iv" ->
+      """WITH c AS (SELECT o_orderpriority,
+        |    count(*) FILTER (WHERE NOT (o_totalprice > 150000)) AS n_good,
+        |    count(*) FILTER (WHERE o_totalprice > 150000) AS n_bad
+        |  FROM orders GROUP BY 1),
+        |t AS (SELECT CAST(sum(n_good) AS DOUBLE) AS tg,
+        |             CAST(sum(n_bad) AS DOUBLE) AS tb FROM c)
+        |SELECT o_orderpriority, n_good, n_bad,
+        |  CAST(n_good AS DOUBLE) / tg AS pct_good,
+        |  CAST(n_bad AS DOUBLE) / tb AS pct_bad,
+        |  CASE WHEN n_good > 0 AND n_bad > 0 THEN
+        |    floor(ln((CAST(n_bad AS DOUBLE) / tb) / (CAST(n_good AS DOUBLE) / tg))
+        |      * 1e6 + 0.5) / 1e6 END AS woe,
+        |  CASE WHEN n_good > 0 AND n_bad > 0 THEN
+        |    floor((CAST(n_bad AS DOUBLE) / tb - CAST(n_good AS DOUBLE) / tg) *
+        |      ln((CAST(n_bad AS DOUBLE) / tb) / (CAST(n_good AS DOUBLE) / tg))
+        |      * 1e6 + 0.5) / 1e6 END AS iv_term
+        |FROM c CROSS JOIN t
+        |ORDER BY o_orderpriority""".stripMargin,
+
+    "q_feat_psi" ->
+      """WITH b AS (
+        |  SELECT CAST(least(greatest(floor(value / 50.0), 0), 9) AS BIGINT) AS bin,
+        |         'e' AS side
+        |  FROM events WHERE ts < TIMESTAMP '2024-01-16'
+        |  UNION ALL
+        |  SELECT CAST(least(greatest(floor(value / 50.0), 0), 9) AS BIGINT) AS bin,
+        |         'a' AS side
+        |  FROM events WHERE ts >= TIMESTAMP '2024-01-16'),
+        |c AS (SELECT bin,
+        |    greatest(coalesce(count(*) FILTER (WHERE side = 'e'), 0), 1) AS n_expected,
+        |    greatest(coalesce(count(*) FILTER (WHERE side = 'a'), 0), 1) AS n_actual
+        |  FROM b GROUP BY bin),
+        |t AS (SELECT CAST(sum(n_expected) AS DOUBLE) AS te,
+        |             CAST(sum(n_actual) AS DOUBLE) AS ta FROM c)
+        |SELECT bin, n_expected, n_actual,
+        |  CAST(n_expected AS DOUBLE) / te AS pct_expected,
+        |  CAST(n_actual AS DOUBLE) / ta AS pct_actual,
+        |  floor((CAST(n_actual AS DOUBLE) / ta - CAST(n_expected AS DOUBLE) / te) *
+        |    ln((CAST(n_actual AS DOUBLE) / ta) / (CAST(n_expected AS DOUBLE) / te))
+        |    * 1e6 + 0.5) / 1e6 AS psi_term
+        |FROM c CROSS JOIN t
+        |ORDER BY bin""".stripMargin,
+
+    "q_feat_corr" -> corrPairsSql(
+      Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"), "lineitem"),
+
+    "q_scale_zorder" ->
+      s"""WITH p AS (SELECT p_partkey,
+        |    CAST(p_size AS BIGINT) AS zx,
+        |    CAST(floor(p_retailprice) AS BIGINT) - 900 AS zy
+        |  FROM part)
+        |SELECT p_partkey, zx, zy, ${zOrderSql("zx", "zy", 7)} AS zval
+        |FROM p ORDER BY p_partkey""".stripMargin,
+
+    "q_p12_portable_sample" ->
+      """SELECT c_custkey, c_name, c_mktsegment
+        |FROM customer
+        |WHERE ('0x' || substr(md5(concat_ws('|', c_custkey, '7')), 1, 15))::UBIGINT
+        |  % 1000000000 < 250000000
+        |ORDER BY c_custkey""".stripMargin,
   )
+
+  /** Unrolled Morton interleave, bit-identical to Scale.zOrderValue. */
+  private def zOrderSql(x: String, y: String, bits: Int): String =
+    (0 until bits).flatMap(b => Seq(
+      s"((($x >> $b) & 1) << ${2 * b})",
+      s"((($y >> $b) & 1) << ${2 * b + 1})")).mkString(" | ")
+
+  /** Single-pass pairwise Pearson, same formula shape as
+    * Features.corrPairs (decimal-exact sums → fixed double expression). */
+  private def corrPairsSql(cols: Seq[String], table: String): String = {
+    def s(c: String) = s"s_$c"
+    def p(i: Int, j: Int) = s"p_${i}_$j"
+    val sumSelects = cols.map(c =>
+      s"CAST(sum(CAST($c AS DECIMAL(18,2))) AS DOUBLE) AS ${s(c)}")
+    val prodSelects = for { i <- cols.indices; j <- i until cols.size } yield
+      s"CAST(sum(CAST(${cols(i)} AS DECIMAL(18,2)) * " +
+        s"CAST(${cols(j)} AS DECIMAL(18,2))) AS DOUBLE) AS ${p(i, j)}"
+    val pairRows = for { i <- cols.indices; j <- (i + 1) until cols.size } yield {
+      val (sx, sy) = (s(cols(i)), s(cols(j)))
+      val cov = s"(nd * ${p(i, j)} - $sx * $sy)"
+      val vx = s"(nd * ${p(i, i)} - $sx * $sx)"
+      val vy = s"(nd * ${p(j, j)} - $sy * $sy)"
+      s"SELECT '${cols(i)}' AS col_x, '${cols(j)}' AS col_y, n, " +
+        s"floor(CASE WHEN $vx > 0.0 AND $vy > 0.0 THEN $cov / (sqrt($vx) * sqrt($vy)) END " +
+        s"* 1e9 + 0.5) / 1e9 AS corr FROM st"
+    }
+    s"""WITH st AS (SELECT ${(sumSelects ++ prodSelects).mkString(", ")},
+       |  count(*) AS n, CAST(count(*) AS DOUBLE) AS nd FROM $table)
+       |${pairRows.mkString("\nUNION ALL\n")}
+       |ORDER BY col_x, col_y""".stripMargin
+  }
 }

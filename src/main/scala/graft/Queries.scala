@@ -976,6 +976,90 @@ object Queries {
   }
 
   // =====================================================================
+  // Feature-engineering math (graft.features.Features) + scale layout
+  // =====================================================================
+
+  /** Min-max scaling of two lineitem measures fitted on the full table
+    * (one scalar agg + broadcast), emitted for a bounded key range. */
+  def qFeatMinmax(s: SparkSession, dir: String): DataFrame =
+    graft.features.Features.minMaxScale(
+        t(s, dir, "lineitem").select(
+          "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"),
+        Seq("l_quantity", "l_extendedprice"))
+      .where(col("l_orderkey") < 600)
+      .orderBy("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+
+  /** Per-priority z-score standardization of order amounts — group stats
+    * from decimal-exact Σx/Σx², broadcast back, fact table never
+    * shuffled. The z is 6-dp det-rounded: Σx² is large enough (~2e18
+    * scaled units) that DuckDB's hugeint→double→/10⁴ double-rounds while
+    * Spark's Decimal.toDouble rounds once — a 1-ulp divergence the fixed-
+    * point round absorbs. */
+  def qFeatZscore(s: SparkSession, dir: String): DataFrame =
+    graft.features.Features.zScore(
+        t(s, dir, "orders").select("o_orderkey", "o_orderpriority", "o_totalprice"),
+        Seq("o_totalprice"), groupCols = Seq("o_orderpriority"))
+      .where(col("o_orderkey") < 1000)
+      .withColumn("o_totalprice_z",
+        floor(col("o_totalprice_z") * 1e6 + 0.5) / 1e6)
+      .orderBy("o_orderkey")
+
+  /** Smoothed target-mean encoding table (m = 16, exact binary) of order
+    * priority against order amount. */
+  def qFeatTargetEncode(s: SparkSession, dir: String): DataFrame =
+    graft.features.Features.targetMeanEncode(
+        t(s, dir, "orders"), "o_orderpriority", "o_totalprice", smoothing = 16.0)
+      .orderBy("o_orderpriority")
+
+  /** Weight-of-evidence / information-value table for the binary
+    * "large order" label per priority — integer-exact counts, 6-dp woe. */
+  def qFeatWoeIv(s: SparkSession, dir: String): DataFrame =
+    graft.features.Features.woeTable(
+        t(s, dir, "orders").withColumn("is_large", col("o_totalprice") > 150000),
+        "o_orderpriority", "is_large")
+      .orderBy("o_orderpriority")
+
+  /** PSI drift between the first and second half of the events month over
+    * 10 fixed-width value bins (floor-count smoothing = 1). */
+  def qFeatPsi(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val cut = lit("2024-01-16").cast("timestamp")
+    graft.features.Features.psiFixedBins(
+        ev.where(col("ts") < cut), ev.where(col("ts") >= cut),
+        "value", lo = 0.0, width = 50.0, nBins = 10)
+      .orderBy("bin")
+  }
+
+  /** Pearson correlation of the four lineitem measures in ONE aggregation
+    * pass (all Σx/Σx²/Σxy together), pairs exploded from the single-row
+    * result. */
+  def qFeatCorr(s: SparkSession, dir: String): DataFrame =
+    graft.features.Features.corrPairs(t(s, dir, "lineitem"),
+        Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
+      .withColumn("corr", floor(col("corr") * 1e9 + 0.5) / 1e9)
+      .orderBy("col_x", "col_y")
+
+  /** Morton (Z-order) value over (p_size, ⌊p_retailprice⌋−900) — the
+    * data-skipping layout key; the unrolled shift/mask expression is
+    * replayed verbatim by the oracle. */
+  def qScaleZorder(s: SparkSession, dir: String): DataFrame = {
+    val p = t(s, dir, "part").select(
+      col("p_partkey"),
+      col("p_size").cast("long").as("zx"),
+      (floor(col("p_retailprice")).cast("long") - 900L).as("zy"))
+    p.withColumn("zval", graft.ops.Scale.zOrderValue(Seq(col("zx"), col("zy")), bits = 7))
+      .orderBy("p_partkey")
+  }
+
+  /** P12 — cross-engine-portable deterministic sample (md5 gate): the
+    * exact kept-set is re-derivable by any engine, here 25% of customers. */
+  def qP12PortableSample(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Filters.portableHashSample(
+        t(s, dir, "customer").select("c_custkey", "c_name", "c_mktsegment"),
+        Seq("c_custkey"), fraction = 0.25, salt = 7)
+      .orderBy("c_custkey")
+
+  // =====================================================================
   // Registry
   // =====================================================================
 
@@ -1053,5 +1137,13 @@ object Queries {
     "q_text_vocab" -> (qTextVocab _),
     "q_sketch_cardinality" -> (qSketchCardinality _),
     "q_sketch_quantiles" -> (qSketchQuantiles _),
+    "q_feat_minmax" -> (qFeatMinmax _),
+    "q_feat_zscore" -> (qFeatZscore _),
+    "q_feat_target_encode" -> (qFeatTargetEncode _),
+    "q_feat_woe_iv" -> (qFeatWoeIv _),
+    "q_feat_psi" -> (qFeatPsi _),
+    "q_feat_corr" -> (qFeatCorr _),
+    "q_scale_zorder" -> (qScaleZorder _),
+    "q_p12_portable_sample" -> (qP12PortableSample _),
   )
 }

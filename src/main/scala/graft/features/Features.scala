@@ -1,0 +1,240 @@
+package graft.features
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Feature-engineering math the reference's banking pipelines feed into
+  * downstream credit-risk models: column scaling, smoothed target encoding,
+  * WoE / information value, PSI drift, and correlation — the standard
+  * model-prep surface a feature-store user expects next to the raw
+  * aggregations (the reference stops at ratio features,
+  * `notebooks/medpag_dev.py:178-204`; these are the canonical
+  * transformations applied to exactly those outputs).
+  *
+  * Determinism contract (same rules as [[graft.Queries]]): every statistic
+  * is derived from decimal-exact sums / integer counts, and the final
+  * double arithmetic is a fixed expression shape — so DuckDB replaying the
+  * same formula over the same parquet produces bit-identical doubles
+  * (IEEE +,-,*,/ and sqrt are correctly rounded; only `ln` is libm-
+  * dependent, and the ln-consuming outputs are rounded to 6 dp).
+  *
+  * Scale: every fit here is ONE scalar or group-keyed aggregate (map-side
+  * partial combine, fixed-size result) broadcast back onto the data — no
+  * window over the full table, no second shuffle of the fact rows, no
+  * driver collect. At 100 TB the cost is one scan + one broadcast join per
+  * fit, which is the floor for any global statistic.
+  */
+object Features {
+
+  /** Decimal-exact cast used for all money/quantity sums. */
+  private def dec(c: Column): Column = c.cast("decimal(18,2)")
+
+  /** Fixed-point round to 6 dp: floor(x·10⁶ + ½)/10⁶ — pure double ops
+    * (same engine-independent scheme as Queries.detRound4), used on the
+    * ln-derived outputs where libm is the only nondeterminism source. */
+  private def det6(c: Column): Column = floor(c * 1e6 + 0.5) / 1e6
+
+  /** (x - min) / (max - min) per column, appended as `<col><suffix>`.
+    *
+    * One scalar agg over all columns at once → single-row broadcast cross
+    * join → one projection. Constant columns (max == min) scale to null
+    * rather than dividing by zero.
+    */
+  def minMaxScale(df: DataFrame, cols: Seq[String],
+                  suffix: String = "_scaled"): DataFrame = {
+    require(cols.nonEmpty, "cols must be non-empty")
+    val aggs = cols.flatMap { c =>
+      Seq(min(dec(col(c))).cast("double").as(s"__min_$c"),
+          max(dec(col(c))).cast("double").as(s"__max_$c"))
+    }
+    val stats = df.agg(aggs.head, aggs.tail: _*)
+    val scaled = df.crossJoin(broadcast(stats))
+    val out = cols.foldLeft(scaled) { (acc, c) =>
+      val lo = col(s"__min_$c"); val hi = col(s"__max_$c")
+      acc.withColumn(c + suffix,
+        when(hi =!= lo, (col(c) - lo) / (hi - lo)))
+    }
+    out.drop(cols.flatMap(c => Seq(s"__min_$c", s"__max_$c")): _*)
+  }
+
+  /** Per-group (or global, `groupCols = Nil`) standardization:
+    * `(x - mean) / stddev`, appended as `<col><suffix>`.
+    *
+    * mean = S/n and var = (Q - S²/n) / (n-1) from decimal-exact S = Σx and
+    * Q = Σx² — the same sum-of-squares identity the rolling-window stats
+    * use, so the doubles are a deterministic function of exact inputs.
+    * Groups with n < 2 or zero variance yield null.
+    *
+    * Scale: group-keyed partial agg (result rows = #groups, small by
+    * assumption — callers with high-cardinality groups are computing
+    * per-entity stats and should use a window instead) broadcast-joined
+    * back; the fact table is scanned once and never shuffled.
+    */
+  def zScore(df: DataFrame, cols: Seq[String], groupCols: Seq[String] = Nil,
+             suffix: String = "_z"): DataFrame = {
+    require(cols.nonEmpty, "cols must be non-empty")
+    val aggs = cols.flatMap { c =>
+      Seq(sum(dec(col(c))).cast("double").as(s"__s_$c"),
+          sum(dec(col(c)) * dec(col(c))).cast("double").as(s"__q_$c"))
+    } :+ count(lit(1)).as("__n")
+    val stats =
+      if (groupCols.isEmpty) df.agg(aggs.head, aggs.tail: _*)
+      else df.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+    val joined =
+      if (groupCols.isEmpty) df.crossJoin(broadcast(stats))
+      else df.join(broadcast(stats), groupCols)
+    val n = col("__n").cast("double")
+    val out = cols.foldLeft(joined) { (acc, c) =>
+      val s = col(s"__s_$c"); val q = col(s"__q_$c")
+      val variance = (q - s * s / n) / (n - lit(1.0))
+      acc.withColumn(c + suffix,
+        when(col("__n") >= 2 && variance > 0.0,
+          (col(c) - s / n) / sqrt(variance)))
+    }
+    out.drop(cols.flatMap(c => Seq(s"__s_$c", s"__q_$c")) :+ "__n": _*)
+  }
+
+  /** Smoothed target-mean encoding table for one categorical column:
+    * `enc = (Σ_cat target + m · globalMean) / (n_cat + m)` — the additive-
+    * smoothing estimator (Micci-Barreca, SIGKDD Expl. 2001). Returns
+    * `(catCol, n, enc)`, one row per category; join it back (broadcast)
+    * to encode. Pass an exact-binary `smoothing` (8, 16, …) when the
+    * result must be engine-reproducible.
+    *
+    * Scale: one group agg + one scalar agg (both map-side combined) — the
+    * encoding table is #categories rows, broadcast-sized by definition.
+    */
+  def targetMeanEncode(df: DataFrame, catCol: String, targetCol: String,
+                       smoothing: Double): DataFrame = {
+    require(smoothing >= 0, "smoothing must be non-negative")
+    val g = df.agg(
+      sum(dec(col(targetCol))).cast("double").as("__gs"),
+      count(lit(1)).cast("double").as("__gn"))
+    df.groupBy(col(catCol))
+      .agg(sum(dec(col(targetCol))).cast("double").as("__s"),
+           count(lit(1)).as("n"))
+      .crossJoin(broadcast(g))
+      .select(col(catCol), col("n"),
+        ((col("__s") + lit(smoothing) * (col("__gs") / col("__gn"))) /
+          (col("n").cast("double") + lit(smoothing))).as("enc"))
+  }
+
+  /** Weight-of-evidence table for a binary label: per category
+    * `(n_good, n_bad, pct_good, pct_bad, woe, iv_term)` where
+    * `woe = ln(pct_bad / pct_good)` and `iv_term = (pct_bad - pct_good) ·
+    * woe` (Σ iv_term = the feature's information value) — the standard
+    * credit-scorecard binning statistic (Siddiqi, *Credit Risk
+    * Scorecards*, 2006), the metric the reference's delinquency features
+    * (`notebooks/dummy_data_generation.py:206-213` target mix) are
+    * screened with. Counts are integer-exact; `woe`/`iv_term` are rounded
+    * to 6 dp because `ln` is the one libm-dependent op. Categories where
+    * either class count is zero yield null woe (callers bin first).
+    *
+    * Scale: one group agg with conditional counts + a single-row global
+    * broadcast — identical topology to [[targetMeanEncode]].
+    */
+  def woeTable(df: DataFrame, catCol: String, labelCol: String): DataFrame = {
+    val flag = col(labelCol).cast("boolean")
+    val grouped = df.groupBy(col(catCol)).agg(
+      count(when(!flag, 1)).as("n_good"),
+      count(when(flag, 1)).as("n_bad"))
+    val totals = grouped.agg(
+      sum(col("n_good")).cast("double").as("__tg"),
+      sum(col("n_bad")).cast("double").as("__tb"))
+    grouped.crossJoin(broadcast(totals))
+      .select(
+        col(catCol), col("n_good"), col("n_bad"),
+        (col("n_good").cast("double") / col("__tg")).as("pct_good"),
+        (col("n_bad").cast("double") / col("__tb")).as("pct_bad"))
+      .withColumn("woe",
+        when(col("n_good") > 0 && col("n_bad") > 0,
+          det6(log(col("pct_bad") / col("pct_good")))))
+      .withColumn("iv_term",
+        when(col("woe").isNotNull,
+          det6((col("pct_bad") - col("pct_good")) *
+            log(col("pct_bad") / col("pct_good")))))
+  }
+
+  /** Population-stability index between two snapshots of one numeric
+    * column over fixed-width bins: per bin `(n_expected, n_actual,
+    * pct_expected, pct_actual, psi_term)` with `psi_term = (pA - pE) ·
+    * ln(pA / pE)` rounded to 6 dp; Σ psi_term = PSI (> 0.25 ⇒ shifted —
+    * the drift gate a feature-store monitor runs between training and
+    * serving snapshots, next to the reference's volume/outdatedness checks
+    * at `src/packages/data_validation/monitor.py:645-662`). Values outside
+    * `[lo, lo + nBins·width)` clamp into the edge bins so both engines bin
+    * identically; empty bins are Laplace-smoothed with `floorCount` (an
+    * integer, so proportions stay exact ratios).
+    *
+    * Scale: one conditional-agg pass per side (nBins-row results), union +
+    * group — no join of the fact tables, no quantile sketch.
+    */
+  def psiFixedBins(expected: DataFrame, actual: DataFrame, valueCol: String,
+                   lo: Double, width: Double, nBins: Int,
+                   floorCount: Int = 1): DataFrame = {
+    require(nBins > 0 && width > 0, "nBins and width must be positive")
+    def binned(df: DataFrame, side: String) =
+      df.select(
+        least(greatest(floor((col(valueCol) - lit(lo)) / lit(width)), lit(0L)),
+          lit(nBins - 1L)).as("bin"),
+        lit(side).as("__side"))
+        .groupBy("bin", "__side").agg(count(lit(1)).as("n"))
+    val counts = binned(expected, "e").unionByName(binned(actual, "a"))
+      .groupBy("bin").agg(
+        greatest(sum(when(col("__side") === "e", col("n"))), lit(floorCount.toLong))
+          .as("n_expected"),
+        greatest(sum(when(col("__side") === "a", col("n"))), lit(floorCount.toLong))
+          .as("n_actual"))
+    val totals = counts.agg(
+      sum(col("n_expected")).cast("double").as("__te"),
+      sum(col("n_actual")).cast("double").as("__ta"))
+    counts.crossJoin(broadcast(totals))
+      .select(col("bin"), col("n_expected"), col("n_actual"),
+        (col("n_expected").cast("double") / col("__te")).as("pct_expected"),
+        (col("n_actual").cast("double") / col("__ta")).as("pct_actual"))
+      .withColumn("psi_term",
+        det6((col("pct_actual") - col("pct_expected")) *
+          log(col("pct_actual") / col("pct_expected"))))
+  }
+
+  /** Pearson correlation for every unordered pair of `cols`, computed in
+    * ONE aggregation pass: all Σx, Σx², Σxy accumulated together (k + k(k+1)/2
+    * decimal sums), then
+    * `corr = (n·Σxy − Σx·Σy) / (√(n·Σx² − (Σx)²) · √(n·Σy² − (Σy)²))`
+    * in double (sqrt is IEEE-exact, so the result is deterministic).
+    * Returns `(col_x, col_y, n, corr)` for x < y in `cols` order.
+    *
+    * Scale: single scan, map-side combined scalar agg, k²-sized single-row
+    * result exploded into pair rows — never k² passes over the data, and
+    * nothing proportional to row count leaves the executors.
+    */
+  def corrPairs(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2, "need at least two columns")
+    val sums = cols.map(c => sum(dec(col(c))).cast("double").as(s"__s_$c"))
+    val prods = for {
+      i <- cols.indices; j <- i until cols.size
+    } yield sum(dec(col(cols(i))) * dec(col(cols(j)))).cast("double")
+      .as(s"__p_${i}_$j")
+    val aggs = (sums ++ prods) :+ count(lit(1)).as("__n")
+    val stats = df.agg(aggs.head, aggs.tail: _*)
+    val n = col("__n").cast("double")
+    def moment(i: Int, j: Int) = {
+      val (a, b) = if (i <= j) (i, j) else (j, i)
+      col(s"__p_${a}_$b")
+    }
+    val pairs = for {
+      i <- cols.indices; j <- (i + 1) until cols.size
+    } yield {
+      val sx = col(s"__s_${cols(i)}"); val sy = col(s"__s_${cols(j)}")
+      val cov = n * moment(i, j) - sx * sy
+      val vx = n * moment(i, i) - sx * sx
+      val vy = n * moment(j, j) - sy * sy
+      struct(lit(cols(i)).as("col_x"), lit(cols(j)).as("col_y"),
+        col("__n").as("n"),
+        when(vx > 0.0 && vy > 0.0, cov / (sqrt(vx) * sqrt(vy))).as("corr"))
+    }
+    stats.select(explode(array(pairs: _*)).as("pair"))
+      .select(col("pair.col_x"), col("pair.col_y"), col("pair.n"),
+        col("pair.corr"))
+  }
+}

@@ -78,6 +78,23 @@ object Filters {
     df.where(hashU(keyCols, salt) < fraction)
   }
 
+  /** Cross-engine-portable deterministic sample: the gate hash is
+    * `md5(concat_ws('|', keys…, salt))`'s first 15 hex digits read as an
+    * integer, mod 1e9 — every SQL engine can replay it verbatim (md5 and
+    * hex-parse are universal; xxhash64 above is Spark-only), so an external
+    * auditor can re-derive EXACTLY which rows a training set kept. Same
+    * stability properties as [[hashSample]]; ~2× slower per row (md5 vs
+    * xxhash64), so prefer [[hashSample]] when the sample never leaves
+    * Spark. */
+  def portableHashSample(df: DataFrame, keyCols: Seq[String], fraction: Double,
+                         salt: Int = 42): DataFrame = {
+    require(fraction >= 0 && fraction <= 1, "fraction must be in [0,1]")
+    val h = conv(substring(md5(concat_ws("|",
+      keyCols.map(col) :+ lit(salt.toString): _*)), 1, 15), 16, 10)
+      .cast("long") % 1000000000L
+    df.where(h < (fraction * 1e9).toLong)
+  }
+
   /** Deterministic disjoint split (train/eval): rows with hash < `fraction`
     * go left, the rest right. The two sides partition the input exactly. */
   def hashSplit(df: DataFrame, keyCols: Seq[String], fraction: Double,

@@ -1,0 +1,143 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.features.Features
+import graft.ops.{Filters, Scale}
+
+class FeaturesSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("minMaxScale: endpoints hit 0/1, constant column scales to null") {
+    val df = Seq((1L, 10.0, 5.0), (2L, 20.0, 5.0), (3L, 30.0, 5.0))
+      .toDF("id", "x", "c")
+    val out = Features.minMaxScale(df, Seq("x", "c"))
+      .select("id", "x_scaled", "c_scaled")
+      .collect().map(r => r.getLong(0) -> ((Option(r.get(1)), Option(r.get(2))))).toMap
+    assert(out(1L) == ((Some(0.0), None)))
+    assert(out(2L) == ((Some(0.5), None)))
+    assert(out(3L) == ((Some(1.0), None)))
+  }
+
+  test("zScore: grouped standardization has mean ~0 / sd ~1 per group; tiny groups null") {
+    val df = ((1 to 100).map(i => ("a", i.toLong, i.toDouble)) :+
+      ("b", 999L, 7.0)).toDF("g", "id", "x")
+    val out = Features.zScore(df, Seq("x"), groupCols = Seq("g"))
+    val a = out.where($"g" === "a").agg(
+      avg($"x_z"), stddev($"x_z"), count(when($"x_z".isNull, 1))).head()
+    assert(math.abs(a.getDouble(0)) < 1e-12)
+    assert(math.abs(a.getDouble(1) - 1.0) < 1e-12)
+    assert(a.getLong(2) == 0)
+    // group b has n=1 -> null
+    assert(out.where($"g" === "b").head().getAs[Any]("x_z") == null)
+  }
+
+  test("targetMeanEncode: smoothing pulls small categories to the global mean") {
+    // cat a: 100 rows target 10; cat b: 1 row target 0; global mean ~ 9.90
+    val df = ((1 to 100).map(_ => ("a", 10.0)) :+ ("b", 0.0)).toDF("cat", "y")
+    val enc = Features.targetMeanEncode(df, "cat", "y", smoothing = 16.0)
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    val gmean = 1000.0 / 101.0
+    assert(math.abs(enc("a") - (1000.0 + 16 * gmean) / 116.0) < 1e-12)
+    assert(math.abs(enc("b") - (0.0 + 16 * gmean) / 17.0) < 1e-12)
+    // unsmoothed would be 0.0 for b; smoothing moved it most of the way to gmean
+    assert(enc("b") > 0.9 * gmean * 16 / 17)
+  }
+
+  test("woeTable: hand-computed woe/iv on a 2x2 design; one-class category null") {
+    // cat a: 30 good, 10 bad; cat b: 10 good, 30 bad; cat c: 5 good, 0 bad
+    val rows =
+      Seq.fill(30)(("a", false)) ++ Seq.fill(10)(("a", true)) ++
+      Seq.fill(10)(("b", false)) ++ Seq.fill(30)(("b", true)) ++
+      Seq.fill(5)(("c", false))
+    val out = Features.woeTable(rows.toDF("cat", "label"), "cat", "label")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), Option(r.get(5)), Option(r.get(6)))).toMap
+    val (tg, tb) = (45.0, 40.0)
+    def woe(g: Int, b: Int) = math.floor(math.log((b / tb) / (g / tg)) * 1e6 + 0.5) / 1e6
+    assert(out("a") == ((30L, 10L, Some(woe(30, 10)), out("a")._4)))
+    assert(out("b")._3 == Some(woe(10, 30)))
+    assert(out("c")._3 == None) // zero bads -> undefined woe
+    // iv terms positive for discriminating categories
+    assert(out("a")._4.get.asInstanceOf[Double] > 0)
+    assert(out("b")._4.get.asInstanceOf[Double] > 0)
+  }
+
+  test("psiFixedBins: identical distributions give PSI 0; shifted gives PSI > 0.25") {
+    val base = (1 to 1000).map(i => (i % 100).toDouble).toDF("v")
+    val same = Features.psiFixedBins(base, base, "v", lo = 0, width = 10, nBins = 10)
+    assert(same.agg(sum($"psi_term")).head().getDouble(0) == 0.0)
+    val shifted = (1 to 1000).map(i => (i % 100) / 2.0 ).toDF("v") // squashed left
+    val drift = Features.psiFixedBins(base, shifted, "v", lo = 0, width = 10, nBins = 10)
+    assert(drift.agg(sum($"psi_term")).head().getDouble(0) > 0.25)
+    // clamping: values far outside the range land in edge bins, not dropped
+    val outside = Seq(-50.0, 5000.0).toDF("v")
+    val edge = Features.psiFixedBins(outside, outside, "v", 0, 10, 10)
+      .select("bin").as[Long].collect().sorted
+    assert(edge.sameElements(Array(0L, 9L)))
+  }
+
+  test("corrPairs: perfect positive/negative correlation and independence signs") {
+    val df = (1 to 200).map { i =>
+      val x = i.toDouble
+      (x, 2 * x + 1, -3 * x, (i % 2).toDouble)
+    }.toDF("x", "y", "z", "p")
+    val out = Features.corrPairs(df, Seq("x", "y", "z", "p"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(3)).toMap
+    assert(math.abs(out(("x", "y")) - 1.0) < 1e-9)
+    assert(math.abs(out(("x", "z")) + 1.0) < 1e-9)
+    assert(math.abs(out(("x", "p"))) < 0.05) // alternating parity ~ uncorrelated
+    assert(out.size == 6)
+  }
+
+  test("corrPairs is a single job: one scan, pairs from one aggregate row") {
+    val df = (1 to 50).map(i => (i.toDouble, (i * i).toDouble)).toDF("a", "b")
+    val out = Features.corrPairs(df, Seq("a", "b"))
+    out.collect()
+    // single scalar aggregate: at most the one shuffle the agg itself needs
+    assert(Scale.countExchanges(out) <= 1)
+  }
+
+  test("zOrderValue: interleave matches a bit-level reference model") {
+    def ref(x: Long, y: Long, bits: Int): Long =
+      (0 until bits).map(b =>
+        (((x >> b) & 1L) << (2 * b)) | (((y >> b) & 1L) << (2 * b + 1))).reduce(_ | _)
+    val pts = for { x <- 0L to 16L; y <- 0L to 16L } yield (x, y)
+    val got = pts.toDF("x", "y")
+      .withColumn("z", Scale.zOrderValue(Seq(col("x"), col("y")), bits = 5))
+      .as[(Long, Long, Long)].collect()
+    got.foreach { case (x, y, z) => assert(z == ref(x, y, 5), s"($x,$y)") }
+  }
+
+  test("zOrderRepartition: partitions cover small hyper-rectangles (data skipping)") {
+    // 64x64 grid in random row order; 16 range partitions on the Morton code
+    val rnd = new scala.util.Random(7)
+    val pts = rnd.shuffle((for { x <- 0 until 64; y <- 0 until 64 } yield (x.toLong, y.toLong)).toVector)
+    val df = pts.toDF("x", "y")
+    val parts = Scale.zOrderRepartition(df, Seq("x", "y"), bits = 6, numPartitions = 16)
+      .select(spark_partition_id().as("pid"), $"x", $"y")
+      .groupBy("pid").agg(
+        (max($"x") - min($"x")).as("dx"), (max($"y") - min($"y")).as("dy"))
+      .collect()
+    assert(parts.length == 16)
+    // average bounding box area well under the full 63x63 domain: each file
+    // is min/max-prunable on BOTH dimensions
+    val avgArea = parts.map(r => (r.getLong(1) + 1.0) * (r.getLong(2) + 1.0)).sum / parts.length
+    assert(avgArea < 63.0 * 63.0 / 4.0, s"avgArea=$avgArea")
+  }
+
+  test("portableHashSample: deterministic, ~fraction sized, layout-independent") {
+    val df = (1L to 4000L).toDF("id")
+    val a = Filters.portableHashSample(df, Seq("id"), 0.25, salt = 7)
+      .select("id").as[Long].collect().toSet
+    val b = Filters.portableHashSample(df.repartition(13), Seq("id"), 0.25, salt = 7)
+      .select("id").as[Long].collect().toSet
+    assert(a == b) // partition-layout independent
+    assert(math.abs(a.size / 4000.0 - 0.25) < 0.03)
+    val other = Filters.portableHashSample(df, Seq("id"), 0.25, salt = 8)
+      .select("id").as[Long].collect().toSet
+    assert(a != other) // salt changes the kept set
+  }
+}
