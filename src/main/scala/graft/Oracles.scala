@@ -965,6 +965,33 @@ object Oracles {
         |WHERE ('0x' || substr(md5(concat_ws('|', c_custkey, '7')), 1, 15))::UBIGINT
         |  % 1000000000 < 250000000
         |ORDER BY c_custkey""".stripMargin,
+
+    "q_fs_training_set" ->
+      """WITH labels AS (
+        |  SELECT o_orderkey, o_custkey, o_orderdate::DATE AS label_date, o_totalprice
+        |  FROM orders WHERE o_orderkey < 1500),
+        |monthly AS (
+        |  SELECT o_custkey, date_trunc('month', o_orderdate::DATE)::DATE AS m_month_dt,
+        |         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS m_amt,
+        |         count(*) AS m_cnt
+        |  FROM orders GROUP BY 1, 2),
+        |daily AS (
+        |  SELECT o_custkey, o_orderdate::DATE AS h_snap_date, count(*) AS d
+        |  FROM orders GROUP BY 1, 2),
+        |history AS (
+        |  SELECT o_custkey, h_snap_date,
+        |         sum(d) OVER (PARTITION BY o_custkey ORDER BY h_snap_date
+        |           ROWS UNBOUNDED PRECEDING) AS h_cum_orders
+        |  FROM daily)
+        |SELECT l.o_orderkey, l.o_custkey, l.label_date, l.o_totalprice,
+        |       m.m_month_dt, m.m_amt, m.m_cnt,
+        |       h.h_snap_date, h.h_cum_orders
+        |FROM labels l
+        |ASOF LEFT JOIN monthly m
+        |  ON l.o_custkey = m.o_custkey AND m.m_month_dt <= l.label_date
+        |ASOF LEFT JOIN history h
+        |  ON l.o_custkey = h.o_custkey AND h.h_snap_date <= l.label_date
+        |ORDER BY o_orderkey""".stripMargin,
   )
 
   /** Unrolled Morton interleave, bit-identical to Scale.zOrderValue. */

@@ -1059,6 +1059,33 @@ object Queries {
         Seq("c_custkey"), fraction = 0.25, salt = 7)
       .orderBy("c_custkey")
 
+  /** FS1 — training-set assembly: two stacked point-in-time lookups onto a
+    * label frame (monthly spend snapshot + cumulative-order-count
+    * snapshot), each one union-tag as-of join
+    * ([[graft.features.TrainingSet]]). */
+  def qFsTrainingSet(s: SparkSession, dir: String): DataFrame = {
+    val orders = t(s, dir, "orders")
+    val labels = orders
+      .select(col("o_orderkey"), col("o_custkey"),
+        col("o_orderdate").cast("date").as("label_date"), col("o_totalprice"))
+      .where(col("o_orderkey") < 1500)
+    val monthly = orders.groupBy(col("o_custkey"),
+        trunc(col("o_orderdate").cast("date"), "month").as("month_dt"))
+      .agg(dsum(col("o_totalprice")).as("amt"), count(lit(1)).as("cnt"))
+    val history = orders
+      .groupBy(col("o_custkey"), col("o_orderdate").cast("date").as("snap_date"))
+      .agg(count(lit(1)).as("__d"))
+      .withColumn("cum_orders",
+        sum(col("__d")).over(Window.partitionBy(col("o_custkey"))
+          .orderBy(col("snap_date"))
+          .rowsBetween(Window.unboundedPreceding, 0)))
+      .drop("__d")
+    graft.features.TrainingSet.build(labels, "label_date", Seq(
+        graft.features.FeatureLookup(monthly, Seq("o_custkey"), "month_dt", prefix = "m_"),
+        graft.features.FeatureLookup(history, Seq("o_custkey"), "snap_date", prefix = "h_")))
+      .orderBy("o_orderkey")
+  }
+
   // =====================================================================
   // Registry
   // =====================================================================
@@ -1145,5 +1172,6 @@ object Queries {
     "q_feat_corr" -> (qFeatCorr _),
     "q_scale_zorder" -> (qScaleZorder _),
     "q_p12_portable_sample" -> (qP12PortableSample _),
+    "q_fs_training_set" -> (qFsTrainingSet _),
   )
 }

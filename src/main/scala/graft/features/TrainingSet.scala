@@ -1,0 +1,54 @@
+package graft.features
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.ops.Joins
+
+/** One feature table to look up point-in-time-correctly: `features` keyed
+  * by `keys` with snapshot time `timeCol`; `featureCols` selects the
+  * payload (default: everything except keys + time); `prefix` namespaces
+  * the emitted columns (and the matched snapshot time) so stacked lookups
+  * never collide.
+  */
+case class FeatureLookup(features: DataFrame, keys: Seq[String],
+                         timeCol: String, featureCols: Seq[String] = Nil,
+                         prefix: String = "")
+
+/** Training-set assembly: stack point-in-time lookups from several feature
+  * tables onto a label frame — the feature-store "create training set"
+  * surface. The reference materializes exactly this shape by hand, one
+  * `point_in_time_join` per feature table
+  * (`src/packages/preprocessing/merge_tables/joins.py:115-239`; "point-in-
+  * time lookups", SURVEY:50); here it is one declarative call per feature
+  * table with
+  * leakage-free as-of semantics (latest snapshot ≤ label time).
+  *
+  * Scale: each lookup is ONE union-tag as-of join ([[Joins.pointInTimeJoin]]):
+  * one hash shuffle on the lookup keys + one in-partition sort, cost
+  * independent of history depth — never the naive join-then-filter blowup.
+  * Lookups sharing the same keys re-shuffle the (growing) label frame; at
+  * 100 TB order co-keyed lookups adjacently and pre-bucket the label table
+  * by the dominant key so consecutive exchanges collapse (AQE reuses the
+  * partitioning when key + partition count match).
+  */
+object TrainingSet {
+
+  def build(labels: DataFrame, labelTime: String,
+            lookups: Seq[FeatureLookup]): DataFrame = {
+    require(lookups.nonEmpty, "need at least one FeatureLookup")
+    lookups.foldLeft(labels) { (acc, fl) =>
+      val payload =
+        if (fl.featureCols.nonEmpty) fl.featureCols
+        else fl.features.columns.toSeq
+          .filterNot(c => fl.keys.contains(c) || c == fl.timeCol)
+      val tOut = fl.prefix + fl.timeCol
+      require(!acc.columns.contains(tOut),
+        s"column $tOut already present — give the lookup a distinct prefix")
+      val proj = fl.features.select(
+        fl.keys.map(col) ++ Seq(col(fl.timeCol).as(tOut)) ++
+          payload.map(c => col(c).as(fl.prefix + c)): _*)
+      Joins.pointInTimeJoin(acc, proj, fl.keys, labelTime, tOut)
+    }
+  }
+}

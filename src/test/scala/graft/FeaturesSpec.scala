@@ -128,6 +128,36 @@ class FeaturesSpec extends AnyFunSuite {
     assert(avgArea < 63.0 * 63.0 / 4.0, s"avgArea=$avgArea")
   }
 
+  test("TrainingSet.build: stacked as-of lookups pick latest snapshot <= label time, no leakage") {
+    import graft.features.{FeatureLookup, TrainingSet}
+    val labels = Seq((1L, 10L, "A"), (1L, 25L, "B"), (2L, 5L, "C"))
+      .toDF("cust", "t", "label")
+    val balances = Seq((1L, 5L, 100.0), (1L, 20L, 200.0), (1L, 30L, 999.0), (2L, 7L, 50.0))
+      .toDF("cust", "snap", "bal")
+    val scores = Seq((1L, 10L, 7), (2L, 1L, 3))
+      .toDF("cust", "asof", "score")
+    val out = TrainingSet.build(labels, "t", Seq(
+        FeatureLookup(balances, Seq("cust"), "snap", prefix = "b_"),
+        FeatureLookup(scores, Seq("cust"), "asof", prefix = "s_")))
+      .select("cust", "t", "label", "b_snap", "b_bal", "s_asof", "s_score")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((Option(r.get(3)), Option(r.get(4)), Option(r.get(5)), Option(r.get(6))))).toMap
+    // t=10: balance snap 5 (not 20/30 — future), score asof 10 (inclusive)
+    assert(out((1L, 10L)) == ((Some(5L), Some(100.0), Some(10L), Some(7))))
+    // t=25: latest balance snap 20; 30 is leakage and must not appear
+    assert(out((1L, 25L)) == ((Some(20L), Some(200.0), Some(10L), Some(7))))
+    // cust 2 at t=5: no balance yet -> nulls; score from t=1
+    assert(out((2L, 5L)) == ((None, None, Some(1L), Some(3))))
+    // colliding prefixes are rejected
+    intercept[IllegalArgumentException] {
+      TrainingSet.build(labels, "t", Seq(
+        FeatureLookup(balances, Seq("cust"), "snap", prefix = "x_"),
+        FeatureLookup(balances.withColumnRenamed("snap", "snap2")
+          .withColumnRenamed("bal", "bal2")
+          .withColumnRenamed("snap2", "snap"), Seq("cust"), "snap", prefix = "x_")))
+    }
+  }
+
   test("portableHashSample: deterministic, ~fraction sized, layout-independent") {
     val df = (1L to 4000L).toDF("id")
     val a = Filters.portableHashSample(df, Seq("id"), 0.25, salt = 7)
