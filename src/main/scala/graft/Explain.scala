@@ -13,7 +13,8 @@ object Explain {
       else Seq("q_a1_grouped_agg", "q_s1_ingest_scan", "q_j1_scaffold",
         "q_j3_pit_join", "q_w4_rolling_stats", "q_pipeline_monthly",
         "q_dedup_minhash_pairs", "q_dedup_ngram_jaccard", "q_j9_range_join",
-        "q_cluster_assign", "q_sem_dedup", "q_text_inverted")
+        "q_cluster_assign", "q_sem_dedup", "q_text_inverted",
+        "q_fs_training_set", "q_feat_corr")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

@@ -966,6 +966,27 @@ object Oracles {
         |  % 1000000000 < 250000000
         |ORDER BY c_custkey""".stripMargin,
 
+    "q_dedup_blocks" ->
+      """WITH d AS (SELECT doc_id,
+        |    list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS w
+        |  FROM documents),
+        |b AS (SELECT doc_id, ((len(w) + 4) // 5)::INT AS n_blocks, w FROM d),
+        |blk AS (SELECT doc_id, unnest(range(n_blocks)) AS pos, w FROM b),
+        |blocks AS (SELECT doc_id, pos::INT AS pos,
+        |    array_to_string(w[pos*5+1 : pos*5+5], ' ') AS block FROM blk),
+        |kept AS (SELECT doc_id, pos, block FROM blocks
+        |  QUALIFY row_number() OVER (PARTITION BY block ORDER BY doc_id, pos) = 1),
+        |rebuilt AS (SELECT doc_id,
+        |    string_agg(block, ' ' ORDER BY pos) AS text_dedup,
+        |    count(*)::INT AS n_kept
+        |  FROM kept GROUP BY doc_id)
+        |SELECT b.doc_id, coalesce(r.text_dedup, '') AS text_dedup,
+        |       b.n_blocks, coalesce(r.n_kept, 0)::INT AS n_kept
+        |FROM b LEFT JOIN rebuilt r USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_stream_drift" -> streamDriftSql(nBins = 10, width = 50.0, basePct = "0.1"),
+
     "q_fs_training_set" ->
       """WITH labels AS (
         |  SELECT o_orderkey, o_custkey, o_orderdate::DATE AS label_date, o_totalprice
@@ -993,6 +1014,27 @@ object Oracles {
         |  ON l.o_custkey = h.o_custkey AND h.h_snap_date <= l.label_date
         |ORDER BY o_orderkey""".stripMargin,
   )
+
+  /** Batch replay of Streaming.driftMonitor: per-bin floored conditional
+    * counts, then the SAME left-fold summation order as Spark's
+    * `aggregate()` so the double arithmetic is expression-identical. */
+  private def streamDriftSql(nBins: Int, width: Double, basePct: String): String = {
+    val fs = (0 until nBins).map(b =>
+      s"greatest(count(*) FILTER (WHERE bin = $b), 1) AS f$b").mkString(",\n        |    ")
+    val tot = s"CAST(${(0 until nBins).map(b => s"f$b").mkString(" + ")} AS DOUBLE)"
+    def term(b: Int) =
+      s"((CAST(f$b AS DOUBLE) / $tot - $basePct) * ln((CAST(f$b AS DOUBLE) / $tot) / $basePct))"
+    val fold = (0 until nBins).foldLeft("0.0")((acc, b) => s"($acc + ${term(b)})")
+    s"""WITH e AS (SELECT date_trunc('day', ts) AS win,
+        |    CAST(least(greatest(floor(value / $width), 0), ${nBins - 1}) AS BIGINT) AS bin
+        |  FROM events),
+        |c AS (SELECT win, count(*) AS n_events,
+        |    $fs
+        |  FROM e GROUP BY win)
+        |SELECT strftime(win, '%Y-%m-%d') AS win_day, n_events,
+        |  floor($fold * 1e6 + 0.5) / 1e6 AS psi
+        |FROM c ORDER BY win_day""".stripMargin
+  }
 
   /** Unrolled Morton interleave, bit-identical to Scale.zOrderValue. */
   private def zOrderSql(x: String, y: String, bits: Int): String =

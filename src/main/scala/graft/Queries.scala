@@ -1059,6 +1059,27 @@ object Queries {
         Seq("c_custkey"), fraction = 0.25, salt = 7)
       .orderBy("c_custkey")
 
+  /** Streaming drift monitor, batch mirror: per-day PSI of the event value
+    * distribution vs a uniform 10-bin baseline
+    * ([[graft.streaming.Streaming.driftMonitor]] — withWatermark no-ops on
+    * batch, so this IS the streaming computation). */
+  def qStreamDrift(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.Streaming.driftMonitor(
+        t(s, dir, "events"), Seq.fill(10)(0.1), "value", lo = 0.0, width = 50.0,
+        window_ = "1 day", watermark = "2 days")
+      .select(date_format(col("win_start"), "yyyy-MM-dd").as("win_day"),
+        col("n_events"), col("psi"))
+      .orderBy("win_day")
+
+  /** Corpus-wide exact block dedup (ExactSubstr analog at 5-word block
+    * granularity): first occurrence wins in (doc_id, pos) order, documents
+    * reassembled from surviving blocks ([[graft.text.Dedup.dedupBlocksGlobal]]). */
+  def qDedupBlocks(s: SparkSession, dir: String): DataFrame =
+    graft.text.Dedup.dedupBlocksGlobal(
+        t(s, dir, "documents").select("doc_id", "text"), "text", "doc_id",
+        blockWords = 5)
+      .orderBy("doc_id")
+
   /** FS1 — training-set assembly: two stacked point-in-time lookups onto a
     * label frame (monthly spend snapshot + cumulative-order-count
     * snapshot), each one union-tag as-of join
@@ -1173,5 +1194,7 @@ object Queries {
     "q_scale_zorder" -> (qScaleZorder _),
     "q_p12_portable_sample" -> (qP12PortableSample _),
     "q_fs_training_set" -> (qFsTrainingSet _),
+    "q_dedup_blocks" -> (qDedupBlocks _),
+    "q_stream_drift" -> (qStreamDrift _),
   )
 }

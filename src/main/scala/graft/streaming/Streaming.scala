@@ -111,6 +111,47 @@ object Streaming {
       .toDF()
   }
 
+  /** Streaming drift monitor: per tumbling window, the PSI of `valueCol`'s
+    * binned distribution against a FITTED baseline histogram (pass the
+    * `pct_expected` column of an offline [[graft.features.Features.psiFixedBins]]
+    * fit — k numbers, driver-sized by definition, embedded as a literal
+    * array so the stream needs NO static join). Emits one row per window:
+    * `(win_start, n_events, psi)`; alert on psi > 0.25 — the
+    * training-vs-serving drift gate run continuously.
+    *
+    * Stream-safe by construction: ONE watermarked aggregation (per-bin
+    * counts as conditional aggs in a single pass), then a stateless
+    * projection folds the PSI sum over the bins array. State = one row per
+    * open window. All `baselinePct` entries must be > 0 (the offline fit's
+    * Laplace floor guarantees this); observed bins are floored at
+    * `floorCount` the same way. `withWatermark` is a no-op on batch input
+    * (EliminateEventTimeWatermark), so the same call is its own batch
+    * mirror — and the DuckDB oracle replays it. */
+  def driftMonitor(events: DataFrame, baselinePct: Seq[Double],
+                   valueCol: String, lo: Double, width: Double,
+                   window_ : String = "1 hour", watermark: String = "2 hours",
+                   floorCount: Int = 1): DataFrame = {
+    require(baselinePct.nonEmpty && baselinePct.forall(_ > 0),
+      "baselinePct must be non-empty and strictly positive")
+    val nBins = baselinePct.size
+    val bin = least(greatest(floor((col(valueCol) - lit(lo)) / lit(width)),
+      lit(0L)), lit(nBins - 1L))
+    val counts = events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), window_))
+      .agg(count(lit(1)).as("n_events"),
+        array((0 until nBins).map(i =>
+          greatest(count(when(bin === i, 1)), lit(floorCount.toLong))): _*).as("__c"))
+    val tot = aggregate(col("__c"), lit(0L), _ + _).cast("double")
+    val base = array(baselinePct.map(lit): _*)
+    counts.select(
+      col("window.start").as("win_start"), col("n_events"),
+      (floor(aggregate(zip_with(col("__c"), base, (c, b) => {
+        val pa = c.cast("double") / tot
+        (pa - b) * log(pa / b)
+      }), lit(0.0), _ + _) * 1e6 + 0.5) / 1e6).as("psi"))
+  }
+
   /** Continuous feature refresh: each micro-batch upserts into the store by
     * PK — replay-idempotent, like the reference's scheduled MERGE jobs. */
   def streamIntoStore(agg: DataFrame, store: TableStore, table: String,

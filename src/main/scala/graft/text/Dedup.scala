@@ -372,4 +372,56 @@ object Dedup {
       .where(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
   }
+
+  /** Corpus-wide exact block dedup with document reassembly — the
+    * block-granular analog of ExactSubstr dedup (Lee et al., "Deduplicating
+    * Training Data Makes Language Models Better", ACL 2022): documents are
+    * cut into fixed `blockWords`-word blocks, every repeated block keeps
+    * only its FIRST occurrence in (idCol, position) order corpus-wide, and
+    * each document is rebuilt from its surviving blocks. Returns
+    * `(idCol, text_dedup, n_blocks, n_kept)` — one row per input document,
+    * `text_dedup = ""` when everything was seen before.
+    *
+    * Unlike [[exact]] (whole-document) this removes duplication *inside*
+    * otherwise-distinct documents (boilerplate headers, quoted replies,
+    * mirrored passages); unlike `Repetition.removeBoilerplate` the rule is
+    * first-instance-wins rather than a document-frequency threshold, so a
+    * passage's canonical occurrence survives no matter how many copies
+    * exist.
+    *
+    * Scale: blocks shuffle twice — once partitioned by the block text for
+    * the keep-first window (a suffix-array-free stand-in whose key could be
+    * `xxhash64(block)` if block strings grow large), once by document id
+    * for reassembly. Both are scalar-ish rows (id, pos, ≤blockWords words);
+    * nothing is ever all-pairs, and a hot duplicated block costs one
+    * in-partition sort, not a blowup. */
+  def dedupBlocksGlobal(df: DataFrame, textCol: String, idCol: String,
+                        blockWords: Int = 5): DataFrame = {
+    require(blockWords > 0, "blockWords must be positive")
+    val words = filter(split(col(textCol), "\\s+"), w => w =!= "")
+    val base = df.select(col(idCol), words.as("__w"))
+      .select(col(idCol),
+        ceil(size(col("__w")).cast("double") / blockWords).cast("int").as("n_blocks"),
+        col("__w"))
+    val blocks = base.select(col(idCol),
+      posexplode(when(col("n_blocks") > 0,
+          transform(sequence(lit(0), col("n_blocks") - 1),
+            i => concat_ws(" ", slice(col("__w"), i * blockWords + 1, lit(blockWords)))))
+        .otherwise(array().cast("array<string>"))).as(Seq("pos", "block")))
+    val w = Window.partitionBy(col("block")).orderBy(col(idCol), col("pos"))
+    val rebuilt = blocks
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1)
+      .groupBy(col(idCol))
+      .agg(
+        concat_ws(" ", transform(array_sort(collect_list(struct(col("pos"), col("block")))),
+          s => s.getField("block"))).as("text_dedup"),
+        count(lit(1)).cast("int").as("n_kept"))
+    base.select(col(idCol), col("n_blocks"))
+      .join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("text_dedup"), lit("")).as("text_dedup"),
+        col("n_blocks"),
+        coalesce(col("n_kept"), lit(0)).as("n_kept"))
+  }
 }

@@ -37,6 +37,28 @@ class StreamingMultimodalSpec extends AnyFunSuite {
     assert(streamed.count() == batch.count())
   }
 
+  test("streaming drift monitor matches its batch mirror and flags planted drift") {
+    val base = Seq.fill(10)(0.1)
+    val stream = Streaming.driftMonitor(Streaming.eventsStream(spark, eventsDir),
+      base, "value", lo = 0.0, width = 50.0, window_ = "1 day", watermark = "2 days")
+    val q = stream.writeStream.format("memory").queryName("drift_test")
+      .outputMode("update").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("drift_test")
+      .groupBy("win_start").agg(max("n_events").as("n_events"), max("psi").as("psi"))
+    val batch = Streaming.driftMonitor(spark.read.parquet(eventsDir),
+      base, "value", lo = 0.0, width = 50.0, window_ = "1 day", watermark = "2 days")
+    assert(streamed.join(batch, Seq("win_start"))
+      .where(streamed("psi") =!= batch("psi") ||
+        streamed("n_events") =!= batch("n_events")).isEmpty)
+    assert(streamed.count() == batch.count())
+    // planted drift: squash every value into bin 0 -> PSI far above the 0.25 gate
+    val drifted = spark.read.parquet(eventsDir).withColumn("value", lit(1.0))
+    val flagged = Streaming.driftMonitor(drifted, base, "value", 0.0, 50.0,
+      window_ = "1 day")
+    assert(flagged.agg(min($"psi")).head().getDouble(0) > 0.25)
+  }
+
   test("streaming sliding-window agg matches the batch sliding windows") {
     val stream = Streaming.slidingAgg(Streaming.eventsStream(spark, eventsDir),
       window_ = "1 hour", slide = "30 minutes")

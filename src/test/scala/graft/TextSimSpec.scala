@@ -217,4 +217,28 @@ class TextSimSpec extends AnyFunSuite {
     val planted = (0L until 5L).map(i => (i, i + 1000L)).toSet
     assert(planted.intersect(pairs).size >= 4, s"found=$pairs")
   }
+
+  test("dedupBlocksGlobal: first occurrence wins, docs rebuilt, partials and empties handled") {
+    val docs = Seq(
+      (1L, "a b c d e f g h i j"),        // two full blocks, both first
+      (2L, "a b c d e x y z w v"),        // block 0 dups doc1 block 0
+      (3L, "f g h i j"),                  // single block dups doc1 block 1
+      (4L, ""),                           // empty -> 0 blocks
+      (5L, "p q r s t u uu")              // full + partial (2-word) block
+    ).toDF("doc_id", "text")
+    val out = Dedup.dedupBlocksGlobal(docs, "text", "doc_id", blockWords = 5)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getInt(2), r.getInt(3)))).toMap
+    assert(out(1L) == (("a b c d e f g h i j", 2, 2)))
+    assert(out(2L) == (("x y z w v", 2, 1)))
+    assert(out(3L) == (("", 1, 0)))
+    assert(out(4L) == (("", 0, 0)))
+    assert(out(5L) == (("p q r s t u uu", 2, 2)))
+    // idempotent: re-deduping the deduped corpus changes nothing
+    val again = Dedup.dedupBlocksGlobal(
+        out.toSeq.toDF("doc_id", "t").select($"doc_id", $"t._1".as("text")),
+        "text", "doc_id", blockWords = 5)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    out.foreach { case (id, (txt, _, _)) => assert(again(id) == txt) }
+  }
 }
