@@ -987,6 +987,15 @@ object Oracles {
 
     "q_stream_drift" -> streamDriftSql(nBins = 10, width = 50.0, basePct = "0.1"),
 
+    "q_w13_forward_fill" ->
+      """SELECT event_id, user_id,
+        |  last_value(v IGNORE NULLS) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS v_filled
+        |FROM (SELECT event_id, user_id, ts,
+        |        CASE WHEN event_id % 7 <> 0 THEN value END AS v
+        |      FROM events)
+        |ORDER BY event_id""".stripMargin,
+
     "q_fs_training_set" ->
       """WITH labels AS (
         |  SELECT o_orderkey, o_custkey, o_orderdate::DATE AS label_date, o_totalprice

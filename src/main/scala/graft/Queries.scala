@@ -1059,6 +1059,17 @@ object Queries {
         Seq("c_custkey"), fraction = 0.25, salt = 7)
       .orderBy("c_custkey")
 
+  /** W13 — forward fill (LOCF): nulls planted deterministically
+    * (event_id ≡ 0 mod 7) are imputed from the entity's latest prior
+    * observation ([[graft.ops.Windows.forwardFill]]). */
+  def qW13ForwardFill(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Windows.forwardFill(
+        t(s, dir, "events").select(col("event_id"), col("user_id"), col("ts"),
+          when(col("event_id") % 7 =!= 0, col("value")).as("v")),
+        "user_id", orderCols = Seq("ts", "event_id"), cols = Seq("v"))
+      .select(col("event_id"), col("user_id"), col("v").as("v_filled"))
+      .orderBy("event_id")
+
   /** Streaming drift monitor, batch mirror: per-day PSI of the event value
     * distribution vs a uniform 10-bin baseline
     * ([[graft.streaming.Streaming.driftMonitor]] — withWatermark no-ops on
@@ -1196,5 +1207,6 @@ object Queries {
     "q_fs_training_set" -> (qFsTrainingSet _),
     "q_dedup_blocks" -> (qDedupBlocks _),
     "q_stream_drift" -> (qStreamDrift _),
+    "q_w13_forward_fill" -> (qW13ForwardFill _),
   )
 }

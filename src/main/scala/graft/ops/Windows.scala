@@ -138,4 +138,24 @@ object Windows {
     val boundary = when(prev.isNull || micros - prev > gapMicros, 1L).otherwise(0L)
     df.withColumn(as, sum(boundary).over(w))
   }
+
+  /** W13 (extension) — forward fill (LOCF, last observation carried
+    * forward): per entity, each null in `cols` takes the most recent
+    * non-null value in `orderCols` order — the standard sparse-feature
+    * imputation between snapshot refreshes (the reference's monthly tables
+    * are dense, but its scaffold left joins produce exactly these gaps,
+    * `joins.py:115-239`). Rows before the first observation stay null.
+    *
+    * Scale: all columns fill over ONE hash partitioning on the entity +
+    * one in-partition sort (`last(ignoreNulls)` running frame per column —
+    * same single-shuffle story as [[sessionize]]). `orderCols` must be a
+    * total order per entity for engine-independent results. */
+  def forwardFill(df: DataFrame, entityCol: String, orderCols: Seq[String],
+                  cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty && orderCols.nonEmpty, "cols/orderCols must be non-empty")
+    val w = Window.partitionBy(col(entityCol)).orderBy(orderCols.map(col): _*)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    cols.foldLeft(df)((acc, c) =>
+      acc.withColumn(c, last(col(c), ignoreNulls = true).over(w)))
+  }
 }

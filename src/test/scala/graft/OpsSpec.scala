@@ -253,4 +253,17 @@ class OpsSpec extends AnyFunSuite {
     val df = Seq(Some(1L), Some(999999999L), None).toDF("id")
     assert(Filters.validIds(df, "id").count() == 1)
   }
+
+  test("forwardFill carries the last observation, leaves leading nulls, respects entities") {
+    val df = Seq(
+      (1L, 1, Some(10.0)), (1L, 2, None), (1L, 3, None), (1L, 4, Some(40.0)), (1L, 5, None),
+      (2L, 1, None), (2L, 2, Some(7.0))
+    ).toDF("ent", "t", "v")
+    val out = graft.ops.Windows.forwardFill(df, "ent", Seq("t"), Seq("v"))
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> Option(r.get(2))).toMap
+    assert(out((1L, 2)) == Some(10.0) && out((1L, 3)) == Some(10.0))
+    assert(out((1L, 4)) == Some(40.0) && out((1L, 5)) == Some(40.0))
+    assert(out((2L, 1)) == None)      // leading null: nothing to carry
+    assert(out((2L, 2)) == Some(7.0)) // entity 1's values never leak into entity 2
+  }
 }

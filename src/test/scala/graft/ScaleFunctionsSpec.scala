@@ -38,6 +38,29 @@ class ScaleFunctionsSpec extends AnyFunSuite {
     assert(lo.length == 2 && lo(1).getAs[Any]("name") == null)
   }
 
+  test("partitioned layout prunes partitions AND pushes residual filters to the scan") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_prune").toString
+    (1 to 1000).map(i => (i.toLong, (i % 12) + 1, i * 1.5))
+      .toDF("id", "month", "amount")
+      .write.mode("overwrite").partitionBy("month").parquet(dir)
+    val q = spark.read.parquet(dir)
+      .where($"month" === 3 && $"amount" > 100.0)
+      .select("id", "amount")
+    assert(q.count() == (1 to 1000).count(i => i % 12 + 1 == 3 && i * 1.5 > 100.0))
+    val scan = q.queryExecution.executedPlan.collectLeaves()
+      .collectFirst { case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
+      .getOrElse(fail("no FileSourceScanExec in plan"))
+    // partition pruning: only month=3 directories are read
+    assert(scan.metadata("PartitionFilters").contains("month"),
+      scan.metadata("PartitionFilters"))
+    assert(scan.selectedPartitions.partitionCount == 1)
+    // predicate pushdown: the amount filter reaches the parquet reader
+    assert(scan.metadata("PushedFilters").contains("GreaterThan(amount,100.0)"),
+      scan.metadata("PushedFilters"))
+    // column pruning: month is a partition col; only id+amount are read from files
+    assert(scan.requiredSchema.fieldNames.toSet == Set("id", "amount"))
+  }
+
   test("saltedAgg two-phase matches direct aggregation") {
     val df = (1 to 1000).map(i => (i % 3, i.toLong)).toDF("k", "x")
     val direct = df.groupBy("k").agg(sum("x").as("s"), count(lit(1)).as("n"))
