@@ -987,6 +987,41 @@ object Oracles {
 
     "q_stream_drift" -> streamDriftSql(nBins = 10, width = 50.0, basePct = "0.1"),
 
+    "q_text_fingerprint_md5" ->
+      """WITH aug AS (
+        |  SELECT * FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 10000, text, lang, source, n_chars FROM documents WHERE doc_id < 50),
+        |fp AS (SELECT doc_id,
+        |    md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+        |  FROM aug)
+        |SELECT doc_id, fp,
+        |  (count(*) OVER (PARTITION BY fp))::INT AS n_fp_dups
+        |FROM fp ORDER BY doc_id""".stripMargin,
+
+    "q_v_profile" -> profileSql("orders", Seq(
+      ("o_orderkey", true), ("o_orderstatus", false),
+      ("o_totalprice", true), ("o_orderpriority", false))),
+
+    "q_v_quarantine" ->
+      """WITH m AS (SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 97 <> 0 THEN o_custkey END AS ck,
+        |    CASE WHEN o_orderkey % 101 = 0 THEN -o_totalprice
+        |         ELSE o_totalprice END AS price,
+        |    o_orderstatus
+        |  FROM orders),
+        |r AS (SELECT o_orderkey,
+        |    array_to_string(list_filter([
+        |      CASE WHEN NOT coalesce(ck IS NOT NULL AND ck <> 999999999, false)
+        |        THEN 'custkey_valid' END,
+        |      CASE WHEN NOT coalesce(price > 0, false) THEN 'price_positive' END,
+        |      CASE WHEN NOT coalesce(o_orderstatus IN ('O','F','P'), false)
+        |        THEN 'status_known' END
+        |    ], x -> x IS NOT NULL), ',') AS failed_checks
+        |  FROM m)
+        |SELECT o_orderkey, failed_checks FROM r
+        |WHERE failed_checks <> '' ORDER BY o_orderkey""".stripMargin,
+
     "q_w13_forward_fill" ->
       """SELECT event_id, user_id,
         |  last_value(v IGNORE NULLS) OVER (PARTITION BY user_id
@@ -1023,6 +1058,25 @@ object Oracles {
         |  ON l.o_custkey = h.o_custkey AND h.h_snap_date <= l.label_date
         |ORDER BY o_orderkey""".stripMargin,
   )
+
+  /** One UNION ALL branch per profiled column, mirroring
+    * Validation.profile's long format ((name, isNumeric) pairs). */
+  private def profileSql(table: String, cols: Seq[(String, Boolean)]): String = {
+    val branches = cols.map { case (c, isNum) =>
+      val (minNum, maxNum, minStr, maxStr) =
+        if (isNum) (s"CAST(min($c) AS DOUBLE)", s"CAST(max($c) AS DOUBLE)",
+          "NULL::VARCHAR", "NULL::VARCHAR")
+        else ("NULL::DOUBLE", "NULL::DOUBLE",
+          s"CAST(min($c) AS VARCHAR)", s"CAST(max($c) AS VARCHAR)")
+      s"""SELECT '$c' AS "column", count(*) AS n_rows,
+         |  count(*) FILTER (WHERE $c IS NULL) AS n_null,
+         |  count(DISTINCT $c) AS n_distinct,
+         |  $minNum AS min_num, $maxNum AS max_num,
+         |  $minStr AS min_str, $maxStr AS max_str
+         |FROM $table""".stripMargin
+    }
+    branches.mkString("\nUNION ALL\n") + "\nORDER BY \"column\""
+  }
 
   /** Batch replay of Streaming.driftMonitor: per-bin floored conditional
     * counts, then the SAME left-fold summation order as Spark's

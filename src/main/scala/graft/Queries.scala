@@ -1059,6 +1059,43 @@ object Queries {
         Seq("c_custkey"), fraction = 0.25, salt = 7)
       .orderBy("c_custkey")
 
+  /** Portable content fingerprint (md5 of normalized text) over the
+    * planted-dup corpus — the fingerprint VALUE itself is oracle-checked,
+    * unlike the Spark-only xxhash64 form in q_text_fingerprint. */
+  def qTextFingerprintMd5(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("fp"))
+    docsWithExactDups(s, dir)
+      .withColumn("fp", TextStats.portableFingerprint(col("text")))
+      .withColumn("n_fp_dups", count(lit(1)).over(w).cast("int"))
+      .select(col("doc_id"), col("fp"), col("n_fp_dups"))
+      .orderBy("doc_id")
+  }
+
+  /** One-pass column profile of the orders table
+    * ([[graft.validate.Validation.profile]]): null/distinct counts +
+    * type-appropriate extrema per column, single aggregation. */
+  def qVProfile(s: SparkSession, dir: String): DataFrame =
+    graft.validate.Validation.profile(t(s, dir, "orders"),
+        Seq("o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority"))
+      .orderBy("column")
+
+  /** Quarantine split on deterministically-corrupted orders
+    * ([[graft.validate.Validation.quarantine]]): rejected rows carry the
+    * comma-joined names of every failed check. */
+  def qVQuarantine(s: SparkSession, dir: String): DataFrame = {
+    val corrupted = t(s, dir, "orders").select(
+      col("o_orderkey"),
+      when(col("o_orderkey") % 97 =!= 0, col("o_custkey")).as("ck"),
+      when(col("o_orderkey") % 101 === 0, -col("o_totalprice"))
+        .otherwise(col("o_totalprice")).as("price"),
+      col("o_orderstatus"))
+    val (_, rejected) = graft.validate.Validation.quarantine(corrupted, Seq(
+      "custkey_valid" -> (col("ck").isNotNull && col("ck") =!= 999999999L),
+      "price_positive" -> (col("price") > 0),
+      "status_known" -> col("o_orderstatus").isin("O", "F", "P")))
+    rejected.select("o_orderkey", "failed_checks").orderBy("o_orderkey")
+  }
+
   /** W13 — forward fill (LOCF): nulls planted deterministically
     * (event_id ≡ 0 mod 7) are imputed from the entity's latest prior
     * observation ([[graft.ops.Windows.forwardFill]]). */
@@ -1208,5 +1245,8 @@ object Queries {
     "q_dedup_blocks" -> (qDedupBlocks _),
     "q_stream_drift" -> (qStreamDrift _),
     "q_w13_forward_fill" -> (qW13ForwardFill _),
+    "q_text_fingerprint_md5" -> (qTextFingerprintMd5 _),
+    "q_v_profile" -> (qVProfile _),
+    "q_v_quarantine" -> (qVQuarantine _),
   )
 }

@@ -77,6 +77,13 @@ object TextStats {
   def fingerprint(text: Column): Column =
     xxhash64(regexp_replace(lower(trim(text)), "\\s+", " "))
 
+  /** Portable document fingerprint: md5 hex of the same normalized text —
+    * ~2× the cost of [[fingerprint]] but replayable verbatim by ANY engine
+    * (md5 is universal; xxhash64 is Spark-only), so external systems can
+    * re-derive content identity for audit/lineage without Spark. */
+  def portableFingerprint(text: Column): Column =
+    md5(regexp_replace(lower(trim(text)), "\\s+", " "))
+
   /** All stats in one projection. */
   def withTextStats(df: DataFrame, textCol: String): DataFrame =
     df.select(col("*"),

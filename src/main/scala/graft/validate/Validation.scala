@@ -115,4 +115,66 @@ object Validation {
     if (store.exists(logTable)) store.append(logTable, row)
     else store.overwrite(logTable, row, primaryKeys = Seq("table_name", "validation", "executed_at"))
   }
+
+  /** One-pass column profile — the data-quality snapshot a monitor stores
+    * per refresh (row count, null count, exact distinct count, numeric
+    * min/max, string min/max per column). Long format: one row per
+    * profiled column.
+    *
+    * All statistics come from a SINGLE aggregation over one scan (the
+    * multi-distinct plan is Catalyst's Expand — rows × profiled-columns
+    * intermediate, map-side combined); numeric extrema stay DOUBLE and
+    * string extrema stay VARCHAR so no engine-specific number formatting
+    * enters the result. At 100 TB swap exact distincts for
+    * `approx_count_distinct` — same single-pass shape without the Expand
+    * blowup; exact is kept here because the oracle replays it. */
+  def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "cols must be non-empty")
+    val numeric = cols.filter(c => df.schema(c).dataType match {
+      case _: NumericType => true
+      case _ => false
+    }).toSet
+    val aggs = cols.flatMap { c =>
+      Seq(count(when(col(c).isNull, 1)).as(s"__null_$c"),
+        countDistinct(col(c)).as(s"__dist_$c")) ++
+        (if (numeric(c))
+          Seq(min(col(c)).cast("double").as(s"__min_$c"),
+            max(col(c)).cast("double").as(s"__max_$c"))
+        else
+          Seq(min(col(c)).cast("string").as(s"__smin_$c"),
+            max(col(c)).cast("string").as(s"__smax_$c")))
+    } :+ count(lit(1)).as("__n")
+    val stats = df.agg(aggs.head, aggs.tail: _*)
+    val rows = cols.map { c =>
+      struct(
+        lit(c).as("column"), col("__n").as("n_rows"),
+        col(s"__null_$c").as("n_null"), col(s"__dist_$c").as("n_distinct"),
+        (if (numeric(c)) col(s"__min_$c") else lit(null).cast("double")).as("min_num"),
+        (if (numeric(c)) col(s"__max_$c") else lit(null).cast("double")).as("max_num"),
+        (if (numeric(c)) lit(null).cast("string") else col(s"__smin_$c")).as("min_str"),
+        (if (numeric(c)) lit(null).cast("string") else col(s"__smax_$c")).as("max_str"))
+    }
+    stats.select(explode(array(rows: _*)).as("p")).select("p.*")
+  }
+
+  /** Quarantine split — route rows failing any ingest check into a
+    * rejected frame carrying WHICH checks failed (comma-joined, stable
+    * order), instead of failing the job or silently dropping (the
+    * productionized form of the reference's pre-save validations: bad rows
+    * land in a quarantine table for replay after upstream repair). Returns
+    * (valid, rejected-with-failed_checks).
+    *
+    * Checks are pure row predicates → both outputs are map-only filters
+    * over the same scan; nothing shuffles. */
+  def quarantine(df: DataFrame, checks: Seq[(String, org.apache.spark.sql.Column)])
+      : (DataFrame, DataFrame) = {
+    require(checks.nonEmpty, "checks must be non-empty")
+    val failed = array_compact(array(checks.map { case (name, pred) =>
+      when(!coalesce(pred, lit(false)), lit(name))
+    }: _*))
+    val tagged = df.withColumn("failed_checks",
+      array_join(failed, ","))
+    (tagged.where(col("failed_checks") === "").drop("failed_checks"),
+      tagged.where(col("failed_checks") =!= ""))
+  }
 }

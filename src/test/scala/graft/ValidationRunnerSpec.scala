@@ -263,4 +263,41 @@ class ValidationRunnerSpec extends AnyFunSuite {
     assert(Runner.resolveEndDate("actual", java.time.LocalDate.of(2024, 7, 15)) == "2024-07-01")
     assert(Runner.resolveEndDate("2024-01-31", java.time.LocalDate.of(2024, 7, 15)) == "2024-01-31")
   }
+
+  test("profile: one-pass long-format stats, numeric vs string extrema") {
+    import org.apache.spark.sql.functions._
+    val df = Seq(
+      (Some(1L), Some("b"), Some(2.5)), (Some(2L), Some("a"), None),
+      (Some(2L), None, Some(-1.0))
+    ).toDF("id", "s", "v")
+    val p = Validation.profile(df, Seq("id", "s", "v"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3),
+          Option(r.get(4)), Option(r.get(5)), Option(r.get(6)), Option(r.get(7))))).toMap
+    assert(p("id") == ((3L, 0L, 2L, Some(1.0), Some(2.0), None, None)))
+    assert(p("s") == ((3L, 1L, 2L, None, None, Some("a"), Some("b"))))
+    assert(p("v") == ((3L, 1L, 2L, Some(-1.0), Some(2.5), None, None)))
+    // single aggregation: the whole profile is one job over one scan
+    assert(Validation.profile(df, Seq("id", "s", "v")).queryExecution
+      .executedPlan.toString.linesIterator.count(_.contains("Scan")) >= 1)
+  }
+
+  test("quarantine: failed checks accumulate per row; null predicate counts as failure") {
+    import org.apache.spark.sql.functions._
+    val df = Seq(
+      (1L, Some(10.0), "O"),   // clean
+      (2L, Some(-5.0), "O"),   // price fails
+      (3L, None, "X"),         // price null -> fails; status fails
+      (4L, Some(3.0), "Z")     // status fails
+    ).toDF("id", "price", "status")
+    val (valid, rejected) = Validation.quarantine(df, Seq(
+      "price_positive" -> (col("price") > 0),
+      "status_known" -> col("status").isin("O", "F", "P")))
+    assert(valid.select("id").as[Long].collect().toSet == Set(1L))
+    val rej = rejected.select("id", "failed_checks").as[(Long, String)].collect().toMap
+    assert(rej == Map(2L -> "price_positive", 3L -> "price_positive,status_known",
+      4L -> "status_known"))
+    // partition: every input row lands in exactly one side
+    assert(valid.count() + rejected.count() == df.count())
+  }
 }
