@@ -987,6 +987,14 @@ object Oracles {
 
     "q_stream_drift" -> streamDriftSql(nBins = 10, width = 50.0, basePct = "0.1"),
 
+    "q_w14_range_frame" ->
+      """SELECT event_id, user_id,
+        |  CAST(sum(CAST(value AS DECIMAL(18,6))) OVER (
+        |    PARTITION BY user_id ORDER BY epoch_us(ts)
+        |    RANGE BETWEEN 259200000000 PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |    AS trailing_sum
+        |FROM events ORDER BY event_id""".stripMargin,
+
     "q_text_fingerprint_md5" ->
       """WITH aug AS (
         |  SELECT * FROM documents

@@ -1059,6 +1059,16 @@ object Queries {
         Seq("c_custkey"), fraction = 0.25, salt = 7)
       .orderBy("c_custkey")
 
+  /** W14 — trailing 3-day event-time RANGE frame per user: the
+    * irregular-cadence-correct rolling sum
+    * ([[graft.ops.Windows.trailingTimeSum]]). */
+  def qW14RangeFrame(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Windows.trailingTimeSum(
+        t(s, dir, "events").select("event_id", "user_id", "ts", "value"),
+        "user_id", "ts", "value", trailingMicros = 3L * 86400 * 1000000)
+      .select(col("event_id"), col("user_id"), col("trailing_sum"))
+      .orderBy("event_id")
+
   /** Portable content fingerprint (md5 of normalized text) over the
     * planted-dup corpus — the fingerprint VALUE itself is oracle-checked,
     * unlike the Spark-only xxhash64 form in q_text_fingerprint. */
@@ -1248,5 +1258,6 @@ object Queries {
     "q_text_fingerprint_md5" -> (qTextFingerprintMd5 _),
     "q_v_profile" -> (qVProfile _),
     "q_v_quarantine" -> (qVQuarantine _),
+    "q_w14_range_frame" -> (qW14RangeFrame _),
   )
 }

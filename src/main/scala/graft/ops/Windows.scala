@@ -139,6 +139,23 @@ object Windows {
     df.withColumn(as, sum(boundary).over(w))
   }
 
+  /** W14 (extension) — trailing event-TIME range frame: aggregates over
+    * all of the entity's rows within the last `trailingMicros` of event
+    * time (RANGE frame on the epoch-micros order key), not the last N
+    * rows — the correct "30-day trailing spend" semantics when event
+    * cadence is irregular (a ROWS frame silently changes meaning with
+    * density). Same single shuffle + sort as every other window; the frame
+    * bound is evaluated during the sorted scan, so cost is identical to
+    * the ROWS form. */
+  def trailingTimeSum(df: DataFrame, entityCol: String, tsCol: String,
+                      valueCol: String, trailingMicros: Long,
+                      as: String = "trailing_sum"): DataFrame = {
+    val w = Window.partitionBy(col(entityCol)).orderBy(unix_micros(col(tsCol)))
+      .rangeBetween(-trailingMicros, 0)
+    df.withColumn(as,
+      sum(col(valueCol).cast("decimal(18,6)")).over(w).cast("double"))
+  }
+
   /** W13 (extension) — forward fill (LOCF, last observation carried
     * forward): per entity, each null in `cols` takes the most recent
     * non-null value in `orderCols` order — the standard sparse-feature

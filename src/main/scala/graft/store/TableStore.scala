@@ -60,6 +60,7 @@ final class TableStore(spark: SparkSession, root: String) {
          |"primaryKeys":[${m.primaryKeys.map(k => s""""${esc(k)}"""").mkString(",")}],
          |"timestampKeys":[${m.timestampKeys.map(k => s""""${esc(k)}"""").mkString(",")}],
          |"buckets":${m.buckets},
+         |"partitionCols":[${m.partitionCols.map(k => s""""${esc(k)}"""").mkString(",")}],
          |"description":"${esc(m.description)}","properties":$props}""".stripMargin.replace("\n", "")
     Files.createDirectories(tableDir(table))
     Files.writeString(metaPath(table), json)
@@ -73,8 +74,8 @@ final class TableStore(spark: SparkSession, root: String) {
       import spark.implicits._
       val row = spark.read
         .schema("version INT, schemaJson STRING, primaryKeys ARRAY<STRING>, " +
-          "timestampKeys ARRAY<STRING>, buckets INT, description STRING, " +
-          "properties MAP<STRING,STRING>")
+          "timestampKeys ARRAY<STRING>, buckets INT, partitionCols ARRAY<STRING>, " +
+          "description STRING, properties MAP<STRING,STRING>")
         .json(Seq(Files.readString(p)).toDS()).first()
       Some(Meta(
         row.getAs[Int]("version"),
@@ -83,7 +84,8 @@ final class TableStore(spark: SparkSession, root: String) {
         Option(row.getAs[scala.collection.Seq[String]]("timestampKeys")).map(_.toSeq).getOrElse(Nil),
         Option(row.getAs[java.lang.Integer]("buckets")).fold(0)(_.intValue),
         Option(row.getAs[String]("description")).getOrElse(""),
-        Option(row.getAs[scala.collection.Map[String, String]]("properties")).map(_.toMap).getOrElse(Map.empty)))
+        Option(row.getAs[scala.collection.Map[String, String]]("properties")).map(_.toMap).getOrElse(Map.empty),
+        Option(row.getAs[scala.collection.Seq[String]]("partitionCols")).map(_.toSeq).getOrElse(Nil)))
     }
   }
 
@@ -151,7 +153,8 @@ final class TableStore(spark: SparkSession, root: String) {
     * [[compact]]. */
   private def writeSnapshot(table: String, df: DataFrame, v: Int,
                             buckets: Int, pks: Seq[String],
-                            shuffleToBuckets: Boolean = true): Unit = {
+                            shuffleToBuckets: Boolean = true,
+                            partitionCols: Seq[String] = Nil): Unit = {
     if (buckets > 0 && pks.nonEmpty) {
       val in = if (shuffleToBuckets) df.repartition(buckets, pks.map(col): _*) else df
       in.write.mode("overwrite").format("parquet")
@@ -159,7 +162,12 @@ final class TableStore(spark: SparkSession, root: String) {
         .bucketBy(buckets, pks.head, pks.tail: _*)
         .sortBy(pks.head, pks.tail: _*)
         .saveAsTable(catalogName(table, v))
-    } else df.write.mode("overwrite").parquet(versionDir(table, v).toString)
+    } else if (partitionCols.nonEmpty)
+      // hive-layout snapshot: reads prune partition dirs on the partition
+      // predicate (the date-partitioned 100 TB feature-table layout)
+      df.write.mode("overwrite").partitionBy(partitionCols: _*)
+        .parquet(versionDir(table, v).toString)
+    else df.write.mode("overwrite").parquet(versionDir(table, v).toString)
   }
 
   def currentVersion(table: String): Int =
@@ -175,7 +183,7 @@ final class TableStore(spark: SparkSession, root: String) {
                 description: String = "", mergeSchema: Boolean = false,
                 overwriteSchema: Boolean = false,
                 expectedVersion: Option[Int] = None,
-                buckets: Int = 0): Unit = {
+                buckets: Int = 0, partitionBy: Seq[String] = Nil): Unit = {
     val current = meta(table)
     checkExpected(table, current.map(_.version), expectedVersion)
     val out = current match {
@@ -201,12 +209,16 @@ final class TableStore(spark: SparkSession, root: String) {
     val v = current.map(_.version + 1).getOrElse(0)
     val pks = if (primaryKeys.nonEmpty) primaryKeys else current.map(_.primaryKeys).getOrElse(Nil)
     val nb = if (buckets > 0) buckets else current.map(_.buckets).getOrElse(0)
-    writeSnapshot(table, out, v, nb, pks)
+    val pcols = if (partitionBy.nonEmpty) partitionBy else current.map(_.partitionCols).getOrElse(Nil)
+    require(nb == 0 || pcols.isEmpty,
+      s"$table: bucketed and hive-partitioned layouts are mutually exclusive")
+    writeSnapshot(table, out, v, nb, pks, partitionCols = pcols)
     writeMeta(table, Meta(v, out.schema.json, pks,
       if (timestampKeys.nonEmpty) timestampKeys else current.map(_.timestampKeys).getOrElse(Nil),
       nb,
       if (description.nonEmpty) description else current.map(_.description).getOrElse(""),
-      current.map(_.properties).getOrElse(Map.empty)))
+      current.map(_.properties).getOrElse(Map.empty),
+      pcols))
   }
 
   /** S8 — upsert by primary key (MERGE whenMatchedUpdate +
@@ -228,7 +240,8 @@ final class TableStore(spark: SparkSession, root: String) {
         require(pks.nonEmpty, s"$table has no primary keys; cannot upsert")
         val merged = mergedForUpsert(table, df, pks, m)
         val v = m.version + 1
-        writeSnapshot(table, merged, v, m.buckets, pks, shuffleToBuckets = false)
+        writeSnapshot(table, merged, v, m.buckets, pks, shuffleToBuckets = false,
+          partitionCols = m.partitionCols)
         writeMeta(table, m.copy(version = v, schemaJson = merged.schema.json))
     }
   }
@@ -342,7 +355,8 @@ object TableStore {
       timestampKeys: Seq[String],
       buckets: Int,
       description: String,
-      properties: Map[String, String]) {
+      properties: Map[String, String],
+      partitionCols: Seq[String] = Nil) {
     def schema: StructType = DataType.fromJson(schemaJson).asInstanceOf[StructType]
   }
 }

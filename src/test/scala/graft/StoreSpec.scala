@@ -74,6 +74,36 @@ class StoreSpec extends AnyFunSuite {
     assert(store.read("bt").where($"pk" === 10L).head().getDouble(1) == 50.0)
   }
 
+  test("partitioned snapshots: reads prune partition dirs, upserts keep the layout") {
+    import org.apache.spark.sql.functions._
+    val store = freshStore()
+    val df = (1 to 300).map(i => (i.toLong, (i % 6) + 1, i * 1.0)).toDF("id", "month", "amt")
+    store.overwrite("pt", df, primaryKeys = Seq("id"), partitionBy = Seq("month"))
+    // partition pruning on the store read
+    val q = store.read("pt").where(col("month") === 2).select("id", "amt")
+    assert(q.count() == 50)
+    val scan = q.queryExecution.executedPlan.collectLeaves()
+      .collectFirst { case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
+      .getOrElse(fail("no file scan"))
+    assert(scan.selectedPartitions.partitionCount == 1,
+      scan.metadata("PartitionFilters"))
+    // upsert: layout + meta survive; semantics unchanged
+    store.upsert("pt", Seq((1L, 1, 999.0), (9999L, 3, 5.0)).toDF("id", "month", "amt"))
+    assert(store.meta("pt").get.partitionCols == Seq("month"))
+    val after = store.read("pt")
+    assert(after.where(col("id") === 1L).select("amt").as[Double].head() == 999.0)
+    assert(after.count() == 301)
+    val scan2 = store.read("pt").where(col("month") === 3)
+      .queryExecution.executedPlan.collectLeaves()
+      .collectFirst { case f: org.apache.spark.sql.execution.FileSourceScanExec => f }.get
+    assert(scan2.selectedPartitions.partitionCount == 1)
+    // bucketed + partitioned is rejected
+    intercept[IllegalArgumentException] {
+      store.overwrite("bad", df, primaryKeys = Seq("id"),
+        buckets = 4, partitionBy = Seq("month"))
+    }
+  }
+
   test("upsert evolves schema by null-padding new columns") {
     val store = freshStore()
     store.overwrite("e", Seq((1, 1.0)).toDF("pk", "a"), primaryKeys = Seq("pk"))
