@@ -987,6 +987,18 @@ object Oracles {
 
     "q_stream_drift" -> streamDriftSql(nBins = 10, width = 50.0, basePct = "0.1"),
 
+    "q_sketch_topk" ->
+      """WITH c AS (SELECT event_type, CAST(user_id % 50 AS VARCHAR) AS item,
+        |    count(*) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |r AS (SELECT event_type, item, cnt,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY cnt DESC, item) - 1 AS rank
+        |  FROM c)
+        |SELECT event_type, rank::INT AS rank, item, cnt, 0::BIGINT AS err
+        |FROM r WHERE rank < 10
+        |ORDER BY event_type, rank""".stripMargin,
+
     "q_w14_range_frame" ->
       """SELECT event_id, user_id,
         |  CAST(sum(CAST(value AS DECIMAL(18,6))) OVER (

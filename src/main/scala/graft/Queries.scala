@@ -1059,6 +1059,17 @@ object Queries {
         Seq("c_custkey"), fraction = 0.25, salt = 7)
       .orderBy("c_custkey")
 
+  /** Native SpaceSaving top-k aggregate in its exact regime (distinct
+    * items per group < capacity ⇒ exact counts, err 0 — deterministic and
+    * oracle-checkable; the approximate regime is spec-bound)
+    * ([[graft.ops.Sketches.topKApprox]]). */
+  def qSketchTopk(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Sketches.topKApprox(
+        t(s, dir, "events").select(col("event_type"),
+          (col("user_id") % 50).as("bucket")),
+        Seq("event_type"), "bucket", k = 10, capacity = 128)
+      .orderBy("event_type", "rank")
+
   /** W14 — trailing 3-day event-time RANGE frame per user: the
     * irregular-cadence-correct rolling sum
     * ([[graft.ops.Windows.trailingTimeSum]]). */
@@ -1259,5 +1270,6 @@ object Queries {
     "q_v_profile" -> (qVProfile _),
     "q_v_quarantine" -> (qVQuarantine _),
     "q_w14_range_frame" -> (qW14RangeFrame _),
+    "q_sketch_topk" -> (qSketchTopk _),
   )
 }

@@ -117,6 +117,8 @@ object GraftFunctions {
       "graft_eq_positions", exprs => EqPositions(exprs(0), exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_bloom_might_contain", exprs => BloomMightContain(exprs(0), exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_topk", exprs => TopKSketch.fromExprs(exprs), "built-in")
   }
 
   /** Column-API face (usable after [[register]]). */

@@ -70,4 +70,23 @@ object Sketches {
         col(largeKey), lit(out.toByteArray)))
       .join(small, large(largeKey) === small(smallKey))
   }
+
+  /** Approximate top-k heavy hitters per group via the native SpaceSaving
+    * aggregate ([[graft.functions.TopKSketch]]): each group's result is an
+    * exploded `(item, cnt, err)` ranking. Fixed `capacity`-sized mergeable
+    * partials combine map-side — the shuffle carries `capacity` triples
+    * per (partition, group), NEVER the distinct-key universe, which is the
+    * whole point at 100 TB (an exact top-k shuffles every distinct key).
+    * `cnt − err ≤ true ≤ cnt`; any item with true count > group_total /
+    * capacity is guaranteed present. */
+  def topKApprox(df: DataFrame, groupCols: Seq[String], itemCol: String,
+                 k: Int, capacity: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    val agg = df.groupBy(groupCols.map(col): _*)
+      .agg(call_function("graft_topk", col(itemCol).cast("string"),
+        lit(k), lit(capacity)).as("__top"))
+    agg.select(groupCols.map(col) :+ posexplode(col("__top")).as(Seq("rank", "t")): _*)
+      .select(groupCols.map(col) ++ Seq(col("rank").cast("int").as("rank"),
+        col("t.item").as("item"), col("t.cnt").as("cnt"), col("t.err").as("err")): _*)
+  }
 }

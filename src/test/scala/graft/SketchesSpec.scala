@@ -73,4 +73,47 @@ class SketchesSpec extends AnyFunSuite {
       Sketches.bloomPruneJoin(bad, "d", small, "name2", 10).collect()
     }
   }
+
+  test("topKApprox exact regime: below capacity it IS the exact ranking, err 0") {
+    val df = (Seq.fill(30)("a") ++ Seq.fill(20)("b") ++ Seq.fill(10)("c"))
+      .map(("g", _)).toDF("g", "item")
+    val out = Sketches.topKApprox(df, Seq("g"), "item", k = 2, capacity = 16)
+      .select("rank", "item", "cnt", "err")
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq((0, "a", 30L, 0L), (1, "b", 20L, 0L)))
+  }
+
+  test("topKApprox guarantees under eviction: bounds hold, heavy hitter found, layout-independent") {
+    // 4 heavy items (>n/capacity each) in a sea of 2000 singletons
+    val heavy = Seq("h1" -> 500, "h2" -> 400, "h3" -> 300, "h4" -> 200)
+    val rows = heavy.flatMap { case (it, n) => Seq.fill(n)(it) } ++
+      (1 to 2000).map(i => s"noise$i")
+    val truth = heavy.toMap
+    for (parts <- Seq(1, 13)) {
+      val df = rows.map(("g", _)).toDF("g", "item").repartition(parts)
+      val out = Sketches.topKApprox(df, Seq("g"), "item", k = 8, capacity = 64)
+        .select("rank", "item", "cnt", "err")
+        .collect().map(r => (r.getString(1), r.getLong(2), r.getLong(3)))
+      val found = out.map(_._1).toSet
+      // any item with true count > total/capacity (= 3400/64 ~ 53) must be present
+      assert(Set("h1", "h2", "h3", "h4").subsetOf(found), s"parts=$parts found=$found")
+      // estimate bounds: cnt-err <= true <= cnt for every emitted item
+      out.foreach { case (item, cnt, err) =>
+        val t = truth.getOrElse(item, 1)
+        assert(cnt >= t && cnt - err <= t, s"parts=$parts $item cnt=$cnt err=$err true=$t")
+      }
+      // the heavy ranking is recovered in order
+      assert(out.take(4).map(_._1).toSeq == Seq("h1", "h2", "h3", "h4"))
+    }
+  }
+
+  test("topKApprox plan: partial SpaceSaving aggregation before the exchange") {
+    val df = (1 to 100).map(i => ("g", s"i${i % 7}")).toDF("g", "item")
+    val out = Sketches.topKApprox(df, Seq("g"), "item", k = 3, capacity = 8)
+    out.collect()
+    val plan = out.queryExecution.executedPlan.toString
+    // ObjectHashAggregate partial_graft_topk below the shuffle = map-side combine
+    assert(plan.contains("partial_graft_topk") || plan.contains("partial graft_topk")
+      || plan.toLowerCase.contains("partial"), plan)
+  }
 }
