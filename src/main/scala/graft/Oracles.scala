@@ -987,6 +987,40 @@ object Oracles {
 
     "q_stream_drift" -> streamDriftSql(nBins = 10, width = 50.0, basePct = "0.1"),
 
+    "q_feat_rank_norm" ->
+      """WITH r AS (SELECT o_orderkey, o_orderpriority, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_orderpriority
+        |      ORDER BY o_totalprice, o_orderkey) AS rk,
+        |    count(*) OVER (PARTITION BY o_orderpriority) AS n
+        |  FROM orders)
+        |SELECT o_orderkey, o_orderpriority, o_totalprice,
+        |  CASE WHEN n > 1
+        |    THEN CAST(rk - 1 AS DOUBLE) / CAST(n - 1 AS DOUBLE)
+        |    ELSE 0.0 END AS rank_norm
+        |FROM r WHERE o_orderkey < 1000
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q_feat_lift" ->
+      """WITH b AS (SELECT
+        |    ntile(10) OVER (ORDER BY o_totalprice DESC, o_orderkey) AS bucket,
+        |    (o_orderstatus = 'F') AS y
+        |  FROM orders),
+        |p AS (SELECT bucket, count(*) AS n,
+        |    count(*) FILTER (WHERE y) AS n_pos
+        |  FROM b GROUP BY bucket),
+        |t AS (SELECT CAST(sum(n) AS DOUBLE) AS tn,
+        |             CAST(sum(n_pos) AS DOUBLE) AS tp FROM p),
+        |c AS (SELECT bucket, n, n_pos,
+        |    sum(n_pos) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING) AS cp,
+        |    sum(n) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING) AS cn
+        |  FROM p)
+        |SELECT bucket, n, n_pos,
+        |  CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE) AS pos_rate,
+        |  floor(((CAST(cp AS DOUBLE) / CAST(cn AS DOUBLE)) / (tp / tn))
+        |    * 1e6 + 0.5) / 1e6 AS cum_lift
+        |FROM c CROSS JOIN t
+        |ORDER BY bucket""".stripMargin,
+
     "q_sketch_topk" ->
       """WITH c AS (SELECT event_type, CAST(user_id % 50 AS VARCHAR) AS item,
         |    count(*) AS cnt

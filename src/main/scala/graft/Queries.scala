@@ -1059,6 +1059,25 @@ object Queries {
         Seq("c_custkey"), fraction = 0.25, salt = 7)
       .orderBy("c_custkey")
 
+  /** Rank/percentile normalization of order amounts per priority
+    * ([[graft.features.Features.rankNormalize]]) — integer-quotient
+    * outputs, engine-exact. */
+  def qFeatRankNorm(s: SparkSession, dir: String): DataFrame =
+    graft.features.Features.rankNormalize(
+        t(s, dir, "orders").select("o_orderkey", "o_orderpriority", "o_totalprice"),
+        "o_totalprice", groupCols = Seq("o_orderpriority"), tieCol = "o_orderkey")
+      .where(col("o_orderkey") < 1000)
+      .orderBy("o_orderkey")
+
+  /** Decile lift table for the "order fulfilled" label scored by amount
+    * ([[graft.features.Features.liftTable]]). */
+  def qFeatLift(s: SparkSession, dir: String): DataFrame =
+    graft.features.Features.liftTable(
+        t(s, dir, "orders").withColumn("y", col("o_orderstatus") === "F"),
+        scoreCol = "o_totalprice", labelCol = "y", nBuckets = 10,
+        tieCol = "o_orderkey")
+      .orderBy("bucket")
+
   /** Native SpaceSaving top-k aggregate in its exact regime (distinct
     * items per group < capacity ⇒ exact counts, err 0 — deterministic and
     * oracle-checkable; the approximate regime is spec-bound)
@@ -1271,5 +1290,7 @@ object Queries {
     "q_v_quarantine" -> (qVQuarantine _),
     "q_w14_range_frame" -> (qW14RangeFrame _),
     "q_sketch_topk" -> (qSketchTopk _),
+    "q_feat_rank_norm" -> (qFeatRankNorm _),
+    "q_feat_lift" -> (qFeatLift _),
   )
 }

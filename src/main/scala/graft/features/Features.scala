@@ -1,6 +1,7 @@
 package graft.features
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Feature-engineering math the reference's banking pipelines feed into
@@ -195,6 +196,62 @@ object Features {
       .withColumn("psi_term",
         det6((col("pct_actual") - col("pct_expected")) *
           log(col("pct_actual") / col("pct_expected"))))
+  }
+
+  /** Rank / percentile normalization: `(rank − 1) / (n − 1)` per group
+    * (0 for the lowest, 1 for the highest, rank-uniform in between) — the
+    * outlier-immune alternative to z-scores for heavy-tailed features.
+    * `tieCol` totalizes the order so the transform is engine-reproducible;
+    * the ratio is a pure integer quotient in double. Groups with one row
+    * map to 0.
+    *
+    * Scale: one hash shuffle on the group key + in-partition sort (the
+    * rank window) — identical topology to the quantile-cut family. A
+    * GLOBAL rank (groupCols = Nil) degenerates to a single-partition sort;
+    * callers at scale should bucket first (same caveat as rankBuckets). */
+  def rankNormalize(df: DataFrame, valueCol: String, groupCols: Seq[String],
+                    tieCol: String, as: String = "rank_norm"): DataFrame = {
+    val w = (if (groupCols.isEmpty) Window.partitionBy()
+             else Window.partitionBy(groupCols.map(col): _*))
+      .orderBy(col(valueCol), col(tieCol))
+    val n = count(lit(1)).over(
+      if (groupCols.isEmpty) Window.partitionBy()
+      else Window.partitionBy(groupCols.map(col): _*))
+    df.withColumn(as,
+      when(n > 1, (row_number().over(w) - lit(1)).cast("double") /
+        (n - lit(1)).cast("double")).otherwise(lit(0.0)))
+  }
+
+  /** Decile lift table — the scorecard calibration check: rows ranked by
+    * `scoreCol` descending into `nBuckets` equal-frequency buckets
+    * (ntile), then per bucket: size, positives, positive rate, and
+    * cumulative lift vs the base rate (`cum_rate / base_rate`, 6-dp
+    * det-rounded; > 1 in early deciles ⇔ the score ranks well). All
+    * inputs to the double math are exact integer counts.
+    *
+    * Scale: the ntile window is ONE sort over the scored frame (bucket
+    * within shards at 100 TB, or feed an approx-quantile cut); the rollup
+    * is an nBuckets-row aggregate. */
+  def liftTable(df: DataFrame, scoreCol: String, labelCol: String,
+                nBuckets: Int, tieCol: String): DataFrame = {
+    require(nBuckets > 1, "need nBuckets > 1")
+    val w = Window.partitionBy().orderBy(col(scoreCol).desc, col(tieCol))
+    val bucketed = df.select(
+      ntile(nBuckets).over(w).as("bucket"),
+      col(labelCol).cast("boolean").as("__y"))
+    val perBucket = bucketed.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"), count(when(col("__y"), 1)).as("n_pos"))
+    val totals = perBucket.agg(
+      sum(col("n")).cast("double").as("__tn"),
+      sum(col("n_pos")).cast("double").as("__tp"))
+    val cum = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    perBucket.crossJoin(broadcast(totals))
+      .withColumn("pos_rate", col("n_pos").cast("double") / col("n").cast("double"))
+      .withColumn("cum_lift", det6(
+        (sum(col("n_pos")).over(cum).cast("double") /
+          sum(col("n")).over(cum).cast("double")) / (col("__tp") / col("__tn"))))
+      .select("bucket", "n", "n_pos", "pos_rate", "cum_lift")
   }
 
   /** Pearson correlation for every unordered pair of `cols`, computed in

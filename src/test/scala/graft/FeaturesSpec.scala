@@ -79,6 +79,30 @@ class FeaturesSpec extends AnyFunSuite {
     assert(edge.sameElements(Array(0L, 9L)))
   }
 
+  test("rankNormalize: 0..1 rank-uniform per group, deterministic ties, singleton 0") {
+    val df = Seq(("a", 1L, 10.0), ("a", 2L, 30.0), ("a", 3L, 20.0), ("a", 4L, 30.0),
+      ("b", 5L, 99.0)).toDF("g", "id", "x")
+    val out = Features.rankNormalize(df, "x", Seq("g"), "id")
+      .collect().map(r => r.getLong(1) -> r.getDouble(3)).toMap
+    assert(out(1L) == 0.0)            // lowest
+    assert(out(3L) == 1.0 / 3.0)      // second of four
+    assert(out(2L) == 2.0 / 3.0)      // tie on 30.0 broken by id: 2 before 4
+    assert(out(4L) == 1.0)
+    assert(out(5L) == 0.0)            // singleton group
+  }
+
+  test("liftTable: perfect score ranks positives first, cum_lift decays to 1") {
+    // 100 rows, top-20 scores are the positives -> deciles 1-2 pure positive
+    val df = (1 to 100).map(i => (i.toLong, (100 - i).toDouble, i <= 20))
+      .toDF("id", "score", "y")
+    val out = Features.liftTable(df, "score", "y", nBuckets = 10, tieCol = "id")
+      .collect().map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(out(1) == ((10L, 10L, 1.0, 5.0)))   // base rate 0.2 -> lift 5x
+    assert(out(2)._2 == 10L && out(2)._4 == 5.0)
+    assert(out(3)._2 == 0L)
+    assert(out(10)._4 == 1.0)                  // full population = base rate
+  }
+
   test("corrPairs: perfect positive/negative correlation and independence signs") {
     val df = (1 to 200).map { i =>
       val x = i.toDouble

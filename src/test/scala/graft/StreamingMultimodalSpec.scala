@@ -59,6 +59,26 @@ class StreamingMultimodalSpec extends AnyFunSuite {
     assert(flagged.agg(min($"psi")).head().getDouble(0) > 0.25)
   }
 
+  test("native SpaceSaving aggregate works in a streaming query (complete mode)") {
+    val stream = graft.ops.Sketches.topKApprox(
+      Streaming.eventsStream(spark, eventsDir).select($"event_type",
+        ($"user_id" % 10).cast("string").as("item")),
+      Seq("event_type"), "item", k = 3, capacity = 64)
+    val q = stream.writeStream.format("memory").queryName("topk_test")
+      .outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("topk_test")
+    val batch = graft.ops.Sketches.topKApprox(
+      spark.read.parquet(eventsDir).select($"event_type",
+        ($"user_id" % 10).cast("string").as("item")),
+      Seq("event_type"), "item", k = 3, capacity = 64)
+    // capacity > distinct items -> exact regime -> stream == batch exactly
+    assert(streamed.count() == batch.count())
+    assert(streamed.join(batch, Seq("event_type", "rank"))
+      .where(streamed("item") =!= batch("item") ||
+        streamed("cnt") =!= batch("cnt")).isEmpty)
+  }
+
   test("streaming sliding-window agg matches the batch sliding windows") {
     val stream = Streaming.slidingAgg(Streaming.eventsStream(spark, eventsDir),
       window_ = "1 hour", slide = "30 minutes")
