@@ -69,6 +69,35 @@ object Demo {
         .groupBy("user_id").agg(max("session_seq").as("n_sessions"),
           count(lit(1)).as("n_events"))
         .orderBy(desc("n_sessions")).show(5)
+
+      println("== training-set assembly: stacked point-in-time lookups onto event labels")
+      val labels = ev.select(col("event_id"), col("user_id"),
+        col("ts").cast("date").as("label_date"), col("event_type"))
+        .where(col("event_id") < 50)
+      val dailySpend = ev.groupBy(col("user_id"),
+          col("ts").cast("date").as("snap_date"))
+        .agg(sum(col("value").cast("decimal(18,6)")).cast("double").as("spend"))
+      graft.features.TrainingSet.build(labels, "label_date", Seq(
+          graft.features.FeatureLookup(dailySpend, Seq("user_id"), "snap_date", prefix = "d_")))
+        .orderBy("event_id").show(5)
+
+      println("== drift monitor: per-day PSI of the value distribution vs a uniform baseline")
+      graft.streaming.Streaming.driftMonitor(ev, Seq.fill(10)(0.1),
+          "value", lo = 0.0, width = 50.0, window_ = "1 day")
+        .orderBy(desc("psi")).show(5)
+
+      println("== data-quality profile + quarantine of the event stream")
+      graft.validate.Validation.profile(ev,
+        Seq("event_id", "event_type", "value")).show(truncate = false)
+      val (ok, rejected) = graft.validate.Validation.quarantine(ev, Seq(
+        "value_positive" -> (col("value") > 0),
+        "type_known" -> col("event_type").isin("click", "view", "purchase", "signup", "error")))
+      println(s"  valid=${ok.count()} quarantined=${rejected.count()}")
+
+      println("== approximate heavy hitters (native SpaceSaving aggregate)")
+      graft.ops.Sketches.topKApprox(ev, Seq("event_type"), "user_id",
+          k = 3, capacity = 64)
+        .orderBy("event_type", "rank").show(15)
     }
     spark.stop()
   }
