@@ -987,6 +987,28 @@ object Oracles {
 
     "q_stream_drift" -> streamDriftSql(nBins = 10, width = 50.0, basePct = "0.1"),
 
+    "q_feat_onehot" ->
+      """SELECT o_orderkey, o_orderpriority,
+        |  CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS oh_1_urgent,
+        |  CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END AS oh_2_high,
+        |  CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 ELSE 0 END AS oh_3_medium,
+        |  CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 ELSE 0 END AS oh_4_not_specified,
+        |  CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END AS oh_5_low
+        |FROM orders WHERE o_orderkey < 300
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q_sim_mean_vector" ->
+      """WITH q AS (SELECT label,
+        |    list_transform(embedding,
+        |      x -> CAST(round(CAST(x AS DOUBLE)*1000000) AS BIGINT)) AS v
+        |  FROM embeddings),
+        |e AS (SELECT label, unnest(range(1, 65)) AS i, v FROM q),
+        |t AS (SELECT label, CAST(i - 1 AS INT) AS dim, v[i] AS qv FROM e)
+        |SELECT label, dim, sum(qv) AS sum_q, count(*) AS n,
+        |  (CAST(sum(qv) AS DOUBLE) / 1000000.0) / CAST(count(*) AS DOUBLE) AS mean
+        |FROM t GROUP BY label, dim
+        |ORDER BY label, dim""".stripMargin,
+
     "q_feat_rank_norm" ->
       """WITH r AS (SELECT o_orderkey, o_orderpriority, o_totalprice,
         |    row_number() OVER (PARTITION BY o_orderpriority

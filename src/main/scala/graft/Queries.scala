@@ -1059,6 +1059,25 @@ object Queries {
         Seq("c_custkey"), fraction = 0.25, salt = 7)
       .orderBy("c_custkey")
 
+  /** Explicit-vocabulary one-hot encoding of order priority
+    * ([[graft.features.Features.oneHot]]) — schema fixed by the call, not
+    * the data. */
+  def qFeatOneHot(s: SparkSession, dir: String): DataFrame =
+    graft.features.Features.oneHot(
+        t(s, dir, "orders").select("o_orderkey", "o_orderpriority"),
+        "o_orderpriority",
+        Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"))
+      .where(col("o_orderkey") < 300)
+      .orderBy("o_orderkey")
+
+  /** Per-label mean embedding (class centroids via integer-quantized
+    * average pooling, [[graft.sim.Similarity.meanVectorLong]]). */
+  def qSimMeanVector(s: SparkSession, dir: String): DataFrame =
+    graft.sim.Similarity.meanVectorLong(
+        t(s, dir, "embeddings").select("label", "embedding"),
+        "label", "embedding")
+      .orderBy("label", "dim")
+
   /** Rank/percentile normalization of order amounts per priority
     * ([[graft.features.Features.rankNormalize]]) — integer-quotient
     * outputs, engine-exact. */
@@ -1292,5 +1311,7 @@ object Queries {
     "q_sketch_topk" -> (qSketchTopk _),
     "q_feat_rank_norm" -> (qFeatRankNorm _),
     "q_feat_lift" -> (qFeatLift _),
+    "q_feat_onehot" -> (qFeatOneHot _),
+    "q_sim_mean_vector" -> (qSimMeanVector _),
   )
 }

@@ -198,6 +198,21 @@ object Features {
           log(col("pct_actual") / col("pct_expected"))))
   }
 
+  /** Explicit-vocabulary one-hot encoding: one 0/1 column per listed
+    * value (`<prefix><sanitized value>`), unknown/null categories encode
+    * as all-zeros — the deterministic, schema-stable alternative to
+    * pivot-style encoding (columns are fixed by the call, not the data,
+    * so train and serve agree). Map-only projection; no shuffle. */
+  def oneHot(df: DataFrame, catCol: String, values: Seq[String],
+             prefix: String = "oh_"): DataFrame = {
+    require(values.nonEmpty, "values must be non-empty")
+    def slug(v: String) = v.toLowerCase.replaceAll("[^a-z0-9]+", "_")
+      .replaceAll("^_+|_+$", "")
+    values.foldLeft(df)((acc, v) =>
+      acc.withColumn(prefix + slug(v),
+        when(col(catCol) === v, 1).otherwise(0)))
+  }
+
   /** Rank / percentile normalization: `(rank − 1) / (n − 1)` per group
     * (0 for the lowest, 1 for the highest, rank-uniform in between) — the
     * outlier-immune alternative to z-scores for heavy-tailed features.

@@ -250,4 +250,22 @@ object Similarity {
       .select("id_a", "id_b", "cosine_sim")
       .dropDuplicates("id_a", "id_b")
   }
+
+  /** Per-group mean embedding (class centroid / profile vector) in long
+    * format `(group, dim, sum_q, n, mean)` — average-pooling over the
+    * [[Cluster.quantize]] integer micro-units so the sums are exact and
+    * the mean is a deterministic double for ANY summation order (the same
+    * determinism scheme as the k-means update).
+    *
+    * Scale: one posexplode + a (group, dim)-keyed agg with map-side
+    * combine — the shuffle carries #groups·dim scalar rows, never vectors;
+    * this is exactly the k-means centroid-update topology exposed as a
+    * standalone pooling op. */
+  def meanVectorLong(df: DataFrame, groupCol: String, vecCol: String): DataFrame =
+    df.select(col(groupCol),
+        posexplode(Cluster.quantize(col(vecCol))).as(Seq("dim", "__q")))
+      .groupBy(col(groupCol), col("dim"))
+      .agg(sum(col("__q")).as("sum_q"), count(lit(1)).as("n"))
+      .withColumn("mean",
+        (col("sum_q").cast("double") / lit(1000000.0)) / col("n").cast("double"))
 }

@@ -79,6 +79,28 @@ class FeaturesSpec extends AnyFunSuite {
     assert(edge.sameElements(Array(0L, 9L)))
   }
 
+  test("oneHot: listed values get 0/1 columns, unknown and null encode all-zeros") {
+    val df = Seq((1L, "A-X"), (2L, "B y"), (3L, "junk"), (4L, null))
+      .toDF("id", "cat")
+    val out = Features.oneHot(df, "cat", Seq("A-X", "B y"))
+    assert(out.columns.toSeq == Seq("id", "cat", "oh_a_x", "oh_b_y"))
+    val rows = out.collect().map(r => r.getLong(0) -> ((r.getInt(2), r.getInt(3)))).toMap
+    assert(rows(1L) == ((1, 0)) && rows(2L) == ((0, 1)))
+    assert(rows(3L) == ((0, 0)) && rows(4L) == ((0, 0)))
+  }
+
+  test("meanVectorLong: exact per-dim centroid means via integer quantization") {
+    val df = Seq(
+      (0, Seq(1.0f, 2.0f)), (0, Seq(3.0f, 4.0f)), (1, Seq(-1.0f, 0.5f))
+    ).toDF("label", "embedding")
+    val out = graft.sim.Similarity.meanVectorLong(df, "label", "embedding")
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> ((r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(out((0, 0)) == ((4000000L, 2L, 2.0)))
+    assert(out((0, 1)) == ((6000000L, 2L, 3.0)))
+    assert(out((1, 0)) == ((-1000000L, 1L, -1.0)))
+    assert(out((1, 1)) == ((500000L, 1L, 0.5)))
+  }
+
   test("rankNormalize: 0..1 rank-uniform per group, deterministic ties, singleton 0") {
     val df = Seq(("a", 1L, 10.0), ("a", 2L, 30.0), ("a", 3L, 20.0), ("a", 4L, 30.0),
       ("b", 5L, 99.0)).toDF("g", "id", "x")
