@@ -987,6 +987,37 @@ object Oracles {
 
     "q_stream_drift" -> streamDriftSql(nBins = 10, width = 50.0, basePct = "0.1"),
 
+    "q_feat_impute" ->
+      """WITH m AS (SELECT o_orderkey, o_orderpriority,
+        |    CASE WHEN o_orderkey % 7 <> 0 THEN o_totalprice END AS amt
+        |  FROM orders),
+        |st AS (SELECT o_orderpriority,
+        |    CAST(sum(CAST(amt AS DECIMAL(18,2))) AS DOUBLE) AS s,
+        |    count(amt) AS n
+        |  FROM m GROUP BY 1)
+        |SELECT o_orderkey, o_orderpriority,
+        |  coalesce(amt, CASE WHEN n > 0 THEN s / CAST(n AS DOUBLE) END) AS amt
+        |FROM m JOIN st USING (o_orderpriority)
+        |WHERE o_orderkey < 1000
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q_feat_auc" ->
+      """WITH r AS (SELECT o_orderpriority,
+        |    (o_orderstatus = 'F') AS y,
+        |    2 * rank() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice)
+        |      + count(*) OVER (PARTITION BY o_orderpriority, o_totalprice) - 1 AS tar
+        |  FROM orders),
+        |a AS (SELECT o_orderpriority,
+        |    count(*) FILTER (WHERE y) AS n_pos,
+        |    count(*) FILTER (WHERE NOT y) AS n_neg,
+        |    sum(tar) FILTER (WHERE y) AS s2
+        |  FROM r GROUP BY 1)
+        |SELECT o_orderpriority, n_pos, n_neg,
+        |  CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+        |    CAST(s2 - n_pos * (n_pos + 1) AS DOUBLE) /
+        |      (2.0 * CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE)) END AS auc
+        |FROM a ORDER BY o_orderpriority""".stripMargin,
+
     "q_feat_onehot" ->
       """SELECT o_orderkey, o_orderpriority,
         |  CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS oh_1_urgent,

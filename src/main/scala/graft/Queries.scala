@@ -1059,6 +1059,25 @@ object Queries {
         Seq("c_custkey"), fraction = 0.25, salt = 7)
       .orderBy("c_custkey")
 
+  /** Group-mean imputation of deterministically-nulled order amounts
+    * ([[graft.features.Features.imputeGroupMean]]). */
+  def qFeatImpute(s: SparkSession, dir: String): DataFrame =
+    graft.features.Features.imputeGroupMean(
+        t(s, dir, "orders").select(col("o_orderkey"), col("o_orderpriority"),
+          when(col("o_orderkey") % 7 =!= 0, col("o_totalprice")).as("amt")),
+        Seq("amt"), Seq("o_orderpriority"))
+      .where(col("o_orderkey") < 1000)
+      .orderBy("o_orderkey")
+
+  /** Per-priority ROC AUC of the amount score for the "fulfilled" label —
+    * integer-exact Mann-Whitney with tie averaging
+    * ([[graft.features.Features.aucByGroup]]). */
+  def qFeatAuc(s: SparkSession, dir: String): DataFrame =
+    graft.features.Features.aucByGroup(
+        t(s, dir, "orders").withColumn("y", col("o_orderstatus") === "F"),
+        "o_totalprice", "y", Seq("o_orderpriority"))
+      .orderBy("o_orderpriority")
+
   /** Explicit-vocabulary one-hot encoding of order priority
     * ([[graft.features.Features.oneHot]]) — schema fixed by the call, not
     * the data. */
@@ -1313,5 +1332,7 @@ object Queries {
     "q_feat_lift" -> (qFeatLift _),
     "q_feat_onehot" -> (qFeatOneHot _),
     "q_sim_mean_vector" -> (qSimMeanVector _),
+    "q_feat_impute" -> (qFeatImpute _),
+    "q_feat_auc" -> (qFeatAuc _),
   )
 }

@@ -198,6 +198,58 @@ object Features {
           log(col("pct_actual") / col("pct_expected"))))
   }
 
+  /** Group-mean imputation: nulls in `cols` take their group's non-null
+    * mean (decimal-exact Σ / non-null count, so the imputed constant is
+    * engine-reproducible); groups that are entirely null stay null. The
+    * companion to [[zScore]] with the same fit-broadcast topology: one
+    * group agg, one broadcast join, facts never shuffle. */
+  def imputeGroupMean(df: DataFrame, cols: Seq[String],
+                      groupCols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty && groupCols.nonEmpty, "cols/groupCols must be non-empty")
+    val aggs = cols.flatMap { c =>
+      Seq(sum(dec(col(c))).cast("double").as(s"__s_$c"),
+        count(col(c)).as(s"__n_$c"))
+    }
+    val stats = df.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+    val joined = df.join(broadcast(stats), groupCols)
+    val out = cols.foldLeft(joined) { (acc, c) =>
+      acc.withColumn(c, coalesce(col(c),
+        when(col(s"__n_$c") > 0, col(s"__s_$c") / col(s"__n_$c").cast("double"))))
+    }
+    out.drop(cols.flatMap(c => Seq(s"__s_$c", s"__n_$c")): _*)
+  }
+
+  /** Per-group ROC AUC as the Mann-Whitney rank statistic with average-
+    * rank tie handling — INTEGER-exact: with r = min rank of a row's score
+    * and m = multiplicity of that score, `2·avgRank = 2r + m − 1` is an
+    * integer, so `AUC = (Σ_pos 2·avgRank − nPos(nPos+1)) / (2·nPos·nNeg)`
+    * is a deterministic quotient of exact longs. Returns one row per group
+    * `(…, n_pos, n_neg, auc)`; degenerate single-class groups yield null.
+    *
+    * Scale: one hash shuffle on the group key + in-partition sort (the
+    * rank window), then a group-sized aggregate — the standard distributed
+    * AUC. A GLOBAL AUC (single group) becomes a one-partition sort: at
+    * 100 TB score-bucket histogram approximations are the tool; per-
+    * segment AUC (the monitoring use) partitions naturally. */
+  def aucByGroup(df: DataFrame, scoreCol: String, labelCol: String,
+                 groupCols: Seq[String]): DataFrame = {
+    require(groupCols.nonEmpty, "groupCols must be non-empty (global AUC: add a literal group)")
+    val w = Window.partitionBy(groupCols.map(col): _*).orderBy(col(scoreCol))
+    val ties = Window.partitionBy((groupCols :+ scoreCol).map(col): _*)
+    val flag = col(labelCol).cast("boolean")
+    val twoAvgRank = lit(2L) * rank().over(w) + count(lit(1)).over(ties) - lit(1L)
+    df.select(groupCols.map(col) :+ flag.as("__y") :+ twoAvgRank.as("__tar"): _*)
+      .groupBy(groupCols.map(col): _*)
+      .agg(count(when(col("__y"), 1)).as("n_pos"),
+        count(when(!col("__y"), 1)).as("n_neg"),
+        sum(when(col("__y"), col("__tar"))).as("__s2"))
+      .withColumn("auc",
+        when(col("n_pos") > 0 && col("n_neg") > 0,
+          (col("__s2") - col("n_pos") * (col("n_pos") + lit(1L))).cast("double") /
+            (lit(2.0) * col("n_pos").cast("double") * col("n_neg").cast("double"))))
+      .drop("__s2")
+  }
+
   /** Explicit-vocabulary one-hot encoding: one 0/1 column per listed
     * value (`<prefix><sanitized value>`), unknown/null categories encode
     * as all-zeros — the deterministic, schema-stable alternative to

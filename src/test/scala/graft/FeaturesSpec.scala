@@ -79,6 +79,38 @@ class FeaturesSpec extends AnyFunSuite {
     assert(edge.sameElements(Array(0L, 9L)))
   }
 
+  test("imputeGroupMean: nulls take group mean of non-nulls; all-null group stays null") {
+    val df = Seq(
+      ("a", 1L, Some(10.0)), ("a", 2L, None), ("a", 3L, Some(20.0)),
+      ("b", 4L, None), ("b", 5L, None)
+    ).toDF("g", "id", "v")
+    val out = Features.imputeGroupMean(df, Seq("v"), Seq("g"))
+      .collect().map(r => r.getLong(1) -> Option(r.get(2))).toMap
+    assert(out(1L) == Some(10.0) && out(3L) == Some(20.0))
+    assert(out(2L) == Some(15.0))            // (10+20)/2
+    assert(out(4L) == None && out(5L) == None)
+  }
+
+  test("aucByGroup: perfect separation 1.0, inverted 0.0, all-ties 0.5, hand-computed ties") {
+    val perfect = Seq(("g", 1.0, false), ("g", 2.0, false), ("g", 3.0, true), ("g", 4.0, true))
+    val inverted = perfect.map { case (g, s, y) => ("inv", s, !y) }
+    val allTies = Seq(("t", 5.0, true), ("t", 5.0, false), ("t", 5.0, true), ("t", 5.0, false))
+    // hand case: scores 1(neg) 2(pos) 2(neg) 3(pos): ranks avg: 1, 2.5, 2.5, 4
+    // U = (2.5+4) - 2*3/2 = 3.5 -> AUC = 3.5/(2*2) = 0.875
+    val hand = Seq(("h", 1.0, false), ("h", 2.0, true), ("h", 2.0, false), ("h", 3.0, true))
+    val df = (perfect ++ inverted ++ allTies ++ hand).toDF("g", "score", "y")
+    val out = Features.aucByGroup(df, "score", "y", Seq("g"))
+      .collect().map(r => r.getString(0) -> Option(r.get(3)).map(_.asInstanceOf[Double])).toMap
+    assert(out("g") == Some(1.0))
+    assert(out("inv") == Some(0.0))
+    assert(out("t") == Some(0.5))
+    assert(out("h") == Some(0.875))
+    // degenerate one-class group -> null
+    val deg = Features.aucByGroup(Seq(("d", 1.0, true)).toDF("g", "score", "y"),
+      "score", "y", Seq("g")).collect()
+    assert(Option(deg.head.get(3)) == None)
+  }
+
   test("oneHot: listed values get 0/1 columns, unknown and null encode all-zeros") {
     val df = Seq((1L, "A-X"), (2L, "B y"), (3L, "junk"), (4L, null))
       .toDF("id", "cat")
