@@ -1164,6 +1164,67 @@ object Oracles {
         |ASOF LEFT JOIN history h
         |  ON l.o_custkey = h.o_custkey AND h.h_snap_date <= l.label_date
         |ORDER BY o_orderkey""".stripMargin,
+
+    "q_feat_robust" ->
+      """WITH r AS (SELECT o_orderkey, o_orderpriority, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_orderpriority
+        |      ORDER BY o_totalprice, o_orderkey) AS rn,
+        |    count(*) OVER (PARTITION BY o_orderpriority) AS n
+        |  FROM orders),
+        |s AS (SELECT o_orderpriority,
+        |    CAST(max(CASE WHEN rn = CAST(ceil(n * 0.25) AS BIGINT)
+        |      THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS q1,
+        |    CAST(max(CASE WHEN rn = CAST(ceil(n * 0.5) AS BIGINT)
+        |      THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS med,
+        |    CAST(max(CASE WHEN rn = CAST(ceil(n * 0.75) AS BIGINT)
+        |      THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS q3
+        |  FROM r GROUP BY 1)
+        |SELECT o_orderkey, o_orderpriority, o_totalprice,
+        |  CASE WHEN q3 <> q1 THEN (o_totalprice - med) / (q3 - q1) END
+        |    AS o_totalprice_robust
+        |FROM orders JOIN s USING (o_orderpriority)
+        |WHERE o_orderkey < 1000
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q_feat_hist" ->
+      """WITH b AS (SELECT
+        |    CAST(least(greatest(floor((o_totalprice - 0.0) / 25000.0), 0.0), 19.0)
+        |      AS INT) AS bin
+        |  FROM orders WHERE o_totalprice IS NOT NULL)
+        |SELECT bin, 0.0 + CAST(bin AS DOUBLE) * CAST(25000.0 AS DOUBLE) AS bin_lo,
+        |  0.0 + CAST(bin + 1 AS DOUBLE) * CAST(25000.0 AS DOUBLE) AS bin_hi,
+        |  count(*) AS cnt
+        |FROM b GROUP BY bin ORDER BY bin""".stripMargin,
+
+    "q_p14_group_sample" ->
+      """WITH r AS (SELECT event_type, event_id,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY md5(concat_ws('|', CAST(event_id AS VARCHAR), '42')),
+        |        event_id) AS rn
+        |  FROM events)
+        |SELECT event_id, event_type FROM r WHERE rn <= 20
+        |ORDER BY event_type, event_id""".stripMargin,
+
+    "q_p13_time_split" ->
+      """SELECT event_id,
+        |  CASE WHEN ts < TIMESTAMP '2024-01-20' THEN 'train'
+        |       WHEN ts < TIMESTAMP '2024-01-26' THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM events WHERE event_id < 3000
+        |ORDER BY event_id""".stripMargin,
+
+    "q_fs_serving" ->
+      """WITH m AS (
+        |  SELECT o_custkey, date_trunc('month', o_orderdate::DATE)::DATE AS month_dt,
+        |         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS amt,
+        |         count(*) AS cnt
+        |  FROM orders GROUP BY 1, 2),
+        |f AS (SELECT * FROM m
+        |  WHERE month_dt <= DATE '2001-07-15' AND month_dt >= DATE '2001-07-15' - 92),
+        |r AS (SELECT *, max(month_dt) OVER (PARTITION BY o_custkey) AS mx FROM f)
+        |SELECT o_custkey, month_dt AS m_month_dt, amt AS m_amt, cnt AS m_cnt
+        |FROM r WHERE month_dt = mx
+        |ORDER BY o_custkey""".stripMargin,
   )
 
   /** One UNION ALL branch per profiled column, mirroring

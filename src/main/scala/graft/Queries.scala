@@ -1233,6 +1233,57 @@ object Queries {
       .orderBy("o_orderkey")
   }
 
+  /** Robust median/IQR scaling of order amounts per priority
+    * ([[graft.features.Features.robustScale]]) — nearest-rank quantiles,
+    * engine-exact. */
+  def qFeatRobust(s: SparkSession, dir: String): DataFrame =
+    graft.features.Features.robustScale(
+        t(s, dir, "orders").select("o_orderkey", "o_orderpriority", "o_totalprice"),
+        "o_totalprice", groupCols = Seq("o_orderpriority"), tieCol = "o_orderkey")
+      .where(col("o_orderkey") < 1000)
+      .select("o_orderkey", "o_orderpriority", "o_totalprice", "o_totalprice_robust")
+      .orderBy("o_orderkey")
+
+  /** Equi-width histogram of order amounts: 20 bins over [0, 500000)
+    * ([[graft.features.Features.histogram]]) — the distributed
+    * fixed-size-result histogram. */
+  def qFeatHist(s: SparkSession, dir: String): DataFrame =
+    graft.features.Features.histogram(
+        t(s, dir, "orders"), "o_totalprice", lo = 0.0, hi = 500000.0, nBins = 20)
+      .orderBy("bin")
+
+  /** P14 — exactly-20-per-group portable sample of events by type
+    * ([[graft.ops.Filters.groupSampleExact]]): md5-ordered, layout-
+    * independent, replayable by any engine. */
+  def qP14GroupSample(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Filters.groupSampleExact(
+        t(s, dir, "events").select("event_id", "event_type"),
+        groupCols = Seq("event_type"), n = 20, keyCols = Seq("event_id"))
+      .orderBy("event_type", "event_id")
+
+  /** P13 — chronological train/val/test assignment over the event stream
+    * ([[graft.ops.Filters.timeSplit]]): leakage-safe temporal split. */
+  def qP13TimeSplit(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Filters.timeSplit(
+        t(s, dir, "events").select("event_id", "ts"),
+        "ts", valStart = "2024-01-20", testStart = "2024-01-26")
+      .where(col("event_id") < 3000)
+      .select("event_id", "split")
+      .orderBy("event_id")
+
+  /** FS2 — batch serving view: freshest monthly spend snapshot per
+    * customer as of 2001-07-15 with a 92-day staleness TTL
+    * ([[graft.features.TrainingSet.servingLookup]]). */
+  def qFsServing(s: SparkSession, dir: String): DataFrame = {
+    val monthly = t(s, dir, "orders")
+      .groupBy(col("o_custkey"),
+        trunc(col("o_orderdate").cast("date"), "month").as("month_dt"))
+      .agg(dsum(col("o_totalprice")).as("amt"), count(lit(1)).as("cnt"))
+    graft.features.TrainingSet.servingLookup(monthly, Seq("o_custkey"),
+        "month_dt", asOf = "2001-07-15", maxStalenessDays = 92, prefix = "m_")
+      .orderBy("o_custkey")
+  }
+
   // =====================================================================
   // Registry
   // =====================================================================
@@ -1334,5 +1385,10 @@ object Queries {
     "q_sim_mean_vector" -> (qSimMeanVector _),
     "q_feat_impute" -> (qFeatImpute _),
     "q_feat_auc" -> (qFeatAuc _),
+    "q_feat_robust" -> (qFeatRobust _),
+    "q_feat_hist" -> (qFeatHist _),
+    "q_p14_group_sample" -> (qP14GroupSample _),
+    "q_p13_time_split" -> (qP13TimeSplit _),
+    "q_fs_serving" -> (qFsServing _),
   )
 }

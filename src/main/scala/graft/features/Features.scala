@@ -289,6 +289,73 @@ object Features {
         (n - lit(1)).cast("double")).otherwise(lit(0.0)))
   }
 
+  /** Robust (median/IQR) scaling — the outlier-immune alternative to
+    * [[zScore]]: `(x - median) / (q3 - q1)` per group, appended as
+    * `<valueCol><suffix>`. Quantiles are NEAREST-RANK (the value at rank
+    * `ceil(p·n)` in `(value, tieCol)` order), so every statistic is an
+    * actual data value — decimal-exact, no interpolation floats, and any
+    * engine replaying "row_number ≤ ceil(p·n)" picks the identical rows.
+    * Zero-IQR groups scale to null.
+    *
+    * Scale: ONE group-key shuffle + in-partition sort yields ranks; the
+    * three quantiles reduce to a #groups-row aggregate broadcast back —
+    * the fact rows are never shuffled a second time. At corpus scale with
+    * a constant group key, feed an approx-quantile sketch instead (the
+    * single-partition sort is the bug, not this plan).
+    */
+  def robustScale(df: DataFrame, valueCol: String, groupCols: Seq[String],
+                  tieCol: String, suffix: String = "_robust"): DataFrame = {
+    require(groupCols.nonEmpty, "groupCols must be non-empty (global scaling: pass a literal group)")
+    val gw = Window.partitionBy(groupCols.map(col): _*)
+    val w = gw.orderBy(col(valueCol), col(tieCol))
+    val ranked = df
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(gw))
+    val stats = ranked
+      .groupBy(groupCols.map(col): _*)
+      .agg(
+        max(when(col("__rn") === ceil(col("__n") * 0.25), dec(col(valueCol))))
+          .cast("double").as("__q1"),
+        max(when(col("__rn") === ceil(col("__n") * 0.5), dec(col(valueCol))))
+          .cast("double").as("__med"),
+        max(when(col("__rn") === ceil(col("__n") * 0.75), dec(col(valueCol))))
+          .cast("double").as("__q3"))
+    ranked.drop("__rn", "__n")
+      .join(broadcast(stats), groupCols)
+      .withColumn(valueCol + suffix,
+        when(col("__q3") =!= col("__q1"),
+          (col(valueCol) - col("__med")) / (col("__q3") - col("__q1"))))
+      .drop("__q1", "__med", "__q3")
+  }
+
+  /** Equi-width histogram: `nBins` buckets over `[lo, hi)`, emitting one
+    * row per OCCUPIED bin — (bin index, inclusive lower edge, exclusive
+    * upper edge, count). Values outside the range clamp into the edge
+    * bins (bin 0 / bin nBins-1), so the counts always total the input.
+    * The bucket index is `floor((x - lo)/width)` on doubles — identical
+    * IEEE ops in any engine, so bin membership is reproducible as long as
+    * `lo`/`hi` are exact binary fractions or the data sits away from bin
+    * edges (synthetic money values at 2 dp with integer edges are safe).
+    *
+    * Scale: one map-side-combined aggregate keyed by bin index — ≤ nBins
+    * result rows regardless of input size; the canonical distributed
+    * histogram. For feature-drift use, feed the same edges to
+    * [[psiFixedBins]].
+    */
+  def histogram(df: DataFrame, valueCol: String, lo: Double, hi: Double,
+                nBins: Int): DataFrame = {
+    require(nBins > 0 && hi > lo, "need nBins > 0 and hi > lo")
+    val width = (hi - lo) / nBins
+    val bin = least(greatest(floor((col(valueCol) - lo) / width), lit(0.0)),
+      lit((nBins - 1).toDouble)).cast("int")
+    df.where(col(valueCol).isNotNull)
+      .groupBy(bin.as("bin"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("bin_lo", lit(lo) + col("bin") * width)
+      .withColumn("bin_hi", lit(lo) + (col("bin") + 1) * width)
+      .select(col("bin"), col("bin_lo"), col("bin_hi"), col("cnt"))
+  }
+
   /** Decile lift table — the scorecard calibration check: rows ranked by
     * `scoreCol` descending into `nBuckets` equal-frequency buckets
     * (ntile), then per bucket: size, positives, positive rate, and

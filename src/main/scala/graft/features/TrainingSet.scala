@@ -51,4 +51,34 @@ object TrainingSet {
       Joins.pointInTimeJoin(acc, proj, fl.keys, labelTime, tOut)
     }
   }
+
+  /** Batch serving view: the latest feature snapshot per entity as of
+    * `asOf`, dropping entities whose freshest snapshot is older than
+    * `maxStalenessDays` — the offline mirror of a feature-store online
+    * lookup with a TTL (stale features are worse than missing ones at
+    * scoring time, so they are excluded, not served). Emits the feature
+    * payload plus the matched snapshot time under `prefix`.
+    *
+    * Scale: the time-range filter prunes at the scan (snapshot tables
+    * partitioned by date read only `maxStalenessDays` partitions — see
+    * TableStore partitioned snapshots), then ONE hash shuffle on the
+    * entity keys for the latest-per-key window. No as-of join: serving
+    * has a single global cutoff, so the general PIT machinery would be
+    * wasted motion.
+    */
+  def servingLookup(features: DataFrame, keys: Seq[String], timeCol: String,
+                    asOf: String, maxStalenessDays: Int,
+                    prefix: String = ""): DataFrame = {
+    require(keys.nonEmpty, "keys must be non-empty")
+    require(maxStalenessDays > 0, "maxStalenessDays must be positive")
+    val fresh = features.where(
+      col(timeCol) <= lit(asOf) &&
+        col(timeCol) >= date_sub(lit(asOf).cast("date"), maxStalenessDays))
+    val latest = graft.ops.Filters.latestPerGroup(fresh, keys, timeCol)
+    val payload = features.columns.toSeq
+      .filterNot(c => keys.contains(c) || c == timeCol)
+    latest.select(
+      keys.map(col) ++ Seq(col(timeCol).as(prefix + timeCol)) ++
+        payload.map(c => col(c).as(prefix + c)): _*)
+  }
 }

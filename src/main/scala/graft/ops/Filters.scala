@@ -157,6 +157,50 @@ object Filters {
       Window.partitionBy(col(groupCol)).orderBy(col(scoreCol).desc, col(tieCol))))
   }
 
+  /** Exactly-n-per-group deterministic sample: keep the first `n` rows of
+    * each group in portable-hash order (`md5(key)` ascending, key as the
+    * final tiebreak) — the distributed replacement for per-group reservoir
+    * sampling. Hash order is a pure function of the key columns, so the
+    * kept set is independent of partition layout, stable across reruns,
+    * and replayable by ANY engine with md5 (the audit property of
+    * [[portableHashSample]], with exact per-group cardinality instead of
+    * a probabilistic fraction).
+    *
+    * Scale: ONE hash shuffle on the group key + in-partition sort —
+    * identical topology to [[topFractionByGroup]]. No driver state, no
+    * per-group reservoir merging.
+    */
+  def groupSampleExact(df: DataFrame, groupCols: Seq[String], n: Int,
+                       keyCols: Seq[String], salt: Int = 42): DataFrame = {
+    require(n > 0, "n must be positive")
+    require(keyCols.nonEmpty, "keyCols must be non-empty")
+    val h = md5(concat_ws("|", keyCols.map(col) :+ lit(salt.toString): _*))
+    val w = Window.partitionBy(groupCols.map(col): _*)
+      .orderBy(h +: keyCols.map(col): _*)
+    df.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") <= n)
+      .drop("__rn")
+  }
+
+  /** Chronological train/validation/test assignment: rows strictly before
+    * `valStart` are `train`, before `testStart` are `val`, the rest
+    * `test` — the leakage-safe split for temporal data (random splits let
+    * the model peek at the future; the reference trains on history and
+    * scores the current month for exactly this reason,
+    * `notebooks/utils.py` date-bounded ingestion). Boundaries are
+    * half-open: `[_, valStart) [valStart, testStart) [testStart, _]`.
+    *
+    * Scale: map-only — a projection over the time column; no shuffle at
+    * any data size. */
+  def timeSplit(df: DataFrame, timeCol: String, valStart: String,
+                testStart: String, splitCol: String = "split"): DataFrame = {
+    require(valStart < testStart, "valStart must precede testStart")
+    df.withColumn(splitCol,
+      when(col(timeCol) < lit(valStart), "train")
+        .when(col(timeCol) < lit(testStart), "val")
+        .otherwise("test"))
+  }
+
   /** Rebalance a corpus to a target source mixture: given per-group
     * weights (fractions of the OUTPUT), keep the largest total T such
     * that no group is over-drawn (`T = min_g floor(count_g / w_g)`), then

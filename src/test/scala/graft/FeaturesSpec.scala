@@ -236,6 +236,51 @@ class FeaturesSpec extends AnyFunSuite {
     }
   }
 
+  test("robustScale: hand-computed median/IQR, zero-IQR group nulls") {
+    // g=a: values 1..5 -> ranks 1..5, n=5: q1 = rank ceil(1.25)=2 -> 2.0,
+    // med = rank 3 -> 3.0, q3 = rank 4 -> 4.0; robust = (x-3)/2
+    val df = Seq(("a", 1L, 1.0), ("a", 2L, 2.0), ("a", 3L, 3.0),
+      ("a", 4L, 4.0), ("a", 5L, 5.0),
+      ("b", 6L, 7.0), ("b", 7L, 7.0), ("b", 8L, 7.0)).toDF("g", "id", "x")
+    val out = Features.robustScale(df, "x", Seq("g"), tieCol = "id")
+      .collect().map(r => r.getLong(r.fieldIndex("id")) ->
+        Option(r.get(r.fieldIndex("x_robust")))).toMap
+    assert(out(1L) == Some(-1.0))
+    assert(out(3L) == Some(0.0))
+    assert(out(5L) == Some(1.0))
+    // all-equal group: q3 == q1 -> null, not division by zero
+    assert(Seq(6L, 7L, 8L).forall(out(_).isEmpty))
+  }
+
+  test("histogram: counts per bin, out-of-range values clamp to edge bins") {
+    val df = Seq(-5.0, 0.0, 1.0, 9.9, 10.0, 15.0, 25.0, 99.0, 130.0)
+      .toDF("x")
+    val out = Features.histogram(df, "x", lo = 0.0, hi = 100.0, nBins = 10)
+      .collect().map(r => r.getInt(0) -> ((r.getDouble(1), r.getDouble(2), r.getLong(3)))).toMap
+    assert(out(0) == ((0.0, 10.0, 4L)))   // -5 clamps in; 0, 1, 9.9
+    assert(out(1) == ((10.0, 20.0, 2L)))  // 10.0 and 15.0
+    assert(out(2) == ((20.0, 30.0, 1L)))
+    assert(out(9) == ((90.0, 100.0, 2L))) // 99 and the 130 clamp
+    assert(out.values.map(_._3).sum == 9L)
+  }
+
+  test("servingLookup: freshest snapshot per entity, stale entities dropped") {
+    val feats = Seq(
+      (1L, "2024-01-01", 10.0), (1L, "2024-03-01", 30.0),
+      (2L, "2023-06-01", 99.0), // stale: outside the 92-day TTL
+      (3L, "2024-03-20", 7.0))
+      .toDF("cust", "snap", "bal")
+      .withColumn("snap", $"snap".cast("date"))
+    val out = graft.features.TrainingSet.servingLookup(
+        feats, Seq("cust"), "snap", asOf = "2024-03-31", maxStalenessDays = 92,
+        prefix = "f_")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getDate(1).toString, r.getDouble(2)))).toMap
+    assert(out(1L) == (("2024-03-01", 30.0))) // latest in-window, not Jan
+    assert(!out.contains(2L))                 // stale -> excluded, not served
+    assert(out(3L) == (("2024-03-20", 7.0)))
+  }
+
   test("portableHashSample: deterministic, ~fraction sized, layout-independent") {
     val df = (1L to 4000L).toDF("id")
     val a = Filters.portableHashSample(df, Seq("id"), 0.25, salt = 7)

@@ -266,4 +266,32 @@ class OpsSpec extends AnyFunSuite {
     assert(out((2L, 1)) == None)      // leading null: nothing to carry
     assert(out((2L, 2)) == Some(7.0)) // entity 1's values never leak into entity 2
   }
+
+  test("groupSampleExact: exact per-group counts, layout-independent, small groups whole") {
+    val df = ((1L to 300L).map(i => ("big", i)) ++ Seq(("tiny", 901L), ("tiny", 902L)))
+      .toDF("g", "id")
+    val a = Filters.groupSampleExact(df, Seq("g"), n = 10, keyCols = Seq("id"))
+    val counts = a.groupBy("g").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts == Map("big" -> 10L, "tiny" -> 2L)) // undersized groups kept whole
+    val b = Filters.groupSampleExact(df.repartition(17), Seq("g"), n = 10, keyCols = Seq("id"))
+    assert(a.select("g", "id").collect().toSet == b.select("g", "id").collect().toSet)
+    // a different salt draws a different (but equally sized) sample
+    val c = Filters.groupSampleExact(df, Seq("g"), n = 10, keyCols = Seq("id"), salt = 7)
+    assert(c.where($"g" === "big").select("id").as[Long].collect().toSet !=
+      a.where($"g" === "big").select("id").as[Long].collect().toSet)
+  }
+
+  test("timeSplit: half-open chronological boundaries") {
+    val df = Seq("2024-01-10", "2024-01-19", "2024-01-20", "2024-01-25",
+      "2024-01-26", "2024-01-30").toDF("d").withColumn("d", $"d".cast("timestamp"))
+    val out = Filters.timeSplit(df, "d", "2024-01-20", "2024-01-26")
+      .collect().map(r => r.getTimestamp(0).toString.take(10) -> r.getString(1)).toMap
+    assert(out("2024-01-10") == "train" && out("2024-01-19") == "train")
+    assert(out("2024-01-20") == "val" && out("2024-01-25") == "val")   // valStart inclusive
+    assert(out("2024-01-26") == "test" && out("2024-01-30") == "test") // testStart inclusive
+    intercept[IllegalArgumentException] {
+      Filters.timeSplit(df, "d", "2024-02-01", "2024-01-01")
+    }
+  }
 }
