@@ -1225,6 +1225,15 @@ object Oracles {
         |SELECT o_custkey, month_dt AS m_month_dt, amt AS m_amt, cnt AS m_cnt
         |FROM r WHERE month_dt = mx
         |ORDER BY o_custkey""".stripMargin,
+
+    "q_er_fuzzy_join" ->
+      """WITH dirty AS (SELECT c_custkey AS d_key,
+        |    substr(c_name, 1, 9) || substr(c_name, 11, 8) AS d_name
+        |  FROM customer WHERE c_custkey % 10 = 0)
+        |SELECT d_key, d_name, c_custkey, c_name,
+        |  CAST(levenshtein(d_name, c_name) AS INT) AS lev_dist
+        |FROM dirty JOIN customer ON levenshtein(d_name, c_name) <= 1
+        |ORDER BY d_key, c_custkey""".stripMargin,
   )
 
   /** One UNION ALL branch per profiled column, mirroring

@@ -1284,6 +1284,22 @@ object Queries {
       .orderBy("o_custkey")
   }
 
+  /** ER1 — fuzzy entity match: customer names with a deterministically
+    * deleted character re-matched to the master dimension within edit
+    * distance 1 ([[graft.text.Fuzzy.fuzzyJoinBlocked]]); length-banded
+    * blocking + portable Levenshtein verify. */
+  def qErFuzzyJoin(s: SparkSession, dir: String): DataFrame = {
+    val cust = t(s, dir, "customer").select("c_custkey", "c_name")
+    val dirty = cust.where(col("c_custkey") % 10 === 0)
+      .select(col("c_custkey").as("d_key"),
+        concat(substring(col("c_name"), 1, 9),
+          substring(col("c_name"), 11, 8)).as("d_name"))
+    graft.text.Fuzzy.fuzzyJoinBlocked(dirty, "d_name", cust, "c_name",
+        maxDist = 1, band = 8)
+      .select("d_key", "d_name", "c_custkey", "c_name", "lev_dist")
+      .orderBy("d_key", "c_custkey")
+  }
+
   // =====================================================================
   // Registry
   // =====================================================================
@@ -1390,5 +1406,6 @@ object Queries {
     "q_p14_group_sample" -> (qP14GroupSample _),
     "q_p13_time_split" -> (qP13TimeSplit _),
     "q_fs_serving" -> (qFsServing _),
+    "q_er_fuzzy_join" -> (qErFuzzyJoin _),
   )
 }
