@@ -1234,7 +1234,31 @@ object Oracles {
         |  CAST(levenshtein(d_name, c_name) AS INT) AS lev_dist
         |FROM dirty JOIN customer ON levenshtein(d_name, c_name) <= 1
         |ORDER BY d_key, c_custkey""".stripMargin,
+
+    "q_sim_pq_encode" -> pqEncodeSql,
   )
+
+  /** SQL replication of the fixed-codebook PQ encode (q_sim_pq_encode):
+    * per 32-dim subspace, integer micro-unit quantization then argmin
+    * over the four constant-component centroids — every distance is an
+    * exact BIGINT, so list_position(list_min) picks the identical code
+    * in any engine. */
+  private def pqEncodeSql: String = {
+    val cents = Seq(-30000L, -10000L, 10000L, 30000L)
+    def dists(sv: String) = cents.map(c =>
+      s"list_sum(list_transform($sv, x -> (x - ($c)) * (x - ($c))))")
+      .mkString("[", ", ", "]")
+    s"""WITH q AS (SELECT vec_id,
+       |    list_transform(embedding,
+       |      x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS v
+       |  FROM embeddings),
+       |s AS (SELECT vec_id, v[1:32] AS s0, v[33:64] AS s1 FROM q),
+       |d AS (SELECT vec_id, ${dists("s0")} AS d0, ${dists("s1")} AS d1 FROM s)
+       |SELECT vec_id,
+       |  CAST(list_position(d0, list_min(d0)) - 1 AS INT) AS code0,
+       |  CAST(list_position(d1, list_min(d1)) - 1 AS INT) AS code1
+       |FROM d ORDER BY vec_id""".stripMargin
+  }
 
   /** One UNION ALL branch per profiled column, mirroring
     * Validation.profile's long format ((name, isNumeric) pairs). */

@@ -1300,6 +1300,21 @@ object Queries {
       .orderBy("d_key", "c_custkey")
   }
 
+  /** PQ1 — product-quantization encoding of the embedding corpus against
+    * a FIXED two-subspace codebook (constant-component centroids at
+    * ±0.01/±0.03) — integer-exact argmin per subspace, map-only
+    * ([[graft.sim.PQ.encode]]). The fitted-codebook and ADC-search paths
+    * are spec-bound ([[graft.sim.PQ.fit]]/[[graft.sim.PQ.adcTopK]]). */
+  def qSimPqEncode(s: SparkSession, dir: String): DataFrame = {
+    val cb: Seq[Seq[Long]] =
+      Seq(-30000L, -10000L, 10000L, 30000L).map(v => Seq.fill(32)(v))
+    val model = graft.sim.PQModel(2, 32, Seq(cb, cb))
+    graft.sim.PQ.encode(t(s, dir, "embeddings"), "embedding", model)
+      .select(col("vec_id"), col("pq_code")(0).as("code0"),
+        col("pq_code")(1).as("code1"))
+      .orderBy("vec_id")
+  }
+
   // =====================================================================
   // Registry
   // =====================================================================
@@ -1407,5 +1422,6 @@ object Queries {
     "q_p13_time_split" -> (qP13TimeSplit _),
     "q_fs_serving" -> (qFsServing _),
     "q_er_fuzzy_join" -> (qErFuzzyJoin _),
+    "q_sim_pq_encode" -> (qSimPqEncode _),
   )
 }

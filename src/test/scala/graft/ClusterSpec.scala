@@ -114,4 +114,87 @@ class ClusterSpec extends AnyFunSuite {
       .select("id").as[Long].collect().toSet
     assert(kept == Set(1L, 2L, 13L))
   }
+
+  test("PQ.encode: hand-computed codes per subspace, tie to lowest index") {
+    import graft.sim.{PQ, PQModel}
+    // 4-dim vectors, m=2 subspaces of 2 dims; codebooks in micro-units
+    val model = PQModel(2, 2, Seq(
+      Seq(Seq(0L, 0L), Seq(1000000L, 1000000L)),          // sub0: (0,0) / (1,1)
+      Seq(Seq(0L, 1000000L), Seq(1000000L, 0L))))          // sub1: (0,1) / (1,0)
+    val df = vecs(
+      1L -> Seq(0.1, 0.1, 0.9, 0.1),  // sub0 -> 0, sub1 -> (1,0) = 1
+      2L -> Seq(0.9, 0.8, 0.2, 0.9),  // sub0 -> 1, sub1 -> (0,1) = 0
+      3L -> Seq(0.5, 0.5, 0.5, 0.5))  // both subspaces equidistant -> code 0
+    val out = PQ.encode(df, "v", model)
+      .select($"id", $"pq_code"(0), $"pq_code"(1))
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2)))).toMap
+    assert(out(1L) == ((0, 1)))
+    assert(out(2L) == ((1, 0)))
+    assert(out(3L) == ((0, 0))) // exact tie -> first index, both subspaces
+  }
+
+  test("PQ.encode with m=1 is exactly assignQuantized; layout-independent") {
+    import graft.sim.{PQ, PQModel}
+    val rnd = new scala.util.Random(11)
+    val df = vecs((1L to 200L).map(i =>
+      i -> Seq.fill(8)(rnd.nextDouble() * 2 - 1)): _*)
+    val cents = Seq(Seq.fill(8)(-500000L), Seq.fill(8)(0L), Seq.fill(8)(500000L))
+    val viaPq = PQ.encode(df, "v", PQModel(1, 8, Seq(cents)))
+      .select($"id", $"pq_code"(0)).as[(Long, Int)].collect().toMap
+    val viaAssign = Cluster.assignQuantized(df, "v", cents)
+      .select($"id", $"cluster").as[(Long, Int)].collect().toMap
+    assert(viaPq == viaAssign)
+    val relaid = PQ.encode(df.repartition(13), "v", PQModel(1, 8, Seq(cents)))
+      .select($"id", $"pq_code"(0)).as[(Long, Int)].collect().toMap
+    assert(relaid == viaPq)
+  }
+
+  test("PQ.adcTopK: planted clone ranks first with the exact table distance") {
+    import graft.sim.{PQ, PQModel}
+    val rnd = new scala.util.Random(5)
+    val base = (1L to 100L).map(i => i -> Seq.fill(4)(rnd.nextDouble()))
+    val query = base.head._2                  // clone of id 1 (lowest id:
+    val df = vecs(base: _*)                   // deterministic tie-break winner)
+    val model = PQ.fit(df, "id", "v", dim = 4, m = 2, k = 4)
+    val codes = PQ.encode(df, "v", model)
+    val top = PQ.adcTopK(codes, "id", model, query, k = 3)
+      .select("id", "adc_dist").as[(Long, Long)].collect()
+    // the query's own code cell attains the minimal ADC distance (its code
+    // IS the per-subspace argmin of the table); lowest id wins the cell tie
+    assert(top.head._1 == 1L)
+    // ADC distance is the reconstruction identity: sum over subspaces of
+    // the exact integer distance from the quantized query subvector to
+    // the assigned codeword
+    val code1 = codes.where($"id" === 1L)
+      .select($"pq_code"(0), $"pq_code"(1)).as[(Int, Int)].head()
+    val q = query.map(x => math.round(x * 1000000.0))
+    def d(sub: Int, code: Int) = {
+      val qs = q.slice(sub * 2, sub * 2 + 2)
+      qs.zip(model.codebooks(sub)(code)).map { case (a, b) => (a - b) * (a - b) }.sum
+    }
+    assert(top.head._2 == d(0, code1._1) + d(1, code1._2))
+  }
+
+  test("PQ.fit recovers planted per-subspace structure; encode separates blobs") {
+    import graft.sim.{PQ, PQModel}
+    val rnd = new scala.util.Random(3)
+    def jitter(c: Seq[Double]) = c.map(_ + rnd.nextGaussian() * 0.01)
+    // subspace 0 has blobs at 0 / 1; subspace 1 has blobs at -1 / +1,
+    // assigned independently -> 4 combinations in the full space
+    val rows = (1L to 200L).map { i =>
+      val b0 = if (i % 2 == 0) Seq(0.0, 0.0) else Seq(1.0, 1.0)
+      val b1 = if (i % 4 < 2) Seq(-1.0, -1.0) else Seq(1.0, 1.0)
+      i -> (jitter(b0) ++ jitter(b1))
+    }
+    val df = vecs(rows: _*)
+    val model = PQ.fit(df, "id", "v", dim = 4, m = 2, k = 2, maxIters = 15)
+    val codes = PQ.encode(df, "v", model)
+      .select($"id", $"pq_code"(0), $"pq_code"(1))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    // each subspace's code is a pure function of that subspace's blob
+    val bySub0 = codes.groupBy(c => c._1 % 2).view.mapValues(_.map(_._2).toSet)
+    val bySub1 = codes.groupBy(c => c._1 % 4 < 2).view.mapValues(_.map(_._3).toSet)
+    assert(bySub0(0L).size == 1 && bySub0(1L).size == 1 && bySub0(0L) != bySub0(1L))
+    assert(bySub1(true).size == 1 && bySub1(false).size == 1 && bySub1(true) != bySub1(false))
+  }
 }
