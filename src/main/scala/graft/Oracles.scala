@@ -1236,6 +1236,25 @@ object Oracles {
         |ORDER BY d_key, c_custkey""".stripMargin,
 
     "q_sim_pq_encode" -> pqEncodeSql,
+
+    // session_window semantics: an event merges into the running session
+    // iff its ts is STRICTLY before last_ts + gap, so an exactly-gap-wide
+    // silence breaks the session (hence >= in the break condition).
+    "q_stream_session" ->
+      """WITH o AS (SELECT user_id, ts, value,
+        |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |           OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+        |                >= INTERVAL '30 minutes'
+        |         THEN 1 ELSE 0 END AS brk
+        |  FROM events),
+        |g AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+        |    ROWS UNBOUNDED PRECEDING) AS grp FROM o)
+        |SELECT strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+        |  strftime(max(ts) + INTERVAL '30 minutes', '%Y-%m-%d %H:%M:%S') AS session_end,
+        |  user_id, count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        |FROM g GROUP BY user_id, grp
+        |ORDER BY user_id, session_start""".stripMargin,
   )
 
   /** SQL replication of the fixed-codebook PQ encode (q_sim_pq_encode):

@@ -1315,6 +1315,21 @@ object Queries {
       .orderBy("vec_id")
   }
 
+  /** Batch mirror of [[graft.streaming.Streaming.sessionAgg]]'s
+    * session_window aggregation (same operator, decimal-exact sum for the
+    * oracle hash): gap-merged sessions per user, end = last event + gap.
+    * Stream-vs-batch equivalence is spec-bound
+    * (StreamingMultimodalSpec session_window test). */
+  def qStreamSession(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(session_window(col("ts"), "30 minutes").as("sw"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"))
+      .select(date_format(col("sw.start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+        date_format(col("sw.end"), "yyyy-MM-dd HH:mm:ss").as("session_end"),
+        col("user_id"), col("n_events"), col("sum_value"))
+      .orderBy("user_id", "session_start")
+
   // =====================================================================
   // Registry
   // =====================================================================
@@ -1423,5 +1438,6 @@ object Queries {
     "q_fs_serving" -> (qFsServing _),
     "q_er_fuzzy_join" -> (qErFuzzyJoin _),
     "q_sim_pq_encode" -> (qSimPqEncode _),
+    "q_stream_session" -> (qStreamSession _),
   )
 }
