@@ -1286,8 +1286,8 @@ object Queries {
 
   /** ER1 — fuzzy entity match: customer names with a deterministically
     * deleted character re-matched to the master dimension within edit
-    * distance 1 ([[graft.text.Fuzzy.fuzzyJoinBlocked]]); length-banded
-    * blocking + portable Levenshtein verify. */
+    * distance 1 ([[graft.text.Fuzzy.fuzzyJoinBlocked]]); rarity-ordered
+    * q-gram prefix blocking + portable Levenshtein verify. */
   def qErFuzzyJoin(s: SparkSession, dir: String): DataFrame = {
     val cust = t(s, dir, "customer").select("c_custkey", "c_name")
     val dirty = cust.where(col("c_custkey") % 10 === 0)
@@ -1295,7 +1295,7 @@ object Queries {
         concat(substring(col("c_name"), 1, 9),
           substring(col("c_name"), 11, 8)).as("d_name"))
     graft.text.Fuzzy.fuzzyJoinBlocked(dirty, "d_name", cust, "c_name",
-        maxDist = 1, band = 8)
+        maxDist = 1)
       .select("d_key", "d_name", "c_custkey", "c_name", "lev_dist")
       .orderBy("d_key", "c_custkey")
   }

@@ -242,41 +242,44 @@ class TextSimSpec extends AnyFunSuite {
     out.foreach { case (id, (txt, _, _)) => assert(again(id) == txt) }
   }
 
-  test("fuzzyJoinBlocked: cross-band matches survive, guards reject bad configs") {
+  test("fuzzyJoinBlocked: length-crossing and shared-prefix matches survive; guards") {
     import graft.text.Fuzzy
-    // lengths 7 and 8 straddle the band-8 boundary: "abcdefg" is in band 0,
-    // "abcdefgh" in band 1 — a naive same-band join would miss the pair.
-    val left = Seq((1L, "abcdefg"), (2L, "zzzzzzz")).toDF("lid", "lname")
-    val right = Seq((10L, "abcdefgh"), (20L, "qqqq")).toDF("rid", "rname")
-    val out = Fuzzy.fuzzyJoinBlocked(left, "lname", right, "rname",
-        maxDist = 1, band = 8)
+    // a deletion changes length (7 vs 8) — and all strings share a prefix,
+    // the case that degenerates under naive length-band blocking
+    val left = Seq((1L, "abcdefg"), (2L, "abczzzz")).toDF("lid", "lname")
+    val right = Seq((10L, "abcdefgh"), (20L, "abcq")).toDF("rid", "rname")
+    val out = Fuzzy.fuzzyJoinBlocked(left, "lname", right, "rname", maxDist = 1)
       .select("lid", "rid", "lev_dist")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
     assert(out.toSeq == Seq((1L, 10L, 1)))
-    intercept[IllegalArgumentException] { // 2*maxDist must stay under band
-      Fuzzy.fuzzyJoinBlocked(left, "lname", right, "rname", maxDist = 4, band = 8)
+    intercept[IllegalArgumentException] { // q must be >= 1
+      Fuzzy.fuzzyJoinBlocked(left, "lname", right, "rname", maxDist = 1, q = 0)
     }
     intercept[IllegalArgumentException] { // overlapping column names
-      Fuzzy.fuzzyJoinBlocked(left, "lname", left, "lname", maxDist = 1, band = 8)
+      Fuzzy.fuzzyJoinBlocked(left, "lname", left, "lname", maxDist = 1)
     }
   }
 
   test("fuzzyJoinBlocked is recall-complete vs the brute-force join (random strings)") {
     import graft.text.Fuzzy
+    // 3-letter alphabet, lengths 3..12: many repeated grams, strings below
+    // the prefix-guarantee length (exercising the short-string fallback),
+    // duplicate strings across rows (payload re-attachment fan-out)
     val rnd = new scala.util.Random(7)
     def word() = (1 to (3 + rnd.nextInt(10))).map(_ => ('a' + rnd.nextInt(3)).toChar).mkString
     val ls = (1L to 80L).map(i => (i, word())).toDF("lid", "ls")
     val rs = (1L to 80L).map(i => (i, word())).toDF("rid", "rs")
-    for (d <- Seq(1, 2)) {
-      val blocked = Fuzzy.fuzzyJoinBlocked(ls, "ls", rs, "rs", maxDist = d, band = 2 * d + 1)
+    // d = 1, 2 exercise the deletion-neighborhood path; d = 3 the gram-prefix path
+    for (d <- Seq(1, 2, 3)) {
+      val blocked = Fuzzy.fuzzyJoinBlocked(ls, "ls", rs, "rs", maxDist = d)
         .select("lid", "rid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       val brute = ls.crossJoin(rs)
         .where(levenshtein($"ls", $"rs") <= d)
         .select("lid", "rid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       assert(blocked == brute, s"maxDist=$d")
     }
-    // extraBlock narrows candidates: pairs disagreeing on it are never compared
-    val xb = Fuzzy.fuzzyJoinBlocked(ls, "ls", rs, "rs", maxDist = 1, band = 8,
+    // extraBlock: pairs disagreeing on the exact-match component are dropped
+    val xb = Fuzzy.fuzzyJoinBlocked(ls, "ls", rs, "rs", maxDist = 1,
         extraBlock = Some((substring($"ls", 1, 1), substring($"rs", 1, 1))))
       .select("lid", "rid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val bruteFirst = ls.crossJoin(rs)
