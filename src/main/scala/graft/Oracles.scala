@@ -1237,6 +1237,10 @@ object Oracles {
 
     "q_sim_pq_encode" -> pqEncodeSql,
 
+    "q_sim_ivfadc_topk" ->
+      """SELECT vec_id + 10000 AS query_id, vec_id AS neighbor_id FROM embeddings
+        |WHERE vec_id < 20 ORDER BY query_id""".stripMargin,
+
     // session_window semantics: an event merges into the running session
     // iff its ts is STRICTLY before last_ts + gap, so an exactly-gap-wide
     // silence breaks the session (hence >= in the break condition).

@@ -1330,6 +1330,23 @@ object Queries {
         col("user_id"), col("n_events"), col("sum_value"))
       .orderBy("user_id", "session_start")
 
+  /** PQ2 — IVF-ADC planted-rank-1 recovery (same contract as
+    * [[qSimIvfTopK]]): coarse cells bound the probe set, integer ADC on
+    * the fixed PQ codebook bounds the shortlist, exact cosine re-ranks —
+    * each perturbed query must still rank its original at 1
+    * ([[graft.sim.PQ.ivfAdcTopK]]). */
+  def qSimIvfAdcTopK(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val cb: Seq[Seq[Long]] =
+      Seq(-30000L, -10000L, 10000L, 30000L).map(v => Seq.fill(32)(v))
+    val model = graft.sim.PQModel(2, 32, Seq(cb, cb))
+    graft.sim.PQ.ivfAdcTopK(emb, perturbedQueries(emb), "vec_id", "embedding",
+        "vec_id", model, k = 10, nCentroids = 8, nProbe = 3, shortlist = 64)
+      .where(col("rank") === 1)
+      .select("query_id", "neighbor_id")
+      .orderBy("query_id")
+  }
+
   // =====================================================================
   // Registry
   // =====================================================================
@@ -1439,5 +1456,6 @@ object Queries {
     "q_er_fuzzy_join" -> (qErFuzzyJoin _),
     "q_sim_pq_encode" -> (qSimPqEncode _),
     "q_stream_session" -> (qStreamSession _),
+    "q_sim_ivfadc_topk" -> (qSimIvfAdcTopK _),
   )
 }

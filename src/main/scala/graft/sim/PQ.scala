@@ -118,4 +118,75 @@ object PQ {
       .orderBy(col("adc_dist"), col(idCol))
       .limit(k)
   }
+
+  /** IVF-ADC with exact refine — the composed billion-scale retrieval
+    * stack: coarse inverted-file cells bound WHICH vectors are scored
+    * (probe `nProbe` of `nCentroids` cells), PQ codes bound WHAT is
+    * scored (integer ADC distance on compressed codes, a SHORTLIST of
+    * `shortlist` per query), and only the shortlist's raw vectors are
+    * fetched for the exact cosine re-rank. The full-precision corpus is
+    * touched `shortlist·|Q|` rows per batch — everything upstream runs on
+    * cells + codes.
+    *
+    * Centroids are hash-ranked corpus picks (deterministic, k-means-free)
+    * exactly like [[Similarity.ivfTopK]]; pass a [[PQModel]] from [[fit]]
+    * (or a fixed literal codebook for hash-gated pipelines). With queries
+    * batched in a DataFrame the ADC distance is evaluated as the exact
+    * integer subspace distance to the assigned codeword (m sqDist kernels
+    * per candidate) rather than a per-query driver table — same value,
+    * distributed form; [[adcTopK]] keeps the table form for single
+    * queries. Returns (query_id, neighbor_id, cosine_sim, rank ≤ k). */
+  def ivfAdcTopK(corpus: DataFrame, queries: DataFrame,
+                 idCol: String, vecCol: String, queryIdCol: String,
+                 model: PQModel, k: Int = 10, nCentroids: Int = 16,
+                 nProbe: Int = 4, shortlist: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k > 0 && shortlist >= k, "need shortlist >= k > 0")
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
+    def cos(a: Column, b: Column) = call_function("graft_cosine", a, b)
+
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      col(vecCol).cast("array<double>").as("__cv"))
+    val centroids = broadcast(
+      c.withColumn("__r", xxhash64(col("neighbor_id")))
+        .orderBy("__r").limit(nCentroids)
+        .select(col("neighbor_id").as("centroid_id"), col("__cv").as("__centroid")))
+    val assigned = c.crossJoin(centroids)
+      .withColumn("__sim", cos(col("__cv"), col("__centroid")))
+      .groupBy(col("neighbor_id"))
+      .agg(max_by(col("centroid_id"), col("__sim")).as("centroid_id"),
+        first(col("__cv")).as("__cv"))
+    // the compressed index: (cell, code) per corpus vector — at scale this
+    // is the ONLY corpus-wide table the query path scans
+    val codes = encode(assigned, "__cv", model).drop("__cv")
+
+    val q = queries.select(col(queryIdCol).as("query_id"),
+      col(vecCol).cast("array<double>").as("__qv"))
+    val probes = q.crossJoin(centroids)
+      .withColumn("__sim", cos(col("__qv"), col("__centroid")))
+      .withColumn("__pr", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("__sim").desc, col("centroid_id"))))
+      .where(col("__pr") <= nProbe)
+      .select(col("query_id"), col("__qv"), col("centroid_id"))
+
+    val qq = probes.withColumn("__qq", Cluster.quantize(col("__qv")))
+    val adc = (0 until model.m).map { s =>
+      Cluster.sqDistLong(subVec(col("__qq"), s, model.subDim),
+        element_at(cbLit(model.codebooks(s)), col("pq_code")(s) + 1))
+    }.reduce(_ + _)
+    val short = qq.join(codes, Seq("centroid_id"))
+      .where(col("neighbor_id") =!= col("query_id"))
+      .withColumn("__adc", adc)
+      .withColumn("__sr", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("__adc"), col("neighbor_id"))))
+      .where(col("__sr") <= shortlist)
+      .select("query_id", "__qv", "neighbor_id")
+    // exact refine: raw vectors fetched for shortlist rows only
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine_sim").desc, col("neighbor_id"))
+    short.join(c, Seq("neighbor_id"))
+      .withColumn("cosine_sim", round(cos(col("__cv"), col("__qv")), 6))
+      .withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cosine_sim", "rank")
+  }
 }

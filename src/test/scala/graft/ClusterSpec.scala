@@ -175,6 +175,27 @@ class ClusterSpec extends AnyFunSuite {
     assert(top.head._2 == d(0, code1._1) + d(1, code1._2))
   }
 
+  test("PQ.ivfAdcTopK: identical clone survives probe + ADC shortlist, exact refine ranks it 1") {
+    import graft.sim.{PQ, PQModel}
+    val rnd = new scala.util.Random(9)
+    val corpus = (1L to 300L).map(i => i -> Seq.fill(8)(rnd.nextDouble() * 2 - 1))
+    val df = vecs(corpus: _*)
+    // queries = exact clones of ids 5, 50, 200 under shifted query ids
+    val queries = vecs(Seq(5L, 50L, 200L).map(i => (i + 1000L) -> corpus((i - 1).toInt)._2): _*)
+    val model = PQ.fit(df, "id", "v", dim = 8, m = 2, k = 4)
+    val top = PQ.ivfAdcTopK(df, queries, "id", "v", "id", model,
+        k = 5, nCentroids = 6, nProbe = 3, shortlist = 40)
+      .where($"rank" === 1)
+      .select($"query_id", $"neighbor_id", $"cosine_sim")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(top(1005L)._1 == 5L && top(1005L)._2 == 1.0)
+    assert(top(1050L)._1 == 50L && top(1050L)._2 == 1.0)
+    assert(top(1200L)._1 == 200L && top(1200L)._2 == 1.0)
+    intercept[IllegalArgumentException] { // shortlist must cover k
+      PQ.ivfAdcTopK(df, queries, "id", "v", "id", model, k = 10, shortlist = 5)
+    }
+  }
+
   test("PQ.fit recovers planted per-subspace structure; encode separates blobs") {
     import graft.sim.{PQ, PQModel}
     val rnd = new scala.util.Random(3)
