@@ -1241,6 +1241,48 @@ object Oracles {
       """SELECT vec_id + 10000 AS query_id, vec_id AS neighbor_id FROM embeddings
         |WHERE vec_id < 20 ORDER BY query_id""".stripMargin,
 
+    "q_v_outliers" ->
+      """WITH c AS (SELECT o_orderkey, o_orderpriority,
+        |    CASE WHEN o_orderkey % 250 = 0 THEN o_totalprice * 20
+        |         ELSE o_totalprice END AS amt
+        |  FROM orders),
+        |r AS (SELECT o_orderkey, o_orderpriority, amt,
+        |    row_number() OVER (PARTITION BY o_orderpriority
+        |      ORDER BY amt, o_orderkey) AS rn,
+        |    count(*) OVER (PARTITION BY o_orderpriority) AS n
+        |  FROM c),
+        |s AS (SELECT o_orderpriority,
+        |    CAST(max(CASE WHEN rn = CAST(ceil(n * 0.25) AS BIGINT)
+        |      THEN CAST(amt AS DECIMAL(18,2)) END) AS DOUBLE) AS q1,
+        |    CAST(max(CASE WHEN rn = CAST(ceil(n * 0.75) AS BIGINT)
+        |      THEN CAST(amt AS DECIMAL(18,2)) END) AS DOUBLE) AS q3
+        |  FROM r GROUP BY 1),
+        |f AS (SELECT o_orderpriority,
+        |    q1 - CAST(1.5 AS DOUBLE) * (q3 - q1) AS fence_lo,
+        |    q3 + CAST(1.5 AS DOUBLE) * (q3 - q1) AS fence_hi FROM s)
+        |SELECT o_orderkey, o_orderpriority, amt, fence_lo, fence_hi
+        |FROM c JOIN f USING (o_orderpriority)
+        |WHERE amt < fence_lo OR amt > fence_hi
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q_a8_rollup" ->
+      """SELECT o_orderpriority, o_orderstatus, count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS amt,
+        |  CAST(GROUPING(o_orderpriority) * 2 + GROUPING(o_orderstatus) AS INT)
+        |    AS grouping_id
+        |FROM orders GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+        |ORDER BY grouping_id, o_orderpriority NULLS FIRST,
+        |  o_orderstatus NULLS FIRST""".stripMargin,
+
+    "q_p15_weighted_sample" ->
+      """WITH w AS (SELECT o_orderkey,
+        |    least(o_totalprice / 250000.0, 1.0) AS w
+        |  FROM orders)
+        |SELECT o_orderkey, w FROM w
+        |WHERE CAST(('0x' || substr(md5(concat_ws('|', o_orderkey, '42')), 1, 15))::UBIGINT
+        |    % 1000000000 AS DOUBLE) / 1e9 < w
+        |ORDER BY o_orderkey""".stripMargin,
+
     // session_window semantics: an event merges into the running session
     // iff its ts is STRICTLY before last_ts + gap, so an exactly-gap-wide
     // silence breaks the session (hence >= in the break condition).

@@ -1347,6 +1347,41 @@ object Queries {
       .orderBy("query_id")
   }
 
+  /** V — Tukey IQR outlier screen on order amounts per priority, over
+    * deterministically corrupted data (every 250th order inflated 20× —
+    * the synthetic totals are fence-clean by construction, so the screen
+    * needs something to catch); flagged rows emit with their group fences
+    * ([[graft.features.Features.iqrOutlierFlags]]). */
+  def qVOutliers(s: SparkSession, dir: String): DataFrame =
+    graft.features.Features.iqrOutlierFlags(
+        t(s, dir, "orders").select(col("o_orderkey"), col("o_orderpriority"),
+          when(col("o_orderkey") % 250 === 0, col("o_totalprice") * 20)
+            .otherwise(col("o_totalprice")).as("amt")),
+        "amt", groupCols = Seq("o_orderpriority"), tieCol = "o_orderkey")
+      .where(col("amt_outlier"))
+      .select("o_orderkey", "o_orderpriority", "amt", "fence_lo", "fence_hi")
+      .orderBy("o_orderkey")
+
+  /** A8 — ROLLUP subtotals over (priority, status): detail + per-priority
+    * + grand-total rows in one pass
+    * ([[graft.ops.Aggregations.rollupAgg]]). */
+  def qA8Rollup(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Aggregations.rollupAgg(t(s, dir, "orders"),
+        Seq("o_orderpriority", "o_orderstatus"),
+        Seq(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("amt")))
+      .orderBy(col("grouping_id"), col("o_orderpriority").asc_nulls_first,
+        col("o_orderstatus").asc_nulls_first)
+
+  /** P15 — quality-weighted portable sample: keep probability scales with
+    * the order amount ([[graft.ops.Filters.weightedHashSample]]). */
+  def qP15WeightedSample(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Filters.weightedHashSample(
+        t(s, dir, "orders").select(col("o_orderkey"),
+          least(col("o_totalprice") / 250000.0, lit(1.0)).as("w")),
+        keyCols = Seq("o_orderkey"), weightCol = "w")
+      .select("o_orderkey", "w")
+      .orderBy("o_orderkey")
+
   // =====================================================================
   // Registry
   // =====================================================================
@@ -1457,5 +1492,8 @@ object Queries {
     "q_sim_pq_encode" -> (qSimPqEncode _),
     "q_stream_session" -> (qStreamSession _),
     "q_sim_ivfadc_topk" -> (qSimIvfAdcTopK _),
+    "q_v_outliers" -> (qVOutliers _),
+    "q_a8_rollup" -> (qA8Rollup _),
+    "q_p15_weighted_sample" -> (qP15WeightedSample _),
   )
 }

@@ -306,6 +306,19 @@ object Features {
   def robustScale(df: DataFrame, valueCol: String, groupCols: Seq[String],
                   tieCol: String, suffix: String = "_robust"): DataFrame = {
     require(groupCols.nonEmpty, "groupCols must be non-empty (global scaling: pass a literal group)")
+    nearestRankQuartiles(df, valueCol, groupCols, tieCol)
+      .withColumn(valueCol + suffix,
+        when(col("__q3") =!= col("__q1"),
+          (col(valueCol) - col("__med")) / (col("__q3") - col("__q1"))))
+      .drop("__q1", "__med", "__q3")
+  }
+
+  /** Input rows joined with their group's nearest-rank quartiles as
+    * `__q1/__med/__q3` (one group-key window + one small broadcast-back
+    * aggregate — the shared machinery of [[robustScale]] and
+    * [[iqrOutlierFlags]]). */
+  private def nearestRankQuartiles(df: DataFrame, valueCol: String,
+                                   groupCols: Seq[String], tieCol: String): DataFrame = {
     val gw = Window.partitionBy(groupCols.map(col): _*)
     val w = gw.orderBy(col(valueCol), col(tieCol))
     val ranked = df
@@ -320,11 +333,25 @@ object Features {
           .cast("double").as("__med"),
         max(when(col("__rn") === ceil(col("__n") * 0.75), dec(col(valueCol))))
           .cast("double").as("__q3"))
-    ranked.drop("__rn", "__n")
-      .join(broadcast(stats), groupCols)
-      .withColumn(valueCol + suffix,
-        when(col("__q3") =!= col("__q1"),
-          (col(valueCol) - col("__med")) / (col("__q3") - col("__q1"))))
+    ranked.drop("__rn", "__n").join(broadcast(stats), groupCols)
+  }
+
+  /** Tukey IQR outlier fences per group: appends the fences and a boolean
+    * `<valueCol>_outlier` (`x < q1 − k·IQR or x > q3 + k·IQR`, nearest-
+    * rank quartiles, default k = 1.5) — the data-quality screen that
+    * feeds [[graft.validate.Validation.quarantine]] with a statistical
+    * rule instead of a hand-written threshold. Same shuffle shape as
+    * [[robustScale]]; zero-IQR groups flag nothing (every value equal to
+    * the quartiles is inside the degenerate fences).
+    */
+  def iqrOutlierFlags(df: DataFrame, valueCol: String, groupCols: Seq[String],
+                      tieCol: String, k: Double = 1.5): DataFrame = {
+    require(groupCols.nonEmpty, "groupCols must be non-empty")
+    nearestRankQuartiles(df, valueCol, groupCols, tieCol)
+      .withColumn("fence_lo", col("__q1") - lit(k) * (col("__q3") - col("__q1")))
+      .withColumn("fence_hi", col("__q3") + lit(k) * (col("__q3") - col("__q1")))
+      .withColumn(valueCol + "_outlier",
+        col(valueCol) < col("fence_lo") || col(valueCol) > col("fence_hi"))
       .drop("__q1", "__med", "__q3")
   }
 

@@ -119,4 +119,22 @@ object Aggregations {
 
   /** A7 — distinct values of a column (`feature_generation.py:263-266`). */
   def distinctValues(df: DataFrame, c: String): DataFrame = df.select(c).distinct()
+
+  /** A8 — hierarchical subtotals via ROLLUP (extension: the OLAP rollup
+    * of the reference's per-dimension monitor counts — detail rows plus
+    * per-prefix subtotals plus the grand total in ONE pass).
+    * `grouping_id` (0 = detail, ascending = coarser) disambiguates real
+    * NULL key values from subtotal rows.
+    *
+    * Scale: Spark plans rollup as a single Expand + hash aggregate —
+    * (levels+1) map-side replicas feeding one shuffle keyed by the
+    * grouping-set id, with map-side combine; no per-level rescan of the
+    * input. */
+  def rollupAgg(df: DataFrame, keys: Seq[String], aggs: Seq[Column]): DataFrame = {
+    require(keys.nonEmpty && aggs.nonEmpty, "need grouping keys and aggregates")
+    // grouping_id() is only resolvable INSIDE the rollup aggregate
+    val withGid = aggs :+ grouping_id().cast("int").as("grouping_id")
+    df.rollup(keys.map(col): _*)
+      .agg(withGid.head, withGid.tail: _*)
+  }
 }

@@ -95,6 +95,22 @@ object Filters {
     df.where(h < (fraction * 1e9).toLong)
   }
 
+  /** Per-row weighted deterministic sample: keep a row iff its portable
+    * md5 unit-interval position falls below `weightCol` (a keep
+    * probability in [0,1] — importance/quality-weighted downsampling,
+    * e.g. keep high-quality documents with probability ∝ score). Pure
+    * function of (keys, salt, weight): layout-independent, rerun-stable,
+    * replayable by any engine with md5 — the weighted extension of
+    * [[portableHashSample]]. Map-only, no shuffle. */
+  def weightedHashSample(df: DataFrame, keyCols: Seq[String], weightCol: String,
+                         salt: Int = 42): DataFrame = {
+    require(keyCols.nonEmpty, "keyCols must be non-empty")
+    val u = (conv(substring(md5(concat_ws("|",
+      keyCols.map(col) :+ lit(salt.toString): _*)), 1, 15), 16, 10)
+      .cast("long") % 1000000000L).cast("double") / 1e9
+    df.where(u < col(weightCol))
+  }
+
   /** Deterministic disjoint split (train/eval): rows with hash < `fraction`
     * go left, the rest right. The two sides partition the input exactly. */
   def hashSplit(df: DataFrame, keyCols: Seq[String], fraction: Double,

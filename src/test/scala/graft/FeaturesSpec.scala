@@ -264,6 +264,21 @@ class FeaturesSpec extends AnyFunSuite {
     assert(out.values.map(_._3).sum == 9L)
   }
 
+  test("iqrOutlierFlags: hand-computed fences, zero-IQR group flags nothing") {
+    // g=a values 1..5: q1=2, q3=4, IQR=2 -> fences [-1, 7]; 100 is out
+    val df = (Seq(("a", 1L, 1.0), ("a", 2L, 2.0), ("a", 3L, 3.0),
+      ("a", 4L, 4.0), ("a", 5L, 100.0)) ++
+      Seq(("b", 6L, 7.0), ("b", 7L, 7.0))).toDF("g", "id", "x")
+    // with 100 in the group: sorted 1,2,3,4,100 -> q1=2 (rank 2), q3=4 (rank 4)
+    val out = Features.iqrOutlierFlags(df, "x", Seq("g"), tieCol = "id")
+      .collect().map(r => r.getLong(r.fieldIndex("id")) ->
+        ((r.getBoolean(r.fieldIndex("x_outlier")),
+          r.getDouble(r.fieldIndex("fence_lo")), r.getDouble(r.fieldIndex("fence_hi"))))).toMap
+    assert(out(5L) == ((true, -1.0, 7.0)))
+    assert(Seq(1L, 2L, 3L, 4L).forall(!out(_)._1))
+    assert(Seq(6L, 7L).forall(!out(_)._1)) // zero IQR: degenerate fences, no flags
+  }
+
   test("servingLookup: freshest snapshot per entity, stale entities dropped") {
     val feats = Seq(
       (1L, "2024-01-01", 10.0), (1L, "2024-03-01", 30.0),

@@ -282,6 +282,36 @@ class OpsSpec extends AnyFunSuite {
       a.where($"g" === "big").select("id").as[Long].collect().toSet)
   }
 
+  test("rollupAgg: detail, subtotal and grand-total rows from one call") {
+    val df = Seq(("a", "x", 1L), ("a", "y", 2L), ("b", "x", 4L))
+      .toDF("g1", "g2", "v")
+    val out = Aggregations.rollupAgg(df, Seq("g1", "g2"), Seq(sum($"v").as("s")))
+      .collect().map(r => (Option(r.getString(0)), Option(r.getString(1))) ->
+        ((r.getLong(2), r.getInt(3)))).toMap
+    assert(out((Some("a"), Some("x"))) == ((1L, 0)))  // detail
+    assert(out((Some("a"), None)) == ((3L, 1)))       // per-g1 subtotal
+    assert(out((Some("b"), None)) == ((4L, 1)))
+    assert(out((None, None)) == ((7L, 3)))            // grand total
+    assert(out.size == 6)
+  }
+
+  test("weightedHashSample: weight bounds, determinism, monotone keep rate") {
+    val df = (1L to 4000L).map(i => (i, if (i <= 2000) 0.1 else 0.9)).toDF("id", "w")
+    val kept = Filters.weightedHashSample(df, Seq("id"), "w")
+      .select("id").as[Long].collect().toSet
+    val keptAgain = Filters.weightedHashSample(df.repartition(13), Seq("id"), "w")
+      .select("id").as[Long].collect().toSet
+    assert(kept == keptAgain) // layout-independent
+    val loRate = kept.count(_ <= 2000) / 2000.0
+    val hiRate = kept.count(_ > 2000) / 2000.0
+    assert(math.abs(loRate - 0.1) < 0.03 && math.abs(hiRate - 0.9) < 0.03)
+    // weight 0 keeps nothing, weight 1 keeps everything
+    val edge = Filters.weightedHashSample(
+      Seq((1L, 0.0), (2L, 1.0)).toDF("id", "w"), Seq("id"), "w")
+      .select("id").as[Long].collect().toSet
+    assert(edge == Set(2L))
+  }
+
   test("timeSplit: half-open chronological boundaries") {
     val df = Seq("2024-01-10", "2024-01-19", "2024-01-20", "2024-01-25",
       "2024-01-26", "2024-01-30").toDF("d").withColumn("d", $"d".cast("timestamp"))
