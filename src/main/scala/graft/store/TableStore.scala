@@ -306,6 +306,56 @@ final class TableStore(spark: SparkSession, root: String) {
     writeMeta(table, m.copy(version = v, schemaJson = out.schema.json))
   }
 
+  /** Dynamic partition overwrite: write a new snapshot version where only
+    * the hive partitions PRESENT in `df` are rewritten — every untouched
+    * partition's files are HARDLINKED from the previous version (inode
+    * reuse, zero data copied or shuffled), which is the economics that
+    * makes daily rewrites of one day inside a 100 TB date-partitioned
+    * feature table viable (the [[replaceWhere]] path rewrites the whole
+    * table; production lakehouses do exactly this partition-level file
+    * reuse via manifests). Immutability is preserved: hardlinked files
+    * survive compaction pruning the source version (inode refcount), and
+    * time travel to the previous version still reads the original files.
+    *
+    * Partition VALUES are matched by their hive directory encoding, so
+    * keep partition columns to dates/numbers/simple strings (same rule as
+    * any hive layout). */
+  def replacePartitions(table: String, df: DataFrame): Unit = {
+    val m = meta(table).getOrElse(sys.error(s"no such table: $table"))
+    require(m.partitionCols.nonEmpty,
+      s"$table is not hive-partitioned; use overwrite/replaceWhere")
+    require(df.columns.toSet == m.schema.fieldNames.toSet,
+      s"$table: replacePartitions needs the stored schema (mixed-schema " +
+        s"partitions would corrupt reads); got ${df.columns.mkString(",")}")
+    val pcols = m.partitionCols
+    val v = m.version + 1
+    val newDir = versionDir(table, v)
+    val oldDir = versionDir(table, m.version)
+    // the touched partitions, in hive dir encoding (col=value/col2=value2)
+    val touched = df.select(pcols.map(c => col(c).cast("string")): _*)
+      .distinct().collect()
+      .map(r => pcols.indices.map(i => s"${pcols(i)}=${r.getString(i)}").mkString("/"))
+      .toSet
+    df.write.mode("overwrite").partitionBy(pcols: _*).parquet(newDir.toString)
+    // hardlink every untouched partition's files from the previous version
+    def partitionDirs(base: Path, depth: Int): Seq[Path] =
+      if (depth == 0) Seq(base)
+      else Files.list(base).iterator().asScala.toSeq
+        .filter(p => Files.isDirectory(p) && p.getFileName.toString.contains("="))
+        .flatMap(p => partitionDirs(p, depth - 1))
+    partitionDirs(oldDir, pcols.size).foreach { pdir =>
+      val rel = oldDir.relativize(pdir).toString
+      if (!touched.contains(rel)) {
+        val target = newDir.resolve(rel)
+        Files.createDirectories(target)
+        Files.list(pdir).iterator().asScala
+          .filter(f => Files.isRegularFile(f) && !f.getFileName.toString.startsWith("_"))
+          .foreach(f => Files.createLink(target.resolve(f.getFileName.toString), f))
+      }
+    }
+    writeMeta(table, m.copy(version = v))
+  }
+
   /** S12 — compaction: rewrite current version with `n` files and prune
     * versions older than `retain`. */
   def compact(table: String, n: Int = 1, retain: Int = 2): Unit = {

@@ -81,6 +81,16 @@ object Streaming {
       .drop("r_user_id")
   }
 
+  /** Stream-static dimension enrichment: left-join the stream against a
+    * broadcast batch dimension — the streaming face of the dimension join
+    * (J5). Stateless: the dimension is re-planned per micro-batch (a
+    * store-backed dim picks up new snapshots between batches), no
+    * watermark or join state involved; keep the dim broadcast-sized or
+    * pre-bucket both sides. */
+  def enrichWithDim(stream: DataFrame, dim: DataFrame,
+                    keys: Seq[String]): DataFrame =
+    stream.join(broadcast(dim), keys, "left")
+
   /** Streaming exact dedup with bounded state: duplicates arriving within
     * the watermark horizon are dropped, state older than the watermark is
     * evicted (`dropDuplicatesWithinWatermark`). The streaming face of

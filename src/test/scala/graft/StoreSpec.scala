@@ -104,6 +104,44 @@ class StoreSpec extends AnyFunSuite {
     }
   }
 
+  test("replacePartitions rewrites only touched partitions; untouched files are reused") {
+    import org.apache.spark.sql.functions.col
+    val root = Files.createTempDirectory("graft_store").toString
+    val store = new TableStore(spark, root)
+    val df = (1L to 300L).map(i => (i, (i % 3 + 1).toInt, i * 1.0)).toDF("id", "month", "amt")
+    store.overwrite("rp", df, primaryKeys = Seq("id"), partitionBy = Seq("month"))
+    val v0 = store.currentVersion("rp")
+    def partFiles(v: Int, month: Int) = {
+      import scala.jdk.CollectionConverters._
+      val d = java.nio.file.Paths.get(root, "rp", s"v=$v", s"month=$month")
+      java.nio.file.Files.list(d).iterator().asScala.toSeq
+        .filter(f => f.getFileName.toString.endsWith(".parquet"))
+        .map(f => f.getFileName.toString -> java.nio.file.Files.getLastModifiedTime(f))
+        .toMap
+    }
+    val m1Before = partFiles(v0, 1)
+    Thread.sleep(20) // ensure a rewrite WOULD move mtimes
+    val newMonth2 = Seq((9001L, 2, -1.0), (9002L, 2, -2.0)).toDF("id", "month", "amt")
+    store.replacePartitions("rp", newMonth2)
+    val after = store.read("rp")
+    assert(after.where(col("month") === 2).count() == 2)   // replaced wholesale
+    assert(after.where(col("month") === 1).count() == 100) // untouched
+    assert(after.count() == 202)
+    // untouched partition files in the NEW version are the SAME files
+    // (hardlinks: identical names and modification times — no rewrite)
+    assert(partFiles(store.currentVersion("rp"), 1) == m1Before)
+    // time travel: the previous version still has the original month=2 rows
+    assert(store.readVersion("rp", v0).where(col("month") === 2).count() == 100)
+    // guards: schema must match, table must be partitioned
+    intercept[IllegalArgumentException] {
+      store.replacePartitions("rp", Seq((1L, 2)).toDF("id", "month"))
+    }
+    store.overwrite("flat", df, primaryKeys = Seq("id"))
+    intercept[IllegalArgumentException] {
+      store.replacePartitions("flat", newMonth2)
+    }
+  }
+
   test("upsert evolves schema by null-padding new columns") {
     val store = freshStore()
     store.overwrite("e", Seq((1, 1.0)).toDF("pk", "a"), primaryKeys = Seq("pk"))

@@ -130,6 +130,28 @@ class StreamingMultimodalSpec extends AnyFunSuite {
     assert(batchJoined.count() > batchEvents.count()) // band produced real matches
   }
 
+  test("stream-static dimension enrichment matches the batch join; dim misses stay null") {
+    val dim = Seq((0L, "bronze"), (1L, "silver"), (2L, "gold"))
+      .toDF("tier_key", "tier") // user_id % 5 > 2 has no dim row
+    val enriched = Streaming.enrichWithDim(
+      Streaming.eventsStream(spark, eventsDir)
+        .withColumn("tier_key", $"user_id" % 5), dim, Seq("tier_key"))
+    val q = enriched.writeStream.format("memory").queryName("enrich_test")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val batch = spark.read.parquet(eventsDir)
+      .withColumn("tier_key", $"user_id" % 5)
+      .join(dim, Seq("tier_key"), "left")
+    val streamed = spark.table("enrich_test")
+    assert(streamed.count() == batch.count()) // left join: no stream rows lost
+    assert(streamed.where($"tier".isNull).count() == batch.where($"tier".isNull).count())
+    val byTier = streamed.groupBy("tier").count().collect()
+      .map(r => Option(r.getString(0)) -> r.getLong(1)).toMap
+    val byTierBatch = batch.groupBy("tier").count().collect()
+      .map(r => Option(r.getString(0)) -> r.getLong(1)).toMap
+    assert(byTier == byTierBatch)
+  }
+
   test("dropDuplicatesWithinWatermark removes replayed events from the stream") {
     // replay the whole feed twice into one source dir
     val dupDir = Files.createTempDirectory("graft_dup_events").toString
