@@ -1382,6 +1382,15 @@ object Queries {
       .select("o_orderkey", "w")
       .orderBy("o_orderkey")
 
+  /** A9 — CUBE over (priority, status): all four grouping margins in one
+    * pass ([[graft.ops.Aggregations.cubeAgg]]). */
+  def qA9Cube(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Aggregations.cubeAgg(t(s, dir, "orders"),
+        Seq("o_orderpriority", "o_orderstatus"),
+        Seq(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("amt")))
+      .orderBy(col("grouping_id"), col("o_orderpriority").asc_nulls_first,
+        col("o_orderstatus").asc_nulls_first)
+
   // =====================================================================
   // Registry
   // =====================================================================
@@ -1495,5 +1504,6 @@ object Queries {
     "q_v_outliers" -> (qVOutliers _),
     "q_a8_rollup" -> (qA8Rollup _),
     "q_p15_weighted_sample" -> (qP15WeightedSample _),
+    "q_a9_cube" -> (qA9Cube _),
   )
 }

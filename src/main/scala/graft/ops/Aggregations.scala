@@ -137,4 +137,14 @@ object Aggregations {
     df.rollup(keys.map(col): _*)
       .agg(withGid.head, withGid.tail: _*)
   }
+
+  /** A9 — full CUBE: every grouping-set combination (all 2^keys margins)
+    * in one pass; same Expand + single-shuffle plan as [[rollupAgg]] with
+    * 2^levels replicas — keep the key list short by construction. */
+  def cubeAgg(df: DataFrame, keys: Seq[String], aggs: Seq[Column]): DataFrame = {
+    require(keys.nonEmpty && aggs.nonEmpty, "need grouping keys and aggregates")
+    val withGid = aggs :+ grouping_id().cast("int").as("grouping_id")
+    df.cube(keys.map(col): _*)
+      .agg(withGid.head, withGid.tail: _*)
+  }
 }

@@ -306,6 +306,46 @@ final class TableStore(spark: SparkSession, root: String) {
     writeMeta(table, m.copy(version = v, schemaJson = out.schema.json))
   }
 
+  /** Change-data view between two snapshot versions: one row per primary
+    * key whose state differs, tagged `__change` ∈ added / removed /
+    * updated — the audit surface for "what did this pipeline run change"
+    * (the reference eyeballs row counts per run, `monitor.py`; this is
+    * the exact per-key answer). Payload equality is xxhash64 over the
+    * non-PK columns of the SHARED schema (schema-evolution columns only
+    * present in one version count as a difference).
+    *
+    * Scale: both snapshots project to (PK, 64-bit payload hash) before
+    * the full-outer join — the shuffle carries ~16 bytes/row regardless
+    * of row width, and on a bucketed table both sides are pre-placed so
+    * the join is zero-Exchange. */
+  def diffVersions(table: String, vOld: Int, vNew: Int): DataFrame = {
+    val m = meta(table).getOrElse(sys.error(s"no such table: $table"))
+    require(m.primaryKeys.nonEmpty, s"$table has no primary keys to diff by")
+    val pks = m.primaryKeys
+    // hash the SHARED payload columns (sorted, so column order is
+    // irrelevant) plus a schema marker: versions with different extra
+    // columns report every surviving key as updated, which is the honest
+    // answer for a schema-evolution boundary
+    val oldDf = readVersion(table, vOld)
+    val newDf = readVersion(table, vNew)
+    val shared = oldDf.columns.toSet.intersect(newDf.columns.toSet)
+      .filterNot(pks.contains).toSeq.sorted
+    def sideHash(df: DataFrame, as: String) = {
+      val extras = df.columns.toSeq.filterNot(c => shared.contains(c) || pks.contains(c))
+      df.select(pks.map(col) :+
+        xxhash64((shared.map(col) :+ lit(extras.sorted.mkString(","))): _*).as(as): _*)
+    }
+    val o = sideHash(oldDf, "__h_old")
+    val n = sideHash(newDf, "__h_new")
+    o.join(n, pks, "full_outer")
+      .withColumn("__change",
+        when(col("__h_old").isNull, "added")
+          .when(col("__h_new").isNull, "removed")
+          .when(col("__h_old") =!= col("__h_new"), "updated"))
+      .where(col("__change").isNotNull)
+      .select(pks.map(col) :+ col("__change"): _*)
+  }
+
   /** Dynamic partition overwrite: write a new snapshot version where only
     * the hive partitions PRESENT in `df` are rewritten — every untouched
     * partition's files are HARDLINKED from the previous version (inode

@@ -177,4 +177,32 @@ object Validation {
     (tagged.where(col("failed_checks") === "").drop("failed_checks"),
       tagged.where(col("failed_checks") =!= ""))
   }
+
+  /** Temporal-leakage audit of an assembled training set: for each
+    * feature-timestamp column, how many rows carry a feature snapshot
+    * STRICTLY AFTER the label time (any n_leaky > 0 means the model
+    * trains on the future — the one bug point-in-time joins exist to
+    * prevent, and the property [[graft.features.TrainingSet.build]]
+    * guarantees by construction; this check catches hand-rolled joins
+    * that don't). Null feature times (no snapshot matched) are counted
+    * separately — legitimate, but worth seeing.
+    *
+    * Scale: one map-side-combined scalar aggregate over the training
+    * frame — #featureTimeCols result rows, no shuffle of the data. */
+  def leakageCheck(df: DataFrame, labelTimeCol: String,
+                   featureTimeCols: Seq[String]): DataFrame = {
+    require(featureTimeCols.nonEmpty, "featureTimeCols must be non-empty")
+    val aggs = featureTimeCols.flatMap { c =>
+      Seq(count(when(col(c) > col(labelTimeCol), 1)).as(s"__leak_$c"),
+        count(when(col(c).isNull, 1)).as(s"__null_$c"))
+    }
+    val row = df.agg(aggs.head, aggs.tail: _*)
+    val total = df.count()
+    val spark = df.sparkSession
+    import spark.implicits._
+    val r = row.first()
+    featureTimeCols.map(c =>
+      (c, r.getAs[Long](s"__leak_$c"), r.getAs[Long](s"__null_$c"), total))
+      .toDF("feature_time_col", "n_leaky", "n_unmatched", "n_rows")
+  }
 }

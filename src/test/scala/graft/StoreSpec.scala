@@ -142,6 +142,19 @@ class StoreSpec extends AnyFunSuite {
     }
   }
 
+  test("diffVersions: per-key added/removed/updated between snapshots") {
+    import org.apache.spark.sql.functions.col
+    val store = freshStore()
+    store.overwrite("cdc", Seq((1L, "a", 1.0), (2L, "b", 2.0), (3L, "c", 3.0))
+      .toDF("pk", "tag", "amt"), primaryKeys = Seq("pk"))
+    // v1: update pk=2, drop pk=3, add pk=4 (replaceWhere keeps the rest)
+    store.replaceWhere("cdc", Seq((2L, "b", 99.0), (4L, "d", 4.0))
+      .toDF("pk", "tag", "amt"), "pk IN (2, 3)")
+    val d = store.diffVersions("cdc", 0, 1)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(d == Map(2L -> "updated", 3L -> "removed", 4L -> "added")) // pk=1 silent
+  }
+
   test("upsert evolves schema by null-padding new columns") {
     val store = freshStore()
     store.overwrite("e", Seq((1, 1.0)).toDF("pk", "a"), primaryKeys = Seq("pk"))

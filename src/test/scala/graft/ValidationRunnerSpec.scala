@@ -204,6 +204,32 @@ class ValidationRunnerSpec extends AnyFunSuite {
     assert(Validation.outdatedness(allNull, "t", "event_dt", 1, now).maxEventDt == "no data")
   }
 
+  test("leakageCheck counts future feature snapshots and unmatched lookups") {
+    import org.apache.spark.sql.functions.col
+    val ts = Seq(
+      // label_t, good feature time (<=), leaky feature time (>), null
+      ("2024-02-01", "2024-01-01", "2024-03-01"),
+      ("2024-02-01", "2024-02-01", "2024-02-02"),
+      ("2024-02-01", null, "2024-01-15"))
+      .toDF("label_t", "f1_t", "f2_t")
+      .select(col("label_t").cast("date"), col("f1_t").cast("date"), col("f2_t").cast("date"))
+    val out = Validation.leakageCheck(ts, "label_t", Seq("f1_t", "f2_t"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out("f1_t") == ((0L, 1L, 3L)))  // equal-to-label is NOT leakage
+    assert(out("f2_t") == ((2L, 0L, 3L)))  // two strictly-future snapshots
+    // TrainingSet.build output passes by construction
+    val labels = Seq((1L, "2024-02-01")).toDF("cust", "t")
+      .select(col("cust"), col("t").cast("date").as("t"))
+    val feats = Seq((1L, "2024-01-01", 5.0), (1L, "2024-03-01", 9.0))
+      .toDF("cust", "snap", "bal")
+      .select(col("cust"), col("snap").cast("date").as("snap"), col("bal"))
+    val ts2 = graft.features.TrainingSet.build(labels, "t",
+      Seq(graft.features.FeatureLookup(feats, Seq("cust"), "snap", prefix = "f_")))
+    val audit = Validation.leakageCheck(ts2, "t", Seq("f_snap"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(audit("f_snap") == 0L)
+  }
+
   test("validation log appends typed rows") {
     val store = new TableStore(spark, Files.createTempDirectory("graft_vlog").toString)
     val ts = java.sql.Timestamp.valueOf("2024-06-01 10:00:00")
