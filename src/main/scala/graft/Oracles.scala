@@ -1274,6 +1274,46 @@ object Oracles {
         |ORDER BY grouping_id, o_orderpriority NULLS FIRST,
         |  o_orderstatus NULLS FIRST""".stripMargin,
 
+    "q_w15_rolling_z" -> (monthlyCte +
+      """,
+        |r AS (SELECT custkey, month_dt, amt,
+        |  CASE WHEN count(*) OVER f >= 1 THEN
+        |    round(CAST(sum(CAST(amt AS DECIMAL(18,2))) OVER f AS DOUBLE)
+        |      / (count(*) OVER f), 4) END AS ravg,
+        |  round(CASE WHEN count(*) OVER f > 1 THEN
+        |    sqrt(greatest(
+        |      (CAST(sum(CAST(amt * amt AS DECIMAL(28,4))) OVER f AS DOUBLE)
+        |       - CAST(sum(CAST(amt AS DECIMAL(18,2))) OVER f AS DOUBLE)
+        |         * CAST(sum(CAST(amt AS DECIMAL(18,2))) OVER f AS DOUBLE) / (count(*) OVER f))
+        |      / (count(*) OVER f - 1), 0.0)) END, 4) AS rstd
+        |  FROM m WINDOW f AS (PARTITION BY custkey ORDER BY month_dt
+        |    ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING))
+        |SELECT custkey, month_dt, amt,
+        |  CASE WHEN rstd > 0
+        |    THEN floor((amt - ravg) / rstd * 10000.0 + 0.5) / 10000.0 END AS amt_rz_3m,
+        |  coalesce(CASE WHEN rstd > 0
+        |    THEN abs(floor((amt - ravg) / rstd * 10000.0 + 0.5) / 10000.0) > 1.5 END,
+        |    false) AS amt_anomaly
+        |FROM r ORDER BY custkey, month_dt""".stripMargin),
+
+    "q_feat_winsor" ->
+      """WITH r AS (SELECT o_orderkey, o_orderpriority, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_orderpriority
+        |      ORDER BY o_totalprice, o_orderkey) AS rn,
+        |    count(*) OVER (PARTITION BY o_orderpriority) AS n
+        |  FROM orders),
+        |s AS (SELECT o_orderpriority,
+        |    CAST(max(CASE WHEN rn = CAST(ceil(n * 0.05) AS BIGINT)
+        |      THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS lo,
+        |    CAST(max(CASE WHEN rn = CAST(ceil(n * 0.95) AS BIGINT)
+        |      THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS hi
+        |  FROM r GROUP BY 1)
+        |SELECT o_orderkey, o_orderpriority, o_totalprice,
+        |  least(greatest(o_totalprice, lo), hi) AS o_totalprice_wins
+        |FROM orders JOIN s USING (o_orderpriority)
+        |WHERE o_orderkey < 1000
+        |ORDER BY o_orderkey""".stripMargin,
+
     "q_a9_cube" ->
       """SELECT o_orderpriority, o_orderstatus, count(*) AS n,
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS amt,

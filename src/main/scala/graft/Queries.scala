@@ -1391,6 +1391,26 @@ object Queries {
       .orderBy(col("grouping_id"), col("o_orderpriority").asc_nulls_first,
         col("o_orderstatus").asc_nulls_first)
 
+  /** W15 — trailing-3-month rolling z-score anomaly flags on monthly
+    * customer spend ([[graft.ops.Windows.rollingZFlags]]) — the
+    * time-series outlier screen beside the population IQR one. */
+  def qW15RollingZ(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Windows.rollingZFlags(monthlyOrders(s, dir),
+        "custkey", "month_dt", "amt", n = 3, k = 1.5)
+      .select(col("custkey"), col("month_dt"), col("amt"),
+        col("amt_rz_3m"), col("amt_anomaly"))
+      .orderBy("custkey", "month_dt")
+
+  /** Winsorized order amounts per priority at the nearest-rank 5th/95th
+    * band ([[graft.features.Features.winsorize]]). */
+  def qFeatWinsor(s: SparkSession, dir: String): DataFrame =
+    graft.features.Features.winsorize(
+        t(s, dir, "orders").select("o_orderkey", "o_orderpriority", "o_totalprice"),
+        "o_totalprice", groupCols = Seq("o_orderpriority"), tieCol = "o_orderkey")
+      .where(col("o_orderkey") < 1000)
+      .select("o_orderkey", "o_orderpriority", "o_totalprice", "o_totalprice_wins")
+      .orderBy("o_orderkey")
+
   // =====================================================================
   // Registry
   // =====================================================================
@@ -1505,5 +1525,7 @@ object Queries {
     "q_a8_rollup" -> (qA8Rollup _),
     "q_p15_weighted_sample" -> (qP15WeightedSample _),
     "q_a9_cube" -> (qA9Cube _),
+    "q_w15_rolling_z" -> (qW15RollingZ _),
+    "q_feat_winsor" -> (qFeatWinsor _),
   )
 }

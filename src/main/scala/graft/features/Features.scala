@@ -336,6 +336,37 @@ object Features {
     ranked.drop("__rn", "__n").join(broadcast(stats), groupCols)
   }
 
+  /** Winsorization: clamp `valueCol` into its group's nearest-rank
+    * [pLo, pHi] quantile band, appended as `<valueCol><suffix>` — the
+    * heavy-tail taming that keeps extreme (but real) values in the data
+    * instead of dropping them ([[iqrOutlierFlags]] finds them,
+    * winsorize neutralizes them). Same single group-window + broadcast-
+    * back topology as [[robustScale]]; quantiles are actual data values,
+    * so clamping is decimal-exact and engine-reproducible. */
+  def winsorize(df: DataFrame, valueCol: String, groupCols: Seq[String],
+                tieCol: String, pLo: Double = 0.05, pHi: Double = 0.95,
+                suffix: String = "_wins"): DataFrame = {
+    require(groupCols.nonEmpty, "groupCols must be non-empty")
+    require(pLo > 0 && pHi < 1 && pLo < pHi, "need 0 < pLo < pHi < 1")
+    val gw = Window.partitionBy(groupCols.map(col): _*)
+    val w = gw.orderBy(col(valueCol), col(tieCol))
+    val ranked = df
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(gw))
+    val stats = ranked
+      .groupBy(groupCols.map(col): _*)
+      .agg(
+        max(when(col("__rn") === ceil(col("__n") * pLo), dec(col(valueCol))))
+          .cast("double").as("__lo"),
+        max(when(col("__rn") === ceil(col("__n") * pHi), dec(col(valueCol))))
+          .cast("double").as("__hi"))
+    ranked.drop("__rn", "__n")
+      .join(broadcast(stats), groupCols)
+      .withColumn(valueCol + suffix,
+        least(greatest(col(valueCol), col("__lo")), col("__hi")))
+      .drop("__lo", "__hi")
+  }
+
   /** Tukey IQR outlier fences per group: appends the fences and a boolean
     * `<valueCol>_outlier` (`x < q1 − k·IQR or x > q3 + k·IQR`, nearest-
     * rank quartiles, default k = 1.5) — the data-quality screen that

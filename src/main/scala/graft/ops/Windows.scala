@@ -69,6 +69,29 @@ object Windows {
     if (ops.isEmpty) df else df.select(col("*") +: ops: _*)
   }
 
+  /** W15 — rolling-window anomaly flags: z-score of each value against
+    * its OWN entity's PRECEDING n rows (frame [-n, -1] — the current
+    * value must stay OUT of the baseline: with it included, a 3-row
+    * sample bounds |z| at (n-1)/√n ≈ 1.15 and no spike can ever flag),
+    * with the same 4-dp rounding scheme as [[rollingNumericCols]] so the
+    * quotient is a deterministic function of parity-checked values;
+    * flagged at |z| > k. Baselines shorter than 2 rows or with zero
+    * variance yield null z / false flag — the time-series outlier screen
+    * beside the population-level
+    * [[graft.features.Features.iqrOutlierFlags]].
+    *
+    * Scale: same ONE entity-keyed shuffle + sort as every rolling stat —
+    * the z projection is free. */
+  def rollingZFlags(df: DataFrame, partitionCol: String, orderCol: String,
+                    c: String, n: Int, k: Double = 2.0): DataFrame = {
+    val f = entityWindow(partitionCol, orderCol).rowsBetween(-n, -1)
+    val ravg = round(avg(col(c)).over(f), 4)
+    val rstd = round(stddev(col(c)).over(f), 4)
+    val z = when(rstd > 0, floor((col(c) - ravg) / rstd * 10000.0 + 0.5) / 10000.0)
+    df.withColumn(s"${c}_rz_${n}m", z)
+      .withColumn(s"${c}_anomaly", coalesce(abs(z) > k, lit(false)))
+  }
+
   /** Generic lag application in one projection. */
   def withLagFeatures(df: DataFrame, partitionCol: String, orderCol: String,
                       cols: Seq[String], lags: Seq[Int] = Seq(1, 3, 6)): DataFrame = {

@@ -279,6 +279,19 @@ class FeaturesSpec extends AnyFunSuite {
     assert(Seq(6L, 7L).forall(!out(_)._1)) // zero IQR: degenerate fences, no flags
   }
 
+  test("winsorize clamps into the nearest-rank quantile band, interior untouched") {
+    // 20 values 1..20 in one group: p05 -> rank 1 (=1.0), p95 -> rank 19 (=19.0)
+    val df = (1L to 20L).map(i => ("a", i, i.toDouble)).toDF("g", "id", "x")
+    val out = Features.winsorize(df, "x", Seq("g"), tieCol = "id")
+      .collect().map(r => r.getLong(1) -> r.getDouble(r.fieldIndex("x_wins"))).toMap
+    assert(out(20L) == 19.0) // clamped down to the p95 value
+    assert(out(1L) == 1.0)   // at the band edge: untouched
+    assert(out(10L) == 10.0) // interior: untouched
+    intercept[IllegalArgumentException] {
+      Features.winsorize(df, "x", Seq("g"), "id", pLo = 0.9, pHi = 0.1)
+    }
+  }
+
   test("servingLookup: freshest snapshot per entity, stale entities dropped") {
     val feats = Seq(
       (1L, "2024-01-01", 10.0), (1L, "2024-03-01", 30.0),

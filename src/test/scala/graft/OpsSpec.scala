@@ -312,6 +312,23 @@ class OpsSpec extends AnyFunSuite {
     assert(edge == Set(2L))
   }
 
+  test("rollingZFlags: spike against own trailing stats flags; short/flat windows don't") {
+    val df = Seq(
+      (1L, 1, 10.0), (1L, 2, 12.0), (1L, 3, 11.0), (1L, 4, 100.0), // spike at t=4
+      (2L, 1, 5.0), (2L, 2, 5.0), (2L, 3, 5.0))                    // zero variance
+      .toDF("ent", "t", "x")
+    val out = Windows.rollingZFlags(df, "ent", "t", "x", n = 3, k = 1.5)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) ->
+        ((Option(r.get(r.fieldIndex("x_rz_3m"))), r.getBoolean(r.fieldIndex("x_anomaly"))))).toMap
+    assert(out((1L, 1))._1.isEmpty && !out((1L, 1))._2) // empty baseline: no z
+    assert(out((1L, 2))._1.isEmpty)                     // 1-row baseline: sd undefined
+    assert(out((1L, 4))._2)                             // the spike flags
+    assert(!out((1L, 3))._2)                            // in-band value doesn't
+    assert(Seq(1, 2, 3).forall(t => !out((2L, t))._2))  // flat series never flags
+    // hand value: t=4 baseline {10,12,11}: mean=11, sd=1 -> z=(100-11)/1
+    assert(out((1L, 4))._1.get.asInstanceOf[Double] == 89.0)
+  }
+
   test("timeSplit: half-open chronological boundaries") {
     val df = Seq("2024-01-10", "2024-01-19", "2024-01-20", "2024-01-25",
       "2024-01-26", "2024-01-30").toDF("d").withColumn("d", $"d".cast("timestamp"))
