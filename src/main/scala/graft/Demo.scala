@@ -98,6 +98,37 @@ object Demo {
       graft.ops.Sketches.topKApprox(ev, Seq("event_type"), "user_id",
           k = 3, capacity = 64)
         .orderBy("event_type", "rank").show(15)
+
+      println("== leakage audit of the assembled training set")
+      val ts = graft.features.TrainingSet.build(labels, "label_date", Seq(
+        graft.features.FeatureLookup(dailySpend, Seq("user_id"), "snap_date", prefix = "d_")))
+      graft.validate.Validation.leakageCheck(ts, "label_date", Seq("d_snap_date")).show()
+
+      println("== fuzzy entity match: corrupted customer names re-linked to the master dim")
+      val cust = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
+        .select(col("c_custkey"), col("c_name"))
+      val dirty = cust.where(col("c_custkey") % 100 === 0)
+        .select(col("c_custkey").as("d_key"),
+          concat(substring(col("c_name"), 1, 9), substring(col("c_name"), 11, 8)).as("d_name"))
+      graft.text.Fuzzy.fuzzyJoinBlocked(dirty, "d_name", cust, "c_name", maxDist = 1)
+        .where(col("d_key") === col("c_custkey"))
+        .select("d_key", "d_name", "c_name", "lev_dist").orderBy("d_key").show(5)
+
+      println("== batch serving view: freshest per-user spend with a 7-day staleness TTL")
+      graft.features.TrainingSet.servingLookup(dailySpend, Seq("user_id"),
+          "snap_date", asOf = "2024-01-30", maxStalenessDays = 7, prefix = "srv_")
+        .orderBy("user_id").show(5)
+
+      println("== dynamic partition overwrite + CDC diff on a date-partitioned table")
+      val byDay = ev.select(col("event_id"), col("ts").cast("date").as("day"), col("value"))
+        .where(col("day").between("2024-01-01", "2024-01-03"))
+      store.overwrite("events_daily", byDay, primaryKeys = Seq("event_id"),
+        partitionBy = Seq("day"))
+      store.replacePartitions("events_daily",
+        byDay.where(col("day") === "2024-01-02")
+          .withColumn("value", col("value") * 2))
+      val changes = store.diffVersions("events_daily", 0, 1)
+      changes.groupBy("__change").count().show()
     }
     spark.stop()
   }
