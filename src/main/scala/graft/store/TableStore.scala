@@ -371,10 +371,21 @@ final class TableStore(spark: SparkSession, root: String) {
     val v = m.version + 1
     val newDir = versionDir(table, v)
     val oldDir = versionDir(table, m.version)
-    // the touched partitions, in hive dir encoding (col=value/col2=value2)
+    // the touched partitions, in hive dir encoding (col=value/col2=value2).
+    // Values needing hive escaping would break the dir-name match below and
+    // hardlink stale files NEXT TO the fresh write — refuse them loudly.
+    val safe = "^[A-Za-z0-9_.-]+$".r
     val touched = df.select(pcols.map(c => col(c).cast("string")): _*)
       .distinct().collect()
-      .map(r => pcols.indices.map(i => s"${pcols(i)}=${r.getString(i)}").mkString("/"))
+      .map { r =>
+        pcols.indices.map { i =>
+          val v = r.getString(i)
+          require(v != null && safe.matches(v),
+            s"partition value '$v' needs hive escaping; replacePartitions " +
+              "supports date/number/simple-string partition values only")
+          s"${pcols(i)}=$v"
+        }.mkString("/")
+      }
       .toSet
     df.write.mode("overwrite").partitionBy(pcols: _*).parquet(newDir.toString)
     // hardlink every untouched partition's files from the previous version

@@ -136,6 +136,12 @@ class StoreSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       store.replacePartitions("rp", Seq((1L, 2)).toDF("id", "month"))
     }
+    // partition values that hive would escape are refused, not corrupted
+    store.overwrite("rs", Seq((1L, "a b", 1.0)).toDF("id", "tag", "amt"),
+      primaryKeys = Seq("id"), partitionBy = Seq("tag"))
+    intercept[IllegalArgumentException] {
+      store.replacePartitions("rs", Seq((2L, "a b", 2.0)).toDF("id", "tag", "amt"))
+    }
     store.overwrite("flat", df, primaryKeys = Seq("id"))
     intercept[IllegalArgumentException] {
       store.replacePartitions("flat", newMonth2)
