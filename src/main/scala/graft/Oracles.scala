@@ -1296,6 +1296,10 @@ object Oracles {
         |    false) AS amt_anomaly
         |FROM r ORDER BY custkey, month_dt""".stripMargin),
 
+    "q_sketch_hll_union" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_exact, true AS in_bound
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "q_feat_winsor" ->
       """WITH r AS (SELECT o_orderkey, o_orderpriority, o_totalprice,
         |    row_number() OVER (PARTITION BY o_orderpriority

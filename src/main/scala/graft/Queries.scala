@@ -1411,6 +1411,25 @@ object Queries {
       .select("o_orderkey", "o_orderpriority", "o_totalprice", "o_totalprice_wins")
       .orderBy("o_orderkey")
 
+  /** Incremental distinct-count profile: per-(event_type, day) HLL
+    * sketches unioned per type ([[graft.ops.Sketches.hllDailySketches]] /
+    * [[hllUnionEstimate]]) — the estimate is checked in-bounds against
+    * the exact count (the deterministic-booleans sketch-oracle pattern). */
+  def qSketchHllUnion(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+      .select(col("event_type"), col("ts").cast("date").as("day"), col("user_id"))
+    val daily = graft.ops.Sketches.hllDailySketches(ev,
+      Seq("event_type"), "day", "user_id")
+    val est = graft.ops.Sketches.hllUnionEstimate(daily, Seq("event_type"))
+    val exact = ev.groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("n_exact"))
+    est.join(exact, "event_type")
+      .select(col("event_type"), col("n_exact"),
+        (abs(col("approx_distinct") - col("n_exact")).cast("double") /
+          col("n_exact").cast("double") < 0.05).as("in_bound"))
+      .orderBy("event_type")
+  }
+
   // =====================================================================
   // Registry
   // =====================================================================
@@ -1527,5 +1546,6 @@ object Queries {
     "q_a9_cube" -> (qA9Cube _),
     "q_w15_rolling_z" -> (qW15RollingZ _),
     "q_feat_winsor" -> (qFeatWinsor _),
+    "q_sketch_hll_union" -> (qSketchHllUnion _),
   )
 }

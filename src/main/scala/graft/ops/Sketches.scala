@@ -53,6 +53,30 @@ object Sketches {
     * form of AQE's runtime bloom pushdown
     * (`spark.sql.optimizer.runtime.bloomFilter.enabled`), for when the
     * build side isn't a scan Catalyst can see through. */
+  /** Mergeable per-(group, bucket) HLL sketches (Apache DataSketches via
+    * Spark's hll_sketch_agg): the PERSISTABLE intermediate of an
+    * incremental distinct-count profile — build one binary sketch per
+    * day/partition as data lands, answer "distinct users this quarter"
+    * later by unioning stored sketches with [[hllUnionEstimate]] instead
+    * of rescanning a quarter of raw events. Sketch state is a register
+    * MAX, so the estimate is order/layout-independent and
+    * union-of-parts ≡ sketch-of-whole (spec-pinned).
+    *
+    * Scale: the raw table is touched once per increment; every later
+    * question over any bucket combination is an agg over #groups ×
+    * #buckets rows of ~KB sketches. */
+  def hllDailySketches(df: DataFrame, groupCols: Seq[String], bucketCol: String,
+                       valueCol: String, lgConfigK: Int = 12): DataFrame =
+    df.groupBy((groupCols :+ bucketCol).map(col): _*)
+      .agg(hll_sketch_agg(col(valueCol), lit(lgConfigK)).as("hll_sketch"))
+
+  /** Union stored sketches per group and estimate the distinct count —
+    * the read side of [[hllDailySketches]]. */
+  def hllUnionEstimate(sketches: DataFrame, groupCols: Seq[String]): DataFrame =
+    sketches.groupBy(groupCols.map(col): _*)
+      .agg(hll_sketch_estimate(hll_union_agg(col("hll_sketch")))
+        .as("approx_distinct"))
+
   def bloomPruneJoin(large: DataFrame, largeKey: String,
                      small: DataFrame, smallKey: String,
                      expectedItems: Long, fpp: Double = 0.01): DataFrame = {

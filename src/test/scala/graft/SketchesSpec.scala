@@ -48,6 +48,28 @@ class SketchesSpec extends AnyFunSuite {
     }
   }
 
+  test("HLL sketches: union-of-parts equals sketch-of-whole, estimate near exact") {
+    val df = (1L to 5000L).map(i => (s"g${i % 2}", (i % 7).toInt, i % 700))
+      .toDF("g", "bucket", "v")
+    // incremental: per-bucket sketches unioned afterwards
+    val daily = Sketches.hllDailySketches(df, Seq("g"), "bucket", "v")
+    assert(daily.count() == 14) // 2 groups x 7 buckets of ~KB sketches
+    val viaUnion = Sketches.hllUnionEstimate(daily, Seq("g"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // single-shot: one sketch over everything (bucketless)
+    val direct = Sketches.hllUnionEstimate(
+        Sketches.hllDailySketches(df.withColumn("one", lit(1)), Seq("g"), "one", "v"),
+        Seq("g"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(viaUnion == direct) // mergeability: register max is associative
+    // g splits on i%2 and v on i%700, so each group sees 350 distinct values
+    val exact = df.groupBy("g").agg(countDistinct($"v").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (g, n) =>
+      assert(math.abs(viaUnion(g) - n.toDouble) / n < 0.05, s"$g: ${viaUnion(g)} vs $n")
+    }
+  }
+
   test("bloomPruneJoin returns exactly the plain inner join") {
     val large = events.select($"event_id", $"user_id")
     val small = (1L to 20L).map(i => (i * 7, s"u${i * 7}")).toDF("uid", "tag")
