@@ -1300,6 +1300,24 @@ object Oracles {
       """SELECT event_type, count(DISTINCT user_id) AS n_exact, true AS in_bound
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    "q_w16_decay_sum" -> (monthlyCte +
+      """
+        |SELECT custkey, month_dt, amt,
+        |  floor((coalesce(amt, 0) * 1.0
+        |    + coalesce(lag(amt, 1) OVER w, 0) * 0.5
+        |    + coalesce(lag(amt, 2) OVER w, 0) * 0.25
+        |    + coalesce(lag(amt, 3) OVER w, 0) * 0.125) * 1e6 + 0.5) / 1e6
+        |    AS amt_decay_4
+        |FROM m WINDOW w AS (PARTITION BY custkey ORDER BY month_dt)
+        |ORDER BY custkey, month_dt""".stripMargin),
+
+    "q_feat_hash_encode" ->
+      """SELECT o_orderkey, o_custkey,
+        |  CAST(('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 15))::UBIGINT
+        |    % 64 AS INT) AS o_custkey_hashed
+        |FROM orders WHERE o_orderkey < 2000
+        |ORDER BY o_orderkey""".stripMargin,
+
     "q_feat_winsor" ->
       """WITH r AS (SELECT o_orderkey, o_orderpriority, o_totalprice,
         |    row_number() OVER (PARTITION BY o_orderpriority

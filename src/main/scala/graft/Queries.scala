@@ -1430,6 +1430,25 @@ object Queries {
       .orderBy("event_type")
   }
 
+  /** W16 — recency-weighted spend: 4-term α=0.5 decayed trailing sum of
+    * monthly amounts per customer ([[graft.ops.Windows.decayedSum]]). */
+  def qW16DecaySum(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Windows.decayedSum(monthlyOrders(s, dir),
+        "custkey", "month_dt", "amt", alpha = 0.5, k = 4)
+      .select("custkey", "month_dt", "amt", "amt_decay_4")
+      .orderBy("custkey", "month_dt")
+
+  /** Feature hashing of the clerk-free high-cardinality key (customer id
+    * as a stand-in) into 64 buckets ([[graft.features.Features.hashEncode]])
+    * — vocabulary-free, engine-portable encoding. */
+  def qFeatHashEncode(s: SparkSession, dir: String): DataFrame =
+    graft.features.Features.hashEncode(
+        t(s, dir, "orders").select("o_orderkey", "o_custkey"),
+        "o_custkey", buckets = 64)
+      .where(col("o_orderkey") < 2000)
+      .select("o_orderkey", "o_custkey", "o_custkey_hashed")
+      .orderBy("o_orderkey")
+
   // =====================================================================
   // Registry
   // =====================================================================
@@ -1547,5 +1566,7 @@ object Queries {
     "q_w15_rolling_z" -> (qW15RollingZ _),
     "q_feat_winsor" -> (qFeatWinsor _),
     "q_sketch_hll_union" -> (qSketchHllUnion _),
+    "q_w16_decay_sum" -> (qW16DecaySum _),
+    "q_feat_hash_encode" -> (qFeatHashEncode _),
   )
 }

@@ -336,6 +336,24 @@ object Features {
     ranked.drop("__rn", "__n").join(broadcast(stats), groupCols)
   }
 
+  /** Feature hashing (the hashing trick) for high-cardinality
+    * categoricals: `<catCol><suffix> = portable_hash(cat) mod buckets` —
+    * fixed feature width with NO vocabulary to fit, ship, or keep in sync
+    * between train and serve (collisions are the accepted trade; at
+    * `buckets ≫ distinct values` they are rare). The hash is the md5
+    * scheme of [[graft.ops.Filters.portableHashSample]], so any engine
+    * reproduces the encoding exactly — unlike JVM-hash-based encoders.
+    * Nulls encode to null (let the model see missingness explicitly).
+    * Map-only. */
+  def hashEncode(df: DataFrame, catCol: String, buckets: Int,
+                 suffix: String = "_hashed"): DataFrame = {
+    require(buckets > 0, "buckets must be positive")
+    val h = conv(substring(md5(col(catCol).cast("string")), 1, 15), 16, 10)
+      .cast("long") % buckets
+    df.withColumn(catCol + suffix,
+      when(col(catCol).isNotNull, h.cast("int")))
+  }
+
   /** Winsorization: clamp `valueCol` into its group's nearest-rank
     * [pLo, pHi] quantile band, appended as `<valueCol><suffix>` — the
     * heavy-tail taming that keeps extreme (but real) values in the data

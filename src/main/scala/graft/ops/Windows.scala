@@ -92,6 +92,29 @@ object Windows {
       .withColumn(s"${c}_anomaly", coalesce(abs(z) > k, lit(false)))
   }
 
+  /** W16 — recency-weighted (exponentially decayed) trailing sum:
+    * `Σ_{j=0..k-1} α^j · lag(c, j)` per entity — the "recent activity
+    * matters more" feature (decayed spend, decayed event counts) in
+    * CLOSED form: k explicit lag terms instead of a running recurrence,
+    * because a true infinite EWMA needs state Spark SQL windows can't
+    * express without `α^(-rowNumber)` terms that overflow. Missing lags
+    * (series head) contribute 0, so the first rows are partial sums —
+    * same convention as a rolling sum. 6-dp det-rounded.
+    *
+    * Scale: ONE entity-keyed shuffle + sort; the k lag reads share the
+    * single window pass (same WindowExec), k is a literal constant. */
+  def decayedSum(df: DataFrame, partitionCol: String, orderCol: String,
+                 c: String, alpha: Double, k: Int,
+                 as: String = ""): DataFrame = {
+    require(alpha > 0 && alpha < 1, "alpha must be in (0,1)")
+    require(k >= 1, "k must be >= 1")
+    val w = entityWindow(partitionCol, orderCol)
+    val terms = (0 until k).map(j =>
+      coalesce(lag(col(c), j).over(w), lit(0.0)) * math.pow(alpha, j))
+    val out = if (as.nonEmpty) as else s"${c}_decay_$k"
+    df.withColumn(out, floor(terms.reduce(_ + _) * 1e6 + 0.5) / 1e6)
+  }
+
   /** Generic lag application in one projection. */
   def withLagFeatures(df: DataFrame, partitionCol: String, orderCol: String,
                       cols: Seq[String], lags: Seq[Int] = Seq(1, 3, 6)): DataFrame = {

@@ -292,6 +292,23 @@ class FeaturesSpec extends AnyFunSuite {
     }
   }
 
+  test("hashEncode: stable in-range buckets, equal values collide, nulls stay null") {
+    val df = Seq(Some("alpha"), Some("beta"), Some("alpha"), None)
+      .zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("id", "cat")
+    val out = Features.hashEncode(df, "cat", buckets = 16)
+      .collect().map(r => r.getLong(0) -> Option(r.get(r.fieldIndex("cat_hashed")))).toMap
+    assert(out(0L) == out(2L))                       // same value, same bucket
+    assert(out(3L).isEmpty)                          // null passes through
+    Seq(0L, 1L).foreach { i =>
+      val b = out(i).get.asInstanceOf[Int]
+      assert(b >= 0 && b < 16)
+    }
+    // deterministic across runs / layouts
+    val again = Features.hashEncode(df.repartition(5), "cat", buckets = 16)
+      .collect().map(r => r.getLong(0) -> Option(r.get(r.fieldIndex("cat_hashed")))).toMap
+    assert(again == out)
+  }
+
   test("servingLookup: freshest snapshot per entity, stale entities dropped") {
     val feats = Seq(
       (1L, "2024-01-01", 10.0), (1L, "2024-03-01", 30.0),

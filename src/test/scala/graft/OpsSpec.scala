@@ -329,6 +329,21 @@ class OpsSpec extends AnyFunSuite {
     assert(out((1L, 4))._1.get.asInstanceOf[Double] == 89.0)
   }
 
+  test("decayedSum: hand-computed closed-form decay, partial sums at the head") {
+    val df = Seq((1L, 1, 8.0), (1L, 2, 4.0), (1L, 3, 2.0), (2L, 1, 10.0))
+      .toDF("ent", "t", "x")
+    val out = Windows.decayedSum(df, "ent", "t", "x", alpha = 0.5, k = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) ->
+        r.getDouble(r.fieldIndex("x_decay_3"))).toMap
+    assert(out((1L, 1)) == 8.0)               // head: only its own term
+    assert(out((1L, 2)) == 4.0 + 0.5 * 8.0)   // 8.0
+    assert(out((1L, 3)) == 2.0 + 0.5 * 4.0 + 0.25 * 8.0) // 6.0
+    assert(out((2L, 1)) == 10.0)              // entities isolated
+    intercept[IllegalArgumentException] {
+      Windows.decayedSum(df, "ent", "t", "x", alpha = 1.5, k = 3)
+    }
+  }
+
   test("timeSplit: half-open chronological boundaries") {
     val df = Seq("2024-01-10", "2024-01-19", "2024-01-20", "2024-01-25",
       "2024-01-26", "2024-01-30").toDF("d").withColumn("d", $"d".cast("timestamp"))
