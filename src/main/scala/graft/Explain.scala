@@ -14,7 +14,8 @@ object Explain {
         "q_j3_pit_join", "q_w4_rolling_stats", "q_pipeline_monthly",
         "q_dedup_minhash_pairs", "q_dedup_ngram_jaccard", "q_j9_range_join",
         "q_cluster_assign", "q_sem_dedup", "q_text_inverted",
-        "q_fs_training_set", "q_feat_corr")
+        "q_fs_training_set", "q_feat_corr",
+        "q_er_fuzzy_join", "q_sim_ivfadc_topk", "q_sketch_hll_union")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
