@@ -1318,6 +1318,35 @@ object Oracles {
         |FROM orders WHERE o_orderkey < 2000
         |ORDER BY o_orderkey""".stripMargin,
 
+    "q_ea_funnel" ->
+      """WITH s1 AS (SELECT user_id,
+        |    min(CASE WHEN event_type = 'view' THEN ts END) AS t1
+        |  FROM events GROUP BY 1),
+        |s2 AS (SELECT e.user_id,
+        |    min(CASE WHEN e.event_type = 'click' AND e.ts > s1.t1 THEN e.ts END) AS t2
+        |  FROM events e JOIN s1 USING (user_id) GROUP BY 1),
+        |s3 AS (SELECT e.user_id,
+        |    min(CASE WHEN e.event_type = 'purchase' AND e.ts > s2.t2 THEN e.ts END) AS t3
+        |  FROM events e JOIN s2 USING (user_id) GROUP BY 1)
+        |SELECT user_id, epoch_us(t1) AS step1_us, epoch_us(t2) AS step2_us,
+        |  epoch_us(t3) AS step3_us
+        |FROM s1 JOIN s2 USING (user_id) JOIN s3 USING (user_id)
+        |ORDER BY user_id""".stripMargin,
+
+    "q_ea_cohort" ->
+      """WITH a AS (SELECT DISTINCT o_custkey,
+        |    date_trunc('month', o_orderdate::DATE)::DATE AS p FROM orders),
+        |c AS (SELECT o_custkey, min(p) AS cohort_period FROM a GROUP BY 1),
+        |s AS (SELECT cohort_period, count(*) AS cohort_size FROM c GROUP BY 1),
+        |j AS (SELECT a.o_custkey, a.p, c.cohort_period FROM a JOIN c USING (o_custkey))
+        |SELECT cohort_period,
+        |  CAST(datediff('month', cohort_period, p) AS INT) AS period_offset,
+        |  count(*) AS n_active, cohort_size,
+        |  CAST(count(*) AS DOUBLE) / CAST(cohort_size AS DOUBLE) AS retention
+        |FROM j JOIN s USING (cohort_period)
+        |GROUP BY cohort_period, period_offset, cohort_size
+        |ORDER BY cohort_period, period_offset""".stripMargin,
+
     "q_feat_winsor" ->
       """WITH r AS (SELECT o_orderkey, o_orderpriority, o_totalprice,
         |    row_number() OVER (PARTITION BY o_orderpriority

@@ -1449,6 +1449,28 @@ object Queries {
       .select("o_orderkey", "o_custkey", "o_custkey_hashed")
       .orderBy("o_orderkey")
 
+  /** EA1 — ordered funnel per user (view → click → purchase): first
+    * completion time of each step strictly after the previous one,
+    * emitted as exact epoch micros
+    * ([[graft.ops.EventAnalytics.funnelTimes]]). */
+  def qEaFunnel(s: SparkSession, dir: String): DataFrame =
+    graft.ops.EventAnalytics.funnelTimes(t(s, dir, "events"),
+        "user_id", "ts", "event_type", Seq("view", "click", "purchase"))
+      .select(col("user_id"),
+        unix_micros(col("step1_ts")).as("step1_us"),
+        unix_micros(col("step2_ts")).as("step2_us"),
+        unix_micros(col("step3_ts")).as("step3_us"))
+      .orderBy("user_id")
+
+  /** EA2 — monthly cohort retention over orders: customers cohorted by
+    * first-order month, per-offset active counts and exact-quotient
+    * retention rates ([[graft.ops.EventAnalytics.cohortRetention]]). */
+  def qEaCohort(s: SparkSession, dir: String): DataFrame =
+    graft.ops.EventAnalytics.cohortRetention(
+        t(s, dir, "orders").select(col("o_custkey"), col("o_orderdate")),
+        "o_custkey", "o_orderdate", period = "month")
+      .orderBy("cohort_period", "period_offset")
+
   // =====================================================================
   // Registry
   // =====================================================================
@@ -1568,5 +1590,7 @@ object Queries {
     "q_sketch_hll_union" -> (qSketchHllUnion _),
     "q_w16_decay_sum" -> (qW16DecaySum _),
     "q_feat_hash_encode" -> (qFeatHashEncode _),
+    "q_ea_funnel" -> (qEaFunnel _),
+    "q_ea_cohort" -> (qEaCohort _),
   )
 }

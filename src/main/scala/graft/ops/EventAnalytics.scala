@@ -1,0 +1,90 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Ordered-event analytics over an event stream: funnel step completion
+  * and cohort retention — the two rollups every behavioral warehouse
+  * query eventually becomes (extension beyond the reference surface,
+  * sibling of the sessionize/drift operators over the same events table).
+  *
+  * Both are built from plain aggregations so Catalyst keeps them
+  * shuffle-minimal; nothing is per-entity driver state.
+  */
+object EventAnalytics {
+
+  /** First-completion time per funnel step and entity: `stepN_ts` is the
+    * earliest `timeCol` of an event of type `steps(N-1)` STRICTLY AFTER
+    * the entity's `step(N-1)_ts` (same-instant events of the next type
+    * do not count — simultaneous steps are not an ordered funnel).
+    * Entities missing a step carry null from that step on.
+    *
+    * Scale: one entity-keyed aggregation per step (k aggs over the
+    * events for a k-step funnel), each producing a #entities-row frame
+    * joined back on the entity key — never a per-entity sort or
+    * collect; the conditional-min form is exactly what map-side combine
+    * eats. */
+  def funnelTimes(events: DataFrame, entityCol: String, timeCol: String,
+                  typeCol: String, steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "steps must be non-empty")
+    var acc = events.groupBy(col(entityCol))
+      .agg(min(when(col(typeCol) === steps.head, col(timeCol))).as("step1_ts"))
+    steps.tail.zipWithIndex.foreach { case (s, i) =>
+      val prev = s"step${i + 1}_ts"
+      val cur = s"step${i + 2}_ts"
+      val next = events
+        .join(acc.select(col(entityCol), col(prev)), Seq(entityCol))
+        .groupBy(col(entityCol))
+        .agg(min(when(col(typeCol) === s && col(timeCol) > col(prev),
+          col(timeCol))).as(cur))
+      acc = acc.join(next, Seq(entityCol))
+    }
+    acc
+  }
+
+  /** Funnel rollup: one row per step with the entity count that reached
+    * it (a reach count is monotonically non-increasing by construction). */
+  def funnelSummary(times: DataFrame, steps: Seq[String]): DataFrame = {
+    val counts = times.agg(
+      count(lit(1)).as("__n"),
+      steps.indices.map(i => count(col(s"step${i + 1}_ts")).as(s"__c${i + 1}")): _*)
+    counts.select(explode(array(steps.indices.map(i =>
+      struct(lit(i + 1).as("step_no"), lit(steps(i)).as("step"),
+        col(s"__c${i + 1}").as("n_reached"))): _*)).as("r"))
+      .select("r.step_no", "r.step", "r.n_reached")
+  }
+
+  /** Cohort retention: entities are cohorted by the period of their FIRST
+    * event (`trunc(timeCol, period)`), and each (cohort, offset) cell
+    * counts the entities active `offset` periods after their cohort
+    * period, with the retention rate against the cohort size. `period`
+    * is a Spark trunc unit ("month", "week"); offsets are exact integer
+    * period differences, rates exact integer quotients.
+    *
+    * Scale: distinct (entity, period) activity + a first-period
+    * aggregate, joined on the entity key, then a (cohort, offset) rollup
+    * — three shuffles of entity/scalar rows, output is
+    * #cohorts × #offsets. */
+  def cohortRetention(events: DataFrame, entityCol: String, timeCol: String,
+                      period: String = "month"): DataFrame = {
+    val activity = events
+      .select(col(entityCol), trunc(col(timeCol).cast("date"), period).as("__p"))
+      .distinct()
+    val cohorts = activity.groupBy(col(entityCol))
+      .agg(min(col("__p")).as("cohort_period"))
+    val sizes = cohorts.groupBy(col("cohort_period"))
+      .agg(count(lit(1)).as("cohort_size"))
+    val offsetExpr: Column = period match {
+      case "month" => months_between(col("__p"), col("cohort_period")).cast("int")
+      case "week" => (datediff(col("__p"), col("cohort_period")) / 7).cast("int")
+      case other => sys.error(s"unsupported period: $other")
+    }
+    activity.join(cohorts, Seq(entityCol))
+      .withColumn("period_offset", offsetExpr)
+      .groupBy(col("cohort_period"), col("period_offset"))
+      .agg(count(lit(1)).as("n_active"))
+      .join(broadcast(sizes), Seq("cohort_period"))
+      .withColumn("retention",
+        col("n_active").cast("double") / col("cohort_size").cast("double"))
+  }
+}

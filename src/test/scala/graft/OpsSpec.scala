@@ -344,6 +344,46 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("funnel: strictly-ordered step times, missing steps null, summary monotone") {
+    import graft.ops.EventAnalytics
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    val ev = Seq(
+      (1L, "view", 1), (1L, "click", 2), (1L, "purchase", 3),   // full funnel
+      (2L, "click", 1), (2L, "view", 2), (2L, "purchase", 3),   // click BEFORE view
+      (3L, "view", 5),                                           // stops at step 1
+      (4L, "purchase", 1))                                       // never views
+      .map { case (u, t, m) => (u, t, ts(m)) }.toDF("user_id", "et", "t")
+    val times = EventAnalytics.funnelTimes(ev, "user_id", "t", "et",
+      Seq("view", "click", "purchase"))
+    val out = times.collect().map(r => r.getLong(0) ->
+      ((Option(r.get(1)), Option(r.get(2)), Option(r.get(3))))).toMap
+    assert(out(1L)._1.nonEmpty && out(1L)._2.nonEmpty && out(1L)._3.nonEmpty)
+    // user 2's only click precedes the first view -> step 2 unmet, step 3 too
+    assert(out(2L)._1.nonEmpty && out(2L)._2.isEmpty && out(2L)._3.isEmpty)
+    assert(out(3L)._1.nonEmpty && out(3L)._2.isEmpty)
+    assert(out(4L)._1.isEmpty && out(4L)._2.isEmpty && out(4L)._3.isEmpty)
+    val summary = EventAnalytics.funnelSummary(times, Seq("view", "click", "purchase"))
+      .collect().map(r => r.getInt(0) -> r.getLong(2)).toMap
+    assert(summary == Map(1 -> 3L, 2 -> 1L, 3 -> 1L)) // non-increasing reach
+  }
+
+  test("cohortRetention: offsets from first-activity period, exact rates") {
+    import graft.ops.EventAnalytics
+    def d(s: String) = java.sql.Date.valueOf(s)
+    val ev = Seq(
+      (1L, "2024-01-05"), (1L, "2024-02-10"), (1L, "2024-02-11"), // cohort Jan, active Feb
+      (2L, "2024-01-20"),                                         // cohort Jan only
+      (3L, "2024-02-01"), (3L, "2024-04-01"))                     // cohort Feb, back in Apr
+      .map { case (u, s) => (u, d(s)) }.toDF("ent", "dt")
+    val out = EventAnalytics.cohortRetention(ev, "ent", "dt", "month")
+      .collect().map(r => (r.getDate(0).toString, r.getInt(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(out(("2024-01-01", 0)) == ((2L, 2L, 1.0))) // both Jan entities at offset 0
+    assert(out(("2024-01-01", 1)) == ((1L, 2L, 0.5))) // only entity 1 returned in Feb
+    assert(out(("2024-02-01", 2)) == ((1L, 1L, 1.0))) // entity 3 back after 2 months
+    assert(!out.contains(("2024-01-01", 2)))          // nobody from Jan active in Mar
+  }
+
   test("timeSplit: half-open chronological boundaries") {
     val df = Seq("2024-01-10", "2024-01-19", "2024-01-20", "2024-01-25",
       "2024-01-26", "2024-01-30").toDF("d").withColumn("d", $"d".cast("timestamp"))
