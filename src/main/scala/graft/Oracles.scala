@@ -1347,6 +1347,21 @@ object Oracles {
         |GROUP BY cohort_period, period_offset, cohort_size
         |ORDER BY cohort_period, period_offset""".stripMargin,
 
+    "q_feat_neg_sample" ->
+      """WITH pos AS (SELECT DISTINCT o_custkey, l_partkey
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE o_custkey < 300),
+        |u AS (SELECT p_partkey AS l_partkey,
+        |    row_number() OVER (ORDER BY p_partkey) - 1 AS idx FROM part),
+        |cand AS (SELECT o_custkey, CAST(s AS INT) AS slot,
+        |    CAST(('0x' || substr(md5(concat_ws('|', o_custkey, s, '42')), 1, 15))::UBIGINT
+        |      % (SELECT count(*) FROM part) AS BIGINT) AS idx
+        |  FROM (SELECT DISTINCT o_custkey FROM pos), unnest(range(0, 5)) AS t(s))
+        |SELECT c.o_custkey, c.slot, u.l_partkey
+        |FROM cand c JOIN u USING (idx)
+        |ANTI JOIN pos ON pos.o_custkey = c.o_custkey AND pos.l_partkey = u.l_partkey
+        |ORDER BY o_custkey, slot""".stripMargin,
+
     "q_feat_winsor" ->
       """WITH r AS (SELECT o_orderkey, o_orderpriority, o_totalprice,
         |    row_number() OVER (PARTITION BY o_orderpriority

@@ -1471,6 +1471,20 @@ object Queries {
         "o_custkey", "o_orderdate", period = "month")
       .orderBy("cohort_period", "period_offset")
 
+  /** NS1 — deterministic negative part samples per customer: 5 portable-
+    * hash draws from the part universe minus the customer's purchased
+    * parts ([[graft.features.Features.negativeSample]]). */
+  def qFeatNegSample(s: SparkSession, dir: String): DataFrame = {
+    val positives = t(s, dir, "lineitem")
+      .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey"), col("l_partkey"))
+      .where(col("o_custkey") < 300)
+    graft.features.Features.negativeSample(positives, "o_custkey", "l_partkey",
+        t(s, dir, "part").select("p_partkey").withColumnRenamed("p_partkey", "l_partkey"),
+        k = 5)
+      .orderBy("o_custkey", "slot")
+  }
+
   // =====================================================================
   // Registry
   // =====================================================================
@@ -1592,5 +1606,6 @@ object Queries {
     "q_feat_hash_encode" -> (qFeatHashEncode _),
     "q_ea_funnel" -> (qEaFunnel _),
     "q_ea_cohort" -> (qEaCohort _),
+    "q_feat_neg_sample" -> (qFeatNegSample _),
   )
 }

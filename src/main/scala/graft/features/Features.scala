@@ -336,6 +336,40 @@ object Features {
     ranked.drop("__rn", "__n").join(broadcast(stats), groupCols)
   }
 
+  /** Deterministic negative sampling for contrastive / recommender
+    * training sets: for every entity with positives, draw `k` candidate
+    * items by portable hash (`md5(entity|slot|salt) mod |universe|` into
+    * the sorted item universe), then anti-join the entity's actual
+    * positives away. Pure function of (entity, slot, salt) — the sample
+    * is layout/rerun-stable and replayable by any engine, so train/eval
+    * negatives never silently drift between runs. Slots colliding with a
+    * positive are dropped rather than redrawn (approximately-k
+    * semantics; raise `k` to compensate — redraw loops would make the
+    * draw depend on the positive set's CONTENT and break portability).
+    *
+    * Scale: the item universe is a dimension (indexed once with a global
+    * row_number — broadcast-sized by assumption); candidates are
+    * #entities × k scalar rows joined to the index and anti-joined to
+    * the positives on (entity, item) — both hash joins on bounded rows,
+    * no per-entity state. */
+  def negativeSample(positives: DataFrame, entityCol: String, itemCol: String,
+                     items: DataFrame, k: Int, salt: Int = 42): DataFrame = {
+    require(k > 0, "k must be positive")
+    val n = items.count()
+    require(n > 0, "item universe is empty")
+    val idx = items.select(col(itemCol).as("__item")).distinct()
+      .withColumn("__idx", row_number().over(Window.orderBy(col("__item"))).cast("long") - 1)
+    val cand = positives.select(col(entityCol)).distinct()
+      .withColumn("slot", explode(sequence(lit(0), lit(k - 1))))
+      .withColumn("__idx", conv(substring(md5(concat_ws("|",
+        col(entityCol), col("slot"), lit(salt.toString))), 1, 15), 16, 10)
+        .cast("long") % n)
+    cand.join(broadcast(idx), "__idx")
+      .join(positives.select(col(entityCol), col(itemCol).as("__item")),
+        Seq(entityCol, "__item"), "left_anti")
+      .select(col(entityCol), col("slot"), col("__item").as(itemCol))
+  }
+
   /** Feature hashing (the hashing trick) for high-cardinality
     * categoricals: `<catCol><suffix> = portable_hash(cat) mod buckets` —
     * fixed feature width with NO vocabulary to fit, ship, or keep in sync

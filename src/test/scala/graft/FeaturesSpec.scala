@@ -309,6 +309,26 @@ class FeaturesSpec extends AnyFunSuite {
     assert(again == out)
   }
 
+  test("negativeSample: draws from the universe, never a positive, layout/salt-stable") {
+    val positives = Seq((1L, "a"), (1L, "b"), (2L, "c")).toDF("ent", "item")
+    val universe = Seq("a", "b", "c", "d", "e", "f").toDF("item")
+    val out = Features.negativeSample(positives, "ent", "item", universe, k = 4)
+    val rows = out.collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+    val posSet = Set((1L, "a"), (1L, "b"), (2L, "c"))
+    rows.foreach { case (e, _, i) =>
+      assert(!posSet.contains((e, i)), s"sampled a positive: ($e, $i)")
+      assert(Set("a", "b", "c", "d", "e", "f")(i))
+    }
+    assert(rows.groupBy(_._1).values.forall(_.length <= 4)) // approximately-k
+    val again = Features.negativeSample(
+      positives.repartition(7), "ent", "item", universe, k = 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+    assert(again.toSet == rows.toSet) // layout-independent
+    val other = Features.negativeSample(positives, "ent", "item", universe,
+      k = 4, salt = 7).collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+    assert(other.toSet != rows.toSet) // salt re-draws
+  }
+
   test("servingLookup: freshest snapshot per entity, stale entities dropped") {
     val feats = Seq(
       (1L, "2024-01-01", 10.0), (1L, "2024-03-01", 30.0),
