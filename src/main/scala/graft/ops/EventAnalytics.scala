@@ -25,17 +25,26 @@ object EventAnalytics {
     * collect; the conditional-min form is exactly what map-side combine
     * eats. */
   def funnelTimes(events: DataFrame, entityCol: String, timeCol: String,
-                  typeCol: String, steps: Seq[String]): DataFrame = {
+                  typeCol: String, steps: Seq[String],
+                  maxGapSeconds: Option[Long] = None): DataFrame = {
     require(steps.nonEmpty, "steps must be non-empty")
+    require(maxGapSeconds.forall(_ > 0), "maxGapSeconds must be positive")
     var acc = events.groupBy(col(entityCol))
       .agg(min(when(col(typeCol) === steps.head, col(timeCol))).as("step1_ts"))
     steps.tail.zipWithIndex.foreach { case (s, i) =>
       val prev = s"step${i + 1}_ts"
       val cur = s"step${i + 2}_ts"
+      // conversion-window variant: the next step must also land within
+      // maxGapSeconds of the previous one (a funnel with no deadline
+      // counts a purchase years after the view)
+      val inWindow = maxGapSeconds match {
+        case Some(g) => col(timeCol) <= col(prev) + expr(s"INTERVAL $g SECONDS")
+        case None => lit(true)
+      }
       val next = events
         .join(acc.select(col(entityCol), col(prev)), Seq(entityCol))
         .groupBy(col(entityCol))
-        .agg(min(when(col(typeCol) === s && col(timeCol) > col(prev),
+        .agg(min(when(col(typeCol) === s && col(timeCol) > col(prev) && inWindow,
           col(timeCol))).as(cur))
       acc = acc.join(next, Seq(entityCol))
     }

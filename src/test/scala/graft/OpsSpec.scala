@@ -365,6 +365,16 @@ class OpsSpec extends AnyFunSuite {
     val summary = EventAnalytics.funnelSummary(times, Seq("view", "click", "purchase"))
       .collect().map(r => r.getInt(0) -> r.getLong(2)).toMap
     assert(summary == Map(1 -> 3L, 2 -> 1L, 3 -> 1L)) // non-increasing reach
+    // conversion window: user 1's click is 60s after the view — a 30s
+    // deadline voids it (and everything downstream), a 90s one keeps it
+    val tight = EventAnalytics.funnelTimes(ev, "user_id", "t", "et",
+        Seq("view", "click", "purchase"), maxGapSeconds = Some(30))
+      .where($"user_id" === 1L).head()
+    assert(tight.get(1) != null && tight.get(2) == null && tight.get(3) == null)
+    val loose = EventAnalytics.funnelTimes(ev, "user_id", "t", "et",
+        Seq("view", "click", "purchase"), maxGapSeconds = Some(90))
+      .where($"user_id" === 1L).head()
+    assert(loose.get(2) != null && loose.get(3) != null)
   }
 
   test("cohortRetention: offsets from first-activity period, exact rates") {
