@@ -1362,6 +1362,29 @@ object Oracles {
         |ANTI JOIN pos ON pos.o_custkey = c.o_custkey AND pos.l_partkey = u.l_partkey
         |ORDER BY o_custkey, slot""".stripMargin,
 
+    "q_ea_funnel_summary" ->
+      """WITH s1 AS (SELECT user_id,
+        |    min(CASE WHEN event_type = 'view' THEN ts END) AS t1
+        |  FROM events GROUP BY 1),
+        |s2 AS (SELECT e.user_id,
+        |    min(CASE WHEN e.event_type = 'click' AND e.ts > s1.t1 THEN e.ts END) AS t2
+        |  FROM events e JOIN s1 USING (user_id) GROUP BY 1),
+        |s3 AS (SELECT e.user_id,
+        |    min(CASE WHEN e.event_type = 'purchase' AND e.ts > s2.t2 THEN e.ts END) AS t3
+        |  FROM events e JOIN s2 USING (user_id) GROUP BY 1),
+        |j AS (SELECT * FROM s1 JOIN s2 USING (user_id) JOIN s3 USING (user_id))
+        |SELECT 1 AS step_no, 'view' AS step, count(t1) AS n_reached FROM j
+        |UNION ALL SELECT 2, 'click', count(t2) FROM j
+        |UNION ALL SELECT 3, 'purchase', count(t3) FROM j
+        |ORDER BY step_no""".stripMargin,
+
+    "q_w17_share" -> (monthlyCte +
+      """
+        |SELECT custkey, month_dt, amt,
+        |  amt / CAST(sum(CAST(amt AS DECIMAL(18,2)))
+        |    OVER (PARTITION BY custkey) AS DOUBLE) AS amt_share
+        |FROM m ORDER BY custkey, month_dt""".stripMargin),
+
     "q_feat_winsor" ->
       """WITH r AS (SELECT o_orderkey, o_orderpriority, o_totalprice,
         |    row_number() OVER (PARTITION BY o_orderpriority

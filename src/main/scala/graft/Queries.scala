@@ -1485,6 +1485,26 @@ object Queries {
       .orderBy("o_custkey", "slot")
   }
 
+  /** EA1b — funnel reach rollup (one row per step,
+    * [[graft.ops.EventAnalytics.funnelSummary]]). */
+  def qEaFunnelSummary(s: SparkSession, dir: String): DataFrame =
+    graft.ops.EventAnalytics.funnelSummary(
+      graft.ops.EventAnalytics.funnelTimes(t(s, dir, "events"),
+        "user_id", "ts", "event_type", Seq("view", "click", "purchase")),
+      Seq("view", "click", "purchase"))
+      .orderBy("step_no")
+
+  /** W17 — ratio-to-report: each month's share of its customer's total
+    * spend (`x / sum(x) over (partition by entity)`); exact-quotient
+    * doubles from decimal-exact sums. */
+  def qW17Share(s: SparkSession, dir: String): DataFrame =
+    monthlyOrders(s, dir)
+      .withColumn("amt_share",
+        col("amt") / sum(col("amt").cast("decimal(18,2)"))
+          .over(Window.partitionBy(col("custkey"))).cast("double"))
+      .select("custkey", "month_dt", "amt", "amt_share")
+      .orderBy("custkey", "month_dt")
+
   // =====================================================================
   // Registry
   // =====================================================================
@@ -1607,5 +1627,7 @@ object Queries {
     "q_ea_funnel" -> (qEaFunnel _),
     "q_ea_cohort" -> (qEaCohort _),
     "q_feat_neg_sample" -> (qFeatNegSample _),
+    "q_ea_funnel_summary" -> (qEaFunnelSummary _),
+    "q_w17_share" -> (qW17Share _),
   )
 }
