@@ -1035,7 +1035,7 @@ object Oracles {
         |  FROM embeddings),
         |e AS (SELECT label, unnest(range(1, 65)) AS i, v FROM q),
         |t AS (SELECT label, CAST(i - 1 AS INT) AS dim, v[i] AS qv FROM e)
-        |SELECT label, dim, sum(qv) AS sum_q, count(*) AS n,
+        |SELECT label, dim, CAST(sum(qv) AS BIGINT) AS sum_q, count(*) AS n,
         |  (CAST(sum(qv) AS DOUBLE) / 1000000.0) / CAST(count(*) AS DOUBLE) AS mean
         |FROM t GROUP BY label, dim
         |ORDER BY label, dim""".stripMargin,
@@ -1055,7 +1055,7 @@ object Oracles {
 
     "q_feat_lift" ->
       """WITH b AS (SELECT
-        |    ntile(10) OVER (ORDER BY o_totalprice DESC, o_orderkey) AS bucket,
+        |    (ntile(10) OVER (ORDER BY o_totalprice DESC, o_orderkey))::INT AS bucket,
         |    (o_orderstatus = 'F') AS y
         |  FROM orders),
         |p AS (SELECT bucket, count(*) AS n,
@@ -1152,8 +1152,8 @@ object Oracles {
         |  FROM orders GROUP BY 1, 2),
         |history AS (
         |  SELECT o_custkey, h_snap_date,
-        |         sum(d) OVER (PARTITION BY o_custkey ORDER BY h_snap_date
-        |           ROWS UNBOUNDED PRECEDING) AS h_cum_orders
+        |         CAST(sum(d) OVER (PARTITION BY o_custkey ORDER BY h_snap_date
+        |           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS h_cum_orders
         |  FROM daily)
         |SELECT l.o_orderkey, l.o_custkey, l.label_date, l.o_totalprice,
         |       m.m_month_dt, m.m_amt, m.m_cnt,

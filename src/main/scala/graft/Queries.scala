@@ -1286,8 +1286,10 @@ object Queries {
 
   /** ER1 — fuzzy entity match: customer names with a deterministically
     * deleted character re-matched to the master dimension within edit
-    * distance 1 ([[graft.text.Fuzzy.fuzzyJoinBlocked]]); rarity-ordered
-    * q-gram prefix blocking + portable Levenshtein verify. */
+    * distance 1 ([[graft.text.Fuzzy.fuzzyJoinBlocked]]); at d=1 this takes
+    * the deletion-neighborhood (FastSS) blocking path + portable
+    * Levenshtein verify (the rarity-ordered q-gram prefix path engages at
+    * d >= 3). */
   def qErFuzzyJoin(s: SparkSession, dir: String): DataFrame = {
     val cust = t(s, dir, "customer").select("c_custkey", "c_name")
     val dirty = cust.where(col("c_custkey") % 10 === 0)

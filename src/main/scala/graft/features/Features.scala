@@ -355,10 +355,15 @@ object Features {
   def negativeSample(positives: DataFrame, entityCol: String, itemCol: String,
                      items: DataFrame, k: Int, salt: Int = 42): DataFrame = {
     require(k > 0, "k must be positive")
-    val n = items.count()
-    require(n > 0, "item universe is empty")
-    val idx = items.select(col(itemCol).as("__item")).distinct()
+    val idx = items.select(col(itemCol).as("__item"))
+      .where(col("__item").isNotNull).distinct()
       .withColumn("__idx", row_number().over(Window.orderBy(col("__item"))).cast("long") - 1)
+    // universe size MUST come from the same distinct non-null projection
+    // the index is built from — sizing by raw items.count() would let
+    // drawn __idx values exceed the max index when the dim has dups/nulls,
+    // silently vanishing those slots in the join below
+    val n = idx.count()
+    require(n > 0, "item universe is empty")
     val cand = positives.select(col(entityCol)).distinct()
       .withColumn("slot", explode(sequence(lit(0), lit(k - 1))))
       .withColumn("__idx", conv(substring(md5(concat_ws("|",
@@ -473,16 +478,49 @@ object Features {
     * det-rounded; > 1 in early deciles ⇔ the score ranks well). All
     * inputs to the double math are exact integer counts.
     *
-    * Scale: the ntile window is ONE sort over the scored frame (bucket
-    * within shards at 100 TB, or feed an approx-quantile cut); the rollup
-    * is an nBuckets-row aggregate. */
+    * Scale: NO single-partition sort (round-3 verdict: `ntile` over an
+    * unpartitioned window pulled the whole scored frame through one
+    * task). Instead the exact global rank comes from the two-phase
+    * range-partition topology ([[graft.text.Packing.chunkAssignments]]):
+    * range-partition on the (score desc, tie) key, rank within
+    * partitions, add broadcast per-partition offsets; the bucket is then
+    * ntile ARITHMETIC on (rank, n) — bit-identical to the window `ntile`
+    * (first n mod b buckets get one extra row). The only global window
+    * runs over #partitions count rows. `tieCol` must make the order
+    * total (unique), as before. Ranks stay exact up to 2^53 rows (the
+    * double-division floor); the rollup is an nBuckets-row aggregate. */
   def liftTable(df: DataFrame, scoreCol: String, labelCol: String,
                 nBuckets: Int, tieCol: String): DataFrame = {
     require(nBuckets > 1, "need nBuckets > 1")
-    val w = Window.partitionBy().orderBy(col(scoreCol).desc, col(tieCol))
-    val bucketed = df.select(
-      ntile(nBuckets).over(w).as("bucket"),
-      col(labelCol).cast("boolean").as("__y"))
+    val nParts = df.sparkSession.sessionState.conf.numShufflePartitions
+    // localCheckpoint pins ONE materialization of the sampled range
+    // partitioning — `ranged` feeds both the offsets and the rank
+    // subtrees (CLAUDE.md invariant 7)
+    val ranged = df
+      .select(col(scoreCol).as("__s"), col(tieCol).as("__t"),
+        col(labelCol).cast("boolean").as("__y"))
+      .repartitionByRange(nParts, col("__s").desc, col("__t"))
+      .withColumn("__part", spark_partition_id())
+      .localCheckpoint()
+    val offsets = broadcast(
+      ranged.groupBy("__part").agg(count(lit(1)).as("__pc"))
+        .withColumn("__offset", coalesce(
+          sum("__pc").over(Window.orderBy("__part")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .withColumn("__n", sum("__pc").over(Window.partitionBy()))
+        .select("__part", "__offset", "__n"))
+    val localW = Window.partitionBy("__part").orderBy(col("__s").desc, col("__t"))
+    val ranked = ranged.join(offsets, Seq("__part"))
+      .withColumn("__rk", col("__offset") + row_number().over(localW))
+    // ntile(b) of rank rk over n rows: first (n mod b) buckets hold
+    // ceil(n/b) rows, the rest floor(n/b)
+    val qz = floor(col("__n") / nBuckets).cast("long")
+    val rem = col("__n") % nBuckets
+    val cut = rem * (qz + 1)
+    val bucket = when(col("__rk") <= cut,
+        floor((col("__rk") - 1) / (qz + 1)) + 1)
+      .otherwise(rem + floor((col("__rk") - cut - 1) / greatest(qz, lit(1L))) + 1)
+    val bucketed = ranked.select(bucket.cast("int").as("bucket"), col("__y"))
     val perBucket = bucketed.groupBy(col("bucket"))
       .agg(count(lit(1)).as("n"), count(when(col("__y"), 1)).as("n_pos"))
     val totals = perBucket.agg(

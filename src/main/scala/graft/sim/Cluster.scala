@@ -103,7 +103,11 @@ object Cluster {
   def kmeans(df: DataFrame, idCol: String, vecCol: String, k: Int,
              maxIters: Int = 10, tol: Double = 1e-9): KMeansModel = {
     require(k > 0 && maxIters >= 1)
+    // persist: every iteration re-scans src (init + maxIters actions) —
+    // without this, 10 rounds = 10 full source reads at scale
     val src = df.select(col(idCol), col(vecCol).cast("array<double>").as("__v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
     var centroids: Seq[Seq[Double]] = src.orderBy(col(idCol)).limit(k)
       .select("__v").collect().map(_.getSeq[Double](0).toVector).toVector
     var cost = Double.MaxValue
@@ -137,6 +141,7 @@ object Cluster {
       cost = newCost
     }
     KMeansModel(centroids, cost, it)
+    } finally src.unpersist(blocking = false)
   }
 
   /** Within-cluster near-duplicate pairs (id_a < id_b, cosine ≥

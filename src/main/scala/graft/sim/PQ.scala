@@ -147,22 +147,22 @@ object PQ {
 
     val c = corpus.select(col(idCol).as("neighbor_id"),
       col(vecCol).cast("array<double>").as("__cv"))
-    val centroids = broadcast(
-      c.withColumn("__r", xxhash64(col("neighbor_id")))
-        .orderBy("__r").limit(nCentroids)
-        .select(col("neighbor_id").as("centroid_id"), col("__cv").as("__centroid")))
-    val assigned = c.crossJoin(centroids)
-      .withColumn("__sim", cos(col("__cv"), col("__centroid")))
-      .groupBy(col("neighbor_id"))
-      .agg(max_by(col("centroid_id"), col("__sim")).as("centroid_id"),
-        first(col("__cv")).as("__cv"))
+    // literal centroid picks + MAP-ONLY corpus assignment (zero corpus
+    // shuffle — same topology as [[Similarity.ivfTopK]]); the local
+    // centroid frame serves the query-side probe join
+    val (cents, centDf) = Similarity.collectCentroids(c, nCentroids,
+      "centroid_id", "__centroid")
+    val idLit = array(cents.map(p => lit(p._1)): _*)
+    val assigned = Similarity.assignIdx(c, "__cv", "__ci", cents.map(_._2))
+      .withColumn("centroid_id", element_at(idLit, col("__ci") + 1))
+      .drop("__ci")
     // the compressed index: (cell, code) per corpus vector — at scale this
     // is the ONLY corpus-wide table the query path scans
     val codes = encode(assigned, "__cv", model).drop("__cv")
 
     val q = queries.select(col(queryIdCol).as("query_id"),
       col(vecCol).cast("array<double>").as("__qv"))
-    val probes = q.crossJoin(centroids)
+    val probes = q.crossJoin(broadcast(centDf))
       .withColumn("__sim", cos(col("__qv"), col("__centroid")))
       .withColumn("__pr", row_number().over(
         Window.partitionBy(col("query_id")).orderBy(col("__sim").desc, col("centroid_id"))))
@@ -174,7 +174,9 @@ object PQ {
       Cluster.sqDistLong(subVec(col("__qq"), s, model.subDim),
         element_at(cbLit(model.codebooks(s)), col("pq_code")(s) + 1))
     }.reduce(_ + _)
-    val short = qq.join(codes, Seq("centroid_id"))
+    // codes stream, probes broadcast — the shortlist window over probed
+    // buckets' candidates is the only code-row shuffle
+    val short = codes.join(broadcast(qq), Seq("centroid_id"))
       .where(col("neighbor_id") =!= col("query_id"))
       .withColumn("__adc", adc)
       .withColumn("__sr", row_number().over(
@@ -184,7 +186,7 @@ object PQ {
     // exact refine: raw vectors fetched for shortlist rows only
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine_sim").desc, col("neighbor_id"))
-    short.join(c, Seq("neighbor_id"))
+    c.join(broadcast(short), Seq("neighbor_id"))
       .withColumn("cosine_sim", round(cos(col("__cv"), col("__qv")), 6))
       .withColumn("rank", row_number().over(w)).where(col("rank") <= k)
       .select("query_id", "neighbor_id", "cosine_sim", "rank")

@@ -1,8 +1,11 @@
 package graft.sim
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{StructField, StructType}
+
+import scala.jdk.CollectionConverters._
 
 /** Approximate-nearest-neighbor search over an embedding column
   * (`Array[Float]`). Extension beyond the reference surface (SURVEY §7.6).
@@ -112,14 +115,53 @@ object Similarity {
       .select("query_id", "neighbor_id", "cosine_sim", "rank")
   }
 
+  /** Hash-ranked deterministic centroid draws (a k-means-free stand-in
+    * that needs no training step), collected to the driver — `n` rows,
+    * literal-sized by construction. Returns the (id, vector) picks plus a
+    * same-content LOCAL DataFrame (rebuilt from the collected rows, so the
+    * query-side probe joins never re-scan the corpus). Expects the
+    * normalized `(neighbor_id, __cv)` corpus projection. */
+  private[graft] def collectCentroids(c: DataFrame, n: Int, idName: String,
+      vecName: String): (Seq[(Any, Seq[Double])], DataFrame) = {
+    val picked = c.withColumn("__r", xxhash64(col("neighbor_id")))
+      .orderBy(col("__r"), col("neighbor_id")).limit(n)
+      .select(col("neighbor_id").as(idName), col("__cv").as(vecName))
+    val rows = picked.collect().toSeq
+    require(rows.nonEmpty, "corpus is empty — no centroids to draw")
+    val local = c.sparkSession.createDataFrame(rows.asJava, picked.schema)
+    (rows.map(r => (r.get(0), r.getSeq[Double](1).toVector)), local)
+  }
+
+  /** MAP-ONLY nearest-centroid assignment against LITERAL centroid
+    * vectors: one fused-cosine walk per centroid, argmax cosine with
+    * first-index tie-break, zero Exchange — the corpus is never shuffled
+    * for its own assignment. (The previous crossJoin + groupBy form
+    * hash-shuffled the full vector-carrying corpus once per level; at
+    * 100 TB that shuffle dominates the index build. Same topology as
+    * [[Cluster.assignQuantized]].) Adds `outCol` = the 0-based centroid
+    * index. `__sims` is referenced twice in the argmax projection — the
+    * CLAUDE.md invariant-6 barrier that keeps CollapseProject from
+    * re-evaluating the distance walk per array element. */
+  private[graft] def assignIdx(df: DataFrame, vecCol: String, outCol: String,
+                               centroids: Seq[Seq[Double]]): DataFrame = {
+    require(centroids.nonEmpty, "need at least one centroid")
+    val cos = cosineFast(df.sparkSession) _
+    val cLit = array(centroids.map(v => array(v.map(lit(_)): _*)): _*)
+    df.withColumn("__sims", transform(cLit, cc => cos(col(vecCol), cc)))
+      .withColumn(outCol,
+        (array_position(col("__sims"), array_max(col("__sims"))) - 1).cast("int"))
+      .drop("__sims")
+  }
+
   /** IVF (inverted-file) approximate top-k: the centroid-bucketed scale
     * path. `nCentroids` vectors are drawn deterministically from the corpus
-    * (hash-ranked — a stand-in for k-means that needs no training step),
-    * every corpus vector is assigned to its nearest centroid (one broadcast
-    * pass, no shuffle of the corpus), and each query probes its `nProbe`
-    * nearest centroid buckets. Cost per query ≈ nProbe/nCentroids of the
-    * corpus; the centroid table is tiny by construction (≈√N) so both
-    * assignment joins broadcast.
+    * ([[collectCentroids]]), every corpus vector is assigned to its nearest
+    * centroid map-only against the literal centroid array ([[assignIdx]] —
+    * ZERO corpus shuffle, spec-asserted), and each query probes its
+    * `nProbe` nearest centroid buckets. The probe rows are broadcast into
+    * the bucket join, so the only corpus-row shuffle in the whole plan is
+    * the final per-query top-k over the probed buckets' candidates. Cost
+    * per query ≈ nProbe/nCentroids of the corpus.
     *
     * SIZING: set `nCentroids ≈ √N` in production — per-query probe work is
     * `nProbe·N/nCentroids` while assignment work is `N·nCentroids`
@@ -131,30 +173,27 @@ object Similarity {
   def ivfTopK(corpus: DataFrame, queries: DataFrame,
               idCol: String, vecCol: String, queryIdCol: String,
               k: Int = 10, nCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
+    val cos = cosineFast(corpus.sparkSession) _
     val c = corpus.select(col(idCol).as("neighbor_id"),
       col(vecCol).cast("array<double>").as("__cv"))
-    // deterministic "k-means-free" centroids: top nCentroids by id hash
-    val centroids = broadcast(
-      c.withColumn("__r", xxhash64(col("neighbor_id")))
-        .orderBy("__r").limit(nCentroids)
-        .select(col("neighbor_id").as("centroid_id"), col("__cv").as("__centroid")))
-    val assigned = c.crossJoin(centroids)
-      .withColumn("__sim", cosineFast(corpus.sparkSession)(col("__cv"), col("__centroid")))
-      .groupBy(col("neighbor_id"))
-      .agg(max_by(col("centroid_id"), col("__sim")).as("centroid_id"),
-        first(col("__cv")).as("__cv"))
+    val (cents, centDf) = collectCentroids(c, nCentroids, "centroid_id", "__centroid")
+    val idLit = array(cents.map(p => lit(p._1)): _*)
+    val assigned = assignIdx(c, "__cv", "__ci", cents.map(_._2))
+      .withColumn("centroid_id", element_at(idLit, col("__ci") + 1))
+      .drop("__ci")
     val q = queries.select(col(queryIdCol).as("query_id"),
       col(vecCol).cast("array<double>").as("__qv"))
-    val probes = q.crossJoin(centroids)
-      .withColumn("__sim", cosineFast(corpus.sparkSession)(col("__qv"), col("__centroid")))
+    val probes = q.crossJoin(broadcast(centDf))
+      .withColumn("__sim", cos(col("__qv"), col("__centroid")))
       .withColumn("__pr", row_number().over(
         Window.partitionBy(col("query_id")).orderBy(col("__sim").desc, col("centroid_id"))))
       .where(col("__pr") <= nProbe)
       .select(col("query_id"), col("__qv"), col("centroid_id"))
-    val cand = probes.join(assigned, Seq("centroid_id"))
+    // corpus streams, probes broadcast — no corpus shuffle until the final
+    // per-query top-k window over candidate rows
+    val cand = assigned.join(broadcast(probes), Seq("centroid_id"))
       .where(col("neighbor_id") =!= col("query_id"))
-      .withColumn("cosine_sim",
-        round(cosineFast(corpus.sparkSession)(col("__cv"), col("__qv")), 6))
+      .withColumn("cosine_sim", round(cos(col("__cv"), col("__qv")), 6))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine_sim").desc, col("neighbor_id"))
     cand.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
@@ -172,55 +211,85 @@ object Similarity {
     *
     * Both centroid tables stay broadcast-sized (nCoarse, then
     * nCoarse·nFinePerCell rows); the corpus is never self-joined and is
-    * assigned in two broadcast map passes — the same topology as
-    * [[ivfTopK]], nested. Centroids are hash-ranked picks (k-means-free,
-    * deterministic), like the single-level form. */
+    * assigned MAP-ONLY against nested literal centroid arrays (zero
+    * corpus shuffle — the fine-centroid SELECTION shuffles only a scalar
+    * (id, cell, hash) projection, never the vectors, and the winners'
+    * vectors come back via a broadcast semi-join). Centroids are
+    * hash-ranked picks (k-means-free, deterministic), like the
+    * single-level form. */
   def ivfTopK2(corpus: DataFrame, queries: DataFrame,
                idCol: String, vecCol: String, queryIdCol: String,
                k: Int = 10, nCoarse: Int = 4, nFinePerCell: Int = 4,
                probeCoarse: Int = 2, probeFine: Int = 4): DataFrame = {
-    val cos = cosineFast(corpus.sparkSession) _
+    val spark = corpus.sparkSession
+    val cos = cosineFast(spark) _
     val c = corpus.select(col(idCol).as("neighbor_id"),
       col(vecCol).cast("array<double>").as("__cv"))
-    // level 1: coarse cells
-    val coarse = broadcast(
-      c.withColumn("__r", xxhash64(col("neighbor_id")))
-        .orderBy("__r").limit(nCoarse)
-        .select(col("neighbor_id").as("cell_id"), col("__cv").as("__cc")))
-    val inCell = c.crossJoin(coarse)
-      .withColumn("__sim", cos(col("__cv"), col("__cc")))
-      .groupBy(col("neighbor_id"))
-      .agg(max_by(col("cell_id"), col("__sim")).as("cell_id"),
-        first(col("__cv")).as("__cv"))
-    // level 2: per-cell fine centroids, hash-ranked within the cell
-    val fine = broadcast(
-      inCell.withColumn("__r", xxhash64(col("neighbor_id")))
-        .withColumn("__fr", row_number().over(
-          Window.partitionBy(col("cell_id")).orderBy(col("__r"), col("neighbor_id"))))
-        .where(col("__fr") <= nFinePerCell)
-        .select(col("cell_id"), col("neighbor_id").as("fine_id"), col("__cv").as("__fc")))
-    val assigned = inCell.join(fine, Seq("cell_id"))
-      .withColumn("__sim", cos(col("__cv"), col("__fc")))
-      .groupBy(col("neighbor_id"))
-      .agg(max_by(struct(col("cell_id"), col("fine_id")), col("__sim")).as("__b"),
-        first(col("__cv")).as("__cv"))
-      .select(col("__b.cell_id"), col("__b.fine_id"), col("neighbor_id"), col("__cv"))
-    // probing: coarse cells first, fine centroids within them
+    // level 1: coarse cells — literal picks, map-only corpus assignment
+    val (cells, coarseDf) = collectCentroids(c, nCoarse, "cell_id", "__cc")
+    val cellIdLit = array(cells.map(p => lit(p._1)): _*)
+    val inCell = assignIdx(c, "__cv", "__ci", cells.map(_._2))
+    // level 2 SELECTION: per-cell hash-ranked picks over a SCALAR
+    // (id, cell, hash) projection — vectors never enter this shuffle; the
+    // winners' vectors are fetched by a broadcast semi-join (one extra
+    // map pass over the corpus) and collected (≤ nCoarse·nFinePerCell
+    // rows, driver-sized by construction)
+    val finePicked = inCell
+      .select(col("neighbor_id"), col("__ci"), xxhash64(col("neighbor_id")).as("__r"))
+      .withColumn("__fr", row_number().over(
+        Window.partitionBy(col("__ci")).orderBy(col("__r"), col("neighbor_id"))))
+      .where(col("__fr") <= nFinePerCell)
+      .select("neighbor_id", "__ci", "__fr")
+    val fineRows = c.join(broadcast(finePicked), Seq("neighbor_id"))
+      .select(col("__ci"), col("__fr"), col("neighbor_id"), col("__cv"))
+      .collect().toSeq.sortBy(r => (r.getInt(0), r.getInt(1)))
+    val fineByCell: IndexedSeq[Seq[(Any, Seq[Double])]] =
+      (0 until nCoarse).map { ci =>
+        fineRows.filter(_.getInt(0) == ci)
+          .map(r => (r.get(2), r.getSeq[Double](3).toVector))
+      }
+    val idType = c.schema("neighbor_id").dataType
+    val vecType = c.schema("__cv").dataType
+    val fineVecLit = array(fineByCell.map { fs =>
+      if (fs.isEmpty) array().cast("array<array<double>>")
+      else array(fs.map(f => array(f._2.map(lit(_)): _*)): _*)
+    }: _*)
+    val fineIdLit = array(fineByCell.map { fs =>
+      if (fs.isEmpty) array().cast(org.apache.spark.sql.types.ArrayType(idType))
+      else array(fs.map(f => lit(f._1)): _*)
+    }: _*)
+    // map-only fine assignment: walk ONLY the row's own cell's fine
+    // centroids (nested literal lookup); __fsims double-referenced = the
+    // invariant-6 projection barrier
+    val assigned = inCell
+      .withColumn("__fsims", transform(element_at(fineVecLit, col("__ci") + 1),
+        fc => cos(col("__cv"), fc)))
+      .withColumn("__fi", array_position(col("__fsims"), array_max(col("__fsims"))).cast("int"))
+      .select(element_at(cellIdLit, col("__ci") + 1).as("cell_id"),
+        element_at(element_at(fineIdLit, col("__ci") + 1), col("__fi")).as("fine_id"),
+        col("neighbor_id"), col("__cv"))
+    // probing: coarse cells first, fine centroids within them — both
+    // centroid tables are LOCAL frames rebuilt from the collected rows
+    val fineDf = broadcast(spark.createDataFrame(
+      fineRows.map(r => Row(cells(r.getInt(0))._1, r.get(2), r.get(3))).asJava,
+      StructType(Seq(StructField("cell_id", idType),
+        StructField("fine_id", idType), StructField("__fc", vecType)))))
     val q = queries.select(col(queryIdCol).as("query_id"),
       col(vecCol).cast("array<double>").as("__qv"))
-    val qCells = q.crossJoin(coarse)
+    val qCells = q.crossJoin(broadcast(coarseDf))
       .withColumn("__sim", cos(col("__qv"), col("__cc")))
       .withColumn("__pr", row_number().over(
         Window.partitionBy(col("query_id")).orderBy(col("__sim").desc, col("cell_id"))))
       .where(col("__pr") <= probeCoarse)
       .select(col("query_id"), col("__qv"), col("cell_id"))
-    val qFine = qCells.join(fine, Seq("cell_id"))
+    val qFine = qCells.join(fineDf, Seq("cell_id"))
       .withColumn("__sim", cos(col("__qv"), col("__fc")))
       .withColumn("__pf", row_number().over(
         Window.partitionBy(col("query_id")).orderBy(col("__sim").desc, col("cell_id"), col("fine_id"))))
       .where(col("__pf") <= probeFine)
       .select(col("query_id"), col("__qv"), col("cell_id"), col("fine_id"))
-    val cand = qFine.join(assigned, Seq("cell_id", "fine_id"))
+    // corpus streams, probed buckets broadcast — same tail as [[ivfTopK]]
+    val cand = assigned.join(broadcast(qFine), Seq("cell_id", "fine_id"))
       .where(col("neighbor_id") =!= col("query_id"))
       .withColumn("cosine_sim", round(cos(col("__cv"), col("__qv")), 6))
     val w = Window.partitionBy(col("query_id"))

@@ -332,8 +332,12 @@ final class TableStore(spark: SparkSession, root: String) {
       .filterNot(pks.contains).toSeq.sorted
     def sideHash(df: DataFrame, as: String) = {
       val extras = df.columns.toSeq.filterNot(c => shared.contains(c) || pks.contains(c))
+      // Spark's hash functions SKIP null inputs, so (a='x', b=null) and
+      // (a=null, b='x') would collide for same-typed neighbors; fold a
+      // per-column null indicator in so null position changes the hash
+      val hashed = shared.flatMap(c => Seq(col(c), isnull(col(c)).cast("int")))
       df.select(pks.map(col) :+
-        xxhash64((shared.map(col) :+ lit(extras.sorted.mkString(","))): _*).as(as): _*)
+        xxhash64((hashed :+ lit(extras.sorted.mkString(","))): _*).as(as): _*)
     }
     val o = sideHash(oldDf, "__h_old")
     val n = sideHash(newDf, "__h_new")
@@ -357,9 +361,12 @@ final class TableStore(spark: SparkSession, root: String) {
     * survive compaction pruning the source version (inode refcount), and
     * time travel to the previous version still reads the original files.
     *
-    * Partition VALUES are matched by their hive directory encoding, so
-    * keep partition columns to dates/numbers/simple strings (same rule as
-    * any hive layout). */
+    * Partition VALUES are matched by their hive directory encoding; the
+    * touched set is derived by listing the NEW version's directories
+    * after the write, so it is consistent with what was actually written
+    * even for a nondeterministic `df` (one evaluation, no collect), and
+    * hive-escaped values (spaces etc.) match by construction — both
+    * versions' dir names come from the same Spark writer encoding. */
   def replacePartitions(table: String, df: DataFrame): Unit = {
     val m = meta(table).getOrElse(sys.error(s"no such table: $table"))
     require(m.partitionCols.nonEmpty,
@@ -371,29 +378,18 @@ final class TableStore(spark: SparkSession, root: String) {
     val v = m.version + 1
     val newDir = versionDir(table, v)
     val oldDir = versionDir(table, m.version)
-    // the touched partitions, in hive dir encoding (col=value/col2=value2).
-    // Values needing hive escaping would break the dir-name match below and
-    // hardlink stale files NEXT TO the fresh write — refuse them loudly.
-    val safe = "^[A-Za-z0-9_.-]+$".r
-    val touched = df.select(pcols.map(c => col(c).cast("string")): _*)
-      .distinct().collect()
-      .map { r =>
-        pcols.indices.map { i =>
-          val v = r.getString(i)
-          require(v != null && safe.matches(v),
-            s"partition value '$v' needs hive escaping; replacePartitions " +
-              "supports date/number/simple-string partition values only")
-          s"${pcols(i)}=$v"
-        }.mkString("/")
-      }
-      .toSet
     df.write.mode("overwrite").partitionBy(pcols: _*).parquet(newDir.toString)
-    // hardlink every untouched partition's files from the previous version
     def partitionDirs(base: Path, depth: Int): Seq[Path] =
       if (depth == 0) Seq(base)
       else Files.list(base).iterator().asScala.toSeq
         .filter(p => Files.isDirectory(p) && p.getFileName.toString.contains("="))
         .flatMap(p => partitionDirs(p, depth - 1))
+    // the touched partitions, in hive dir encoding (col=value/col2=value2),
+    // read back from what the writer ACTUALLY produced — a nondeterministic
+    // df cannot drift between "decide touched" and "write"
+    val touched = partitionDirs(newDir, pcols.size)
+      .map(p => newDir.relativize(p).toString).toSet
+    // hardlink every untouched partition's files from the previous version
     partitionDirs(oldDir, pcols.size).foreach { pdir =>
       val rel = oldDir.relativize(pdir).toString
       if (!touched.contains(rel)) {

@@ -192,15 +192,18 @@ object Validation {
   def leakageCheck(df: DataFrame, labelTimeCol: String,
                    featureTimeCols: Seq[String]): DataFrame = {
     require(featureTimeCols.nonEmpty, "featureTimeCols must be non-empty")
+    // ONE aggregate pass: totaling in the same job keeps n_rows consistent
+    // with the population the leak counts were taken from even when the
+    // input is nondeterministic (a second df.count() could drift)
     val aggs = featureTimeCols.flatMap { c =>
       Seq(count(when(col(c) > col(labelTimeCol), 1)).as(s"__leak_$c"),
         count(when(col(c).isNull, 1)).as(s"__null_$c"))
-    }
+    } :+ count(lit(1)).as("__total")
     val row = df.agg(aggs.head, aggs.tail: _*)
-    val total = df.count()
     val spark = df.sparkSession
     import spark.implicits._
     val r = row.first()
+    val total = r.getAs[Long]("__total")
     featureTimeCols.map(c =>
       (c, r.getAs[Long](s"__leak_$c"), r.getAs[Long](s"__null_$c"), total))
       .toDF("feature_time_col", "n_leaky", "n_unmatched", "n_rows")

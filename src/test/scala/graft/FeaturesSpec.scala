@@ -157,6 +157,25 @@ class FeaturesSpec extends AnyFunSuite {
     assert(out(10)._4 == 1.0)                  // full population = base rate
   }
 
+  test("liftTable buckets are exact ntile arithmetic on non-divisible n") {
+    import org.apache.spark.sql.expressions.Window
+    // 103 rows / 10 buckets: first 3 buckets get 11 rows, rest 10 —
+    // must match window-ntile bit-for-bit (the oracle encodes real ntile)
+    val df = (1 to 103).map(i => (i.toLong, ((i * 37) % 103).toDouble, i % 3 == 0))
+      .toDF("id", "score", "y")
+    val out = Features.liftTable(df, "score", "y", nBuckets = 10, tieCol = "id")
+      .select("bucket", "n", "n_pos").orderBy("bucket")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq
+    val ref = df.select(
+        ntile(10).over(Window.orderBy($"score".desc, $"id")).as("bucket"), $"y")
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"), count(when($"y", 1)).as("n_pos"))
+      .orderBy("bucket")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(out == ref)
+    assert(out.map(_._2) == Seq(11L, 11L, 11L, 10L, 10L, 10L, 10L, 10L, 10L, 10L))
+  }
+
   test("corrPairs: perfect positive/negative correlation and independence signs") {
     val df = (1 to 200).map { i =>
       val x = i.toDouble

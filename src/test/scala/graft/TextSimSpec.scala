@@ -193,6 +193,30 @@ class TextSimSpec extends AnyFunSuite {
     assert(top(0).getAs[Double]("cosine_sim") > 0.999999)
   }
 
+  test("IVF corpus assignment is map-only: zero exchanges; planted clone at rank 1") {
+    val clone = vecs.where($"vec_id" === 7)
+      .select(lit(999L).as("vec_id"), $"embedding")
+    val corpus = vecs.unionByName(clone)
+    val c = corpus.select($"vec_id".as("neighbor_id"),
+      $"embedding".cast("array<double>").as("__cv"))
+    val (cents, _) = Similarity.collectCentroids(c, 8, "centroid_id", "__centroid")
+    val assigned = Similarity.assignIdx(c, "__cv", "__ci", cents.map(_._2))
+    assigned.collect() // finalize THIS dataset before counting (invariant 8)
+    assert(graft.ops.Scale.countExchanges(assigned) == 0,
+      assigned.queryExecution.executedPlan.toString)
+    // end-to-end: the clone's original must come back at rank 1 through
+    // the bucketed probe path (and its twin shares its bucket by
+    // determinism of the map-only argmax)
+    val top = Similarity.ivfTopK(corpus, clone, "vec_id", "embedding", "vec_id",
+        k = 3, nCentroids = 8, nProbe = 3)
+      .where($"rank" === 1).collect()
+    assert(top.length == 1 && top(0).getAs[Long]("neighbor_id") == 7L)
+    val top2 = Similarity.ivfTopK2(corpus, clone, "vec_id", "embedding", "vec_id",
+        k = 3, nCoarse = 3, nFinePerCell = 3, probeCoarse = 2, probeFine = 4)
+      .where($"rank" === 1).collect()
+    assert(top2.length == 1 && top2(0).getAs[Long]("neighbor_id") == 7L)
+  }
+
   test("LSH top-k recall: candidates are ranked by true cosine") {
     val queries = vecs.where($"vec_id" < 3)
     val exact = Similarity.bruteForceTopK(vecs, queries, "vec_id", "embedding", "vec_id", k = 5)

@@ -84,7 +84,13 @@ def main(sf_dir, out_dir):
             s_schema = {f.name: str(f.type) for f in spark_tbl.schema}
             o_schema = {f.name: str(f.type) for f in oracle.schema}
             diffs = {c: (s_schema[c], o_schema[c]) for c in s_cols if s_schema[c] != o_schema[c]}
-            results[name] = f"OK n={n_spark}" + (f" SCHEMA_DIFF {diffs}" if diffs else "")
+            if diffs:
+                # arrow-type diffs diverge the driver's typed hash even when
+                # values are bit-exact (e.g. DuckDB sum(BIGINT) -> HUGEINT
+                # vs Spark int64) -- treat as failure, not green.
+                results[name] = f"SCHEMA_DIFF n={n_spark} {diffs}"
+            else:
+                results[name] = f"OK n={n_spark}"
         else:
             results[name] = f"VALUE_MISMATCH ({len(mismatches)} shown, float_close={float_close}): {mismatches[:4]}"
     width = max(len(k) for k in results)
