@@ -250,4 +250,45 @@ class StreamingMultimodalSpec extends AnyFunSuite {
     assert(new String(out.getAs[Array[Byte]]("blob")) == "tiny")
     intercept[IllegalArgumentException](Multimodal.resizeImages(assets, 0))
   }
+
+  test("real PNG blobs: ImageIO decode drives features and bilinear resize") {
+    import java.awt.image.BufferedImage
+    import java.io.ByteArrayOutputStream
+    import javax.imageio.ImageIO
+    def png(w: Int, h: Int, f: (Int, Int) => Int): Array[Byte] = {
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, f(x, y))
+      val bos = new ByteArrayOutputStream()
+      ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    // 1: left-black / right-white gradient; 2: all-black; 3: all-white
+    val gradient = png(64, 48, (x, _) => { val v = x * 255 / 63; (v << 16) | (v << 8) | v })
+    val black = png(64, 48, (_, _) => 0)
+    val white = png(64, 48, (_, _) => 0xffffff)
+    val imgs = Multimodal.toAssets(
+      Seq((1L, gradient), (2L, black), (3L, white)).toDF("id", "payload"),
+      "id", "payload", "image/png")
+    val feats = Multimodal.extractFeatures(imgs, dim = 9)
+      .orderBy("asset_id").collect()
+      .map(r => r.getLong(0) -> r.getAs[scala.collection.Seq[Float]]("features"))
+    // luma grid reflects CONTENT, not bytes: black ≈ 0, white ≈ 1,
+    // gradient strictly brighter on the right of each grid row
+    assert(feats(1)._2.forall(_ < 0.01f))
+    assert(feats(2)._2.forall(_ > 0.99f))
+    val g = feats(0)._2
+    assert(g(0) < g(1) && g(1) < g(2), s"row not increasing: $g")
+    // real resize: 64×48 → maxEdge 16 becomes a 16×12 PNG (aspect kept)
+    val resized = Multimodal.resizeImages(imgs, maxEdge = 16)
+      .orderBy("asset_id").collect()
+    resized.foreach { r =>
+      val img = ImageIO.read(new java.io.ByteArrayInputStream(r.getAs[Array[Byte]]("blob")))
+      assert(img.getWidth == 16 && img.getHeight == 12)
+      assert(r.getStruct(2).getString(0) == "image/png")
+    }
+    // within-budget image passes through byte-identical
+    val kept = Multimodal.resizeImages(imgs, maxEdge = 64)
+      .where($"asset_id" === 2).head().getAs[Array[Byte]]("blob")
+    assert(kept.sameElements(black))
+  }
 }
