@@ -496,6 +496,19 @@ object Queries {
       TextStats.stopwordRatio(col("text")).as("stopword_ratio"))
       .orderBy("doc_id")
 
+  /** REAL BPE token counts ([[graft.text.Bpe]]): merge table learned from
+    * the corpus itself (200 merges over the word-frequency head — one
+    * scalar wordcount shuffle + driver-side learning), then exact map-only
+    * greedy encoding. Not SQL-expressible (iterative merge inference) →
+    * rows-only driver check; determinism is spec-pinned (BpeSpec:
+    * hand-computed merges, layout independence, round-trip). */
+  def qTextBpeTokens(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val model = graft.text.Bpe.train(docs, "text", numMerges = 200)
+    graft.text.Bpe.tokenCounts(docs, "doc_id", "text", model)
+      .orderBy("doc_id")
+  }
+
   def qTextLangId(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents").select(
       col("doc_id"), col("lang"),
@@ -1551,6 +1564,7 @@ object Queries {
     "q_stream_tumbling" -> (qStreamTumbling _),
     "q_stream_sliding" -> (qStreamSliding _),
     "q_pipeline_monthly" -> (qPipelineMonthly _),
+    "q_text_bpe_tokens" -> (qTextBpeTokens _),
     "q_text_stats" -> (qTextStats _),
     "q_text_langid" -> (qTextLangId _),
     "q_text_repetition" -> (qTextRepetition _),
