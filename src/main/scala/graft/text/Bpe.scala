@@ -55,8 +55,11 @@ final case class BpeModel(merges: Seq[(String, String)]) {
     syms.toArray
   }
 
-  /** Token count of a full text = Σ tokens over its pre-tokens. */
+  /** Token count of a full text = Σ tokens over its pre-tokens. Null
+    * propagates to 0 — matching the null semantics of the SQL-expression
+    * text surface ([[TextStats]]) instead of NPE-ing the task. */
   def countTokens(text: String): Int = {
+    if (text == null) return 0
     var n = 0
     val m = BpeModel.preTokenRegex.matcher(text)
     while (m.find()) n += encodeWord(m.group()).length
@@ -91,6 +94,31 @@ object BpeModel {
   *    stage); no shuffle, layout-independent, deterministic.
   */
 object Bpe {
+
+  /** A 50-rule merge table learned once via [[train]] (numMerges = 50,
+    * sf0.01 synthetic documents corpus) and FROZEN as literals, making the
+    * catalog query oracle-checkable: with a fixed table, greedy
+    * lowest-rank inference is equivalent to applying the rules once each
+    * in rank order — every rule's compound constituent is produced only by
+    * an earlier rule (asserted in BpeSpec), so a later merge can never
+    * create a lower-rank pair — and one rank-order application is one
+    * left-to-right non-overlapping string replace over a
+    * separator-wrapped symbol string. DuckDB therefore replays the encode
+    * as 50 chained replace() calls ([[graft.Oracles]] q_text_bpe_tokens).
+    * Freezing also keeps training out of the timed bench path. */
+  val FixedMerges: Seq[(String, String)] = Seq(
+    ("e", "r"), ("e", "</w>"), ("n", "</w>"), ("er", "</w>"), ("o", "w"),
+    ("ow", "</w>"), ("o", "r"), ("s", "t"), ("h", "</w>"), ("a", "t"),
+    ("l", "u"), ("i", "n"), ("a", "</w>"), ("g", "</w>"), ("y", "</w>"),
+    ("a", "r"), ("p", "ar"), ("t", "</w>"), ("i", "n</w>"), ("j", "o"),
+    ("jo", "in</w>"), ("a", "s"), ("as", "h</w>"), ("h", "ash</w>"),
+    ("r", "ow</w>"), ("at", "c"), ("atc", "h</w>"), ("b", "atch</w>"),
+    ("a", "n</w>"), ("c", "an</w>"), ("s", "can</w>"), ("c", "o"),
+    ("c", "u"), ("co", "lu"), ("colu", "m"), ("colum", "n</w>"),
+    ("cu", "st"), ("cust", "o"), ("custo", "m"), ("custom", "er</w>"),
+    ("f", "i"), ("fi", "l"), ("fil", "t"), ("filt", "er</w>"),
+    ("a", "l"), ("al", "l"), ("all", "</w>"), ("m", "all</w>"),
+    ("s", "mall</w>"), ("er", "g"))
 
   /** Pre-token array of a text column (expression-level, codegen'd). */
   def preTokens(text: Column): Column =
@@ -181,8 +209,11 @@ object Bpe {
       val m = bc.value
       rows.map { r =>
         val toks = ArrayBuffer.empty[String]
-        val mt = BpeModel.preTokenRegex.matcher(r.getString(1))
-        while (mt.find()) toks ++= m.encodeWord(mt.group())
+        val text = r.getString(1)
+        if (text != null) {
+          val mt = BpeModel.preTokenRegex.matcher(text)
+          while (mt.find()) toks ++= m.encodeWord(mt.group())
+        }
         Row(r.getLong(0), toks.toSeq)
       }
     }(enc)
