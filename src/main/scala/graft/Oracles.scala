@@ -627,6 +627,26 @@ object Oracles {
         |    floor(tok_start / 512))::BIGINT AS chunk_last
         |FROM c ORDER BY doc_id""".stripMargin,
 
+    "q_pack_chunks_bpe" ->
+      s"""WITH words AS (
+         |  SELECT doc_id, unnest(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS w
+         |  FROM documents),
+         |enc AS (SELECT doc_id, $bpeReplayExpr AS s FROM words),
+         |bpe AS (SELECT doc_id,
+         |  (sum((length(s) - length(replace(s, '~', ''))) // 2))::INT AS n_tokens
+         |  FROM enc GROUP BY doc_id),
+         |d AS (SELECT dd.doc_id, coalesce(b.n_tokens, 0) AS n_tokens
+         |  FROM documents dd LEFT JOIN bpe b USING (doc_id)),
+         |c AS (SELECT doc_id, n_tokens,
+         |  coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tok_start
+         |  FROM d)
+         |SELECT doc_id, n_tokens::INT AS n_tokens, tok_start::BIGINT AS tok_start,
+         |  floor(tok_start / 512)::BIGINT AS chunk_first,
+         |  greatest(floor((tok_start + n_tokens - 1) / 512),
+         |    floor(tok_start / 512))::BIGINT AS chunk_last
+         |FROM c ORDER BY doc_id""".stripMargin,
+
     "q_text_decontaminate" ->
       """WITH aug AS (
         |  SELECT * FROM documents

@@ -688,6 +688,25 @@ object Queries {
       .select("doc_id", "n_tokens", "tok_start", "chunk_first", "chunk_last")
       .orderBy("doc_id")
 
+  /** Concat-and-chunk packing under EXACT BPE token counts (round-3 item
+    * 6, second half): context-window budgets follow
+    * [[graft.text.Bpe.tokenCounts]] under the fixed merge table instead of
+    * the [[graft.text.TextStats.tokenCountBpe]] regex proxy — the counts
+    * the trained vocab would actually produce. Same two-phase prefix-sum
+    * packer; the map-only BPE kernel composes ahead of the range shuffle.
+    * Oracle = the chained-replace BPE replay CTE feeding the same
+    * running-sum window. BpeSpec pins a proxy-vs-real divergence where the
+    * budget follows the real count. */
+  def qPackChunksBpe(s: SparkSession, dir: String): DataFrame = {
+    val model = graft.text.BpeModel(graft.text.Bpe.FixedMerges)
+    val counts = graft.text.Bpe
+      .tokenCounts(t(s, dir, "documents"), "doc_id", "text", model)
+      .withColumnRenamed("bpe_tokens", "n_tokens")
+    text.Packing.chunkAssignments(counts, "doc_id", "n_tokens", chunkTokens = 512)
+      .select("doc_id", "n_tokens", "tok_start", "chunk_first", "chunk_last")
+      .orderBy("doc_id")
+  }
+
   /** Benchmark decontamination: flag docs (corpus ∪ clones) sharing ≥ 2
     * distinct 5-grams with the "benchmark" set (doc_id < 10) — exact-count
     * DuckDB oracle over the same gram formula. */
@@ -1587,6 +1606,7 @@ object Queries {
     "q_dedup_clusters" -> (qDedupClusters _),
     "q_text_decontaminate" -> (qTextDecontaminate _),
     "q_pack_chunks" -> (qPackChunks _),
+    "q_pack_chunks_bpe" -> (qPackChunksBpe _),
     "q_sim_bruteforce_topk" -> (qSimBruteForce _),
     "q_sim_ivf_topk" -> (qSimIvfTopK _),
     "q_sim_lsh_topk" -> (qSimLshTopK _),

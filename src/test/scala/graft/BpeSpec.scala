@@ -2,7 +2,9 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.text.{Bpe, BpeModel}
+import org.apache.spark.sql.functions._
+
+import graft.text.{Bpe, BpeModel, Packing, TextStats}
 
 /** Pins the BPE tokenizer ([[graft.text.Bpe]]): hand-computed merges on
   * the classic Sennrich toy corpus, layout independence, train
@@ -84,6 +86,32 @@ class BpeSpec extends AnyFunSuite {
     }
     // the oracle's separator never appears inside any symbol
     assert(merges.forall { case (a, b) => !a.contains("~") && !b.contains("~") })
+  }
+
+  test("packing budgets follow REAL BPE counts where the regex proxy diverges") {
+    val model = BpeModel(Bpe.FixedMerges)
+    // the fixed vocab encodes "customer" as ONE token; the regex proxy
+    // ([A-Za-z]{1,4} pieces) says cust+omer = 2 — a real divergence
+    assert(model.encodeWord("customer").toSeq == Seq("customer</w>"))
+    val df = Seq(
+      (1L, "customer customer customer"), // real 3, proxy 6
+      (2L, "join scan"),                  // real 2
+      (3L, "customer join"))              // real 2
+      .toDF("doc_id", "text")
+    val proxy = df.select(TextStats.tokenCountBpe(col("text")))
+      .as[Int].collect().toSeq
+    assert(proxy == Seq(6, 2, 3)) // what the old proxy would have budgeted
+    val real = Bpe.tokenCounts(df, "doc_id", "text", model)
+      .withColumnRenamed("bpe_tokens", "n_tokens")
+    val out = Packing.chunkAssignments(real, "doc_id", "n_tokens", chunkTokens = 4)
+      .orderBy("doc_id")
+      .select("doc_id", "n_tokens", "tok_start", "chunk_first", "chunk_last")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // budgets follow the real counts (3,2,2 -> starts 0,3,5), not the proxy
+    assert(out.toSeq == Seq(
+      (1L, 3, 0L, 0L, 0L),   // tokens 0..2 in chunk 0
+      (2L, 2, 3L, 0L, 1L),   // tokens 3..4 straddle chunks 0/1
+      (3L, 2, 5L, 1L, 1L)))  // tokens 5..6 in chunk 1
   }
 
   test("greedy inference == rank-order chained-replace replay (oracle form)") {
