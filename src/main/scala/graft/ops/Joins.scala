@@ -46,7 +46,13 @@ object Joins {
   /** J3 (reference shape) — as-of join via theta join + window dedup
     * (`joins.py:115-238`): keys equal ∧ right.t <= left.t, keep the latest
     * right row per (keys, left.t). Correct but O(n×history) — use only when
-    * one side is small. */
+    * one side is small.
+    *
+    * Tie semantics (identical to [[pointInTimeJoin]]): multiple right rows
+    * at the same (keys, t) resolve to the GREATEST payload tuple
+    * (field-order lexicographic over (rightTime, payload...)) — a
+    * deterministic, layout-independent winner instead of partition order
+    * (JoinsPitSpec pins it on duplicate-timestamp snapshots). */
   def pointInTimeJoinNaive(left: DataFrame, right: DataFrame, keys: Seq[String],
                            leftTime: String, rightTime: String): DataFrame = {
     val lt = col("l." + leftTime)
@@ -55,8 +61,13 @@ object Joins {
     val l = left.alias("l")
     val r = right.alias("r")
     val joined = l.join(r, keyEq && rt <= lt, "left")
-    val w = Window.partitionBy(keys.map(k => col("l." + k)) :+ lt: _*).orderBy(rt.desc)
     val rightPayload = right.columns.filterNot(c => keys.contains(c)).toSeq
+    // same field order as the scale form's __payload struct, so both forms
+    // agree on the tie winner (struct comparison is field-wise)
+    val tieBreak = struct((col("r." + rightTime) +:
+      rightPayload.filterNot(_ == rightTime).map(c => col("r." + c))): _*)
+    val w = Window.partitionBy(keys.map(k => col("l." + k)) :+ lt: _*)
+      .orderBy(rt.desc, tieBreak.desc)
     joined.withColumn("__rn", row_number().over(w)).where(col("__rn") === 1)
       .select(left.columns.map(c => col("l." + c)).toSeq ++
               rightPayload.map(c => col("r." + c)): _*)
@@ -65,7 +76,12 @@ object Joins {
   /** J3 (scale shape) — as-of join via union-tag + last(ignoreNulls) over a
     * per-key running window. Semantics identical to the naive form (inclusive
     * `right.t <= left.t`, latest right row wins); cost is one shuffle on
-    * `keys` + one sort, independent of history depth. */
+    * `keys` + one sort, independent of history depth.
+    *
+    * Tie semantics: right rows at the same (keys, t) sort by their payload
+    * struct ascending, so `last` picks the GREATEST payload tuple
+    * (field-order lexicographic over (rightTime, payload...)) — the same
+    * deterministic winner as the naive form's desc tie-break. */
   def pointInTimeJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
                       leftTime: String, rightTime: String): DataFrame = {
     val payloadCols = right.columns.filterNot(c => keys.contains(c) || c == rightTime).toSeq
@@ -81,8 +97,11 @@ object Joins {
         lit(null).cast(rTagged.schema("__payload").dataType).as("__payload"),
         monotonically_increasing_id().as("__rowid")) ++
       left.columns.filterNot(keys.contains).map(col): _*)
-    // right rows sort before left rows at equal time (src 0 < 1) → inclusive asof
-    val w = Window.partitionBy(keys.map(col): _*).orderBy(col("__t"), col("__src"))
+    // right rows sort before left rows at equal time (src 0 < 1) → inclusive
+    // asof; equal-(keys, t) right rows order by payload asc → last() takes
+    // the greatest payload tuple (deterministic, layout-independent)
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__t"), col("__src"), col("__payload"))
       .rowsBetween(Window.unboundedPreceding, 0)
     val merged = rTagged.unionByName(lTagged)
       .withColumn("__asof", last(col("__payload"), ignoreNulls = true).over(w))

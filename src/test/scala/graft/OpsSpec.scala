@@ -188,6 +188,30 @@ class OpsSpec extends AnyFunSuite {
     assert(fast.exceptAll(naive).isEmpty && naive.exceptAll(fast).isEmpty)
   }
 
+  test("PIT join equal-timestamp ties: deterministic greatest-payload winner, both forms agree") {
+    // three right snapshots at the SAME (k, t) — the winner must be pinned
+    // by the payload tuple (rt, feat, tag) lexicographic max, never by
+    // partition order (round-3/4 verdict item: tie nondeterminism)
+    val left = Seq((1, "2024-03-01"), (1, "2024-03-02"))
+      .toDF("k", "lt").withColumn("lt", $"lt".cast("date"))
+    val dupRight = Seq(
+      (1, "2024-03-01", 10.0, "a"),
+      (1, "2024-03-01", 13.0, "b"),
+      (1, "2024-03-01", 13.0, "z"), // equal feat -> next field decides
+      (1, "2024-02-01", 99.0, "q")) // earlier snapshot: must not win
+      .toDF("k", "rt", "feat", "tag").withColumn("rt", $"rt".cast("date"))
+    for (right <- Seq(dupRight, dupRight.repartition(7), dupRight.orderBy($"feat"))) {
+      val fast = Joins.pointInTimeJoin(left, right, Seq("k"), "lt", "rt")
+        .orderBy("lt").select("feat", "tag").collect()
+        .map(r => (r.getDouble(0), r.getString(1))).toSeq
+      val naive = Joins.pointInTimeJoinNaive(left, right, Seq("k"), "lt", "rt")
+        .orderBy("lt").select("feat", "tag").collect()
+        .map(r => (r.getDouble(0), r.getString(1))).toSeq
+      assert(fast == Seq((13.0, "z"), (13.0, "z")), s"fast winner: $fast")
+      assert(naive == fast, s"forms disagree: naive=$naive fast=$fast")
+    }
+  }
+
   test("antiExclude removes rows whose keys appear in the exclusion set") {
     val df = Seq(1, 2, 3, 4).toDF("k")
     val excl = Seq(2, 4, 4).toDF("k")
