@@ -9,7 +9,7 @@ import org.apache.spark.sql.functions._
   * WoE / information value, PSI drift, and correlation — the standard
   * model-prep surface a feature-store user expects next to the raw
   * aggregations (the reference stops at ratio features,
-  * `notebooks/medpag_dev.py:178-204`; these are the canonical
+  * `fs_cus_payment_behavior.py:506-536`; these are the canonical
   * transformations applied to exactly those outputs).
   *
   * Determinism contract (same rules as [[graft.Queries]]): every statistic

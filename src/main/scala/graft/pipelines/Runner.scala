@@ -14,7 +14,7 @@ import graft.validate.{Monitor, SourceCheck, Validation}
   * (demographic → credit_risk; holding → payment → transactions —
   * `config/dev/job_resources/feature-store-medpag-resource.yml:52-113`), and
   * `FeatureStoreManager.save` + registration
-  * (`notebooks/utils.py:1919-2046`). Cross-workspace REST registration is
+  * (`notebooks/utils.py:1919-2045`). Cross-workspace REST registration is
   * out of scope for a single-process engine (SURVEY §3.4) — registration
   * here is the TableStore metadata write (PKs, timestamp keys, tags).
   */

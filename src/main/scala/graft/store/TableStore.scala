@@ -459,7 +459,7 @@ object TableStore {
 }
 
 /** The feature-store face of [[TableStore]]: validate → save → register,
-  * the `FeatureStoreManager.save` flow (`notebooks/utils.py:1919-2046`)
+  * the `FeatureStoreManager.save` flow (`notebooks/utils.py:1919-2045`)
   * with the interactive TimedInput gate replaced by an explicit policy
   * (SURVEY §7.5 non-goal). */
 object FeatureStore {
