@@ -480,11 +480,19 @@ object Features {
     *
     * Scale: NO single-partition sort (round-3 verdict: `ntile` over an
     * unpartitioned window pulled the whole scored frame through one
-    * task). Instead the exact global rank comes from the two-phase
-    * range-partition topology ([[graft.text.Packing.chunkAssignments]]):
-    * range-partition on the (score desc, tie) key, rank within
-    * partitions, add broadcast per-partition offsets; the bucket is then
-    * ntile ARITHMETIC on (rank, n) — bit-identical to the window `ntile`
+    * task), and ONE full-data exchange total (round-4 verdict: the first
+    * form of this rewrite ranked via `Window.partitionBy(__part)`, which
+    * re-shuffled every row a second time because Catalyst can't see that
+    * range partitioning already co-locates `__part`). The exact global
+    * rank comes from the range-partition topology
+    * ([[graft.text.Packing.chunkAssignments]]): range-partition on the
+    * (score desc, tie) key, sort WITHIN partitions, read the local rank
+    * off `monotonically_increasing_id`'s low 33 bits (the id is
+    * `partitionIndex·2³³ + rowOffset`, assigned in post-sort stream
+    * order — the SQL zipWithIndex idiom; exact while a partition holds
+    * < 2³³ rows, which a sortable partition always does), then add
+    * broadcast per-partition count offsets. The bucket is ntile
+    * ARITHMETIC on (rank, n) — bit-identical to the window `ntile`
     * (first n mod b buckets get one extra row). The only global window
     * runs over #partitions count rows. `tieCol` must make the order
     * total (unique), as before. Ranks stay exact up to 2^53 rows (the
@@ -494,13 +502,16 @@ object Features {
     require(nBuckets > 1, "need nBuckets > 1")
     val nParts = df.sparkSession.sessionState.conf.numShufflePartitions
     // localCheckpoint pins ONE materialization of the sampled range
-    // partitioning — `ranged` feeds both the offsets and the rank
-    // subtrees (CLAUDE.md invariant 7)
+    // partitioning AND the nondeterministic per-row ids — `ranged` feeds
+    // both the offsets and the rank subtrees (CLAUDE.md invariant 7)
     val ranged = df
       .select(col(scoreCol).as("__s"), col(tieCol).as("__t"),
         col(labelCol).cast("boolean").as("__y"))
       .repartitionByRange(nParts, col("__s").desc, col("__t"))
+      .sortWithinPartitions(col("__s").desc, col("__t"))
       .withColumn("__part", spark_partition_id())
+      .withColumn("__lrk",
+        (monotonically_increasing_id().bitwiseAND(lit((1L << 33) - 1)) + 1L))
       .localCheckpoint()
     val offsets = broadcast(
       ranged.groupBy("__part").agg(count(lit(1)).as("__pc"))
@@ -509,9 +520,8 @@ object Features {
             .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
         .withColumn("__n", sum("__pc").over(Window.partitionBy()))
         .select("__part", "__offset", "__n"))
-    val localW = Window.partitionBy("__part").orderBy(col("__s").desc, col("__t"))
     val ranked = ranged.join(offsets, Seq("__part"))
-      .withColumn("__rk", col("__offset") + row_number().over(localW))
+      .withColumn("__rk", col("__offset") + col("__lrk"))
     // ntile(b) of rank rk over n rows: first (n mod b) buckets hold
     // ceil(n/b) rows, the rest floor(n/b)
     val qz = floor(col("__n") / nBuckets).cast("long")

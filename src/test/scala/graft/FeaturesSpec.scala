@@ -176,6 +176,26 @@ class FeaturesSpec extends AnyFunSuite {
     assert(out.map(_._2) == Seq(11L, 11L, 11L, 10L, 10L, 10L, 10L, 10L, 10L, 10L))
   }
 
+  test("liftTable ranks map-only after the range exchange: no row_number window, layout-independent") {
+    // round-4 verdict: the first exact-rank form re-shuffled every row via
+    // Window.partitionBy(__part) + row_number. The local rank now comes off
+    // monotonically_increasing_id's low bits in post-sort stream order, so
+    // the executed plan must contain NO row_number window at all; and the
+    // result must not depend on the input layout.
+    val df = (1 to 103).map(i => (i.toLong, ((i * 41) % 103).toDouble, i % 4 == 0))
+      .toDF("id", "score", "y")
+    val base = Features.liftTable(df, "score", "y", nBuckets = 7, tieCol = "id")
+    base.collect() // finalize AQE before reading the executed plan (invariant 8)
+    val plan = base.queryExecution.executedPlan.toString
+    assert(!plan.contains("row_number"), plan)
+    val a = base.orderBy("bucket").collect().toSeq
+    for (layout <- Seq(df.repartition(13), df.orderBy($"score"), df.coalesce(1))) {
+      val b = Features.liftTable(layout, "score", "y", nBuckets = 7, tieCol = "id")
+        .orderBy("bucket").collect().toSeq
+      assert(b == a)
+    }
+  }
+
   test("corrPairs: perfect positive/negative correlation and independence signs") {
     val df = (1 to 200).map { i =>
       val x = i.toDouble
