@@ -66,10 +66,22 @@ class TextSimSpec extends AnyFunSuite {
     val c2 = Dedup.duplicateClusters(chain).collect().map(_.getLong(1)).distinct.toSeq
     assert(c2 == Seq(1L))
     // non-convergence THROWS instead of returning mis-split components
+    // (after 2 rounds pointer-jump reach is 6 hops < the chain's 8)
     val e = intercept[RuntimeException] {
       Dedup.duplicateClusters(chain, maxIter = 2)
     }
     assert(e.getMessage.contains("did not converge"))
+  }
+
+  test("duplicateClusters converges in log rounds on a 20-hop chain") {
+    // path 1-2-...-21 (diameter 20): plain neighbor-min propagation needs
+    // 20 rounds + confirm; pointer jumping reaches 2·(r+1) per round
+    // (2, 6, 14, 30...) → labels settle in 4 rounds, +1 zero-change sweep
+    val chain = (1L until 21L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val (clusters, rounds) = Dedup.duplicateClustersWithRounds(chain, maxIter = 7)
+    val out = clusters.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == (1L to 21L).map(_ -> 1L).toMap)
+    assert(rounds <= 5, s"expected log-round convergence, took $rounds")
   }
 
   test("ngram jaccard: exact-boundary threshold pair survives the size filter") {
