@@ -135,7 +135,13 @@ object PQ {
     * integer subspace distance to the assigned codeword (m sqDist kernels
     * per candidate) rather than a per-query driver table — same value,
     * distributed form; [[adcTopK]] keeps the table form for single
-    * queries. Returns (query_id, neighbor_id, cosine_sim, rank ≤ k). */
+    * queries. Returns (query_id, neighbor_id, cosine_sim, rank ≤ k).
+    *
+    * QUERY-BATCH CONTRACT (same trade as [[Similarity.ivfTopK]]): the
+    * probe rows and the per-query shortlist are explicitly broadcast so
+    * the code table and the raw corpus never shuffle — queries (and
+    * shortlist·|Q|) must stay broadcast-sized; chunk a huge query batch
+    * or drop the hints to let AQE shuffle-join instead. */
   def ivfAdcTopK(corpus: DataFrame, queries: DataFrame,
                  idCol: String, vecCol: String, queryIdCol: String,
                  model: PQModel, k: Int = 10, nCentroids: Int = 16,

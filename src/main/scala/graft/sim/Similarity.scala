@@ -163,6 +163,14 @@ object Similarity {
     * the final per-query top-k over the probed buckets' candidates. Cost
     * per query ≈ nProbe/nCentroids of the corpus.
     *
+    * QUERY-BATCH CONTRACT: the query side (nProbe rows per query, each
+    * carrying the full query vector) is explicitly broadcast — that is
+    * the trade that keeps the corpus side shuffle-free. It requires the
+    * query batch to fit the broadcast threshold (~millions of rows at
+    * float dims, not billions). For a corpus-sized query set, chunk the
+    * queries and union the results, or fall back to a plain shuffle join
+    * on `centroid_id` by dropping the hint.
+    *
     * SIZING: set `nCentroids ≈ √N` in production — per-query probe work is
     * `nProbe·N/nCentroids` while assignment work is `N·nCentroids`
     * comparisons, and √N balances the two at O(N^1.5) total for the build
@@ -216,7 +224,9 @@ object Similarity {
     * (id, cell, hash) projection, never the vectors, and the winners'
     * vectors come back via a broadcast semi-join). Centroids are
     * hash-ranked picks (k-means-free, deterministic), like the
-    * single-level form. */
+    * single-level form. Same QUERY-BATCH CONTRACT as [[ivfTopK]]: the
+    * probed (cell, fine) query rows are broadcast — queries must stay
+    * broadcast-sized; chunk a huge query batch. */
   def ivfTopK2(corpus: DataFrame, queries: DataFrame,
                idCol: String, vecCol: String, queryIdCol: String,
                k: Int = 10, nCoarse: Int = 4, nFinePerCell: Int = 4,
