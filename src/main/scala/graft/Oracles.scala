@@ -613,6 +613,31 @@ object Oracles {
         |SELECT id, min(label) AS cluster_id FROM reach GROUP BY id
         |ORDER BY id""".stripMargin,
 
+    "q_dedup_inc_exact" ->
+      """WITH corpus AS (
+        |  SELECT regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS nt
+        |  FROM documents WHERE doc_id % 4 != 0),
+        |batch AS (
+        |  SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS nt
+        |  FROM documents WHERE doc_id % 4 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 30000, regexp_replace(lower(trim(text)), '\s+', ' ', 'g')
+        |  FROM documents WHERE doc_id < 50 AND doc_id % 4 != 0
+        |  UNION ALL
+        |  SELECT doc_id + 40000, regexp_replace(lower(trim(text)), '\s+', ' ', 'g')
+        |  FROM documents WHERE doc_id < 50 AND doc_id % 4 = 0)
+        |SELECT b.doc_id,
+        |  (b.nt IN (SELECT nt FROM corpus)) AS dup_of_corpus,
+        |  (b.nt NOT IN (SELECT nt FROM corpus)
+        |    AND b.doc_id = min(b.doc_id) OVER (PARTITION BY b.nt)) AS kept
+        |FROM batch b ORDER BY doc_id""".stripMargin,
+
+    "q_dedup_inc_minhash" ->
+      """SELECT doc_id + 50000 AS doc_id,
+        |  true AS dup_of_corpus, false AS kept
+        |FROM documents WHERE doc_id < 50 AND doc_id % 4 != 0
+        |ORDER BY doc_id""".stripMargin,
+
     "q_pack_chunks" ->
       """WITH d AS (SELECT doc_id,
         |    len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens

@@ -726,6 +726,56 @@ object Queries {
           n = 3, threshold = 0.5))
       .orderBy("id")
 
+  /** Exact INCREMENTAL dedup against a persisted fingerprint store: the
+    * corpus partition (doc_id % 4 != 0) seeds the store, then the batch
+    * (doc_id % 4 == 0, plus planted corpus clones at +30000 and
+    * within-batch clones at +40000) is flagged against it — the corpus is
+    * never re-hashed or shuffled (see [[Dedup.exactIncremental]]).
+    * Fingerprint equality ≡ normalized-text equality (the
+    * [[qTextFingerprint]] oracle argument), so both flags are SQL-exact:
+    * `dup_of_corpus` = normalized text present in the corpus partition,
+    * `kept` = no corpus hit AND first doc_id of the batch text group. */
+  def qDedupIncExact(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val corpus = d.where(col("doc_id") % 4 =!= 0)
+    val batch = d.where(col("doc_id") % 4 === 0)
+      .unionByName(d.where((col("doc_id") < 50) && (col("doc_id") % 4 =!= 0))
+        .withColumn("doc_id", col("doc_id") + 30000))
+      .unionByName(d.where((col("doc_id") < 50) && (col("doc_id") % 4 === 0))
+        .withColumn("doc_id", col("doc_id") + 40000))
+    val store = new graft.store.TableStore(s,
+      java.nio.file.Files.createTempDirectory("graft_inc_exact").toString)
+    Dedup.exactIncremental(store, "sigs", corpus, "text", "doc_id")
+    Dedup.exactIncremental(store, "sigs", batch, "text", "doc_id")
+      .select("doc_id", "dup_of_corpus", "kept")
+      .orderBy("doc_id")
+  }
+
+  /** MinHash INCREMENTAL near-dedup, planted-recovery projection: corpus
+    * signatures (doc_id % 4 != 0) seed the store via
+    * [[Dedup.seedMinhashSignatures]]; the batch is the one-token-appended
+    * variant (+50000) of every corpus doc with doc_id < 50, each of which
+    * MUST flag `dup_of_corpus` — sharing an LSH band with its original and
+    * estimating Jaccard ≥ 0.5 is exactly the (green, both-SF)
+    * [[qDedupMinhashPairs]] recovery condition on a superset of these
+    * pairs — so the result is SQL-predictable while the hash-based
+    * machinery stays out of the projection. `kept` is false wherever
+    * `dup_of_corpus` holds, i.e. everywhere. */
+  def qDedupIncMinhash(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val corpus = d.where(col("doc_id") % 4 =!= 0)
+    val batch = d.where((col("doc_id") < 50) && (col("doc_id") % 4 =!= 0))
+      .withColumn("doc_id", col("doc_id") + 50000)
+      .withColumn("text", concat(col("text"), lit(" graftmarker")))
+    val store = new graft.store.TableStore(s,
+      java.nio.file.Files.createTempDirectory("graft_inc_mh").toString)
+    Dedup.seedMinhashSignatures(store, "sigs", corpus, "text", "doc_id")
+    Dedup.minhashIncremental(store, "sigs", batch, "text", "doc_id",
+        numHashes = 64, bands = 16, threshold = 0.5)
+      .select("doc_id", "dup_of_corpus", "kept")
+      .orderBy("doc_id")
+  }
+
   def qSimBruteForce(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
     Similarity.bruteForceTopK(emb, emb.where(col("vec_id") < 5),
@@ -1604,6 +1654,8 @@ object Queries {
     "q_dedup_simhash_pairs" -> (qDedupSimhashPairs _),
     "q_dedup_ngram_jaccard" -> (qDedupNgramJaccard _),
     "q_dedup_clusters" -> (qDedupClusters _),
+    "q_dedup_inc_exact" -> (qDedupIncExact _),
+    "q_dedup_inc_minhash" -> (qDedupIncMinhash _),
     "q_text_decontaminate" -> (qTextDecontaminate _),
     "q_pack_chunks" -> (qPackChunks _),
     "q_pack_chunks_bpe" -> (qPackChunksBpe _),

@@ -269,6 +269,166 @@ object Dedup {
       .where(col("n_overlap") >= minOverlap)
   }
 
+  // ------------------------------- incremental dedup (batch vs corpus store)
+
+  /** Exact INCREMENTAL dedup: flag a NEW batch against a persisted
+    * fingerprint store — the per-ingest form of [[exact]] at corpus scale,
+    * where re-fingerprinting (or self-joining) 100 TB of already-ingested
+    * corpus per arriving batch is exactly the cost to avoid. The store
+    * table (`fp BIGINT, first_id BIGINT`, PK `fp`, optionally bucketed)
+    * holds one row per distinct corpus fingerprint — ~16 bytes/doc, the
+    * only corpus-derived state the batch path ever reads.
+    *
+    * Topology: the store side STREAMS map-only — the batch's distinct
+    * fingerprints (batch-sized) broadcast into a left-semi probe of the
+    * store scan; the hit set (≤ batch-sized) broadcasts back onto the
+    * batch; within-batch first-id resolution is a batch-sized window. The
+    * corpus is never shuffled and never re-hashed; survivors upsert
+    * through the store's bucketed 1-Exchange merge. Every shuffle in the
+    * plan is batch- or hit-sized (spec-asserted).
+    *
+    * Returns the batch plus `dup_of_corpus` (fingerprint already stored)
+    * and `kept` (no corpus hit AND first id of its within-batch
+    * fingerprint group). Kept rows' fingerprints register in the store, so
+    * replaying a batch flags its previously-kept rows as corpus dups — the
+    * store is the memory. A first call on a missing table seeds it (no
+    * corpus hits, every group-first row registers). */
+  def exactIncremental(store: graft.store.TableStore, sigTable: String,
+                       batch: DataFrame, textCol: String, idCol: String,
+                       buckets: Int = 0): DataFrame = {
+    val fp = batch.withColumn("__fp", TextStats.fingerprint(col(textCol)))
+    val batchFps = fp.select(col("__fp")).distinct()
+    val hits =
+      if (store.exists(sigTable))
+        store.read(sigTable).select(col("fp").as("__fp"))
+          .join(broadcast(batchFps), Seq("__fp"), "left_semi")
+          .withColumn("__hit", lit(true))
+      else batchFps.limit(0).withColumn("__hit", lit(true))
+    val w = Window.partitionBy(col("__fp")).orderBy(col(idCol))
+    // ONE batch-sized materialization feeds both the store write and the
+    // returned frame (CLAUDE.md invariant 7 shape — and the probe job
+    // runs once, not once per downstream action)
+    val flagged = fp.join(broadcast(hits), Seq("__fp"), "left")
+      .withColumn("dup_of_corpus", coalesce(col("__hit"), lit(false)))
+      .withColumn("kept", !col("dup_of_corpus") && row_number().over(w) === 1)
+      .localCheckpoint()
+    val survivors = flagged.where(col("kept"))
+      .select(col("__fp").as("fp"), col(idCol).cast("long").as("first_id"))
+    if (store.exists(sigTable)) store.upsert(sigTable, survivors, Seq("fp"))
+    else store.overwrite(sigTable, survivors, primaryKeys = Seq("fp"), buckets = buckets)
+    flagged.drop("__fp", "__hit")
+  }
+
+  /** Register every document's MinHash signature in the store WITHOUT any
+    * dedup — the bulk corpus-onboarding step ahead of
+    * [[minhashIncremental]] batches (and the re-seeding path after a
+    * signature-parameter change). One signature row per doc, PK `id`. */
+  def seedMinhashSignatures(store: graft.store.TableStore, sigTable: String,
+                            corpus: DataFrame, textCol: String, idCol: String,
+                            numHashes: Int = 64, buckets: Int = 0): Unit = {
+    val sigs = withSignature(corpus, textCol, numHashes)
+      .select(col(idCol).cast("long").as("id"), col("__sig").as("sig"))
+    if (store.exists(sigTable)) store.upsert(sigTable, sigs, Seq("id"))
+    else store.overwrite(sigTable, sigs, primaryKeys = Seq("id"), buckets = buckets)
+  }
+
+  private[graft] def withSignature(df: DataFrame, textCol: String, numHashes: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    df.withColumn("__tokens", tokensCol(col(textCol)))
+      .withColumn("__gh", call_function("graft_ngram_hashes", col("__tokens"), lit(3)))
+      .withColumn("__sig", call_function("graft_minhash_long", col("__gh"), lit(numHashes)))
+      .drop("__tokens", "__gh")
+  }
+
+  /** Exploded (new_id, sig_new, band, key) band table of a
+    * [[withSignature]]-signed batch — the broadcast probe side of
+    * [[minhashCorpusCandidates]]. */
+  private[graft] def minhashBandsOfSigned(bsig: DataFrame, idCol: String,
+                                          numHashes: Int, bands: Int): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    bsig
+      .select(col(idCol).cast("long").as("new_id"), col("__sig").as("sig_new"),
+        explode(bandKeys(col("__sig"), bands, rowsPerBand)).as("__b"))
+      .select(col("new_id"), col("sig_new"),
+        col("__b.band").as("band"), col("__b.key").as("key"))
+  }
+
+  /** Corpus-side candidate probe: stored signatures stream MAP-ONLY —
+    * explode each stored row into its LSH band keys (narrow), probe the
+    * broadcast batch band table, keep pairs whose estimated Jaccard meets
+    * the threshold. Returns (new_id, old_id) hits PRE-distinct so the
+    * zero-Exchange property of the corpus subtree is spec-assertable. */
+  private[graft] def minhashCorpusCandidates(storedSigs: DataFrame,
+                                             batchBands: DataFrame,
+                                             numHashes: Int, bands: Int,
+                                             threshold: Double): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    storedSigs
+      .select(col("id").as("old_id"), col("sig").as("sig_b"),
+        explode(bandKeys(col("sig"), bands, rowsPerBand)).as("__b"))
+      .select(col("old_id"), col("sig_b"),
+        col("__b.band").as("band"), col("__b.key").as("key"))
+      .join(broadcast(batchBands), Seq("band", "key"))
+      .withColumn("__sim",
+        call_function("graft_eq_positions", col("sig_new"), col("sig_b"))
+          .cast("double") / lit(numHashes))
+      .where(col("__sim") >= threshold)
+      .select(col("new_id"), col("old_id"))
+  }
+
+  /** MinHash INCREMENTAL near-dedup: flag a new batch against the persisted
+    * per-doc signature store ([[seedMinhashSignatures]]) — the ingest-time
+    * form of [[minhashLsh]]. Same decision rule at the batch boundary: a
+    * batch doc is a corpus dup iff it shares an LSH band with a stored doc
+    * AND the signature-estimated Jaccard meets `threshold`; within the
+    * batch the greedy smaller-id-wins rule of [[minhashLsh]] applies among
+    * non-corpus-dup rows.
+    *
+    * Scale: stored signatures (~8·numHashes bytes/doc, ~1/1000 of corpus
+    * text bytes) stream map-only through [[minhashCorpusCandidates]] —
+    * explode to band keys is narrow, the batch band table is broadcast
+    * (batch-sized by contract: an ingest batch, not a second corpus), and
+    * only qualifying hits reach a shuffle. The corpus is never re-read,
+    * re-tokenized, re-signed, or shuffled. Within-batch resolution
+    * self-joins only the batch. Kept rows' signatures upsert (PK id,
+    * bucketed 1-Exchange merge) so the next batch sees them.
+    *
+    * Returns the batch plus `dup_of_corpus` and `kept`. */
+  def minhashIncremental(store: graft.store.TableStore, sigTable: String,
+                         batch: DataFrame, textCol: String, idCol: String,
+                         numHashes: Int = 64, bands: Int = 16,
+                         threshold: Double = 0.8, buckets: Int = 0): DataFrame = {
+    val bsig = withSignature(batch, textCol, numHashes)
+    val batchBands = minhashBandsOfSigned(bsig, idCol, numHashes, bands)
+    val corpusDupIds =
+      if (store.exists(sigTable))
+        minhashCorpusCandidates(store.read(sigTable), batchBands,
+          numHashes, bands, threshold)
+          .select(col("new_id")).distinct().withColumn("__cd", lit(true))
+      else batchBands.select(col("new_id")).limit(0).withColumn("__cd", lit(true))
+    // within-batch greedy resolution (minhashLsh rule), batch-sized
+    val bb = batchBands.repartition(col("band"), col("key"))
+    val a = bb.select(col("band"), col("key"), col("new_id").as("id_a"), col("sig_new").as("sig_a"))
+    val b = bb.select(col("band"), col("key"), col("new_id").as("id_b"), col("sig_new").as("sig_b"))
+    val batchDupIds = a.join(b.hint("shuffle_hash"), Seq("band", "key"))
+      .where(col("id_a") < col("id_b"))
+      .withColumn("__sim", estJaccard(numHashes))
+      .where(col("__sim") >= threshold)
+      .select(col("id_b").as("new_id")).distinct().withColumn("__bd", lit(true))
+    val flagged = bsig
+      .withColumn("new_id", col(idCol).cast("long"))
+      .join(broadcast(corpusDupIds), Seq("new_id"), "left")
+      .join(broadcast(batchDupIds), Seq("new_id"), "left")
+      .withColumn("dup_of_corpus", coalesce(col("__cd"), lit(false)))
+      .withColumn("kept", !col("dup_of_corpus") && coalesce(col("__bd"), lit(false)) === false)
+      .localCheckpoint() // one materialization for store write + caller (inv. 7)
+    val survivors = flagged.where(col("kept"))
+      .select(col("new_id").as("id"), col("__sig").as("sig"))
+    if (store.exists(sigTable)) store.upsert(sigTable, survivors, Seq("id"))
+    else store.overwrite(sigTable, survivors, primaryKeys = Seq("id"), buckets = buckets)
+    flagged.drop("new_id", "__sig", "__cd", "__bd")
+  }
+
   // ------------------------------------------------------------- simhash
 
   /** 64-bit SimHash from a materialized token-hash array: per bit, sum ±1 by

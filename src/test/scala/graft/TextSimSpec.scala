@@ -73,6 +73,69 @@ class TextSimSpec extends AnyFunSuite {
     assert(e.getMessage.contains("did not converge"))
   }
 
+  test("exactIncremental: store flags batch dups map-only, registers survivors, replay remembers") {
+    val store = new graft.store.TableStore(spark,
+      java.nio.file.Files.createTempDirectory("graft_inc").toString)
+    val corpus = Seq((1L, "alpha beta gamma"), (2L, "delta epsilon")).toDF("id", "text")
+    val seeded = Dedup.exactIncremental(store, "s", corpus, "text", "id")
+    assert(seeded.where($"dup_of_corpus").count() == 0)
+    assert(seeded.where($"kept").count() == 2) // first call seeds: all register
+    val batch = Seq(
+      (10L, "ALPHA   beta gamma"), // normalizes onto corpus doc 1
+      (11L, "zeta eta"), (12L, "zeta  ETA"), // within-batch pair: 11 wins
+      (13L, "a unique new doc")).toDF("id", "text")
+    val out = Dedup.exactIncremental(store, "s", batch, "text", "id")
+      .select("id", "dup_of_corpus", "kept")
+      .collect().map(r => (r.getLong(0), r.getBoolean(1), r.getBoolean(2))).toSet
+    assert(out == Set((10L, true, false), (11L, false, true),
+      (12L, false, false), (13L, false, true)))
+    // kept rows registered: the store is the memory, a replayed batch is all dups
+    val replay = Dedup.exactIncremental(store, "s", batch, "text", "id")
+    assert(replay.where($"dup_of_corpus").count() == 4)
+    assert(replay.where($"kept").count() == 0)
+    // the store carries one row per distinct fingerprint: 2 corpus + 2 survivors
+    assert(store.read("s").count() == 4)
+  }
+
+  test("minhashIncremental: near-dup of stored corpus flagged; survivor visible to next batch") {
+    val store = new graft.store.TableStore(spark,
+      java.nio.file.Files.createTempDirectory("graft_inc_mh").toString)
+    val corpus = docs.withColumnRenamed("doc_id", "id")
+    Dedup.seedMinhashSignatures(store, "s", corpus, "text", "id")
+    assert(store.read("s").count() == 5) // seeding never dedups
+    val batch = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog and runs far away home today"), // near-dup of 1
+      (11L, "entirely novel subject matter regarding distributed columnar executions maybe"),
+      (12L, "entirely novel subject matter regarding distributed columnar executions today")) // near-dup of 11
+      .toDF("id", "text")
+    val out = Dedup.minhashIncremental(store, "s", batch, "text", "id", threshold = 0.5)
+      .select("id", "dup_of_corpus", "kept")
+      .collect().map(r => (r.getLong(0), r.getBoolean(1), r.getBoolean(2))).toSet
+    // 10 hits the corpus; 11 is new and wins its within-batch pair with 12
+    assert(out == Set((10L, true, false), (11L, false, true), (12L, false, false)))
+    // 11's signature registered → a near-dup in the NEXT batch is a corpus dup
+    val batch2 = Seq(
+      (20L, "entirely novel subject matter regarding distributed columnar executions never"))
+      .toDF("id", "text")
+    val out2 = Dedup.minhashIncremental(store, "s", batch2, "text", "id", threshold = 0.5)
+    assert(out2.where($"dup_of_corpus").count() == 1)
+  }
+
+  test("minhash corpus probe is map-only: zero shuffle Exchanges on the stored side") {
+    val store = new graft.store.TableStore(spark,
+      java.nio.file.Files.createTempDirectory("graft_inc_mh0").toString)
+    Dedup.seedMinhashSignatures(store, "s", docs.withColumnRenamed("doc_id", "id"),
+      "text", "id")
+    val batchBands = Dedup.minhashBandsOfSigned(
+      Dedup.withSignature(Seq((10L, "the quick brown fox jumps over the lazy dog and runs far away"))
+        .toDF("id", "text"), "text", 64), "id", 64, 16)
+    val probe = Dedup.minhashCorpusCandidates(store.read("s"), batchBands,
+      numHashes = 64, bands = 16, threshold = 0.5)
+    assert(probe.collect().nonEmpty) // finalize (invariant 8), and it finds doc 1
+    // stored signatures stream: explode→broadcast-join→filter is narrow
+    assert(graft.ops.Scale.countExchanges(probe) == 0)
+  }
+
   test("duplicateClusters converges in log rounds on a 20-hop chain") {
     // path 1-2-...-21 (diameter 20): plain neighbor-min propagation needs
     // 20 rounds + confirm; pointer jumping reaches 2·(r+1) per round
