@@ -2,7 +2,7 @@ package graft.pipelines
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.store.{FeatureStore, TableStore}
+import graft.store.{FeatureRegistry, FeatureStore, Registration, TableStore}
 import graft.validate.{Monitor, SourceCheck, Validation}
 
 /** Orchestrated end-to-end run: parameter normalization, the five-pipeline
@@ -29,7 +29,13 @@ object Runner {
       // when set, every pipeline run appends its validation register to
       // these (summaryTable, detailTable) — the reference's
       // register_validation flow (monitor.py:566-663)
-      monitorTables: Option[(String, String)] = None)
+      monitorTables: Option[(String, String)] = None,
+      // when set, every successfully saved table is registered in the
+      // feature catalog with its source-table lineage — the post-task
+      // registration of feature_store_register.py (a pipeline completing
+      // IS the task reaching TERMINATED/SUCCESS in-process), including
+      // the schema-conflict drop → recreate → re-register recovery
+      registry: Option[FeatureRegistry] = None)
 
   /** `end_date: "actual"` → first of current month (`notebooks_orchestator.py:9-16`).
     * `today` injected for determinism. */
@@ -49,15 +55,19 @@ object Runner {
       Seq("clientes", "buro_credito", "productos", "pagos", "transacciones"))
     val outputs = Seq(
       // workspace A DAG: demographic → credit_risk
-      "fs_cus_demographic" ->
-        (() => Pipelines.demographic(sources("clientes"), params.startDate, endDate)),
-      "fs_cus_credit_risk" -> (() => Pipelines.creditRisk(sources("buro_credito"))),
+      ("fs_cus_demographic", "clientes",
+        () => Pipelines.demographic(sources("clientes"), params.startDate, endDate)),
+      ("fs_cus_credit_risk", "buro_credito",
+        () => Pipelines.creditRisk(sources("buro_credito"))),
       // workspace B DAG: holding → payment_behavior → transactions
-      "fs_cus_holding_products" -> (() => Pipelines.holdingProducts(sources("productos"))),
-      "fs_cus_payment_behavior" -> (() => Pipelines.paymentBehavior(sources("pagos"))),
-      "fs_cus_transactions" -> (() => Pipelines.transactions(sources("transacciones"))))
+      ("fs_cus_holding_products", "productos",
+        () => Pipelines.holdingProducts(sources("productos"))),
+      ("fs_cus_payment_behavior", "pagos",
+        () => Pipelines.paymentBehavior(sources("pagos"))),
+      ("fs_cus_transactions", "transacciones",
+        () => Pipelines.transactions(sources("transacciones"))))
 
-    outputs.map { case (table, mk) =>
+    outputs.map { case (table, sourceName, mk) =>
       val df = mk().cache() // R6: cache across validate + write
       try {
         // cross-check vs previously saved snapshot (monitor.py:327-470)
@@ -103,6 +113,14 @@ object Runner {
           Monitor.save(spark, store, summaryTable, detailTable, reg)
         }
         saveError.foreach(e => throw e)
+        // post-task registration (feature_store_register.py: a task that
+        // reaches TERMINATED/SUCCESS gets its feature tables registered);
+        // lineage comes from TBLPROPERTIES like the reference's
+        // get_metadata, so record the pipeline's source first
+        if (saveReport.isDefined) params.registry.foreach { reg =>
+          store.setProperties(table, Map("graft.sourceTables" -> sourceName))
+          Registration.registerFeatureTable(store, reg, table)
+        }
         if (!passed && !params.omitValidationErrors)
           sys.error(s"cross-check failed for $table ($shrinking shrinking month(s))")
         PipelineResult(table, store.read(table).count(),

@@ -5,7 +5,7 @@ import org.scalatest.funsuite.AnyFunSuite
 
 import graft.datagen.BankingDataGen
 import graft.pipelines.Runner
-import graft.store.TableStore
+import graft.store.{FeatureRegistry, TableStore}
 import graft.validate.Validation
 
 class ValidationRunnerSpec extends AnyFunSuite {
@@ -283,6 +283,35 @@ class ValidationRunnerSpec extends AnyFunSuite {
     assert(sum2.where("status = 'FAIL'").count() == 1)
     assert(store.read("val_detail")
       .where("validation_type = 'cross_checking' AND status = 'FAIL'").count() == 1)
+  }
+
+  test("Runner registers saved tables in the feature catalog; catalog drift recovers") {
+    val store = new TableStore(spark, Files.createTempDirectory("graft_runreg").toString)
+    val registry = new FeatureRegistry(spark,
+      Files.createTempDirectory("graft_runreg_cat").toString)
+    val sources = BankingDataGen.all(spark, n = 30, months = 12)
+    val today = java.time.LocalDate.of(2024, 7, 15)
+    Runner.run(spark, sources, store,
+      Runner.Params(startDate = "2023-06-01", registry = Some(registry)), today)
+    assert(registry.tables.size == 5)
+    val e = registry.getTable("fs_cus_payment_behavior").get
+    assert(e.primaryKeys == Seq("pk_customer", "tpk_release_dt"))
+    assert(e.timestampKeys == Seq("tpk_release_dt"))
+    assert(e.dataSources == Seq("pagos")) // lineage from the pipeline's source
+    assert(e.schema == store.meta("fs_cus_payment_behavior").get.schema)
+    // catalog drift: the registry remembers a stale schema → the next run's
+    // registration hits the conflict path (feature_store_register.py:168-193)
+    // and recovers drop → recreate → re-register without failing the run
+    registry.dropTable("fs_cus_payment_behavior")
+    registry.registerTable("fs_cus_payment_behavior",
+      org.apache.spark.sql.types.StructType.fromDDL("pk_customer BIGINT"),
+      Seq("pk_customer"), Nil)
+    Runner.run(spark, sources, store,
+      Runner.Params(startDate = "2023-06-01", registry = Some(registry)), today)
+    val e2 = registry.getTable("fs_cus_payment_behavior").get
+    assert(e2.schema == store.meta("fs_cus_payment_behavior").get.schema)
+    assert(e2.dataSources == Seq("pagos"))
+    assert(registry.tables.size == 5)
   }
 
   test("resolveEndDate: 'actual' becomes first of current month") {
