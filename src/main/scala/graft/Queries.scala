@@ -726,6 +726,52 @@ object Queries {
           n = 3, threshold = 0.5))
       .orderBy("id")
 
+  /** Canonical keep-one-per-cluster resolution on top of the near-dup
+    * components: every doc gets its cluster label (singletons label
+    * themselves) and exactly one survivor per cluster — greatest
+    * `n_chars`, ties to smallest doc_id ([[Dedup.keepBestPerCluster]]).
+    * The planted +20000 clones carry their original's (stale) n_chars, so
+    * every clone pair resolves by the doc_id tie-break to the original.
+    * Oracle = the q_dedup_clusters recursive CTE + one window. */
+  def qDedupKeepBest(s: SparkSession, dir: String): DataFrame = {
+    val docs = docsWithNearDups(s, dir)
+    val clusters = Dedup.duplicateClusters(
+      Dedup.ngramJaccardPairs(docs, "text", "doc_id", n = 3, threshold = 0.5))
+    Dedup.keepBestPerCluster(docs.select("doc_id", "n_chars"), clusters,
+        "doc_id", "n_chars")
+      .select("doc_id", "cluster_id", "kept")
+      .orderBy("doc_id")
+  }
+
+  /** DSIR importance scoring ([[graft.text.Dsir]]): target = the English
+    * partition, raw = the whole corpus, 1024 hashed unigram+bigram
+    * buckets; integer-exact decade weights so the per-doc score sum
+    * hash-matches DuckDB bit-for-bit. zh docs tokenize to nothing under
+    * the latin tokenizer and pin the no-grams → 0 path. */
+  def qDsirScore(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select("doc_id", "text", "lang")
+    val w = graft.text.Dsir.importanceWeights(
+      docs.where(col("lang") === "en"), docs, "text", buckets = 1024)
+    graft.text.Dsir.withImportanceScore(docs, w, "text", "doc_id",
+        buckets = 1024)
+      .select("doc_id", "n_grams", "dsir_score")
+      .orderBy("doc_id")
+  }
+
+  /** Hashed-bag NB quality classifier ([[graft.text.Classifier]]): train
+    * closed-form log-count-ratio weights on (lang = 'en') labels over 512
+    * md5 buckets, score the same corpus — micro-unit integer logits, so
+    * sums are exact; `pred` is the equal-priors NB decision. */
+  def qTextClassifier(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select("doc_id", "text", "lang")
+    val w = graft.text.Classifier.trainNbWeights(
+      docs.withColumn("is_en", col("lang") === "en"), "text", "is_en",
+      buckets = 512)
+    graft.text.Classifier.scoreDocs(docs, w, "text", "doc_id", buckets = 512)
+      .select("doc_id", "n_tokens", "logit_micro", "pred")
+      .orderBy("doc_id")
+  }
+
   /** Exact INCREMENTAL dedup against a persisted fingerprint store: the
     * corpus partition (doc_id % 4 != 0) seeds the store, then the batch
     * (doc_id % 4 == 0, plus planted corpus clones at +30000 and
@@ -1654,6 +1700,9 @@ object Queries {
     "q_dedup_simhash_pairs" -> (qDedupSimhashPairs _),
     "q_dedup_ngram_jaccard" -> (qDedupNgramJaccard _),
     "q_dedup_clusters" -> (qDedupClusters _),
+    "q_dedup_keep_best" -> (qDedupKeepBest _),
+    "q_dsir_score" -> (qDsirScore _),
+    "q_text_classifier" -> (qTextClassifier _),
     "q_dedup_inc_exact" -> (qDedupIncExact _),
     "q_dedup_inc_minhash" -> (qDedupIncMinhash _),
     "q_text_decontaminate" -> (qTextDecontaminate _),

@@ -116,6 +116,30 @@ object Dedup {
     (labels.select(col("id"), col("label").as("cluster_id")), iter)
   }
 
+  /** Canonical-document resolution: exactly one survivor per duplicate
+    * cluster, chosen by quality. `clusters` is [[duplicateClusters]]
+    * output `(id, cluster_id)` — docs absent from it (no near-dup edge)
+    * are their own singleton cluster and always survive. Winner = greatest
+    * `scoreCol`, ties to smallest `idCol` — fully deterministic across
+    * layouts. Returns `df` + `cluster_id` + boolean `kept`.
+    *
+    * Scale: one equi-join on the doc id (the clusters side is only the
+    * docs that HAVE duplicates — a small fraction of the corpus) and one
+    * window partitioned by cluster id, whose partitions are duplicate
+    * clusters (bounded by cluster size, never corpus-sized). The pattern
+    * completes the dedup story: pair finding (minhash/ngram) → components
+    * ([[duplicateClusters]]) → canonical keep (this). */
+  def keepBestPerCluster(df: DataFrame, clusters: DataFrame, idCol: String,
+                         scoreCol: String): DataFrame = {
+    val labeled = df.join(
+        clusters.withColumnsRenamed(Map("id" -> idCol)), Seq(idCol), "left")
+      .withColumn("cluster_id", coalesce(col("cluster_id"), col(idCol)))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cluster_id"))
+      .orderBy(col(scoreCol).desc, col(idCol))
+    labeled.withColumn("kept", row_number().over(w) === 1)
+  }
+
   // ------------------------------------------------------------- shingles
 
   /** Character k-shingles of normalized text, distinct per doc. */
