@@ -62,8 +62,15 @@ object Demo {
       println(f"  corpus=${docs.count()} kept=${kept.count()} deduped=${deduped.count()} " +
         f"train=${train.count()} eval=${eval_.count()}")
       println("== sessionization of the event stream (30-min gap)")
-      val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val evRaw = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      // nanos-long (legacy testdata) or tz-naive micros (current) → UTC instant
+      val ev = evRaw.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          evRaw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        case org.apache.spark.sql.types.TimestampNTZType =>
+          evRaw.withColumn("ts", col("ts").cast("timestamp"))
+        case _ => evRaw
+      }
       graft.ops.Windows.sessionize(ev, "user_id", "ts",
           gapMicros = 30L * 60 * 1000000, tiebreak = Seq("event_id"))
         .groupBy("user_id").agg(max("session_seq").as("n_sessions"),

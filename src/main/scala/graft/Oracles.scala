@@ -694,6 +694,118 @@ object Oracles {
         |WHERE len(list_intersect(p.grams, bench.bg)) >= 2
         |ORDER BY id""".stripMargin,
 
+    // keepBestPerCluster: the q_dedup_clusters recursive-CTE CC labelling
+    // plus one row_number window (score DESC, id ASC) — exactly the
+    // Dedup.keepBestPerCluster semantics (singletons self-cluster via the
+    // coalesce).
+    "q_dedup_keep_best" ->
+      """WITH RECURSIVE aug AS (
+        |  SELECT * FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 20000, text || ' graftmarker', lang, source, n_chars
+        |  FROM documents WHERE doc_id < 50),
+        |  p AS (SELECT doc_id AS id,
+        |    list_distinct(list_transform(
+        |      range(1, greatest(len(regexp_split_to_array(
+        |        regexp_replace(lower(trim(text)), '[^a-z0-9áéíóúñü ]', '', 'g'),
+        |        '\s+')) - 2, 1) + 1),
+        |      i -> array_to_string(list_slice(regexp_split_to_array(
+        |        regexp_replace(lower(trim(text)), '[^a-z0-9áéíóúñü ]', '', 'g'),
+        |        '\s+'), i, i + 2), ' '))) AS grams
+        |    FROM aug),
+        |  pair AS (SELECT a.id AS id_a, b.id AS id_b
+        |    FROM p a JOIN p b ON a.id < b.id
+        |    WHERE floor(len(list_intersect(a.grams, b.grams))::DOUBLE
+        |      / (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))::DOUBLE)
+        |      * 10000 + 0.5) / 10000 >= 0.5),
+        |  edges AS (SELECT id_a AS src, id_b AS dst FROM pair
+        |    UNION SELECT id_b, id_a FROM pair),
+        |  reach(id, label) AS (
+        |    SELECT DISTINCT src, src FROM edges
+        |    UNION
+        |    SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.id),
+        |  cl AS (SELECT id, min(label) AS cluster_id FROM reach GROUP BY id)
+        |SELECT a.doc_id, coalesce(cl.cluster_id, a.doc_id) AS cluster_id,
+        |  (row_number() OVER (PARTITION BY coalesce(cl.cluster_id, a.doc_id)
+        |     ORDER BY a.n_chars DESC, a.doc_id) = 1) AS kept
+        |FROM aug a LEFT JOIN cl ON cl.id = a.doc_id
+        |ORDER BY a.doc_id""".stripMargin,
+
+    // DSIR importance score replay: same tokenizer as the dedup family,
+    // unigrams++bigrams with multiplicity, the portable md5-prefix bucket
+    // gate (Dsir.bucketOf), densified add-1-smoothed bucket counts, and
+    // the integer decimal-digit-count decade weights — per-doc sums are
+    // exact BIGINT so the hash matches bit-for-bit.
+    "q_dsir_score" ->
+      """WITH docs AS (SELECT doc_id, text, lang FROM documents),
+        |toks AS (SELECT doc_id, lang,
+        |    list_filter(regexp_split_to_array(
+        |      regexp_replace(lower(trim(text)), '[^a-z0-9áéíóúñü ]', '', 'g'),
+        |      '\s+'), t -> t != '') AS tk
+        |  FROM docs),
+        |grams AS (SELECT doc_id, lang, unnest(
+        |      tk || CASE WHEN len(tk) >= 2 THEN
+        |        list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i + 1])
+        |        ELSE []::VARCHAR[] END) AS g
+        |  FROM toks),
+        |b AS (SELECT doc_id, lang,
+        |    (('0x' || substr(md5(g), 1, 15))::UBIGINT % 1024)::BIGINT AS bucket
+        |  FROM grams),
+        |tcnt AS (SELECT r.range AS bucket, coalesce(c.cnt, 0)::BIGINT AS tcnt
+        |  FROM range(1024) r LEFT JOIN
+        |    (SELECT bucket, count(*) AS cnt FROM b WHERE lang = 'en' GROUP BY bucket) c
+        |    ON r.range = c.bucket),
+        |rcnt AS (SELECT r.range AS bucket, coalesce(c.cnt, 0)::BIGINT AS rcnt
+        |  FROM range(1024) r LEFT JOIN
+        |    (SELECT bucket, count(*) AS cnt FROM b GROUP BY bucket) c
+        |    ON r.range = c.bucket),
+        |tot AS (SELECT ((SELECT sum(tcnt) FROM tcnt) + 1024)::BIGINT AS tt,
+        |               ((SELECT sum(rcnt) FROM rcnt) + 1024)::BIGINT AS rt),
+        |w AS (SELECT t.bucket,
+        |    (length((tot.rt // (r.rcnt + 1))::VARCHAR)
+        |     - length((tot.tt // (t.tcnt + 1))::VARCHAR))::INT AS weight
+        |  FROM tcnt t JOIN rcnt r ON t.bucket = r.bucket, tot),
+        |per AS (SELECT b.doc_id, count(*) AS n, sum(w.weight) AS s
+        |  FROM b JOIN w ON b.bucket = w.bucket GROUP BY b.doc_id)
+        |SELECT d.doc_id, coalesce(per.n, 0)::INT AS n_grams,
+        |  coalesce(per.s, 0)::BIGINT AS dsir_score
+        |FROM docs d LEFT JOIN per ON d.doc_id = per.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
+
+    // NB log-count-ratio classifier replay: unigram token stream through
+    // the same md5 bucket gate, densified conditional counts, w_micro =
+    // floor(Δln·1e6 + 0.5) computed once per bucket (one det-rounded
+    // double per bucket, the woeTable precedent) — per-doc logit sums are
+    // exact BIGINT.
+    "q_text_classifier" ->
+      """WITH docs AS (SELECT doc_id, text, lang FROM documents),
+        |b AS (SELECT doc_id, (lang = 'en') AS pos,
+        |    (('0x' || substr(md5(t.tok), 1, 15))::UBIGINT % 512)::BIGINT AS bucket
+        |  FROM docs, unnest(list_filter(regexp_split_to_array(
+        |      regexp_replace(lower(trim(text)), '[^a-z0-9áéíóúñü ]', '', 'g'),
+        |      '\s+'), x -> x != '')) AS t(tok)),
+        |cnt AS (SELECT r.range AS bucket,
+        |    coalesce(c.n_pos, 0)::BIGINT AS n_pos,
+        |    coalesce(c.n_neg, 0)::BIGINT AS n_neg
+        |  FROM range(512) r LEFT JOIN
+        |    (SELECT bucket, count(*) FILTER (pos) AS n_pos,
+        |       count(*) FILTER (NOT pos) AS n_neg
+        |     FROM b GROUP BY bucket) c
+        |    ON r.range = c.bucket),
+        |tot AS (SELECT ((SELECT sum(n_pos) FROM cnt) + 512)::BIGINT AS pt,
+        |               ((SELECT sum(n_neg) FROM cnt) + 512)::BIGINT AS nt),
+        |w AS (SELECT cnt.bucket,
+        |    floor((ln((cnt.n_pos + 1)::DOUBLE / tot.pt)
+        |         - ln((cnt.n_neg + 1)::DOUBLE / tot.nt)) * 1e6 + 0.5)::BIGINT AS w_micro
+        |  FROM cnt, tot),
+        |per AS (SELECT b.doc_id, count(*) AS n, sum(w.w_micro) AS s
+        |  FROM b JOIN w ON b.bucket = w.bucket GROUP BY b.doc_id)
+        |SELECT d.doc_id, coalesce(per.n, 0)::INT AS n_tokens,
+        |  coalesce(per.s, 0)::BIGINT AS logit_micro,
+        |  (coalesce(per.s, 0) > 0) AS pred
+        |FROM docs d LEFT JOIN per ON d.doc_id = per.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
+
     "q_sim_bruteforce_topk" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
         |    FROM embeddings WHERE vec_id < 5),

@@ -28,11 +28,19 @@ object Queries {
 
   private def t(s: SparkSession, dir: String, name: String): DataFrame = {
     val df = s.read.parquet(s"$dir/$name.parquet")
-    // events.ts is TIMESTAMP(NANOS) parquet, which Spark only reads as a
-    // nanos LongType under spark.sql.legacy.parquet.nanosAsLong (set in
-    // Verify/Bench sessions); convert to a proper micros timestamp here.
-    if (name == "events" && df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+    // events.ts normalization: older testdata wrote TIMESTAMP(NANOS), which
+    // Spark only reads as a nanos LongType under
+    // spark.sql.legacy.parquet.nanosAsLong (set in Verify/Bench sessions);
+    // current testdata writes tz-naive micros, which Spark reads as
+    // TIMESTAMP_NTZ. Either way, normalize to a plain UTC-instant TIMESTAMP
+    // (sessions run UTC, so the NTZ cast is value-preserving) — typed
+    // event-time helpers (unix_micros in sessionize/trailingTimeSum/funnel)
+    // reject NTZ inputs.
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
+    if (name == "events" && df.schema("ts").dataType == LongType)
       df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else if (name == "events" && df.schema("ts").dataType == TimestampNTZType)
+      df.withColumn("ts", col("ts").cast("timestamp"))
     else df
   }
 

@@ -16,11 +16,13 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    val failed = scala.collection.mutable.ListBuffer.empty[String]
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        failed += name
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -38,6 +40,14 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Full catalog manifest for tools/check_entries.py: the complete
+    // queries keyset plus any entries that THREW during the dump — a
+    // failing query leaves no parquet dir, so without this list it would
+    // silently vanish from the driver's compare (the r7 q_w14 bug shape).
+    val catalog =
+      s"""{"queries": [${SparkEntry.queries.keys.toSeq.sorted.map(q).mkString(",")}],
+         | "failed": [${failed.toSeq.sorted.map(q).mkString(",")}]}""".stripMargin
+    Files.writeString(Paths.get(s"$outDir/catalog.json"), catalog)
     spark.stop()
   }
 }

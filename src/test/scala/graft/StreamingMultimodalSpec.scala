@@ -12,13 +12,21 @@ class StreamingMultimodalSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   import spark.implicits._
 
-  /** events at sf0.001 rewritten as micros-timestamp parquet (the raw file
-    * is TIMESTAMP(NANOS), which the file-stream source can't infer). */
+  /** events at sf0.001 rewritten as UTC-instant micros parquet (legacy
+    * testdata is TIMESTAMP(NANOS) → nanos long; current testdata is
+    * tz-naive micros → TIMESTAMP_NTZ; the file-stream source wants a plain
+    * TIMESTAMP either way). */
   private lazy val eventsDir: String = {
     val dir = Files.createTempDirectory("graft_events").toString
-    spark.read.parquet("/root/testdata/sf0.001/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      .coalesce(1).write.mode("overwrite").parquet(dir)
+    val raw = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    val ev = raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => raw
+    }
+    ev.coalesce(1).write.mode("overwrite").parquet(dir)
     dir
   }
 
