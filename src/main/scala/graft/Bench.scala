@@ -59,7 +59,10 @@ object Bench {
         sources("clientes"), "2023-01-01", graft.datagen.BankingDataGen.AnchorMonth)),
     ).map { case (name, mk) => name -> time(mk().count()) }
 
-    val results = queryTimes ++ pipelineTimes
+    // Emit entries SLOWEST-FIRST: the driver's log tail truncates the JSON
+    // line at ~2000 chars, so ordering by cost keeps the informative half
+    // (the queries worth investigating) inside the surviving prefix.
+    val results = (queryTimes ++ pipelineTimes).sortBy(-_._2)
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")

@@ -806,6 +806,83 @@ object Oracles {
         |FROM docs d LEFT JOIN per ON d.doc_id = per.doc_id
         |ORDER BY d.doc_id""".stripMargin,
 
+    // DSIR resample: the q_dsir_score replay + the per-source top-10%
+    // window (integer score DESC, doc_id tie → kept set is exact).
+    "q_dsir_resample" ->
+      """WITH docs AS (SELECT doc_id, text, lang, source FROM documents),
+        |toks AS (SELECT doc_id, lang,
+        |    list_filter(regexp_split_to_array(
+        |      regexp_replace(lower(trim(text)), '[^a-z0-9áéíóúñü ]', '', 'g'),
+        |      '\s+'), t -> t != '') AS tk
+        |  FROM docs),
+        |grams AS (SELECT doc_id, lang, unnest(
+        |      tk || CASE WHEN len(tk) >= 2 THEN
+        |        list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i + 1])
+        |        ELSE []::VARCHAR[] END) AS g
+        |  FROM toks),
+        |b AS (SELECT doc_id, lang,
+        |    (('0x' || substr(md5(g), 1, 15))::UBIGINT % 1024)::BIGINT AS bucket
+        |  FROM grams),
+        |tcnt AS (SELECT r.range AS bucket, coalesce(c.cnt, 0)::BIGINT AS tcnt
+        |  FROM range(1024) r LEFT JOIN
+        |    (SELECT bucket, count(*) AS cnt FROM b WHERE lang = 'en' GROUP BY bucket) c
+        |    ON r.range = c.bucket),
+        |rcnt AS (SELECT r.range AS bucket, coalesce(c.cnt, 0)::BIGINT AS rcnt
+        |  FROM range(1024) r LEFT JOIN
+        |    (SELECT bucket, count(*) AS cnt FROM b GROUP BY bucket) c
+        |    ON r.range = c.bucket),
+        |tot AS (SELECT ((SELECT sum(tcnt) FROM tcnt) + 1024)::BIGINT AS tt,
+        |               ((SELECT sum(rcnt) FROM rcnt) + 1024)::BIGINT AS rt),
+        |w AS (SELECT t.bucket,
+        |    (length((tot.rt // (r.rcnt + 1))::VARCHAR)
+        |     - length((tot.tt // (t.tcnt + 1))::VARCHAR))::INT AS weight
+        |  FROM tcnt t JOIN rcnt r ON t.bucket = r.bucket, tot),
+        |per AS (SELECT b.doc_id, count(*) AS n, sum(w.weight) AS s
+        |  FROM b JOIN w ON b.bucket = w.bucket GROUP BY b.doc_id),
+        |sel AS (SELECT d.doc_id, d.source, coalesce(per.n, 0)::INT AS n_grams,
+        |    coalesce(per.s, 0)::BIGINT AS dsir_score
+        |  FROM docs d LEFT JOIN per ON d.doc_id = per.doc_id),
+        |rk AS (SELECT *,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY dsir_score DESC, doc_id) AS rn,
+        |    count(*) OVER (PARTITION BY source) AS n
+        |  FROM sel)
+        |SELECT doc_id, source, n_grams, dsir_score FROM rk
+        |WHERE rn <= ceil(0.1 * n)
+        |ORDER BY doc_id""".stripMargin,
+
+    // classifier→curation: NB weights fitted on the doc_id%3=0 labeled
+    // split only, the disjoint remainder scored and filtered to pred.
+    "q_clf_curate" ->
+      """WITH docs AS (SELECT doc_id, text, lang FROM documents),
+        |b AS (SELECT doc_id, (lang = 'en') AS pos,
+        |    (('0x' || substr(md5(t.tok), 1, 15))::UBIGINT % 512)::BIGINT AS bucket
+        |  FROM docs, unnest(list_filter(regexp_split_to_array(
+        |      regexp_replace(lower(trim(text)), '[^a-z0-9áéíóúñü ]', '', 'g'),
+        |      '\s+'), x -> x != '')) AS t(tok)),
+        |cnt AS (SELECT r.range AS bucket,
+        |    coalesce(c.n_pos, 0)::BIGINT AS n_pos,
+        |    coalesce(c.n_neg, 0)::BIGINT AS n_neg
+        |  FROM range(512) r LEFT JOIN
+        |    (SELECT bucket, count(*) FILTER (pos) AS n_pos,
+        |       count(*) FILTER (NOT pos) AS n_neg
+        |     FROM b WHERE doc_id % 3 = 0 GROUP BY bucket) c
+        |    ON r.range = c.bucket),
+        |tot AS (SELECT ((SELECT sum(n_pos) FROM cnt) + 512)::BIGINT AS pt,
+        |               ((SELECT sum(n_neg) FROM cnt) + 512)::BIGINT AS nt),
+        |w AS (SELECT cnt.bucket,
+        |    floor((ln((cnt.n_pos + 1)::DOUBLE / tot.pt)
+        |         - ln((cnt.n_neg + 1)::DOUBLE / tot.nt)) * 1e6 + 0.5)::BIGINT AS w_micro
+        |  FROM cnt, tot),
+        |per AS (SELECT b.doc_id, count(*) AS n, sum(w.w_micro) AS s
+        |  FROM b JOIN w ON b.bucket = w.bucket
+        |  WHERE b.doc_id % 3 != 0 GROUP BY b.doc_id)
+        |SELECT d.doc_id, coalesce(per.n, 0)::INT AS n_tokens,
+        |  coalesce(per.s, 0)::BIGINT AS logit_micro
+        |FROM docs d LEFT JOIN per ON d.doc_id = per.doc_id
+        |WHERE d.doc_id % 3 != 0 AND coalesce(per.s, 0) > 0
+        |ORDER BY d.doc_id""".stripMargin,
+
     "q_sim_bruteforce_topk" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
         |    FROM embeddings WHERE vec_id < 5),

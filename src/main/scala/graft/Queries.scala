@@ -780,6 +780,44 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** DSIR end-to-end RESAMPLE — the operation users actually run ("give me
+    * the Wikipedia-like 10 %", Dsir.scala:10): score the corpus against
+    * the English target distribution, then keep the top 10 % per source
+    * shard ([[graft.ops.Filters.topFractionByGroup]] — per-shard window,
+    * no global sort). Integer scores + doc_id tie-break make the kept set
+    * exactly reproducible in any engine. */
+  def qDsirResample(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select("doc_id", "text", "lang", "source")
+    val w = graft.text.Dsir.importanceWeights(
+      docs.where(col("lang") === "en"), docs, "text", buckets = 1024)
+    val scored = graft.text.Dsir.withImportanceScore(docs, w, "text",
+      "doc_id", buckets = 1024)
+    Filters.topFractionByGroup(scored, "source", "dsir_score",
+        fraction = 0.1, tieCol = "doc_id")
+      .select("doc_id", "source", "n_grams", "dsir_score")
+      .orderBy("doc_id")
+  }
+
+  /** Classifier → curation wiring — the real label-then-filter pipeline:
+    * train NB weights on the labeled third of the corpus (doc_id % 3 = 0,
+    * label = lang is English), score the DISJOINT remainder, and keep only
+    * docs the model classifies positive. Exercises train/score on
+    * different frames (the production shape: a small labeled set curates
+    * the big unlabeled crawl). */
+  def qClfCurate(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select("doc_id", "text", "lang")
+    val train = docs.where(col("doc_id") % 3 === 0)
+      .withColumn("is_en", col("lang") === "en")
+    val w = graft.text.Classifier.trainNbWeights(train, "text", "is_en",
+      buckets = 512)
+    graft.text.Classifier.scoreDocs(
+        docs.where(col("doc_id") % 3 =!= 0), w, "text", "doc_id",
+        buckets = 512)
+      .where(col("pred"))
+      .select("doc_id", "n_tokens", "logit_micro")
+      .orderBy("doc_id")
+  }
+
   /** Exact INCREMENTAL dedup against a persisted fingerprint store: the
     * corpus partition (doc_id % 4 != 0) seeds the store, then the batch
     * (doc_id % 4 == 0, plus planted corpus clones at +30000 and
@@ -1778,5 +1816,7 @@ object Queries {
     "q_feat_neg_sample" -> (qFeatNegSample _),
     "q_ea_funnel_summary" -> (qEaFunnelSummary _),
     "q_w17_share" -> (qW17Share _),
+    "q_dsir_resample" -> (qDsirResample _),
+    "q_clf_curate" -> (qClfCurate _),
   )
 }

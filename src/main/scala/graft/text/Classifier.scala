@@ -47,13 +47,17 @@ object Classifier {
       .select(col("bucket"),
         coalesce(col("n_pos"), lit(0L)).as("n_pos"),
         coalesce(col("n_neg"), lit(0L)).as("n_neg"))
-    val row = dense.agg(sum("n_pos"), sum("n_neg")).head()
-    val posTotal = row.getLong(0) + buckets
-    val negTotal = row.getLong(1) + buckets
-    dense.withColumn("w_micro",
-      floor((log((col("n_pos") + 1L) / lit(posTotal.toDouble)) -
-        log((col("n_neg") + 1L) / lit(negTotal.toDouble))) * 1e6 + 0.5)
-        .cast("long"))
+    // smoothed class totals stay IN the plan (broadcast 1-row agg crossed
+    // back) — the fit is a single job with no driver action.
+    val totals = dense.agg(
+      (sum("n_pos") + lit(buckets.toLong)).as("__pt"),
+      (sum("n_neg") + lit(buckets.toLong)).as("__nt"))
+    dense.crossJoin(broadcast(totals))
+      .withColumn("w_micro",
+        floor((log((col("n_pos") + 1L) / col("__pt").cast("double")) -
+          log((col("n_neg") + 1L) / col("__nt").cast("double"))) * 1e6 + 0.5)
+          .cast("long"))
+      .drop("__pt", "__nt")
   }
 
   /** Scores `df` against a trained (or literal) `(bucket, w_micro)` model:

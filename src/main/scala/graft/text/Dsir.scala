@@ -34,7 +34,8 @@ import org.apache.spark.sql.functions._
   * distributions are `buckets`-row aggregates (map-side combine, shuffle =
   * B rows per partition regardless of corpus size); weights broadcast back
   * (B rows); per-doc scoring is one scalar-only shuffle keyed by doc id.
-  * The driver holds two scalars (the totals) and never sees row data. The
+  * The smoothed totals are a broadcast 1-row aggregate inside the plan, so
+  * the whole fit is one job and the driver never sees any data. The
   * resampling step composes with the existing deterministic samplers
   * ([[graft.ops.Filters.topFractionByGroup]] per shard/source keeps the
   * top-k% without a global sort).
@@ -86,16 +87,18 @@ object Dsir {
     val t = bucketCounts(target, textCol, buckets).withColumnRenamed("cnt", "tcnt")
     val r = bucketCounts(raw, textCol, buckets).withColumnRenamed("cnt", "rcnt")
     val joined = t.join(r, Seq("bucket"))
-    // totals of the SMOOTHED distributions: Σ_b (cnt_b + 1) = N + B.
-    val row = joined.agg(sum("tcnt"), sum("rcnt")).head()
-    val tTotal = row.getLong(0) + buckets
-    val rTotal = row.getLong(1) + buckets
-    joined.select(
+    // totals of the SMOOTHED distributions: Σ_b (cnt_b + 1) = N + B — kept
+    // IN the plan (broadcast 1-row agg crossed back) so the fit is a single
+    // job with no driver action.
+    val totals = joined.agg(
+      (sum("tcnt") + lit(buckets.toLong)).as("__tt"),
+      (sum("rcnt") + lit(buckets.toLong)).as("__rt"))
+    joined.crossJoin(broadcast(totals)).select(
       col("bucket"),
-      (length(expr(s"CAST(${rTotal}L DIV (rcnt + 1L) AS STRING)")) -
-        length(expr(s"CAST(${tTotal}L DIV (tcnt + 1L) AS STRING)"))).as("weight"),
-      (floor((log((col("tcnt") + 1L) / lit(tTotal.toDouble)) -
-        log((col("rcnt") + 1L) / lit(rTotal.toDouble))) * 1e6 + 0.5) / 1e6)
+      (length(expr("CAST(__rt DIV (rcnt + 1L) AS STRING)")) -
+        length(expr("CAST(__tt DIV (tcnt + 1L) AS STRING)"))).as("weight"),
+      (floor((log((col("tcnt") + 1L) / col("__tt").cast("double")) -
+        log((col("rcnt") + 1L) / col("__rt").cast("double"))) * 1e6 + 0.5) / 1e6)
         .as("weight_log"))
   }
 

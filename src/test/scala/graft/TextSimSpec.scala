@@ -387,4 +387,29 @@ class TextSimSpec extends AnyFunSuite {
       .select("lid", "rid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(xb == bruteFirst)
   }
+
+  test("keepBestPerCluster: one winner per cluster, singletons self-cluster and survive") {
+    val d = Seq((1L, 10), (2L, 30), (3L, 20),  // cluster 1: 2 wins on score
+                (7L, 5))                       // no edge → singleton
+      .toDF("doc_id", "n_chars")
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L)).toDF("id", "cluster_id")
+    val out = Dedup.keepBestPerCluster(d, clusters, "doc_id", "n_chars")
+      .select("doc_id", "cluster_id", "kept")
+      .as[(Long, Long, Boolean)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out(1L) == ((1L, false)))
+    assert(out(2L) == ((1L, true)))            // greatest n_chars
+    assert(out(3L) == ((1L, false)))
+    assert(out(7L) == ((7L, true)))            // singleton: own label, kept
+  }
+
+  test("keepBestPerCluster ties resolve to the smallest id, independent of layout") {
+    val d = Seq((5L, 10), (9L, 10), (2L, 10)).toDF("doc_id", "n_chars")
+    val clusters = Seq((5L, 2L), (9L, 2L), (2L, 2L)).toDF("id", "cluster_id")
+    for (reps <- Seq(1, 5)) {
+      val out = Dedup.keepBestPerCluster(d.repartition(reps), clusters,
+          "doc_id", "n_chars")
+        .select("doc_id", "kept").as[(Long, Boolean)].collect().toMap
+      assert(out == Map(2L -> true, 5L -> false, 9L -> false), s"reps=$reps")
+    }
+  }
 }
