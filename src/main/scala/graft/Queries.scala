@@ -783,17 +783,21 @@ object Queries {
   /** DSIR end-to-end RESAMPLE — the operation users actually run ("give me
     * the Wikipedia-like 10 %", Dsir.scala:10): score the corpus against
     * the English target distribution, then keep the top 10 % per source
-    * shard ([[graft.ops.Filters.topFractionByGroup]] — per-shard window,
-    * no global sort). Integer scores + doc_id tie-break make the kept set
-    * exactly reproducible in any engine. */
+    * shard via the exact-threshold form
+    * ([[graft.ops.Filters.topFractionByGroupExact]] — integer scores
+    * resolve `ceil(f·n)` into a per-source score threshold off a
+    * histogram, so the corpus is never sorted inside a source-keyed
+    * window; a source shard is one window task in the naive form, the
+    * 100 TB bottleneck). Integer scores + doc_id tie-break make the kept
+    * set exactly reproducible in any engine. */
   def qDsirResample(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents").select("doc_id", "text", "lang", "source")
     val w = graft.text.Dsir.importanceWeights(
       docs.where(col("lang") === "en"), docs, "text", buckets = 1024)
     val scored = graft.text.Dsir.withImportanceScore(docs, w, "text",
       "doc_id", buckets = 1024)
-    Filters.topFractionByGroup(scored, "source", "dsir_score",
-        fraction = 0.1, tieCol = "doc_id")
+    Filters.topFractionByGroupExact(scored, "source", "dsir_score",
+        fraction = 0.1, idCol = "doc_id")
       .select("doc_id", "source", "n_grams", "dsir_score")
       .orderBy("doc_id")
   }

@@ -139,9 +139,11 @@ object Filters {
     * independent — no percent_rank float edge cases, and every non-empty
     * group keeps ≥1 row.
     *
-    * Scale: ONE hash shuffle on the group key + one in-partition sort; no
-    * global sort, no quantile sketch round-trip to the driver. Skewed
-    * group sizes are AQE's skew-split problem, not a plan problem. */
+    * Scale: ONE hash shuffle on the group key + one in-partition sort.
+    * CAVEAT — a window partition is one task: with few, huge groups
+    * (corpus sharded into a handful of sources) this becomes a
+    * task-per-source bottleneck AQE cannot split. For integer scores use
+    * [[topFractionByGroupExact]], which never windows the full frame. */
   def topFractionByGroup(df: DataFrame, groupCol: String, scoreCol: String,
                          fraction: Double, tieCol: String): DataFrame = {
     require(fraction > 0 && fraction <= 1, "fraction must be in (0, 1]")
@@ -152,6 +154,54 @@ object Filters {
       .withColumn("__n", count(lit(1)).over(cnt))
       .where(col("__rn") <= ceil(lit(fraction) * col("__n")))
       .drop("__rn", "__n")
+  }
+
+  /** Scale form of [[topFractionByGroup]] for INTEGER (or any exactly
+    * comparable) scores — bit-identical kept set, but the full frame is
+    * never sorted inside a group-keyed window:
+    *
+    *  1. `(group, score)` histogram — one map-side-combined aggregate;
+    *     shuffle volume = distinct scores per partition, not rows.
+    *  2. Per-group threshold off the HISTOGRAM (window partitions are
+    *     distinct-score counts, not corpus rows): `T` = the score where
+    *     the descending cumulative count first reaches `k = ceil(f·n)`,
+    *     plus how many of the `score == T` ties fit (`k − |score > T|`).
+    *  3. Thresholds (one row per group) broadcast back: `score > T` rows
+    *     pass map-only; `score == T` rows rank by `idCol` in a window
+    *     over ONLY the boundary ties.
+    *
+    * Equivalent keep rule to the window form's (score DESC, id ASC)
+    * row_number — the tie spill at the boundary goes to the smallest ids.
+    * Degenerate case: a group where ALL rows tie at `T` makes step 3's
+    * window group-sized again — with real-valued enough scores (DSIR sums,
+    * logits) boundary ties are a vanishing fraction. `scoreCol` must be
+    * non-null. */
+  def topFractionByGroupExact(df: DataFrame, groupCol: String,
+                              scoreCol: String, fraction: Double,
+                              idCol: String): DataFrame = {
+    require(fraction > 0 && fraction <= 1, "fraction must be in (0, 1]")
+    val hist = df.groupBy(col(groupCol), col(scoreCol))
+      .agg(count(lit(1)).as("__c"))
+    val byScoreDesc = Window.partitionBy(col(groupCol))
+      .orderBy(col(scoreCol).desc)
+    val whole = Window.partitionBy(col(groupCol))
+    val th = hist
+      .withColumn("__above", coalesce(sum("__c").over(
+        byScoreDesc.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("__k", ceil(lit(fraction) * sum("__c").over(whole)))
+      .where(col("__above") < col("__k") &&
+        col("__k") <= col("__above") + col("__c"))
+      .select(col(groupCol), col(scoreCol).as("__t"),
+        (col("__k") - col("__above")).as("__takeAtT"))
+    val tagged = df.join(broadcast(th), Seq(groupCol))
+    val above = tagged.where(col(scoreCol) > col("__t"))
+      .drop("__t", "__takeAtT")
+    val boundary = tagged.where(col(scoreCol) === col("__t"))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col(groupCol)).orderBy(col(idCol))))
+      .where(col("__rn") <= col("__takeAtT"))
+      .drop("__rn", "__t", "__takeAtT")
+    above.unionByName(boundary)
   }
 
   /** Per-group quality-rank buckets (`ntile` semantics): bucket 1 holds

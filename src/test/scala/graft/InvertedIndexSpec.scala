@@ -66,4 +66,31 @@ class InvertedIndexSpec extends AnyFunSuite {
     // c: ceil(0.5*2)=1 → 7
     assert(kept == Set(1L, 2L, 5L, 7L))
   }
+
+  test("topFractionByGroupExact ≡ window form on random integer scores (all fractions, layouts)") {
+    val rnd = new scala.util.Random(11)
+    val rows = (1L to 400L).map { i =>
+      (s"src${rnd.nextInt(4)}", i, rnd.nextInt(12).toLong) // dense score ties
+    }.toDF("source", "id", "score")
+    for (frac <- Seq(0.1, 0.5, 0.999, 1.0); reps <- Seq(1, 7)) {
+      val windowForm = Filters.topFractionByGroup(
+          rows, "source", "score", frac, "id")
+        .select("id").as[Long].collect().toSet
+      val exactForm = Filters.topFractionByGroupExact(
+          rows.repartition(reps), "source", "score", frac, "id")
+        .select("id").as[Long].collect().toSet
+      assert(exactForm == windowForm, s"frac=$frac reps=$reps")
+    }
+  }
+
+  test("topFractionByGroupExact degenerate cases: all-tied group, singleton group") {
+    val rows = Seq(
+      ("a", 1L, 5L), ("a", 2L, 5L), ("a", 3L, 5L), ("a", 4L, 5L), // all tie
+      ("b", 9L, 1L))
+      .toDF("source", "id", "score")
+    val kept = Filters.topFractionByGroupExact(rows, "source", "score", 0.5, "id")
+      .select("id").as[Long].collect().toSet
+    // a: k=2, everything ties at T=5 → two smallest ids; b: k=1 → kept
+    assert(kept == Set(1L, 2L, 9L))
+  }
 }
