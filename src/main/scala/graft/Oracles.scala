@@ -883,6 +883,51 @@ object Oracles {
         |WHERE d.doc_id % 3 != 0 AND coalesce(per.s, 0) > 0
         |ORDER BY d.doc_id""".stripMargin,
 
+    // Gopher rule battery: integer cross-multiplication verdicts replayed
+    // over the same tokenizations (whitespace words, newline lines).
+    "q_text_gopher_rules" ->
+      """WITH d AS (SELECT doc_id,
+        |    list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |      x -> x <> '') AS words,
+        |    string_split(text, chr(10)) AS lines,
+        |    length(regexp_replace(text, '\s+', '', 'g')) AS n_chars_nws,
+        |    len(regexp_extract_all(text, '#'))
+        |      + len(regexp_extract_all(text, '\.\.\.|…')) AS n_symbols
+        |  FROM documents),
+        |c AS (SELECT doc_id,
+        |    len(words)::INT AS n_words,
+        |    n_chars_nws::INT AS n_chars_nws,
+        |    n_symbols::INT AS n_symbols,
+        |    len(list_filter(words, x -> regexp_matches(x, '[A-Za-z]')))::INT
+        |      AS n_alpha_words,
+        |    len(list_intersect(list_distinct(list_transform(words, x -> lower(x))),
+        |      ['the','be','to','of','and','that','have','with']))::INT
+        |      AS n_req_stopwords,
+        |    len(lines)::INT AS n_lines,
+        |    len(list_filter(lines, l -> regexp_matches(ltrim(l), '^(•|\*\s|-\s)')))::INT
+        |      AS n_bullet_lines,
+        |    len(list_filter(lines, l -> regexp_matches(rtrim(l), '(\.\.\.|…)$')))::INT
+        |      AS n_ellipsis_lines
+        |  FROM d)
+        |SELECT doc_id, n_words, n_chars_nws, n_symbols, n_alpha_words,
+        |  n_req_stopwords,
+        |  (n_words >= 20 AND n_words <= 100000) AS r_word_count,
+        |  (3 * n_words <= n_chars_nws AND n_chars_nws <= 10 * n_words)
+        |    AS r_mean_word_len,
+        |  (10 * n_symbols < n_words) AS r_symbol_ratio,
+        |  (5 * n_alpha_words >= 4 * n_words) AS r_alpha_words,
+        |  (10 * n_bullet_lines <= 9 * n_lines) AS r_bullet_lines,
+        |  (10 * n_ellipsis_lines <= 3 * n_lines) AS r_ellipsis_lines,
+        |  (n_req_stopwords >= 2) AS r_stopwords,
+        |  ((n_words >= 20 AND n_words <= 100000)
+        |   AND (3 * n_words <= n_chars_nws AND n_chars_nws <= 10 * n_words)
+        |   AND (10 * n_symbols < n_words)
+        |   AND (5 * n_alpha_words >= 4 * n_words)
+        |   AND (10 * n_bullet_lines <= 9 * n_lines)
+        |   AND (10 * n_ellipsis_lines <= 3 * n_lines)
+        |   AND (n_req_stopwords >= 2)) AS pass
+        |FROM c ORDER BY doc_id""".stripMargin,
+
     "q_sim_bruteforce_topk" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
         |    FROM embeddings WHERE vec_id < 5),

@@ -802,6 +802,16 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** Gopher quality-rule battery ([[graft.text.TextStats.gopherRules]]):
+    * per-rule booleans + overall pass over the documents corpus, all
+    * integer-exact cross-multiplications (no float thresholds), one
+    * map-only projection. minWords lowered to 20 so the synthetic corpus
+    * exercises both verdicts of every rule. */
+  def qTextGopherRules(s: SparkSession, dir: String): DataFrame =
+    TextStats.gopherRules(t(s, dir, "documents"), "text", "doc_id",
+        minWords = 20, maxWords = 100000)
+      .orderBy("doc_id")
+
   /** Classifier → curation wiring — the real label-then-filter pipeline:
     * train NB weights on the labeled third of the corpus (doc_id % 3 = 0,
     * label = lang is English), score the DISJOINT remainder, and keep only
@@ -1822,5 +1832,6 @@ object Queries {
     "q_w17_share" -> (qW17Share _),
     "q_dsir_resample" -> (qDsirResample _),
     "q_clf_curate" -> (qClfCurate _),
+    "q_text_gopher_rules" -> (qTextGopherRules _),
   )
 }

@@ -40,7 +40,8 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
-    // Full catalog manifest for tools/check_entries.py: the complete
+    // Full catalog manifest for the check-entries pre-commit gate (in
+    // tools/, see the verify skill): the complete
     // queries keyset plus any entries that THREW during the dump — a
     // failing query leaves no parquet dir, so without this list it would
     // silently vanish from the driver's compare (the r7 q_w14 bug shape).

@@ -84,6 +84,71 @@ object TextStats {
   def portableFingerprint(text: Column): Column =
     md5(regexp_replace(lower(trim(text)), "\\s+", " "))
 
+  /** The eight required stopwords of the Gopher quality rules (Rae et al.
+    * 2021, A1.1): a kept document must contain at least two. */
+  private val gopherStopwords =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** Gopher-style quality-rule battery (Rae et al. 2021, A1.1) as explicit
+    * per-rule booleans — the standard web-crawl filter battery every
+    * large-scale pipeline runs before training. Every ratio rule is an
+    * INTEGER cross-multiplication (`10·symbols < words` instead of
+    * `symbols/words < 0.1`), so the verdicts are bit-exact in any engine —
+    * no float thresholds, no rounding rules.
+    *
+    * Rules: word count in [minWords, maxWords]; mean word length in
+    * [3, 10] chars (3n ≤ chars ≤ 10n); symbol-to-word ratio < 0.1
+    * (`#` + ellipsis); ≥ 80 % of words contain a letter; ≤ 90 % of lines
+    * start with a bullet; ≤ 30 % of lines end with an ellipsis; ≥ 2 of
+    * the eight required stopwords present (exact lowercase token match).
+    * `pass` = all rules hold.
+    *
+    * Scale: one projection over the scan — map-only, zero shuffle; the
+    * word array is staged behind a projection barrier (CLAUDE.md
+    * invariant 6) so the tokenizer runs once per row, not once per rule. */
+  def gopherRules(df: DataFrame, textCol: String, idCol: String,
+                  minWords: Int = 50, maxWords: Int = 100000): DataFrame = {
+    val t = col(textCol)
+    val staged = df
+      .withColumn("__words", filter(split(trim(t), "\\s+"), w => w =!= ""))
+      .withColumn("__lines", split(t, "\n"))
+    val counted = staged.select(
+      col(idCol),
+      size(col("__words")).as("n_words"),
+      length(regexp_replace(t, "\\s+", "")).as("n_chars_nws"),
+      (size(regexp_extract_all(t, lit("#"), lit(0))) +
+        size(regexp_extract_all(t, lit("\\.\\.\\.|…"), lit(0)))).as("n_symbols"),
+      size(filter(col("__words"), w => w.rlike("[A-Za-z]"))).as("n_alpha_words"),
+      size(array_intersect(
+        array_distinct(transform(col("__words"), w => lower(w))),
+        array(gopherStopwords.map(lit): _*))).as("n_req_stopwords"),
+      size(col("__lines")).as("n_lines"),
+      size(filter(col("__lines"), l => ltrim(l).rlike("^(•|\\*\\s|-\\s)")))
+        .as("n_bullet_lines"),
+      size(filter(col("__lines"), l => rtrim(l).rlike("(\\.\\.\\.|…)$")))
+        .as("n_ellipsis_lines"))
+    counted.select(
+      col(idCol), col("n_words"), col("n_chars_nws"), col("n_symbols"),
+      col("n_alpha_words"), col("n_req_stopwords"),
+      (col("n_words") >= minWords && col("n_words") <= maxWords)
+        .as("r_word_count"),
+      (lit(3) * col("n_words") <= col("n_chars_nws") &&
+        col("n_chars_nws") <= lit(10) * col("n_words")).as("r_mean_word_len"),
+      (lit(10) * col("n_symbols") < col("n_words")).as("r_symbol_ratio"),
+      (lit(5) * col("n_alpha_words") >= lit(4) * col("n_words"))
+        .as("r_alpha_words"),
+      (lit(10) * col("n_bullet_lines") <= lit(9) * col("n_lines"))
+        .as("r_bullet_lines"),
+      (lit(10) * col("n_ellipsis_lines") <= lit(3) * col("n_lines"))
+        .as("r_ellipsis_lines"),
+      (col("n_req_stopwords") >= 2).as("r_stopwords"))
+      .withColumn("pass",
+        col("r_word_count") && col("r_mean_word_len") &&
+          col("r_symbol_ratio") && col("r_alpha_words") &&
+          col("r_bullet_lines") && col("r_ellipsis_lines") &&
+          col("r_stopwords"))
+  }
+
   /** All stats in one projection. */
   def withTextStats(df: DataFrame, textCol: String): DataFrame =
     df.select(col("*"),

@@ -388,6 +388,35 @@ class TextSimSpec extends AnyFunSuite {
     assert(xb == bruteFirst)
   }
 
+  test("gopherRules: each rule flips on its designed violation, integer-exact") {
+    val good = (1 to 30).map(i => s"word$i with the and of").mkString(" ") // 150 words, stopwords present
+    val rows = Seq(
+      (1L, good),                                            // passes all
+      (2L, "too short with the"),                            // < 20 words
+      (3L, (1 to 30).map(_ => "a b the of").mkString(" ")),  // mean word len < 3
+      (4L, (1 to 30).map(_ => "### with the of").mkString(" ")), // symbols ≥ 10%... wait '#' is a word too
+      (5L, (1 to 30).map(_ => "123 456 789 0 the of with and").mkString(" ")), // alpha words < 80%
+      (6L, (1 to 30).map(i => s"word$i nothing here").mkString(" ")), // < 2 required stopwords
+      (7L, (1 to 30).map(i => s"- bullet$i the of").mkString("\n")), // all lines bulleted
+      (8L, (1 to 30).map(i => s"line$i the of and...").mkString("\n"))) // all lines end in ellipsis
+      .toDF("doc_id", "text")
+    val out = graft.text.TextStats.gopherRules(rows, "text", "doc_id",
+        minWords = 20, maxWords = 100000)
+      .select("doc_id", "r_word_count", "r_mean_word_len", "r_symbol_ratio",
+        "r_alpha_words", "r_stopwords", "r_bullet_lines", "r_ellipsis_lines",
+        "pass")
+      .as[(Long, Boolean, Boolean, Boolean, Boolean, Boolean, Boolean, Boolean, Boolean)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(out(1L)._9, "doc 1 should pass all rules")
+    assert(!out(2L)._2 && !out(2L)._9)  // word count
+    assert(!out(3L)._3 && !out(3L)._9)  // mean word length low
+    assert(!out(4L)._4 && !out(4L)._9)  // symbol ratio (90 '#' vs 120 words)
+    assert(!out(5L)._5 && !out(5L)._9)  // alpha words 4/8 = 50%
+    assert(!out(6L)._6 && !out(6L)._9)  // required stopwords absent
+    assert(!out(7L)._7 && !out(7L)._9)  // all lines bulleted
+    assert(!out(8L)._8 && !out(8L)._9)  // all lines ellipsis-terminated
+  }
+
   test("keepBestPerCluster: one winner per cluster, singletons self-cluster and survive") {
     val d = Seq((1L, 10), (2L, 30), (3L, 20),  // cluster 1: 2 wins on score
                 (7L, 5))                       // no edge → singleton
