@@ -851,6 +851,48 @@ object Oracles {
         |WHERE rn <= ceil(0.1 * n)
         |ORDER BY doc_id""".stripMargin,
 
+    // CCNet-style tiers: the q_dsir_score replay + per-language ntile(3)
+    // over (score DESC, doc_id) — standard SQL ntile matches the
+    // rankBucketsExact histogram identity tile(i)=floor((i-1)B/n)+1.
+    "q_curate_tiers" ->
+      """WITH docs AS (SELECT doc_id, text, lang FROM documents),
+        |toks AS (SELECT doc_id, lang,
+        |    list_filter(regexp_split_to_array(
+        |      regexp_replace(lower(trim(text)), '[^a-z0-9áéíóúñü ]', '', 'g'),
+        |      '\s+'), t -> t != '') AS tk
+        |  FROM docs),
+        |grams AS (SELECT doc_id, lang, unnest(
+        |      tk || CASE WHEN len(tk) >= 2 THEN
+        |        list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i + 1])
+        |        ELSE []::VARCHAR[] END) AS g
+        |  FROM toks),
+        |b AS (SELECT doc_id, lang,
+        |    (('0x' || substr(md5(g), 1, 15))::UBIGINT % 1024)::BIGINT AS bucket
+        |  FROM grams),
+        |tcnt AS (SELECT r.range AS bucket, coalesce(c.cnt, 0)::BIGINT AS tcnt
+        |  FROM range(1024) r LEFT JOIN
+        |    (SELECT bucket, count(*) AS cnt FROM b WHERE lang = 'en' GROUP BY bucket) c
+        |    ON r.range = c.bucket),
+        |rcnt AS (SELECT r.range AS bucket, coalesce(c.cnt, 0)::BIGINT AS rcnt
+        |  FROM range(1024) r LEFT JOIN
+        |    (SELECT bucket, count(*) AS cnt FROM b GROUP BY bucket) c
+        |    ON r.range = c.bucket),
+        |tot AS (SELECT ((SELECT sum(tcnt) FROM tcnt) + 1024)::BIGINT AS tt,
+        |               ((SELECT sum(rcnt) FROM rcnt) + 1024)::BIGINT AS rt),
+        |w AS (SELECT t.bucket,
+        |    (length((tot.rt // (r.rcnt + 1))::VARCHAR)
+        |     - length((tot.tt // (t.tcnt + 1))::VARCHAR))::INT AS weight
+        |  FROM tcnt t JOIN rcnt r ON t.bucket = r.bucket, tot),
+        |per AS (SELECT b.doc_id, sum(w.weight) AS s
+        |  FROM b JOIN w ON b.bucket = w.bucket GROUP BY b.doc_id),
+        |sel AS (SELECT d.doc_id, d.lang,
+        |    coalesce(per.s, 0)::BIGINT AS dsir_score
+        |  FROM docs d LEFT JOIN per ON d.doc_id = per.doc_id)
+        |SELECT doc_id, lang, dsir_score,
+        |  ntile(3) OVER (PARTITION BY lang
+        |    ORDER BY dsir_score DESC, doc_id)::INT AS tier
+        |FROM sel ORDER BY doc_id""".stripMargin,
+
     // classifier→curation: NB weights fitted on the doc_id%3=0 labeled
     // split only, the disjoint remainder scored and filtered to pred.
     "q_clf_curate" ->

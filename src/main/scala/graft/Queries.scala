@@ -812,6 +812,24 @@ object Queries {
         minWords = 20, maxWords = 100000)
       .orderBy("doc_id")
 
+  /** CCNet-style quality tiers at scale: DSIR-score every doc against the
+    * English target and cut each language into head/middle/tail thirds
+    * ([[graft.ops.Filters.rankBucketsExact]] — exact ntile semantics off
+    * a (lang, score) histogram; no language ever sorts inside one window
+    * task). Integer scores + doc_id ties → engine-exact tier assignment. */
+  def qCurateTiers(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select("doc_id", "text", "lang")
+    val w = graft.text.Dsir.importanceWeights(
+      docs.where(col("lang") === "en"), docs, "text", buckets = 1024)
+    val scored = graft.text.Dsir.withImportanceScore(docs, w, "text",
+        "doc_id", buckets = 1024)
+      .select("doc_id", "lang", "dsir_score")
+    Filters.rankBucketsExact(scored, "lang", "dsir_score", nBuckets = 3,
+        idCol = "doc_id", bucketCol = "tier")
+      .select("doc_id", "lang", "dsir_score", "tier")
+      .orderBy("doc_id")
+  }
+
   /** Classifier → curation wiring — the real label-then-filter pipeline:
     * train NB weights on the labeled third of the corpus (doc_id % 3 = 0,
     * label = lang is English), score the DISJOINT remainder, and keep only
@@ -1833,5 +1851,6 @@ object Queries {
     "q_dsir_resample" -> (qDsirResample _),
     "q_clf_curate" -> (qClfCurate _),
     "q_text_gopher_rules" -> (qTextGopherRules _),
+    "q_curate_tiers" -> (qCurateTiers _),
   )
 }

@@ -223,6 +223,64 @@ object Filters {
       Window.partitionBy(col(groupCol)).orderBy(col(scoreCol).desc, col(tieCol))))
   }
 
+  /** Scale form of [[rankBuckets]] for exactly comparable (integer)
+    * scores: bit-identical `ntile` tiers without sorting any group inside
+    * a single window task. SQL ntile front-loads the remainder — with
+    * `q = n DIV B`, `r = n mod B`, the first r buckets hold q+1 rows —
+    * so the tile of 1-based rank i in (score DESC, id ASC) order is
+    * `⌊(i−1)/(q+1)⌋+1` inside the first `(q+1)·r` ranks and
+    * `r + ⌊(i−(q+1)·r−1)/q⌋ + 1` after:
+    *
+    *  1. `(group, score)` histogram + per-group descending cumulative —
+    *     every histogram row knows its rank interval `[a+1, a+c]`.
+    *  2. Rows whose WHOLE score-tie interval lands in one tile get that
+    *     tile map-only after a `(group, score)`-keyed equi-join (hash
+    *     partitions = tie groups — evenly spread, AQE-splittable, unlike
+    *     one window task per group).
+    *  3. Only tie intervals STRADDLING a tile boundary rank their ids in
+    *     a window over the `(group, score)` tie group (≤ B−1 straddling
+    *     scores per group, each bounded by its tie count).
+    *
+    * `scoreCol` must be non-null. Rank arithmetic goes through double
+    * floor-division — exact below 2^52 rows per group (any real corpus). */
+  def rankBucketsExact(df: DataFrame, groupCol: String, scoreCol: String,
+                       nBuckets: Int, idCol: String,
+                       bucketCol: String = "bucket"): DataFrame = {
+    require(nBuckets > 0, "nBuckets must be positive")
+    val b = lit(nBuckets.toLong)
+    val hist = df.groupBy(col(groupCol), col(scoreCol))
+      .agg(count(lit(1)).as("__c"))
+    val byScoreDesc = Window.partitionBy(col(groupCol))
+      .orderBy(col(scoreCol).desc)
+    def tileOf(i: Column): Column = {
+      val q = floor(col("__n") / b)
+      val r = col("__n") % b
+      when(i <= (q + lit(1L)) * r,
+          floor((i - lit(1L)) / (q + lit(1L))) + lit(1L))
+        .otherwise(r +
+          floor((i - (q + lit(1L)) * r - lit(1L)) / greatest(q, lit(1L))) +
+          lit(1L))
+    }
+    val ranked = hist
+      .withColumn("__a", coalesce(sum("__c").over(
+        byScoreDesc.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("__n", sum("__c").over(Window.partitionBy(col(groupCol))))
+      .withColumn("__tileLo", tileOf(col("__a") + lit(1L)))
+      .withColumn("__tileHi", tileOf(col("__a") + col("__c")))
+      .select(col(groupCol), col(scoreCol), col("__a"), col("__n"),
+        col("__tileLo"), col("__tileHi"))
+    val tagged = df.join(ranked, Seq(groupCol, scoreCol))
+    val whole = tagged.where(col("__tileLo") === col("__tileHi"))
+      .withColumn(bucketCol, col("__tileLo").cast("int"))
+    val straddle = tagged.where(col("__tileLo") =!= col("__tileHi"))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col(groupCol), col(scoreCol)).orderBy(col(idCol))))
+      .withColumn(bucketCol, tileOf(col("__a") + col("__rn")).cast("int"))
+      .drop("__rn")
+    whole.unionByName(straddle)
+      .drop("__a", "__n", "__tileLo", "__tileHi")
+  }
+
   /** Exactly-n-per-group deterministic sample: keep the first `n` rows of
     * each group in portable-hash order (`md5(key)` ascending, key as the
     * final tiebreak) — the distributed replacement for per-group reservoir

@@ -83,6 +83,21 @@ class InvertedIndexSpec extends AnyFunSuite {
     }
   }
 
+  test("rankBucketsExact ≡ ntile rankBuckets on random integer scores (buckets, layouts)") {
+    val rnd = new scala.util.Random(23)
+    val rows = (1L to 300L).map { i =>
+      (s"g${rnd.nextInt(3)}", i, rnd.nextInt(9).toLong) // dense ties straddle tiles
+    }.toDF("source", "id", "score")
+    for (b <- Seq(1, 3, 4, 10); reps <- Seq(1, 6)) {
+      val viaNtile = Filters.rankBuckets(rows, "source", "score", b, "id")
+        .select("id", "bucket").as[(Long, Int)].collect().toMap
+      val viaHist = Filters.rankBucketsExact(
+          rows.repartition(reps), "source", "score", b, "id")
+        .select("id", "bucket").as[(Long, Int)].collect().toMap
+      assert(viaHist == viaNtile, s"buckets=$b reps=$reps")
+    }
+  }
+
   test("topFractionByGroupExact degenerate cases: all-tied group, singleton group") {
     val rows = Seq(
       ("a", 1L, 5L), ("a", 2L, 5L), ("a", 3L, 5L), ("a", 4L, 5L), // all tie
