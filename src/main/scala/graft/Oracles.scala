@@ -893,6 +893,28 @@ object Oracles {
         |    ORDER BY dsir_score DESC, doc_id)::INT AS tier
         |FROM sel ORDER BY doc_id""".stripMargin,
 
+    // C4 line filter: line verdicts + page rollup + rebuilt text replayed
+    // with the same split/filter/join string surgery.
+    "q_text_c4_filter" ->
+      """WITH d AS (SELECT doc_id, text,
+        |    string_split(text, chr(10)) AS lines FROM documents),
+        |k AS (SELECT doc_id, text, lines,
+        |    list_filter(lines, l ->
+        |      regexp_matches(rtrim(l), '[.!?"]$')
+        |      AND len(list_filter(regexp_split_to_array(trim(l), '\s+'),
+        |            w -> w <> '')) >= 3
+        |      AND NOT contains(lower(l), 'javascript')) AS kept
+        |  FROM d)
+        |SELECT doc_id,
+        |  len(lines)::INT AS n_lines,
+        |  len(kept)::INT AS n_lines_kept,
+        |  coalesce(array_to_string(kept, chr(10)), '') AS clean_text,
+        |  contains(lower(text), 'lorem ipsum') AS has_lorem_ipsum,
+        |  contains(text, '{') AS has_brace,
+        |  (NOT contains(lower(text), 'lorem ipsum') AND NOT contains(text, '{')
+        |    AND len(kept) >= 1) AS keep_page
+        |FROM k ORDER BY doc_id""".stripMargin,
+
     // classifier→curation: NB weights fitted on the doc_id%3=0 labeled
     // split only, the disjoint remainder scored and filtered to pred.
     "q_clf_curate" ->

@@ -830,6 +830,17 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** C4 line-level cleaning ([[graft.text.TextStats.c4LineFilter]]) over
+    * the corpus: per-line terminal-punctuation / ≥3-word / javascript
+    * rules, page-level lorem-ipsum + brace + min-kept-lines verdict, and
+    * the REBUILT clean text — all deterministic string surgery, map-only.
+    * minWordsPerLine lowered to 3 so the synthetic single-line docs
+    * exercise both verdicts. */
+  def qTextC4Filter(s: SparkSession, dir: String): DataFrame =
+    TextStats.c4LineFilter(t(s, dir, "documents"), "text", "doc_id",
+        minWordsPerLine = 3, minLinesKept = 1)
+      .orderBy("doc_id")
+
   /** Classifier → curation wiring — the real label-then-filter pipeline:
     * train NB weights on the labeled third of the corpus (doc_id % 3 = 0,
     * label = lang is English), score the DISJOINT remainder, and keep only
@@ -1852,5 +1863,6 @@ object Queries {
     "q_clf_curate" -> (qClfCurate _),
     "q_text_gopher_rules" -> (qTextGopherRules _),
     "q_curate_tiers" -> (qCurateTiers _),
+    "q_text_c4_filter" -> (qTextC4Filter _),
   )
 }

@@ -149,6 +149,40 @@ object TextStats {
           col("r_stopwords"))
   }
 
+  /** C4 line-level cleaning (Raffel et al. 2020 §2.2) — the other
+    * canonical web-curation battery, applied per LINE then rolled up to a
+    * page verdict: a line survives iff it ends in terminal punctuation
+    * (`.` `!` `?` `"`), has ≥ 5 whitespace words, and does not mention
+    * "javascript" (case-insensitive); the page survives iff it contains
+    * neither "lorem ipsum" nor `{` and keeps ≥ 3 lines. Returns
+    * per-doc `n_lines`, `n_lines_kept`, the REBUILT `clean_text` (kept
+    * lines re-joined with newlines), the two page flags, and `keep_page`.
+    *
+    * Deterministic string surgery only — every verdict and the rebuilt
+    * text replay exactly in any engine. Scale: one map-only projection
+    * (array HOFs over the line split), zero shuffle. */
+  def c4LineFilter(df: DataFrame, textCol: String, idCol: String,
+                   minWordsPerLine: Int = 5,
+                   minLinesKept: Int = 3): DataFrame = {
+    val t = col(textCol)
+    val lineOk: Column => Column = l =>
+      rtrim(l).rlike("[.!?\"]$") &&
+        size(filter(split(trim(l), "\\s+"), w => w =!= "")) >= minWordsPerLine &&
+        !lower(l).contains("javascript")
+    df.withColumn("__lines", split(t, "\n"))
+      .withColumn("__kept", filter(col("__lines"), lineOk))
+      .select(
+        col(idCol),
+        size(col("__lines")).as("n_lines"),
+        size(col("__kept")).as("n_lines_kept"),
+        array_join(col("__kept"), "\n").as("clean_text"),
+        lower(t).contains("lorem ipsum").as("has_lorem_ipsum"),
+        t.contains("{").as("has_brace"))
+      .withColumn("keep_page",
+        !col("has_lorem_ipsum") && !col("has_brace") &&
+          col("n_lines_kept") >= minLinesKept)
+  }
+
   /** All stats in one projection. */
   def withTextStats(df: DataFrame, textCol: String): DataFrame =
     df.select(col("*"),

@@ -417,6 +417,34 @@ class TextSimSpec extends AnyFunSuite {
     assert(!out(8L)._8 && !out(8L)._9)  // all lines ellipsis-terminated
   }
 
+  test("c4LineFilter: line rules, page flags, rebuilt text") {
+    val rows = Seq(
+      (1L, "This is a good first sentence here.\nShort line.\nAnother quite good long sentence!\nno terminal punctuation line at all"),
+      (2L, "Enable javascript to view this page.\nA perfectly fine second sentence."),
+      (3L, "Lorem ipsum dolor sit amet consectetur.\nA fine sentence that would survive."),
+      (4L, "function f() { return 1; }\nA fine sentence that would survive."),
+      (5L, "One good keeper sentence stands alone."))
+      .toDF("doc_id", "text")
+    val out = graft.text.TextStats.c4LineFilter(rows, "text", "doc_id",
+        minWordsPerLine = 5, minLinesKept = 1)
+      .select("doc_id", "n_lines", "n_lines_kept", "clean_text",
+        "has_lorem_ipsum", "has_brace", "keep_page")
+      .as[(Long, Int, Int, String, Boolean, Boolean, Boolean)]
+      .collect().map(r => r._1 -> r).toMap
+    // doc 1: line 2 (<5 words) and line 4 (no terminal punct) drop
+    assert(out(1L)._2 == 4 && out(1L)._3 == 2 && out(1L)._7)
+    assert(out(1L)._4 ==
+      "This is a good first sentence here.\nAnother quite good long sentence!")
+    // doc 2: javascript line drops, page survives on the clean line
+    assert(out(2L)._3 == 1 && out(2L)._7)
+    // doc 3: lorem ipsum kills the page even though lines pass
+    assert(out(3L)._5 && !out(3L)._7)
+    // doc 4: brace kills the page
+    assert(out(4L)._6 && !out(4L)._7)
+    // doc 5: single clean line, kept
+    assert(out(5L)._3 == 1 && out(5L)._7)
+  }
+
   test("keepBestPerCluster: one winner per cluster, singletons self-cluster and survive") {
     val d = Seq((1L, 10), (2L, 30), (3L, 20),  // cluster 1: 2 wins on score
                 (7L, 5))                       // no edge → singleton
