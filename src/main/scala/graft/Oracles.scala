@@ -992,6 +992,21 @@ object Oracles {
         |   AND (n_req_stopwords >= 2)) AS pass
         |FROM c ORDER BY doc_id""".stripMargin,
 
+    // int8 quantization: maxabs selection + one correctly-rounded divide/
+    // multiply per element — bit-exact replay, codes and scale both.
+    "q_sim_int8_quantize" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |m AS (SELECT vec_id, v,
+        |    coalesce(list_max(list_transform(v, x -> abs(x))), 0.0) AS maxabs
+        |  FROM e)
+        |SELECT vec_id, maxabs / 127.0 AS scale,
+        |  coalesce(array_to_string(
+        |    CASE WHEN maxabs = 0.0 THEN list_transform(v, x -> '0')
+        |      ELSE list_transform(v,
+        |        x -> (floor(x * 127.0 / maxabs + 0.5)::INT)::VARCHAR)
+        |    END, ','), '') AS codes_csv
+        |FROM m ORDER BY vec_id""".stripMargin,
+
     "q_sim_bruteforce_topk" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
         |    FROM embeddings WHERE vec_id < 5),

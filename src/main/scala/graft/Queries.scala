@@ -841,6 +841,20 @@ object Queries {
         minWordsPerLine = 3, minLinesKept = 1)
       .orderBy("doc_id")
 
+  /** Per-vector symmetric int8 quantization of the embedding table
+    * ([[graft.sim.Similarity.int8Quantize]]): max-|x| scale + round-half-
+    * up codes, all selection/correctly-rounded-IEEE steps → codes AND
+    * scale hash-match DuckDB bit-for-bit. Codes are emitted as a CSV
+    * string (raw list columns carry engine-specific arrow element names —
+    * `element` vs `l` — that diverge the driver's typed hash; same
+    * convention as the pq_encode scalar columns). Map-only. */
+  def qSimInt8Quantize(s: SparkSession, dir: String): DataFrame =
+    Similarity.int8Quantize(
+        t(s, dir, "embeddings").select("vec_id", "embedding"), "embedding")
+      .select(col("vec_id"), col("scale"),
+        array_join(col("codes").cast("array<string>"), ",").as("codes_csv"))
+      .orderBy("vec_id")
+
   /** Classifier → curation wiring — the real label-then-filter pipeline:
     * train NB weights on the labeled third of the corpus (doc_id % 3 = 0,
     * label = lang is English), score the DISJOINT remainder, and keep only
@@ -1864,5 +1878,6 @@ object Queries {
     "q_text_gopher_rules" -> (qTextGopherRules _),
     "q_curate_tiers" -> (qCurateTiers _),
     "q_text_c4_filter" -> (qTextC4Filter _),
+    "q_sim_int8_quantize" -> (qSimInt8Quantize _),
   )
 }

@@ -347,4 +347,35 @@ object Similarity {
       .agg(sum(col("__q")).as("sum_q"), count(lit(1)).as("n"))
       .withColumn("mean",
         (col("sum_q").cast("double") / lit(1000000.0)) / col("n").cast("double"))
+
+  /** Symmetric per-vector int8 quantization — the storage/transport
+    * compression leg for embedding tables (4× vs fp32, 8× vs the fp64
+    * working form): each vector is scaled by its own max-|x| so codes
+    * span the full [−127, 127] range; `code_i = ⌊x_i·127/maxabs + 0.5⌋`
+    * (round-half-up), `scale = maxabs/127`, dequant `code·scale`.
+    * Zero/empty vectors quantize to all-zero codes with scale 0.
+    *
+    * Cross-engine exactness: maxabs is a SELECTION (fold of greatest/abs,
+    * no accumulation rounding), and every remaining step is one
+    * correctly-rounded IEEE double op — so codes AND scale are bit-exact
+    * in any engine, unlike sum-based norms. The triple reference to the
+    * staged `__maxabs` keeps it a projection barrier (invariant 6) — the
+    * fold runs once per row, not once per element.
+    *
+    * Scale: map-only projection, zero shuffle; composes ahead of
+    * [[bruteForceTopK]]/[[ivfTopK]] for int8-resident search (dequantize
+    * in the distance kernel or pre-scale queries). */
+  def int8Quantize(df: DataFrame, vecCol: String, as: String = "codes",
+                   scaleCol: String = "scale"): DataFrame = {
+    val v = col(vecCol).cast("array<double>")
+    df.withColumn("__maxabs",
+        aggregate(v, lit(0.0d), (acc, x) => greatest(acc, abs(x))))
+      .withColumn(scaleCol, col("__maxabs") / lit(127.0d))
+      .withColumn(as,
+        when(col("__maxabs") === 0.0d, transform(v, _ => lit(0)))
+          .otherwise(transform(v,
+            x => floor(x * lit(127.0d) / col("__maxabs") + lit(0.5d))
+              .cast("int"))))
+      .drop("__maxabs")
+  }
 }

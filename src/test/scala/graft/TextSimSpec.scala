@@ -445,6 +445,27 @@ class TextSimSpec extends AnyFunSuite {
     assert(out(5L)._3 == 1 && out(5L)._7)
   }
 
+  test("int8Quantize: hand-computed codes, zero vector, round-trip error bound") {
+    val vecs = Seq(
+      (1L, Seq(0.5f, -1.0f, 0.25f)),   // maxabs 1.0 → codes 64, -127, 32
+      (2L, Seq(0.0f, 0.0f, 0.0f)),     // zero vector → scale 0, codes 0
+      (3L, Seq(-0.3f, 0.7f, 0.11f)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.int8Quantize(vecs, "embedding")
+      .select("vec_id", "scale", "codes")
+      .as[(Long, Double, Seq[Int])].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out(1L)._2 == Seq(64, -127, 32))
+    assert(math.abs(out(1L)._1 - 1.0 / 127) < 1e-12)
+    assert(out(2L) == ((0.0, Seq(0, 0, 0))))
+    // round-trip: |x − code·scale| ≤ scale/2 everywhere (half-up rounding)
+    val (s3, c3) = out(3L)
+    val orig = Seq(-0.3f, 0.7f, 0.11f).map(_.toDouble)
+    c3.zip(orig).foreach { case (code, x) =>
+      assert(math.abs(x - code * s3) <= s3 / 2 + 1e-12, s"x=$x code=$code")
+    }
+    assert(c3.max <= 127 && c3.min >= -127)
+  }
+
   test("keepBestPerCluster: one winner per cluster, singletons self-cluster and survive") {
     val d = Seq((1L, 10), (2L, 30), (3L, 20),  // cluster 1: 2 wins on score
                 (7L, 5))                       // no edge → singleton
