@@ -915,6 +915,51 @@ object Oracles {
         |    AND len(kept) >= 1) AS keep_page
         |FROM k ORDER BY doc_id""".stripMargin,
 
+    // bigram-LM stupid backoff: corpus bigram/unigram counts from the
+    // ORIGINAL documents, the aug (corpus ∪ clones) frame scored with the
+    // three-level integer decade rule.
+    "q_text_bigram_rarity" ->
+      """WITH aug AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 20000, text || ' graftmarker'
+        |  FROM documents WHERE doc_id < 50),
+        |ctoks AS (SELECT list_filter(regexp_split_to_array(
+        |    regexp_replace(lower(trim(text)), '[^a-z0-9áéíóúñü ]', '', 'g'),
+        |    '\s+'), t -> t != '') AS tk FROM documents),
+        |uni AS (SELECT t.tok AS b, count(*)::BIGINT AS c1
+        |  FROM ctoks, unnest(tk) AS t(tok) GROUP BY t.tok),
+        |big AS (SELECT g.bg, count(*)::BIGINT AS c2
+        |  FROM (SELECT unnest(list_transform(range(1, len(tk)),
+        |      i -> tk[i] || ' ' || tk[i + 1])) AS bg
+        |    FROM ctoks WHERE len(tk) >= 2) g GROUP BY g.bg),
+        |tot AS (SELECT (SELECT sum(c2) FROM big)::BIGINT AS t2,
+        |               (SELECT sum(c1) FROM uni)::BIGINT AS t1),
+        |stoks AS (SELECT doc_id, list_filter(regexp_split_to_array(
+        |    regexp_replace(lower(trim(text)), '[^a-z0-9áéíóúñü ]', '', 'g'),
+        |    '\s+'), t -> t != '') AS tk FROM aug),
+        |strans AS (SELECT doc_id, g.bg,
+        |    string_split(g.bg, ' ')[2] AS b
+        |  FROM (SELECT doc_id, unnest(list_transform(range(1, len(tk)),
+        |      i -> tk[i] || ' ' || tk[i + 1])) AS bg
+        |    FROM stoks WHERE len(tk) >= 2) g),
+        |sc AS (SELECT s.doc_id,
+        |    CASE WHEN big.c2 IS NOT NULL
+        |           THEN length((tot.t2 // big.c2)::VARCHAR)
+        |         WHEN uni.c1 IS NOT NULL
+        |           THEN 1 + length((tot.t1 // uni.c1)::VARCHAR)
+        |         ELSE 2 + length(tot.t1::VARCHAR) END::BIGINT AS r
+        |  FROM strans s
+        |  LEFT JOIN big ON s.bg = big.bg
+        |  LEFT JOIN uni ON s.b = uni.b, tot),
+        |per AS (SELECT doc_id, count(*) AS n, sum(r) AS s, max(r) AS m
+        |  FROM sc GROUP BY doc_id)
+        |SELECT a.doc_id, coalesce(per.n, 0)::INT AS n_transitions,
+        |  coalesce(per.s, 0)::BIGINT AS bigram_rarity,
+        |  coalesce(per.m, 0)::INT AS bigram_rarity_max
+        |FROM aug a LEFT JOIN per ON a.doc_id = per.doc_id
+        |ORDER BY a.doc_id""".stripMargin,
+
     // classifier→curation: NB weights fitted on the doc_id%3=0 labeled
     // split only, the disjoint remainder scored and filtered to pred.
     "q_clf_curate" ->

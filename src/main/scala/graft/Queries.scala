@@ -855,6 +855,18 @@ object Queries {
         array_join(col("codes").cast("array<string>"), ",").as("codes_csv"))
       .orderBy("vec_id")
 
+  /** Bigram-LM rarity with stupid backoff ([[graft.text.BigramLM]]):
+    * the corpus ∪ clones frame scored against the ORIGINAL corpus's
+    * bigram/unigram statistics — the planted " graftmarker" suffix is an
+    * unseen token, so all three backoff levels (seen bigram / unseen
+    * bigram / unseen token) fire and hash-check. Integer decade scores →
+    * exact BIGINT sums. */
+  def qTextBigramRarity(s: SparkSession, dir: String): DataFrame =
+    graft.text.BigramLM.scoreDocs(
+        docsWithNearDups(s, dir), t(s, dir, "documents"), "text", "doc_id")
+      .select("doc_id", "n_transitions", "bigram_rarity", "bigram_rarity_max")
+      .orderBy("doc_id")
+
   /** Classifier → curation wiring — the real label-then-filter pipeline:
     * train NB weights on the labeled third of the corpus (doc_id % 3 = 0,
     * label = lang is English), score the DISJOINT remainder, and keep only
@@ -1879,5 +1891,6 @@ object Queries {
     "q_curate_tiers" -> (qCurateTiers _),
     "q_text_c4_filter" -> (qTextC4Filter _),
     "q_sim_int8_quantize" -> (qSimInt8Quantize _),
+    "q_text_bigram_rarity" -> (qTextBigramRarity _),
   )
 }

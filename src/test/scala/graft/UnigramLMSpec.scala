@@ -44,4 +44,37 @@ class UnigramLMSpec extends AnyFunSuite {
       .select("doc_id", "rarity_mean").as[(Long, Double)].collect().toSet
     assert(a == b)
   }
+
+  test("bigram backoff: hand-computed decades across all three levels") {
+    // corpus: unigrams x1 y2 z2 q1 (T1=6); bigrams "x y"1 "y z"2 "z q"1 (T2=4)
+    val corpus = Seq((1L, "x y z"), (2L, "y z q")).toDF("doc_id", "text")
+    val scored = Seq(
+      (10L, "x y z"),   // seen bigrams: digits(4/1)=1, digits(4/2)=1 → sum 2
+      (11L, "z x"),     // unseen bigram, seen x: 1+digits(6/1)=2
+      (12L, "x qq"),    // unseen bigram, unseen qq: 2+digits(6)=3
+      (13L, "x"),       // single token → no transitions
+      (14L, ""))        // empty
+      .toDF("doc_id", "text")
+    val out = graft.text.BigramLM.scoreDocs(scored, corpus, "text", "doc_id")
+      .select("doc_id", "n_transitions", "bigram_rarity", "bigram_rarity_max")
+      .as[(Long, Int, Long, Int)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out(10L) == ((2, 2L, 1)))
+    assert(out(11L) == ((1, 2L, 2)))
+    assert(out(12L) == ((1, 3L, 3)))
+    assert(out(13L) == ((0, 0L, 0)))
+    assert(out(14L) == ((0, 0L, 0)))
+  }
+
+  test("bigram backoff never fires scoring the corpus against itself; layout-independent") {
+    val corpus = Seq((1L, "a b c d"), (2L, "b c a")).toDF("doc_id", "text")
+    for (reps <- Seq(1, 4)) {
+      val out = graft.text.BigramLM.scoreDocs(
+          corpus.repartition(reps), corpus, "text", "doc_id")
+        .select("doc_id", "bigram_rarity_max").as[(Long, Int)].collect().toMap
+      // every transition of the corpus is a seen bigram → level-1 scores
+      // only, bounded by digits(T2) (T2 = 5 → max decade 1)
+      assert(out.values.forall(_ <= 1), s"reps=$reps: $out")
+    }
+  }
 }
