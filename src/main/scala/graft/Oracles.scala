@@ -960,6 +960,79 @@ object Oracles {
         |FROM aug a LEFT JOIN per ON a.doc_id = per.doc_id
         |ORDER BY a.doc_id""".stripMargin,
 
+    // recall@10 of int8-quantized search vs exact: BOTH candidate sets
+    // are full SQL replications — quantization is the bit-exact
+    // q_sim_int8_quantize replay, dequantization one IEEE multiply, and
+    // both rankings reuse the round-6 + neighbor-id tie rule of the green
+    // q_sim_bruteforce_topk; recall is integer set arithmetic on top.
+    "q_sim_recall_int8" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |m AS (SELECT vec_id, v,
+        |    coalesce(list_max(list_transform(v, x -> abs(x))), 0.0) AS maxabs
+        |  FROM e),
+        |dq AS (SELECT vec_id,
+        |    CASE WHEN maxabs = 0.0 THEN list_transform(v, x -> 0.0)
+        |      ELSE list_transform(v,
+        |        x -> floor(x * 127.0 / maxabs + 0.5) * (maxabs / 127.0))
+        |    END AS v
+        |  FROM m),
+        |ex AS (SELECT query_id, neighbor_id FROM (
+        |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |      round(list_dot_product(c.v, q.v)
+        |        / (sqrt(list_dot_product(c.v, c.v))
+        |         * sqrt(list_dot_product(q.v, q.v))), 6) AS cs
+        |    FROM e c CROSS JOIN e q
+        |    WHERE q.vec_id < 50 AND c.vec_id <> q.vec_id)
+        |  QUALIFY row_number() OVER (PARTITION BY query_id
+        |    ORDER BY cs DESC, neighbor_id) <= 10),
+        |ap AS (SELECT query_id, neighbor_id FROM (
+        |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |      round(list_dot_product(c.v, q.v)
+        |        / (sqrt(list_dot_product(c.v, c.v))
+        |         * sqrt(list_dot_product(q.v, q.v))), 6) AS cs
+        |    FROM dq c CROSS JOIN dq q
+        |    WHERE q.vec_id < 50 AND c.vec_id <> q.vec_id)
+        |  QUALIFY row_number() OVER (PARTITION BY query_id
+        |    ORDER BY cs DESC, neighbor_id) <= 10)
+        |SELECT x.query_id, count(*)::INT AS n_exact,
+        |  count(a.neighbor_id)::INT AS n_hits,
+        |  ((count(a.neighbor_id) * 100) // 10)::INT AS recall_pct
+        |FROM ex x LEFT JOIN ap a
+        |  ON x.query_id = a.query_id AND x.neighbor_id = a.neighbor_id
+        |GROUP BY x.query_id ORDER BY x.query_id""".stripMargin,
+
+    // temperature mixture: keep_n = min(n, floor(3·√n)) per language —
+    // sqrt/multiply are correctly-rounded IEEE ops, the draw order is the
+    // md5 portable-hash convention of q_p14_group_sample.
+    "q_curate_temperature" ->
+      """WITH cnt AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+        |k AS (SELECT lang,
+        |    least(n, CAST(floor(3.0 * sqrt(CAST(n AS DOUBLE))) AS BIGINT))
+        |      AS keep_n
+        |  FROM cnt),
+        |r AS (SELECT doc_id, lang,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY md5(concat_ws('|', CAST(doc_id AS VARCHAR), '42')),
+        |        doc_id) AS rn
+        |  FROM documents)
+        |SELECT doc_id, lang FROM r JOIN k USING (lang)
+        |WHERE rn <= keep_n ORDER BY doc_id""".stripMargin,
+
+    // data card: all-integer per-source rollup; duplicate mass counted on
+    // the md5 normalized-text fingerprint (q_text_fingerprint_md5 replay).
+    "q_data_card" ->
+      """SELECT source, count(*) AS n_docs,
+        |  CAST(sum(len(text)) AS BIGINT) AS total_chars,
+        |  CAST(min(len(text)) AS INT) AS min_chars,
+        |  CAST(max(len(text)) AS INT) AS max_chars,
+        |  CAST((sum(len(text)) * 100) // count(*) AS BIGINT) AS mean_chars_x100,
+        |  CAST(count(DISTINCT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))) AS INT)
+        |    AS n_distinct_texts,
+        |  CAST(count(*) - count(DISTINCT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))) AS INT)
+        |    AS n_dup_docs,
+        |  CAST(count(DISTINCT lang) AS INT) AS n_distinct_lang
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+
     // classifier→curation: NB weights fitted on the doc_id%3=0 labeled
     // split only, the disjoint remainder scored and filtered to pred.
     "q_clf_curate" ->

@@ -867,6 +867,52 @@ object Queries {
       .select("doc_id", "n_transitions", "bigram_rarity", "bigram_rarity_max")
       .orderBy("doc_id")
 
+  /** Retrieval-quality eval of int8-quantized search
+    * ([[graft.sim.Eval.recallAtK]]): exact cosine top-10 vs the same
+    * brute-force search over symmetrically dequantized vectors
+    * (`code·scale`, both sides quantized) — per-query recall@10 as an
+    * integer percent. Every step is cross-engine exact: codes+scale are
+    * the bit-exact [[qSimInt8Quantize]] replay, dequantization is one
+    * IEEE multiply, both rankings use the round-6/neighbor-id tie rule of
+    * the green [[qSimBruteForce]], and recall is integer set arithmetic —
+    * so DuckDB reproduces not just the metric but both candidate sets. */
+  def qSimRecallInt8(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings").select("vec_id", "embedding")
+    val exact = Similarity.bruteForceTopK(emb, emb.where(col("vec_id") < 50),
+      "vec_id", "embedding", "vec_id", k = 10)
+    val deq = Similarity.int8Quantize(emb, "embedding")
+      .select(col("vec_id"),
+        transform(col("codes"), c => c.cast("double") * col("scale"))
+          .as("embedding"))
+    val approx = Similarity.bruteForceTopK(deq, deq.where(col("vec_id") < 50),
+      "vec_id", "embedding", "vec_id", k = 10)
+    graft.sim.Eval.recallAtK(exact, approx, k = 10)
+      .orderBy("query_id")
+  }
+
+  /** Temperature-flattened language mixture
+    * ([[graft.ops.Filters.temperatureSample]]): keep
+    * `min(n, floor(3·√n))` docs per language in portable md5 order —
+    * the p ∝ n^α (α = 1/2) rebalancing draw, engine-exact because sqrt
+    * and multiply are correctly rounded IEEE ops and the draw order is
+    * the md5 convention of the green [[qP14GroupSample]]. */
+  def qCurateTemperature(s: SparkSession, dir: String): DataFrame =
+    Filters.temperatureSample(
+        t(s, dir, "documents").select("doc_id", "lang"),
+        "lang", c = 3.0, alphaQuarters = 2, keyCols = Seq("doc_id"))
+      .select("doc_id", "lang")
+      .orderBy("doc_id")
+
+  /** Per-source corpus datasheet ([[graft.text.TextStats.dataCard]]):
+    * volume, length extrema, fixed-point mean length, exact-duplicate
+    * mass (md5-fingerprint identity, the [[qTextFingerprintMd5]] replay)
+    * and language breadth — one aggregation over the scan, all-integer
+    * output. */
+  def qDataCard(s: SparkSession, dir: String): DataFrame =
+    TextStats.dataCard(t(s, dir, "documents"), "text", "source",
+        facetCols = Seq("lang"))
+      .orderBy("source")
+
   /** Classifier → curation wiring — the real label-then-filter pipeline:
     * train NB weights on the labeled third of the corpus (doc_id % 3 = 0,
     * label = lang is English), score the DISJOINT remainder, and keep only
@@ -1892,5 +1938,8 @@ object Queries {
     "q_text_c4_filter" -> (qTextC4Filter _),
     "q_sim_int8_quantize" -> (qSimInt8Quantize _),
     "q_text_bigram_rarity" -> (qTextBigramRarity _),
+    "q_sim_recall_int8" -> (qSimRecallInt8 _),
+    "q_curate_temperature" -> (qCurateTemperature _),
+    "q_data_card" -> (qDataCard _),
   )
 }

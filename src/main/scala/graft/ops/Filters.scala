@@ -360,4 +360,57 @@ object Filters {
       .where(col("__rn") <= element_at(keepN, col(groupCol)))
       .drop("__rn")
   }
+
+  /** Temperature-flattened mixture sampling: keep
+    * `min(n_g, floor(c · n_g^(alphaQuarters/4)))` rows of each group,
+    * chosen in portable-hash order — the sublinear domain-rebalancing
+    * draw of multilingual/multi-source pretraining (exponent-smoothed
+    * sampling p ∝ n^α, as popularized for language balancing in
+    * multilingual model training): big domains are damped, small ones
+    * kept (nearly) whole, and `c` sets the overall budget.
+    *
+    * Unlike [[rebalanceMixture]] (explicit target fractions, score-ranked
+    * keeps) the mixture here is DERIVED from the observed counts, and
+    * selection is an unbiased deterministic draw (md5 order, the
+    * [[groupSampleExact]] audit property) rather than quality-ranked.
+    *
+    * `α` is restricted to quarters (`alphaQuarters` ∈ 1..4) so the weight
+    * is an exact IEEE-754 composition: `n^(1/4) = sqrt(sqrt(n))`,
+    * `n^(2/4) = sqrt(n)`, `n^(3/4) = sqrt(n)·sqrt(sqrt(n))`, `n^1 = n` —
+    * sqrt and multiply are correctly-rounded in every IEEE engine, so
+    * `floor(c·w)` lands on the same integer everywhere (a free-form
+    * `pow(n, α)` is NOT correctly rounded and may differ in the last ulp
+    * across engines — see Queries.scala determinism rules).
+    *
+    * Scale: the count table is k rows (k = number of groups — domains,
+    * languages: driver-sized by definition) broadcast back onto the
+    * corpus; selection is ONE hash shuffle on the group key + in-partition
+    * sort, the [[groupSampleExact]] topology. Few-huge-group corpora hit
+    * the same window-task caveat documented there — shard the group key
+    * first if a single group exceeds one task's budget. */
+  def temperatureSample(df: DataFrame, groupCol: String, c: Double,
+                        alphaQuarters: Int, keyCols: Seq[String],
+                        salt: Int = 42): DataFrame = {
+    require(c > 0, "c must be positive")
+    require(alphaQuarters >= 1 && alphaQuarters <= 4,
+      "alphaQuarters must be in 1..4")
+    require(keyCols.nonEmpty, "keyCols must be non-empty")
+    val n = col("__n").cast("double")
+    val weight = alphaQuarters match {
+      case 1 => sqrt(sqrt(n))
+      case 2 => sqrt(n)
+      case 3 => sqrt(n) * sqrt(sqrt(n))
+      case 4 => n
+    }
+    val keepN = df.groupBy(col(groupCol)).agg(count(lit(1)).as("__n"))
+      .select(col(groupCol),
+        least(col("__n"), floor(lit(c) * weight).cast("long")).as("__keep"))
+    val h = md5(concat_ws("|", keyCols.map(col) :+ lit(salt.toString): _*))
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(h +: keyCols.map(col): _*)
+    df.join(broadcast(keepN), Seq(groupCol))
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") <= col("__keep"))
+      .drop("__rn", "__keep")
+  }
 }

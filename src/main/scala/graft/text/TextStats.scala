@@ -183,6 +183,47 @@ object TextStats {
           col("n_lines_kept") >= minLinesKept)
   }
 
+  /** Per-group corpus datasheet — the "data card" rollup (Gebru et al.,
+    * "Datasheets for Datasets", CACM 2021) every curated training corpus
+    * ships with: volume, length extrema/mean, exact-duplicate mass, and
+    * the distinct-value breadth of each declared categorical facet
+    * (languages, licenses, …) per source group.
+    *
+    * All columns are exact integers — counts, sums of integer lengths,
+    * `mean_chars_x100 = total·100 div n` (fixed-point, tie-free) — and
+    * duplicate mass is counted against [[portableFingerprint]] identity,
+    * so the whole card replays bit-for-bit in any engine with md5.
+    *
+    * Returns one row per group:
+    * `(groupCol, n_docs, total_chars, min_chars, max_chars,
+    *   mean_chars_x100, n_distinct_texts, n_dup_docs,
+    *   n_distinct_<facet>…)`.
+    *
+    * Scale: ONE aggregation over the scan — map-side partial aggregates
+    * per group key; the only non-trivially-combinable pieces are the
+    * distinct counts, which shuffle (group, value) pairs, bounded by the
+    * distinct-value mass, not corpus rows. No windows, no joins, no
+    * second scan. */
+  def dataCard(df: DataFrame, textCol: String, groupCol: String,
+               facetCols: Seq[String] = Nil): DataFrame = {
+    val len = length(col(textCol))
+    val facets = facetCols.map(c =>
+      countDistinct(col(c)).cast("int").as(s"n_distinct_$c"))
+    val aggs = Seq(
+      count(lit(1)).as("n_docs"),
+      sum(len.cast("long")).as("total_chars"),
+      min(len).cast("int").as("min_chars"),
+      max(len).cast("int").as("max_chars"),
+      countDistinct(portableFingerprint(col(textCol))).as("__nfp")) ++ facets
+    df.groupBy(col(groupCol))
+      .agg(aggs.head, aggs.tail: _*)
+      .withColumn("mean_chars_x100",
+        expr("CAST((total_chars * 100) DIV n_docs AS BIGINT)"))
+      .withColumn("n_distinct_texts", col("__nfp").cast("int"))
+      .withColumn("n_dup_docs", (col("n_docs") - col("__nfp")).cast("int"))
+      .drop("__nfp")
+  }
+
   /** All stats in one projection. */
   def withTextStats(df: DataFrame, textCol: String): DataFrame =
     df.select(col("*"),

@@ -57,4 +57,52 @@ class CurateSpec extends AnyFunSuite {
       (1L, 3, 15L, 25L), (1L, 4, 20L, 25L),
       (2L, 0, 0L, 10L), (2L, 1, 5L, 10L)))
   }
+
+  test("temperatureSample: sublinear keeps, small groups whole, md5-order replay") {
+    val df = ((1L to 100L).map(i => ("big", i)) ++
+      (101L to 104L).map(i => ("small", i))).toDF("lang", "id")
+    val out = Filters.temperatureSample(df, "lang", c = 2.0,
+      alphaQuarters = 2, keyCols = Seq("id"))
+    val byLang = out.select("lang", "id").as[(String, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    // big: min(100, floor(2*sqrt(100))) = 20; small: min(4, floor(2*2)) = 4
+    assert(byLang("big").size == 20)
+    assert(byLang("small") == (101L to 104L).toSet)
+    // independent JVM replay of the md5 draw order for the big group
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h(i: Long) = md.digest(s"$i|42".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val expected = (1L to 100L).sortBy(i => (h(i), i)).take(20).toSet
+    assert(byLang("big") == expected)
+  }
+
+  test("temperatureSample: alpha=1 reduces to a plain per-group cap; layout-independent") {
+    val df = ((1L to 9L).map(i => ("a", i)) ++ (10L to 12L).map(i => ("b", i)))
+      .toDF("lang", "id")
+    val out = Filters.temperatureSample(df, "lang", c = 0.5,
+      alphaQuarters = 4, keyCols = Seq("id"))
+    // keep floor(0.5*n): a -> 4, b -> 1
+    val sizes = out.groupBy("lang").count().as[(String, Long)].collect().toMap
+    assert(sizes == Map("a" -> 4L, "b" -> 1L))
+    val again = Filters.temperatureSample(df.repartition(5), "lang", c = 0.5,
+      alphaQuarters = 4, keyCols = Seq("id"))
+      .select("id").as[Long].collect().toSet
+    assert(again == out.select("id").as[Long].collect().toSet)
+  }
+
+  test("dataCard: all-integer per-group rollup with fingerprint dup mass") {
+    val df = Seq(
+      (1L, "a b", "en", "A"), (2L, "A  b", "fr", "A"), (3L, "ccc", "en", "A"),
+      (4L, "dd", "en", "B"))
+      .toDF("doc_id", "text", "lang", "source")
+    val out = graft.text.TextStats.dataCard(df, "text", "source", Seq("lang"))
+      .select("source", "n_docs", "total_chars", "min_chars", "max_chars",
+        "mean_chars_x100", "n_distinct_texts", "n_dup_docs", "n_distinct_lang")
+      .as[(String, Long, Long, Int, Int, Long, Int, Int, Int)]
+      .collect().sortBy(_._1).toSeq
+    // A: lengths 3,4,3 -> total 10, mean 333; "a b" ≡ "A  b" normalized -> 2 distinct, 1 dup
+    assert(out == Seq(
+      ("A", 3L, 10L, 3, 4, 333L, 2, 1, 2),
+      ("B", 1L, 2L, 2, 2, 200L, 1, 0, 1)))
+  }
 }
