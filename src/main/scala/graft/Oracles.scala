@@ -1033,6 +1033,89 @@ object Oracles {
         |  CAST(count(DISTINCT lang) AS INT) AS n_distinct_lang
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
 
+    // incremental IVF postings: seeding the corpus then upserting the
+    // batch must equal the one-shot fixed-centroid assignment (integer
+    // argmin makes increment order invisible) — the q_cluster_assign
+    // replay over the whole table, keyed as (id, cluster).
+    "q_sim_inc_index" ->
+      """WITH q AS (SELECT vec_id,
+        |    list_transform(embedding,
+        |      x -> CAST(round(CAST(x AS DOUBLE)*1000000) AS BIGINT)) AS v
+        |  FROM embeddings),
+        |c AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cidx, v AS cv
+        |  FROM q WHERE vec_id < 8),
+        |d AS (SELECT q.vec_id, c.cidx,
+        |    list_sum(list_transform(range(1, 65),
+        |      i -> (q.v[i]-c.cv[i])*(q.v[i]-c.cv[i]))) AS dist
+        |  FROM q CROSS JOIN c),
+        |r AS (SELECT vec_id, cidx,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, cidx) AS rn
+        |  FROM d)
+        |SELECT vec_id AS id, CAST(cidx AS INT) AS cluster FROM r WHERE rn = 1
+        |ORDER BY id""".stripMargin,
+
+    // tokenizer fertility: chars per proxy-BPE token, integer DIV of
+    // exact BIGINT sums (regex replay of the green q_text_fingerprint
+    // n_tokens_bpe convention).
+    "q_token_fertility" ->
+      """SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(len(text)) AS BIGINT) AS total_chars,
+        |  CAST(sum(len(regexp_extract_all(text,
+        |    '[A-Za-z]{1,4}|[0-9]|[^A-Za-z0-9\s]'))) AS BIGINT)
+        |    AS total_tokens_bpe,
+        |  CAST(CASE WHEN sum(len(regexp_extract_all(text,
+        |      '[A-Za-z]{1,4}|[0-9]|[^A-Za-z0-9\s]'))) = 0 THEN NULL
+        |    ELSE (sum(len(text)) * 100) // sum(len(regexp_extract_all(text,
+        |      '[A-Za-z]{1,4}|[0-9]|[^A-Za-z0-9\s]')))
+        |    END AS BIGINT) AS chars_per_token_x100
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // flagship curation pipeline: md5-fingerprint keep-first → langid +
+    // length gate → temperature mixture per predicted language — every
+    // stage reuses an already-green oracle fragment; the hash certifies
+    // the COMPOSITION.
+    "q_pipe_curation" ->
+      """WITH aug AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 10000, text FROM documents WHERE doc_id < 50),
+        |s1 AS (SELECT doc_id, text,
+        |    row_number() OVER (
+        |      PARTITION BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+        |      ORDER BY doc_id) = 1 AS kept_dedup
+        |  FROM aug),
+        |l AS (SELECT doc_id, kept_dedup, len(text) AS n_chars,
+        |    len(list_filter(regexp_split_to_array(lower(text), '[^a-záéíóúñü]+'),
+        |      x -> list_contains(['the','a','an','and','or','of','to','in','is','it',
+        |        'that','was','for','on','with','as','at','by','be'], x))) AS en_hits,
+        |    len(list_filter(regexp_split_to_array(lower(text), '[^a-záéíóúñü]+'),
+        |      x -> list_contains(['el','la','los','las','un','una','y','o','de','del',
+        |        'que','en','es','por','con','para','se','su','al'], x))) AS es_hits
+        |  FROM s1),
+        |s2 AS (SELECT doc_id,
+        |    CASE WHEN en_hits = 0 AND es_hits = 0 THEN 'unknown'
+        |         WHEN en_hits >= es_hits THEN 'en' ELSE 'es' END AS lang_pred,
+        |    kept_dedup,
+        |    kept_dedup AND NOT (en_hits = 0 AND es_hits = 0)
+        |      AND n_chars >= 200 AS kept_quality
+        |  FROM l),
+        |surv AS (SELECT doc_id, lang_pred FROM s2 WHERE kept_quality),
+        |k AS (SELECT lang_pred,
+        |    least(n, CAST(floor(4.0 * sqrt(CAST(n AS DOUBLE))) AS BIGINT))
+        |      AS keep_n
+        |  FROM (SELECT lang_pred, count(*) AS n FROM surv GROUP BY lang_pred)),
+        |r AS (SELECT doc_id, lang_pred,
+        |    row_number() OVER (PARTITION BY lang_pred
+        |      ORDER BY md5(concat_ws('|', CAST(doc_id AS VARCHAR), '42')),
+        |        doc_id) AS rn
+        |  FROM surv)
+        |SELECT s2.doc_id, s2.lang_pred, s2.kept_dedup, s2.kept_quality,
+        |  coalesce(r.rn <= k.keep_n, FALSE) AS kept_sample
+        |FROM s2
+        |LEFT JOIN r ON s2.doc_id = r.doc_id
+        |LEFT JOIN k ON r.lang_pred = k.lang_pred
+        |ORDER BY s2.doc_id""".stripMargin,
+
     // classifier→curation: NB weights fitted on the doc_id%3=0 labeled
     // split only, the disjoint remainder scored and filtered to pred.
     "q_clf_curate" ->

@@ -903,6 +903,83 @@ object Queries {
       .select("doc_id", "lang")
       .orderBy("doc_id")
 
+  /** INCREMENTAL IVF index maintenance ([[graft.sim.IvfIndex]]): the
+    * corpus partition (vec_id % 4 != 0) seeds the cluster-partitioned
+    * posting store, the batch (vec_id % 4 == 0) is assigned map-only
+    * against the same broadcast centroids and upserted — the corpus is
+    * never re-assigned. Output = the full posting map read back, which
+    * must equal a ONE-SHOT [[qClusterAssign]] over everything (exact
+    * integer argmin ⇒ increment order is invisible) — so the oracle is
+    * the full-table assignment replay, and a hash match proves the
+    * two-phase store path end-to-end. */
+  def qSimIncIndex(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val cs = fixedCentroids(emb)
+    val store = new graft.store.TableStore(s,
+      java.nio.file.Files.createTempDirectory("graft_ivf_idx").toString)
+    graft.sim.IvfIndex.assignIncremental(store, "postings",
+      emb.where(col("vec_id") % 4 =!= 0), "vec_id", "embedding", cs)
+    graft.sim.IvfIndex.assignIncremental(store, "postings",
+      emb.where(col("vec_id") % 4 === 0), "vec_id", "embedding", cs)
+    graft.sim.IvfIndex.postings(store, "postings").orderBy("id")
+  }
+
+  /** Tokenizer fertility per language: chars per (regex-proxy BPE) token
+    * as a fixed-point integer — the chars/token audit every multilingual
+    * tokenizer evaluation reports (fertility differences across scripts).
+    * Integer DIV of exact BIGINT sums; single aggregation. */
+  def qTokenFertility(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(length(col("text")).cast("long")).as("total_chars"),
+        sum(TextStats.tokenCountBpe(col("text")).cast("long"))
+          .as("total_tokens_bpe"))
+      .withColumn("chars_per_token_x100",
+        expr("CAST(CASE WHEN total_tokens_bpe = 0 THEN NULL " +
+          "ELSE (total_chars * 100) DIV total_tokens_bpe END AS BIGINT)"))
+      .orderBy("lang")
+
+  /** Flagship end-to-end curation pipeline over the corpus ∪ exact
+    * clones — the canonical pretraining-data flow (dedup → language/
+    * quality gate → temperature-balanced mixture), each stage an
+    * already-oracled operator, composed with FULL per-document trace
+    * flags so the output exposes every stage's verdict, not just the
+    * survivors:
+    *
+    *  1. exact dedup: first doc_id per md5 fingerprint survives
+    *     ([[qTextFingerprintMd5]] identity);
+    *  2. gate: stopword language ID known AND ≥ 200 chars;
+    *  3. temperature mixture: min(n, floor(4·√n)) survivors per
+    *     PREDICTED language in portable md5 order
+    *     ([[qCurateTemperature]] machinery).
+    *
+    * Every stage is engine-exact, so DuckDB replays the pipeline
+    * verbatim — a hash match certifies stage composition, not just each
+    * operator in isolation. Scale: stage 1 is one fingerprint-keyed
+    * shuffle, stage 2 map-only, stage 3 the k-row count broadcast +
+    * survivor-sized group shuffle — the corpus is scanned once. */
+  def qPipeCuration(s: SparkSession, dir: String): DataFrame = {
+    val docs = docsWithExactDups(s, dir).select("doc_id", "text")
+    val wFp = Window.partitionBy(col("__fp")).orderBy(col("doc_id"))
+    val staged = docs
+      .withColumn("__fp", TextStats.portableFingerprint(col("text")))
+      .withColumn("kept_dedup", row_number().over(wFp) === 1)
+      .withColumn("lang_pred", TextStats.langId(col("text")))
+      .withColumn("kept_quality",
+        col("kept_dedup") && col("lang_pred") =!= "unknown" &&
+          length(col("text")) >= 200)
+    val sampled = Filters.temperatureSample(
+        staged.where(col("kept_quality")).select("doc_id", "lang_pred"),
+        "lang_pred", c = 4.0, alphaQuarters = 2, keyCols = Seq("doc_id"))
+      .select(col("doc_id"), lit(true).as("kept_sample"))
+    staged.join(sampled, Seq("doc_id"), "left")
+      .withColumn("kept_sample", coalesce(col("kept_sample"), lit(false)))
+      .select("doc_id", "lang_pred", "kept_dedup", "kept_quality",
+        "kept_sample")
+      .orderBy("doc_id")
+  }
+
   /** Per-source corpus datasheet ([[graft.text.TextStats.dataCard]]):
     * volume, length extrema, fixed-point mean length, exact-duplicate
     * mass (md5-fingerprint identity, the [[qTextFingerprintMd5]] replay)
@@ -1941,5 +2018,8 @@ object Queries {
     "q_sim_recall_int8" -> (qSimRecallInt8 _),
     "q_curate_temperature" -> (qCurateTemperature _),
     "q_data_card" -> (qDataCard _),
+    "q_sim_inc_index" -> (qSimIncIndex _),
+    "q_token_fertility" -> (qTokenFertility _),
+    "q_pipe_curation" -> (qPipeCuration _),
   )
 }

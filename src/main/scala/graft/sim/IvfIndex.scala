@@ -1,0 +1,102 @@
+package graft.sim
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.store.TableStore
+
+/** Store-backed INCREMENTAL IVF index maintenance — the vector-search
+  * analog of [[graft.text.Dedup.exactIncremental]]: the corpus is
+  * assigned to its inverted-file buckets ONCE, each arriving batch is
+  * assigned map-only against the same broadcast centroids and upserted
+  * into the persisted posting table, and searches probe the stored
+  * postings — the already-indexed corpus is never re-read, re-assigned or
+  * shuffled per batch. This is the standard maintenance shape of IVF
+  * deployments (Jégou et al., TPAMI 2011: the coarse quantizer is fixed;
+  * postings grow by appending), re-expressed over the snapshot store.
+  *
+  * Assignment reuses [[Cluster.assignQuantized]] (integer micro-unit
+  * argmin — bit-identical on any engine/layout), so seeding the corpus in
+  * one call or in N incremental calls produces the IDENTICAL posting
+  * table, and the whole table is SQL-replayable (the
+  * `q_cluster_assign` oracle argument).
+  *
+  * Scale: per batch, ONE map-only projection (k·dim literal centroids
+  * ride in the plan) + the store's PK upsert; the posting table is
+  * hive-partitioned by `cluster`, so probes read only the probed buckets'
+  * partition directories (scan pruning, not a filter over the full
+  * index). Centroids are k·dim driver state by construction.
+  */
+object IvfIndex {
+
+  private def centroidsLit(cs: Seq[Seq[Long]]) =
+    array(cs.map(c => array(c.map(v => lit(v)): _*)): _*)
+
+  /** Assign `batch` to its IVF buckets and register the postings
+    * (`id, cluster, v`) in the store — seeds the table partitioned by
+    * `cluster` on first use, PK-upserts afterwards (idempotent replay,
+    * evolving corpus). Returns the batch's `(id, cluster)` assignments. */
+  def assignIncremental(store: TableStore, table: String, batch: DataFrame,
+                        idCol: String, vecCol: String,
+                        centroids: Seq[Seq[Long]]): DataFrame = {
+    val assigned = Cluster.assignQuantized(
+        batch.select(col(idCol), col(vecCol)), vecCol, centroids)
+      .select(col(idCol).cast("long").as("id"), col("cluster"),
+        col(vecCol).cast("array<double>").as("v"))
+    if (store.exists(table)) store.upsert(table, assigned, Seq("id"))
+    else store.overwrite(table, assigned, primaryKeys = Seq("id"),
+      partitionBy = Seq("cluster"))
+    assigned.select(col("id"), col("cluster"))
+  }
+
+  /** Read back the full posting map `(id, cluster)` — equals a one-shot
+    * [[Cluster.assignQuantized]] over everything ever ingested, however
+    * many increments built it. */
+  def postings(store: TableStore, table: String): DataFrame =
+    store.read(table).select(col("id"), col("cluster"))
+
+  /** Top-k cosine search against the STORED index: each query probes its
+    * `nProbe` nearest centroid buckets (exact integer distances, same
+    * quantization as assignment), only those buckets' partition
+    * directories are scanned, and candidates rank by true cosine.
+    *
+    * Query-batch broadcast contract (same as [[Similarity.ivfTopK]]): the
+    * query side is deliberately broadcast so the posting scan stays
+    * shuffle-free — chunk huge query batches. The probed-cluster set is
+    * collected to the driver (≤ nProbe·|queries| ints) to drive partition
+    * pruning on the store read. */
+  def searchStored(store: TableStore, table: String, queries: DataFrame,
+                   queryIdCol: String, vecCol: String,
+                   centroids: Seq[Seq[Long]], k: Int = 10,
+                   nProbe: Int = 4): DataFrame = {
+    require(nProbe > 0 && k > 0, "nProbe and k must be positive")
+    val cLit = centroidsLit(centroids)
+    val q = queries.select(col(queryIdCol).cast("long").as("query_id"),
+        col(vecCol).cast("array<double>").as("__qv"))
+      .withColumn("__cq", Cluster.quantize(col("__qv")))
+      .withColumn("__d",
+        transform(cLit, c => Cluster.sqDistLong(col("__cq"), c)))
+      .select(col("query_id"), col("__qv"),
+        posexplode(col("__d")).as(Seq("__cidx", "__dist")))
+    val probeW = Window.partitionBy(col("query_id"))
+      .orderBy(col("__dist"), col("__cidx"))
+    val probes = q.withColumn("__pr", row_number().over(probeW))
+      .where(col("__pr") <= nProbe)
+      .select(col("query_id"), col("__qv"), col("__cidx").as("cluster"))
+    val probedClusters = probes.select("cluster").distinct()
+      .collect().map(_.getInt(0)).toSeq
+    val cands = store.read(table)
+      .where(col("cluster").isin(probedClusters: _*))
+      .join(broadcast(probes), Seq("cluster"))
+      .where(col("id") =!= col("query_id"))
+      .withColumn("cosine_sim",
+        round(Similarity.cosine(col("v"), col("__qv")), 6))
+    val rankW = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine_sim").desc, col("id"))
+    cands.withColumn("rank", row_number().over(rankW))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("id").as("neighbor_id"),
+        col("cosine_sim"), col("rank"))
+  }
+}
