@@ -382,12 +382,13 @@ object Filters {
     * `pow(n, α)` is NOT correctly rounded and may differ in the last ulp
     * across engines — see Queries.scala determinism rules).
     *
-    * Scale: the count table is k rows (k = number of groups — domains,
-    * languages: driver-sized by definition) broadcast back onto the
-    * corpus; selection is ONE hash shuffle on the group key + in-partition
-    * sort, the [[groupSampleExact]] topology. Few-huge-group corpora hit
-    * the same window-task caveat documented there — shard the group key
-    * first if a single group exceeds one task's budget. */
+    * Scale: ONE scan, ONE hash shuffle on the group key — the per-group
+    * count rides the selection window's own partitioning (an unordered
+    * count(*) frame over the same Window spec, so both resolve against a
+    * single Exchange + sort; the [[topFractionByGroup]] shape) instead of
+    * a second counting scan + broadcast join. Few-huge-group corpora hit
+    * the same window-task caveat as [[groupSampleExact]] — shard the
+    * group key first if a single group exceeds one task's budget. */
   def temperatureSample(df: DataFrame, groupCol: String, c: Double,
                         alphaQuarters: Int, keyCols: Seq[String],
                         salt: Int = 42): DataFrame = {
@@ -402,15 +403,14 @@ object Filters {
       case 3 => sqrt(n) * sqrt(sqrt(n))
       case 4 => n
     }
-    val keepN = df.groupBy(col(groupCol)).agg(count(lit(1)).as("__n"))
-      .select(col(groupCol),
-        least(col("__n"), floor(lit(c) * weight).cast("long")).as("__keep"))
     val h = md5(concat_ws("|", keyCols.map(col) :+ lit(salt.toString): _*))
     val w = Window.partitionBy(col(groupCol))
       .orderBy(h +: keyCols.map(col): _*)
-    df.join(broadcast(keepN), Seq(groupCol))
-      .withColumn("__rn", row_number().over(w))
-      .where(col("__rn") <= col("__keep"))
-      .drop("__rn", "__keep")
+    val cnt = Window.partitionBy(col(groupCol))
+    df.withColumn("__rn", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(cnt))
+      .where(col("__rn") <=
+        least(col("__n"), floor(lit(c) * weight).cast("long")))
+      .drop("__rn", "__n")
   }
 }

@@ -90,6 +90,15 @@ class CurateSpec extends AnyFunSuite {
     assert(again == out.select("id").as[Long].collect().toSet)
   }
 
+  test("temperatureSample plans ONE exchange: count rides the selection window") {
+    val df = ((1L to 50L).map(i => ("a", i)) ++ (51L to 60L).map(i => ("b", i)))
+      .toDF("lang", "id")
+    val out = Filters.temperatureSample(df, "lang", c = 2.0,
+      alphaQuarters = 2, keyCols = Seq("id"))
+    out.collect()
+    assert(graft.ops.Scale.countExchanges(out) == 1)
+  }
+
   test("dataCard: all-integer per-group rollup with fingerprint dup mass") {
     val df = Seq(
       (1L, "a b", "en", "A"), (2L, "A  b", "fr", "A"), (3L, "ccc", "en", "A"),
