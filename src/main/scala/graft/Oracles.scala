@@ -1116,6 +1116,34 @@ object Oracles {
         |LEFT JOIN k ON r.lang_pred = k.lang_pred
         |ORDER BY s2.doc_id""".stripMargin,
 
+    // cross-source 3-gram overlap: distinct (source, gram) sets, pair
+    // counts via the gram self-join, Jaccard as the repo-standard
+    // tie-free fixed-point round (token/gram replay verbatim from the
+    // green q_dedup_ngram_jaccard oracle).
+    "q_source_overlap" ->
+      """WITH g AS (SELECT source,
+        |    unnest(list_distinct(list_transform(
+        |      range(1, greatest(len(regexp_split_to_array(
+        |        regexp_replace(lower(trim(text)), '[^a-z0-9áéíóúñü ]', '', 'g'),
+        |        '\s+')) - 2, 1) + 1),
+        |      i -> array_to_string(list_slice(regexp_split_to_array(
+        |        regexp_replace(lower(trim(text)), '[^a-z0-9áéíóúñü ]', '', 'g'),
+        |        '\s+'), i, i + 2), ' ')))) AS gram
+        |  FROM documents),
+        |d AS (SELECT DISTINCT source, gram FROM g),
+        |t AS (SELECT source, count(*) AS n FROM d GROUP BY source),
+        |s AS (SELECT a.source AS group_a, b.source AS group_b,
+        |    count(*) AS shared_grams
+        |  FROM d a JOIN d b ON a.gram = b.gram AND a.source < b.source
+        |  GROUP BY 1, 2)
+        |SELECT group_a, group_b, shared_grams, ta.n AS n_a, tb.n AS n_b,
+        |  floor(shared_grams::DOUBLE / (ta.n + tb.n - shared_grams) * 10000
+        |    + 0.5) / 10000 AS jaccard
+        |FROM s
+        |JOIN t ta ON s.group_a = ta.source
+        |JOIN t tb ON s.group_b = tb.source
+        |ORDER BY group_a, group_b""".stripMargin,
+
     // classifier→curation: NB weights fitted on the doc_id%3=0 labeled
     // split only, the disjoint remainder scored and filtered to pred.
     "q_clf_curate" ->

@@ -980,6 +980,15 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** Cross-source 3-gram overlap matrix
+    * ([[graft.text.Dedup.crossGroupOverlap]]): distinct shared grams +
+    * fixed-point Jaccard for every source pair — the dataset-mixing /
+    * contamination audit, all counts exact integers and the division the
+    * repo-standard tie-free round. */
+  def qSourceOverlap(s: SparkSession, dir: String): DataFrame =
+    Dedup.crossGroupOverlap(t(s, dir, "documents"), "text", "source", n = 3)
+      .orderBy("group_a", "group_b")
+
   /** Per-source corpus datasheet ([[graft.text.TextStats.dataCard]]):
     * volume, length extrema, fixed-point mean length, exact-duplicate
     * mass (md5-fingerprint identity, the [[qTextFingerprintMd5]] replay)
@@ -2021,5 +2030,6 @@ object Queries {
     "q_sim_inc_index" -> (qSimIncIndex _),
     "q_token_fertility" -> (qTokenFertility _),
     "q_pipe_curation" -> (qPipeCuration _),
+    "q_source_overlap" -> (qSourceOverlap _),
   )
 }

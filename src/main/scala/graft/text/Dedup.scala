@@ -631,4 +631,43 @@ object Dedup {
         col("n_blocks"),
         coalesce(col("n_kept"), lit(0)).as("n_kept"))
   }
+
+  /** Cross-group n-gram overlap matrix — the dataset-mixing audit run
+    * before combining corpora (and the corpus-level cousin of
+    * [[contaminationReport]]): for every pair of groups (sources,
+    * datasets, splits), how many distinct word n-grams they share and the
+    * Jaccard of their gram sets. High overlap between a train source and
+    * an eval source is contamination; high overlap between two "distinct"
+    * crawls is wasted mixture weight.
+    *
+    * Returns `(group_a, group_b, shared_grams, n_a, n_b, jaccard)` for
+    * pairs with ≥1 shared gram, `group_a < group_b`; `jaccard` is the
+    * repo-standard tie-free fixed-point round of exact integer counts.
+    *
+    * Scale: the corpus collapses to DISTINCT (group, gram) rows — one
+    * gram-keyed aggregate whose shuffle carries the distinct-gram mass,
+    * not occurrences; the pair counts come from a self-join keyed by the
+    * GRAM (per-gram fan-out ≤ k² for k groups — tens, by definition),
+    * never document pairs; per-group totals are a k-row broadcast. */
+  def crossGroupOverlap(df: DataFrame, textCol: String, groupCol: String,
+                        n: Int = 3): DataFrame = {
+    val grams = withGrams(df.select(col(groupCol), col(textCol)), textCol, n)
+      .select(col(groupCol), explode(col("__grams")).as("__gram"))
+      .distinct()
+    val totals = grams.groupBy(col(groupCol)).agg(count(lit(1)).as("__n"))
+    val shared = grams.select(col(groupCol).as("group_a"), col("__gram"))
+      .join(grams.select(col(groupCol).as("group_b"), col("__gram")), Seq("__gram"))
+      .where(col("group_a") < col("group_b"))
+      .groupBy(col("group_a"), col("group_b"))
+      .agg(count(lit(1)).as("shared_grams"))
+    val union = col("n_a") + col("n_b") - col("shared_grams")
+    shared
+      .join(broadcast(totals.select(col(groupCol).as("group_a"),
+        col("__n").as("n_a"))), Seq("group_a"))
+      .join(broadcast(totals.select(col(groupCol).as("group_b"),
+        col("__n").as("n_b"))), Seq("group_b"))
+      .withColumn("jaccard",
+        floor(col("shared_grams") / union * 10000.0 + 0.5) / 10000.0)
+      .select("group_a", "group_b", "shared_grams", "n_a", "n_b", "jaccard")
+  }
 }

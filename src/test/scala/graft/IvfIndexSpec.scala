@@ -86,6 +86,34 @@ class IvfIndexSpec extends AnyFunSuite {
     walk(df.queryExecution.executedPlan)
   }
 
+  test("streaming ingest via foreachBatch builds the same index as batch") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfstream").toString
+    vecs.toDF("vec_id", "embedding").repartition(3).write
+      .mode("overwrite").parquet(dir)
+    val store = freshStore()
+    val cp = java.nio.file.Files.createTempDirectory("graft_ivfcp").toString
+    val stream = spark.readStream
+      .schema(spark.read.parquet(dir).schema)
+      .option("maxFilesPerTrigger", 1) // several micro-batches -> several upserts
+      .parquet(dir)
+    val q = stream.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        graft.sim.IvfIndex.assignIncremental(store, "p", batch,
+          "vec_id", "embedding", centroids)
+        ()
+      }
+      .option("checkpointLocation", cp)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val streamed = graft.sim.IvfIndex.postings(store, "p")
+      .as[(Long, Int)].collect().toSet
+    val oneShot = Cluster.assignQuantized(
+        vecs.toDF("vec_id", "embedding"), "embedding", centroids)
+      .select(col("vec_id"), col("cluster")).as[(Long, Int)].collect().toSet
+    assert(streamed == oneShot)
+  }
+
   test("assignIncremental output is partition-layout independent") {
     val df = vecs.toDF("vec_id", "embedding")
     val a = IvfIndex.assignIncremental(freshStore(), "p",

@@ -490,4 +490,32 @@ class TextSimSpec extends AnyFunSuite {
       assert(out == Map(2L -> true, 5L -> false, 9L -> false), s"reps=$reps")
     }
   }
+
+  test("crossGroupOverlap: hand-computed shared 3-grams and Jaccard per source pair") {
+    val df = Seq(
+      ("A", "x y z w"),     // grams: {x y z, y z w}
+      ("A", "x y z"),       // gram:  {x y z} (dup within A collapses)
+      ("B", "x y z q"),     // grams: {x y z, y z q}
+      ("C", "p q r"))       // gram:  {p q r}
+      .toDF("source", "text")
+    val out = Dedup.crossGroupOverlap(df, "text", "source", n = 3)
+      .select("group_a", "group_b", "shared_grams", "n_a", "n_b", "jaccard")
+      .as[(String, String, Long, Long, Long, Double)].collect().toSet
+    // A={x y z, y z w} (n=2), B={x y z, y z q} (n=2), C={p q r} (n=1)
+    // A∩B={x y z}: 1 shared, union 3 -> 0.3333; C overlaps nothing
+    assert(out == Set(("A", "B", 1L, 2L, 2L, 0.3333)))
+  }
+
+  test("crossGroupOverlap is partition-layout independent and symmetric-free") {
+    val df = Seq(
+      ("s1", "a b c d e"), ("s2", "a b c x y"), ("s3", "a b c d e f"))
+      .toDF("source", "text")
+    val a = Dedup.crossGroupOverlap(df, "text", "source")
+      .orderBy("group_a", "group_b").collect().toSeq
+    val b = Dedup.crossGroupOverlap(df.repartition(5), "text", "source")
+      .orderBy("group_a", "group_b").collect().toSeq
+    assert(a == b)
+    // every pair appears once with group_a < group_b
+    assert(a.forall(r => r.getString(0) < r.getString(1)))
+  }
 }
