@@ -1144,6 +1144,44 @@ object Oracles {
         |JOIN t tb ON s.group_b = tb.source
         |ORDER BY group_a, group_b""".stripMargin,
 
+    // vocabulary frequency spectrum: the q_text_rarity token/count replay
+    // collapsed by digit-count decade — all-integer.
+    "q_vocab_spectrum" ->
+      """WITH d AS (SELECT doc_id,
+        |    list_filter(regexp_split_to_array(regexp_replace(lower(trim(text)),
+        |      '[^a-z0-9áéíóúñü ]', '', 'g'), '\s+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |tok AS (SELECT doc_id, unnest(toks) AS token FROM d),
+        |cnt AS (SELECT token, count(*) AS c FROM tok GROUP BY token)
+        |SELECT CAST(length(c::VARCHAR) AS INT) AS freq_decade,
+        |  count(*) AS n_types, CAST(sum(c) AS BIGINT) AS n_tokens
+        |FROM cnt GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // per-doc novelty: distinct (doc, 3-gram) pairs, gram attributed to
+    // its min doc_id; clones at +10000 score 0 new grams by construction.
+    "q_doc_novelty" ->
+      """WITH aug AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 10000, text FROM documents WHERE doc_id < 50),
+        |p AS (SELECT doc_id,
+        |    unnest(list_distinct(list_transform(
+        |      range(1, greatest(len(regexp_split_to_array(
+        |        regexp_replace(lower(trim(text)), '[^a-z0-9áéíóúñü ]', '', 'g'),
+        |        '\s+')) - 2, 1) + 1),
+        |      i -> array_to_string(list_slice(regexp_split_to_array(
+        |        regexp_replace(lower(trim(text)), '[^a-z0-9áéíóúñü ]', '', 'g'),
+        |        '\s+'), i, i + 2), ' ')))) AS gram
+        |  FROM aug),
+        |f AS (SELECT gram, min(doc_id) AS first_id FROM p GROUP BY gram),
+        |a AS (SELECT doc_id, count(*) AS n_grams,
+        |    sum(CASE WHEN doc_id = first_id THEN 1 ELSE 0 END) AS n_new
+        |  FROM p JOIN f USING (gram) GROUP BY doc_id)
+        |SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+        |  CAST(n_new AS BIGINT) AS n_new,
+        |  CAST((n_new * 10000) // n_grams AS INT) AS novelty_x10000
+        |FROM a ORDER BY doc_id""".stripMargin,
+
     // classifier→curation: NB weights fitted on the doc_id%3=0 labeled
     // split only, the disjoint remainder scored and filtered to pred.
     "q_clf_curate" ->

@@ -989,6 +989,21 @@ object Queries {
     Dedup.crossGroupOverlap(t(s, dir, "documents"), "text", "source", n = 3)
       .orderBy("group_a", "group_b")
 
+  /** Vocabulary frequency spectrum ([[graft.text.UnigramLM.vocabSpectrum]]):
+    * types and token mass per frequency decade — the Zipf-health audit,
+    * integer-exact by digit-count bucketing. */
+  def qVocabSpectrum(s: SparkSession, dir: String): DataFrame =
+    graft.text.UnigramLM.vocabSpectrum(t(s, dir, "documents"), "text")
+      .orderBy("freq_decade")
+
+  /** Per-doc novelty attribution ([[graft.text.Dedup.docNovelty]]) over
+    * corpus ∪ exact clones: clones contribute zero new grams (their
+    * originals have smaller ids), so the planted expectation is visible
+    * in the output and the whole table is an exact integer replay. */
+  def qDocNovelty(s: SparkSession, dir: String): DataFrame =
+    Dedup.docNovelty(docsWithExactDups(s, dir), "text", "doc_id", n = 3)
+      .orderBy("doc_id")
+
   /** Per-source corpus datasheet ([[graft.text.TextStats.dataCard]]):
     * volume, length extrema, fixed-point mean length, exact-duplicate
     * mass (md5-fingerprint identity, the [[qTextFingerprintMd5]] replay)
@@ -2031,5 +2046,7 @@ object Queries {
     "q_token_fertility" -> (qTokenFertility _),
     "q_pipe_curation" -> (qPipeCuration _),
     "q_source_overlap" -> (qSourceOverlap _),
+    "q_vocab_spectrum" -> (qVocabSpectrum _),
+    "q_doc_novelty" -> (qDocNovelty _),
   )
 }

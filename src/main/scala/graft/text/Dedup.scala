@@ -649,6 +649,34 @@ object Dedup {
     * not occurrences; the pair counts come from a self-join keyed by the
     * GRAM (per-gram fan-out ≤ k² for k groups — tens, by definition),
     * never document pairs; per-group totals are a k-row broadcast. */
+  /** Per-document novelty against the id-ordered corpus: for each doc,
+    * how many of its distinct word n-grams appear in NO smaller-id
+    * document (first-occurrence attribution — the per-doc marginal
+    * contribution the ExactSubstr dedup literature measures corpus-wide,
+    * Lee et al. ACL 2022). Low-novelty docs are the ones block dedup
+    * would hollow out; the score ranks them without rebuilding any text.
+    *
+    * Returns `(idCol, n_grams, n_new, novelty_x10000)` — novelty is a
+    * fixed-point integer fraction (`n_new·10⁴ div n_grams`, exact).
+    *
+    * Scale: distinct (doc, gram) pairs → one gram-keyed min-id aggregate
+    * (map-side combined) joined back on the gram, then a doc-keyed
+    * rollup. Two scalar-row shuffles; no doc-doc pairs, no text
+    * reassembly. */
+  def docNovelty(df: DataFrame, textCol: String, idCol: String,
+                 n: Int = 3): DataFrame = {
+    val pairs = withGrams(df.select(col(idCol), col(textCol)), textCol, n)
+      .select(col(idCol), explode(col("__grams")).as("__gram"))
+    val first = pairs.groupBy(col("__gram"))
+      .agg(min(col(idCol)).as("__first"))
+    pairs.join(first, Seq("__gram"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col(idCol) === col("__first"), 1L).otherwise(0L)).as("n_new"))
+      .withColumn("novelty_x10000",
+        expr("CAST((n_new * 10000) DIV n_grams AS INT)"))
+  }
+
   def crossGroupOverlap(df: DataFrame, textCol: String, groupCol: String,
                         n: Int = 3): DataFrame = {
     val grams = withGrams(df.select(col(groupCol), col(textCol)), textCol, n)

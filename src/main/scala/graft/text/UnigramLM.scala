@@ -38,6 +38,26 @@ object UnigramLM {
     df.select(explode(toks(col(textCol))).as("token"))
       .groupBy("token").agg(count(lit(1)).as("cnt"))
 
+  /** Frequency-of-frequencies spectrum — the Zipf-health audit of a
+    * corpus vocabulary (the "frequency spectrum" of quantitative
+    * linguistics; the r=1 hapax mass is what Good-Turing smoothing keys
+    * on): for each frequency DECADE (digit count of the token count —
+    * the same integer-exact bucketing as the rarity scores), how many
+    * vocabulary types sit there and how much token mass they carry. A
+    * healthy natural corpus is hapax-heavy; a template-heavy or
+    * duplicated crawl shows mass piled in high decades.
+    *
+    * Returns `(freq_decade, n_types, n_tokens)` — all exact integers.
+    *
+    * Scale: the vocabulary aggregate (map-side combined, shuffle =
+    * distinct tokens) collapsed to ≤ ~10 decade rows — strictly cheaper
+    * than the unigram scoring passes that share its first stage. */
+  def vocabSpectrum(df: DataFrame, textCol: String): DataFrame =
+    unigramCounts(df, textCol)
+      .withColumn("freq_decade", length(col("cnt").cast("string")).cast("int"))
+      .groupBy("freq_decade")
+      .agg(count(lit(1)).as("n_types"), sum("cnt").as("n_tokens"))
+
   private def joined(df: DataFrame, textCol: String, idCol: String,
                      broadcastVocab: Boolean): (DataFrame, Long) = {
     val counts = unigramCounts(df, textCol)

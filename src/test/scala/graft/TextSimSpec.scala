@@ -491,6 +491,21 @@ class TextSimSpec extends AnyFunSuite {
     }
   }
 
+  test("docNovelty: first-occurrence attribution; exact clones score zero") {
+    val df = Seq(
+      (1L, "a b c d"),   // grams {a b c, b c d} — both new: novelty 10000
+      (2L, "a b c d"),   // exact clone of 1 — zero new
+      (3L, "a b c x"))   // {a b c (seen), b c x (new)} — 5000
+      .toDF("doc_id", "text")
+    val out = Dedup.docNovelty(df, "text", "doc_id", n = 3)
+      .select("doc_id", "n_grams", "n_new", "novelty_x10000")
+      .as[(Long, Long, Long, Int)].collect()
+      .map { case (id, a, b, c) => id -> ((a, b, c)) }.toMap
+    assert(out(1L) == ((2L, 2L, 10000)))
+    assert(out(2L) == ((2L, 0L, 0)))
+    assert(out(3L) == ((2L, 1L, 5000)))
+  }
+
   test("crossGroupOverlap: hand-computed shared 3-grams and Jaccard per source pair") {
     val df = Seq(
       ("A", "x y z w"),     // grams: {x y z, y z w}

@@ -77,4 +77,19 @@ class UnigramLMSpec extends AnyFunSuite {
       assert(out.values.forall(_ <= 1), s"reps=$reps: $out")
     }
   }
+
+  test("vocabSpectrum: hand-computed decade rows, layout-independent") {
+    // "a" ×12 (decade 2), "b" ×3, "c" ×1, "d" ×1 (decade 1)
+    val docs = (Seq.fill(12)("a") ++ Seq.fill(3)("b") ++ Seq("c d"))
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val out = graft.text.UnigramLM.vocabSpectrum(docs, "text")
+      .select("freq_decade", "n_types", "n_tokens")
+      .as[(Int, Long, Long)].collect().toSet
+    // decade 1: types b,c,d (3 types, 5 tokens); decade 2: a (1 type, 12)
+    assert(out == Set((1, 3L, 5L), (2, 1L, 12L)))
+    val again = graft.text.UnigramLM.vocabSpectrum(docs.repartition(5), "text")
+      .select("freq_decade", "n_types", "n_tokens")
+      .as[(Int, Long, Long)].collect().toSet
+    assert(again == out)
+  }
 }
