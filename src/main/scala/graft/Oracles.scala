@@ -584,6 +584,40 @@ object Oracles {
         |SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.5
         |ORDER BY id_a, id_b""".stripMargin,
 
+    // thresholdCurve replay: same gram/jaccard CTE at candidate threshold
+    // 0.4; band recovered from the fixed-point integer j4 (j4 div 1000),
+    // docs touched = distinct ids over both pair sides per band
+    "q_dedup_threshold_curve" ->
+      """WITH aug AS (
+        |  SELECT * FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 20000, text || ' graftmarker', lang, source, n_chars
+        |  FROM documents WHERE doc_id < 50),
+        |  p AS (SELECT doc_id AS id,
+        |    list_distinct(list_transform(
+        |      range(1, greatest(len(regexp_split_to_array(
+        |        regexp_replace(lower(trim(text)), '[^a-z0-9áéíóúñü ]', '', 'g'),
+        |        '\s+')) - 2, 1) + 1),
+        |      i -> array_to_string(list_slice(regexp_split_to_array(
+        |        regexp_replace(lower(trim(text)), '[^a-z0-9áéíóúñü ]', '', 'g'),
+        |        '\s+'), i, i + 2), ' '))) AS grams
+        |    FROM aug),
+        |  j AS (SELECT a.id AS id_a, b.id AS id_b,
+        |    floor(len(list_intersect(a.grams, b.grams))::DOUBLE
+        |      / (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))::DOUBLE)
+        |      * 10000 + 0.5)::BIGINT AS j4
+        |  FROM p a JOIN p b ON a.id < b.id),
+        |  f AS (SELECT id_a, id_b, (j4 // 1000)::INT AS band FROM j
+        |    WHERE j4 >= 4000),
+        |  pp AS (SELECT band, count(*)::BIGINT AS n_pairs FROM f GROUP BY band),
+        |  dd AS (SELECT band, count(*)::BIGINT AS n_docs FROM
+        |    (SELECT DISTINCT band, id FROM
+        |      (SELECT band, id_a AS id FROM f
+        |       UNION ALL SELECT band, id_b AS id FROM f))
+        |    GROUP BY band)
+        |SELECT band, n_pairs, n_docs FROM pp JOIN dd USING (band)
+        |ORDER BY band""".stripMargin,
+
     "q_dedup_clusters" ->
       """WITH RECURSIVE aug AS (
         |  SELECT * FROM documents
@@ -651,6 +685,16 @@ object Oracles {
         |  greatest(floor((tok_start + n_tokens - 1) / 512),
         |    floor(tok_start / 512))::BIGINT AS chunk_last
         |FROM c ORDER BY doc_id""".stripMargin,
+
+    // shardAssignments replay: Spark's md5(concat_ws('|', doc_id, '42'))
+    // order with doc_id tie-break; round-robin shard, integer-div position
+    "q_pack_shards" ->
+      """WITH r AS (SELECT doc_id,
+        |    md5(doc_id::VARCHAR || '|42') AS k FROM documents),
+        |  o AS (SELECT doc_id,
+        |    row_number() OVER (ORDER BY k, doc_id) - 1 AS r0 FROM r)
+        |SELECT doc_id, (r0 % 8)::INT AS shard, (r0 // 8)::BIGINT AS shard_pos
+        |FROM o ORDER BY doc_id""".stripMargin,
 
     "q_pack_chunks_bpe" ->
       s"""WITH words AS (
@@ -1289,6 +1333,59 @@ object Oracles {
         |FROM scored
         |QUALIFY rank <= 10
         |ORDER BY query_id, rank""".stripMargin,
+
+    // Rag.contextAssembly replay: brute-force cosine top-8 (the
+    // q_sim_bruteforce_topk CTE), doc join on vec_id ↔ doc_id, rank-order
+    // running-sum budget gate (rank 1 always kept), rank-ordered id CSV
+    "q_rag_context" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+        |    FROM embeddings WHERE vec_id < 5),
+        |  c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
+        |  scored AS (SELECT query_id, neighbor_id,
+        |    round(list_dot_product(cv, qv)
+        |      / (sqrt(list_dot_product(cv, cv)) * sqrt(list_dot_product(qv, qv))), 6)
+        |      AS cs
+        |    FROM c CROSS JOIN q WHERE neighbor_id <> query_id),
+        |  topk AS (SELECT query_id, neighbor_id,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY cs DESC, neighbor_id)
+        |      AS rank
+        |    FROM scored QUALIFY rank <= 8),
+        |  d AS (SELECT doc_id,
+        |    len(regexp_split_to_array(trim(text), '\s+'))::BIGINT AS n_tokens
+        |    FROM documents),
+        |  j AS (SELECT query_id, rank, neighbor_id, n_tokens,
+        |    sum(n_tokens) OVER (PARTITION BY query_id ORDER BY rank) AS running
+        |    FROM topk JOIN d ON d.doc_id = topk.neighbor_id)
+        |SELECT query_id, count(*)::INT AS n_ctx_docs,
+        |  sum(n_tokens)::BIGINT AS ctx_tokens,
+        |  string_agg(neighbor_id::VARCHAR, ',' ORDER BY rank) AS ctx_doc_ids
+        |FROM j WHERE running <= 250 OR rank = 1
+        |GROUP BY query_id ORDER BY query_id""".stripMargin,
+
+    // prototypeFilter replay: exact micro-unit mean over the seed set
+    // (the q_sim_mean_vector CTE with one group), det-rounded cosine to
+    // the prototype, exact top-10% with (sim DESC, vec_id) tie rule
+    "q_sim_prototype" ->
+      """WITH s AS (SELECT list_transform(embedding,
+        |      x -> CAST(round(CAST(x AS DOUBLE)*1000000) AS BIGINT)) AS v
+        |    FROM embeddings WHERE vec_id < 32),
+        |  e AS (SELECT unnest(range(1, 65)) AS i, v FROM s),
+        |  m AS (SELECT i,
+        |    (CAST(sum(v[i]) AS DOUBLE) / 1000000.0) / CAST(count(*) AS DOUBLE) AS mean
+        |    FROM e GROUP BY i),
+        |  proto AS (SELECT list(mean ORDER BY i) AS pv FROM m),
+        |  sc AS (SELECT vec_id, label,
+        |    round(list_dot_product(embedding::DOUBLE[], pv)
+        |      / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+        |         * sqrt(list_dot_product(pv, pv))), 6) AS proto_sim
+        |    FROM embeddings, proto),
+        |  r AS (SELECT vec_id, label, proto_sim,
+        |    row_number() OVER (ORDER BY proto_sim DESC, vec_id) AS rn,
+        |    count(*) OVER () AS n
+        |    FROM sc)
+        |SELECT vec_id, label, proto_sim FROM r
+        |WHERE rn <= ceil(0.1 * n)
+        |ORDER BY vec_id""".stripMargin,
 
     // -------- planted-recovery oracles: the hash/LSH-based dedup and ANN
     // queries project to their deterministic planted-duplicate recovery

@@ -685,6 +685,15 @@ object Queries {
         n = 3, threshold = 0.5)
       .orderBy("id_a", "id_b")
 
+  /** Dedup-threshold sensitivity curve over the near-dup-augmented corpus:
+    * pairs + distinct docs per 0.1 jaccard band at candidate threshold
+    * 0.4 — the removal-volume report read before fixing a dedup cutoff.
+    * Integer band recovery from the 4-dp fixed point (never floor(j·10)). */
+  def qDedupThresholdCurve(s: SparkSession, dir: String): DataFrame =
+    Dedup.thresholdCurve(docsWithNearDups(s, dir), "text", "doc_id",
+        n = 3, minThreshold = 0.4)
+      .orderBy("band")
+
   /** Concat-and-chunk packing: global token offsets + context-window chunk
     * spans per document (two-phase distributed prefix sum) — DuckDB
     * reproduces with a plain running-sum window. */
@@ -694,6 +703,16 @@ object Queries {
           text.TextStats.tokenCountWs(col("text")).as("n_tokens")),
         "doc_id", "n_tokens", chunkTokens = 512)
       .select("doc_id", "n_tokens", "tok_start", "chunk_first", "chunk_last")
+      .orderBy("doc_id")
+
+  /** Deterministic global shuffle → 8-shard export placement over the
+    * corpus: portable md5 order, round-robin shard, exact within-shard
+    * position via the two-phase prefix rank (no unpartitioned window).
+    * Oracle replays md5 order with one row_number. */
+  def qPackShards(s: SparkSession, dir: String): DataFrame =
+    text.Packing.shardAssignments(
+        t(s, dir, "documents").select("doc_id"), "doc_id", nShards = 8)
+      .select("doc_id", "shard", "shard_pos")
       .orderBy("doc_id")
 
   /** Concat-and-chunk packing under EXACT BPE token counts (round-3 item
@@ -1089,6 +1108,36 @@ object Queries {
     Similarity.bruteForceTopK(emb, emb.where(col("vec_id") < 5),
         "vec_id", "embedding", "vec_id", k = 10)
       .orderBy("query_id", "rank")
+  }
+
+  /** RAG context assembly end-to-end: brute-force top-8 retrieval for 5
+    * query vectors, neighbors joined to their documents (vec_id ↔ doc_id),
+    * greedy rank-order packing under a 250-token budget
+    * ([[graft.sim.Rag.contextAssembly]]). Certifies the retrieval→context
+    * COMPOSITION: the oracle replays cosine ranking, the doc join, the
+    * running-sum gate, and the rank-ordered id list. */
+  def qRagContext(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val topk = Similarity.bruteForceTopK(emb, emb.where(col("vec_id") < 5),
+      "vec_id", "embedding", "vec_id", k = 8)
+    val docs = t(s, dir, "documents").select(col("doc_id"),
+      text.TextStats.tokenCountWs(col("text")).as("n_tokens"))
+    graft.sim.Rag.contextAssembly(topk, docs, "doc_id", "n_tokens",
+        budgetTokens = 250L)
+      .orderBy("query_id")
+  }
+
+  /** Seed-prototype quality filter: prototype = exact mean of the first 32
+    * embeddings, every vector scored by det-rounded cosine to it, exact
+    * top-10% kept (histogram threshold + boundary-tie window). The
+    * embedding-space "looks like the seed corpus" curation gate. */
+  def qSimPrototype(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    Similarity.prototypeFilter(emb.select("vec_id", "label", "embedding"),
+        "vec_id", "embedding", emb.where(col("vec_id") < 32), "embedding",
+        fraction = 0.1)
+      .select("vec_id", "label", "proto_sim")
+      .orderBy("vec_id")
   }
 
   /** Perturbed copies of the first 20 embeddings (vec_id+10000, +0.1 on
@@ -1961,6 +2010,9 @@ object Queries {
     "q_sim_ivf2_topk" -> (qSimIvf2TopK _),
     "q_dedup_simhash_pairs" -> (qDedupSimhashPairs _),
     "q_dedup_ngram_jaccard" -> (qDedupNgramJaccard _),
+    "q_dedup_threshold_curve" -> (qDedupThresholdCurve _),
+    "q_rag_context" -> (qRagContext _),
+    "q_sim_prototype" -> (qSimPrototype _),
     "q_dedup_clusters" -> (qDedupClusters _),
     "q_dedup_keep_best" -> (qDedupKeepBest _),
     "q_dsir_score" -> (qDsirScore _),
@@ -1969,6 +2021,7 @@ object Queries {
     "q_dedup_inc_minhash" -> (qDedupIncMinhash _),
     "q_text_decontaminate" -> (qTextDecontaminate _),
     "q_pack_chunks" -> (qPackChunks _),
+    "q_pack_shards" -> (qPackShards _),
     "q_pack_chunks_bpe" -> (qPackChunksBpe _),
     "q_sim_bruteforce_topk" -> (qSimBruteForce _),
     "q_sim_ivf_topk" -> (qSimIvfTopK _),

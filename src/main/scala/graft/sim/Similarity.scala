@@ -348,6 +348,40 @@ object Similarity {
       .withColumn("mean",
         (col("sum_q").cast("double") / lit(1000000.0)) / col("n").cast("double"))
 
+  /** Seed-prototype quality filter (embedding-based model filtering, the
+    * LLM-data analog of "keep what looks like the curated seed set"):
+    * average the seed embeddings into one prototype vector, score every
+    * corpus vector by cosine to it, keep the exact top `fraction`.
+    *
+    * Determinism: the prototype rides [[meanVectorLong]]'s integer
+    * micro-unit sums (exact in any summation order), so the per-dim mean
+    * is one deterministic double; scores are det-rounded to 6 dp and the
+    * kept set resolves boundary ties by `idCol` — the whole pipeline
+    * replays exactly in any engine.
+    *
+    * Scale: the seed aggregate shuffles dim-sized scalar rows (k-means
+    * centroid topology with k=1); the driver holds ONE dim-length vector
+    * (bounded, same contract as `Cluster.kmeans`); scoring is a map-only
+    * literal-prototype projection; the exact cut reuses
+    * `Filters.topFractionByGroupExact` — a (score)-histogram threshold,
+    * never a corpus-wide single-task window. */
+  def prototypeFilter(df: DataFrame, idCol: String, vecCol: String,
+                      seed: DataFrame, seedVecCol: String,
+                      fraction: Double): DataFrame = {
+    require(fraction > 0 && fraction <= 1, "fraction must be in (0, 1]")
+    val dims = meanVectorLong(
+        seed.select(lit(1).as("__g"), col(seedVecCol).as("__v")), "__g", "__v")
+      .select("dim", "mean").collect()
+      .map(r => (r.getInt(0), r.getDouble(1))).sortBy(_._1).map(_._2)
+    require(dims.nonEmpty, "seed set must be non-empty")
+    val proto = array(dims.map(lit(_)): _*)
+    val scored = df.withColumn("proto_sim",
+      round(cosineFast(df.sparkSession)(col(vecCol).cast("array<double>"), proto), 6))
+    graft.ops.Filters.topFractionByGroupExact(
+        scored.withColumn("__g", lit(1)), "__g", "proto_sim", fraction, idCol)
+      .drop("__g")
+  }
+
   /** Symmetric per-vector int8 quantization — the storage/transport
     * compression leg for embedding tables (4× vs fp32, 8× vs the fp64
     * working form): each vector is scaled by its own max-|x| so codes

@@ -677,6 +677,38 @@ object Dedup {
         expr("CAST((n_new * 10000) DIV n_grams AS INT)"))
   }
 
+  /** Dedup-threshold sensitivity curve: how many near-duplicate pairs —
+    * and how many documents — would each candidate Jaccard threshold
+    * remove? The tuning report run before committing a dedup pass: one
+    * row per 0.1-wide similarity band ≥ `minThreshold`, with the pair
+    * count and the count of distinct documents touched. Reading the
+    * cumulative tail from band b downward gives the exact removal volume
+    * at threshold b/10 — the cost/recall tradeoff made visible before
+    * the irreversible delete.
+    *
+    * Band index is recovered from the 4-dp fixed-point jaccard as an
+    * integer (`round(j·10⁴) div 10³`) — never `floor(j·10)`, whose binary
+    * representation error misbands exact-decimal similarities (0.6·10 =
+    * 5.999… in IEEE). Band 10 is the exact-duplicate band.
+    *
+    * Scale: everything rides [[ngramJaccardPairs]] (banded prefix-filter
+    * candidates, never all-pairs); the curve itself adds one band-keyed
+    * aggregation over pair rows and one over the 2-row-per-pair doc
+    * explode — both bounded by the pair volume, which `minThreshold`
+    * controls. */
+  def thresholdCurve(df: DataFrame, textCol: String, idCol: String,
+                     n: Int = 3, minThreshold: Double = 0.4): DataFrame = {
+    val pairs = ngramJaccardPairs(df, textCol, idCol, n, minThreshold)
+      .withColumn("band",
+        expr("CAST(round(jaccard * 10000) AS BIGINT) div 1000").cast("int"))
+    val perPair = pairs.groupBy("band").agg(count(lit(1)).as("n_pairs"))
+    val perDoc = pairs
+      .select(col("band"), explode(array(col("id_a"), col("id_b"))).as("__id"))
+      .distinct()
+      .groupBy("band").agg(count(lit(1)).as("n_docs"))
+    perPair.join(perDoc, Seq("band"))
+  }
+
   def crossGroupOverlap(df: DataFrame, textCol: String, groupCol: String,
                         n: Int = 3): DataFrame = {
     val grams = withGrams(df.select(col(groupCol), col(textCol)), textCol, n)

@@ -62,6 +62,58 @@ object Packing {
       .drop("__part", "__offset")
   }
 
+  /** Deterministic global shuffle + fixed-shard export assignment: the
+    * last step of a pretraining-data pipeline — the curated corpus is
+    * globally shuffled (so consecutive training examples are decorrelated)
+    * and cut into `nShards` equal output shards a loader can stream
+    * round-robin. The shuffle order is the portable md5 order over
+    * (`idCol`, salt) — any engine can replay it, and reruns/layout changes
+    * reproduce the identical placement (same contract as
+    * `Filters.portableHashSample`). Returns the input columns plus
+    * `shard` (0-based, round-robin over the shuffled order, so shard
+    * sizes differ by at most 1) and `shard_pos` (0-based position within
+    * the shard — together they ARE the export placement).
+    *
+    * Reference analog: the reference materializes training tables in one
+    * engine-chosen layout (`feature_store_register.py:131-180` writes);
+    * sharded export for a data loader is part of this engine's extended
+    * training-data scope.
+    *
+    * Scale: a global rank is NOT one unpartitioned window. Same two-phase
+    * prefix sum as [[chunkAssignments]], but counting ROWS: range-
+    * repartition on the hash key (contiguous hash ranges per partition),
+    * per-partition counts → a partitions-sized offset table broadcast
+    * back, one partition-local window. The md5 key is uniform by
+    * construction, so the range partitioning is skew-free regardless of
+    * the id distribution. */
+  def shardAssignments(df: DataFrame, idCol: String, nShards: Int,
+                       salt: Int = 42, partitions: Int = 0): DataFrame = {
+    require(nShards > 0, s"nShards must be positive, got $nShards")
+    val nParts = if (partitions > 0) partitions
+      else df.sparkSession.sessionState.conf.numShufflePartitions
+    // (key, id) ordering: md5 collisions are negligible but the id
+    // tie-break makes the order a total one by construction
+    val keyed = df.withColumn("__k",
+      md5(concat_ws("|", col(idCol), lit(salt.toString))))
+    // one pinned materialization — the offsets and probe subtrees must
+    // see the SAME sampled range boundaries (CLAUDE.md invariant 7)
+    val ranged = keyed.repartitionByRange(nParts, col("__k"), col(idCol))
+      .withColumn("__part", spark_partition_id())
+      .localCheckpoint()
+    val offsets = broadcast(
+      ranged.groupBy("__part").agg(count(lit(1)).as("__pcnt"))
+        .withColumn("__offset", coalesce(
+          sum("__pcnt").over(Window.orderBy("__part")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select("__part", "__offset"))
+    val localW = Window.partitionBy("__part").orderBy(col("__k"), col(idCol))
+    ranged.join(offsets, Seq("__part"))
+      .withColumn("__rank0", col("__offset") + row_number().over(localW) - 1)
+      .withColumn("shard", pmod(col("__rank0"), lit(nShards.toLong)).cast("int"))
+      .withColumn("shard_pos", expr(s"__rank0 div ${nShards}L"))
+      .drop("__part", "__offset", "__k", "__rank0")
+  }
+
   /** Per-document overlapping sliding windows: cut each document's unit
     * span `[0, lengthCol)` into chunks starting every `step` units, each
     * `window` units long (clipped at the document end). Emits one row per

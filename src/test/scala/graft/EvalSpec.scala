@@ -46,4 +46,67 @@ class EvalSpec extends AnyFunSuite {
     // 10 neighbors, every 3rd corrupted -> 7 hits, 70%
     assert(a.forall(r => r.getInt(r.fieldIndex("recall_pct")) == 70))
   }
+
+  test("contextAssembly: budget prefix per query; rank 1 survives overflow") {
+    val topk = Seq(
+      (1L, 10L, 1), (1L, 11L, 2), (1L, 12L, 3), // toks 30+40+50, budget 80
+      (2L, 20L, 1), (2L, 21L, 2),               // rank-1 doc alone overflows
+      (3L, 10L, 1), (3L, 11L, 2))               // everything fits
+      .toDF("query_id", "neighbor_id", "rank")
+    val docs = Seq((10L, 30L), (11L, 40L), (12L, 50L), (20L, 500L), (21L, 10L))
+      .toDF("doc_id", "n_tokens")
+    val out = graft.sim.Rag.contextAssembly(topk, docs, "doc_id", "n_tokens", 80L)
+      .select("query_id", "n_ctx_docs", "ctx_tokens", "ctx_doc_ids")
+      .as[(Long, Int, Long, String)].collect().sortBy(_._1).toSeq
+    assert(out == Seq(
+      (1L, 2, 70L, "10,11"),       // 30+40 = 70 ≤ 80; +50 would overflow
+      (2L, 1, 500L, "20"),         // overflowing rank 1 kept, rank 2 cut
+      (3L, 2, 70L, "10,11")))
+  }
+
+  test("contextAssembly: the kept set is always a rank prefix") {
+    // a small doc AFTER the overflow point must not sneak back in
+    val topk = Seq((1L, 10L, 1), (1L, 11L, 2), (1L, 12L, 3))
+      .toDF("query_id", "neighbor_id", "rank")
+    val docs = Seq((10L, 6L), (11L, 20L), (12L, 2L)).toDF("doc_id", "n_tokens")
+    val out = graft.sim.Rag.contextAssembly(topk, docs, "doc_id", "n_tokens", 10L)
+      .select("n_ctx_docs", "ctx_doc_ids").as[(Int, String)].collect()
+    assert(out.toSeq == Seq((1, "10")))
+  }
+
+  test("prototypeFilter: kept set is the exact top fraction by cosine to the seed mean") {
+    import graft.sim.Similarity
+    // seed along +x; corpus at varying angles — kept = the most x-aligned
+    def vec(x: Double, y: Double) = Array(x.toFloat, y.toFloat)
+    val seed = Seq((100L, vec(1, 0)), (101L, vec(2, 0))).toDF("id", "v")
+    val corpus = Seq(
+      (1L, vec(5, 0)),    // cos 1.0
+      (2L, vec(1, 0.1)),  // cos ~0.995
+      (3L, vec(1, 1)),    // cos ~0.707
+      (4L, vec(0, 1)),    // cos 0
+      (5L, vec(-1, 0)))   // cos -1
+      .toDF("id", "v")
+    val kept = Similarity.prototypeFilter(corpus, "id", "v", seed, "v", 0.4)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(kept == Seq(1L, 2L)) // ceil(0.4*5) = 2
+    // layout independence
+    val kept2 = Similarity.prototypeFilter(corpus.repartition(5), "id", "v",
+        seed.repartition(2), "v", 0.4)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(kept2 == kept)
+  }
+
+  test("prototypeFilter: boundary score ties resolve to the smallest id") {
+    import graft.sim.Similarity
+    def vec(x: Double, y: Double) = Array(x.toFloat, y.toFloat)
+    val seed = Seq((0L, vec(1, 0))).toDF("id", "v")
+    val corpus = Seq(
+      (9L, vec(3, 0)), (4L, vec(1, 0)), (7L, vec(2, 0)), // all cos 1.0
+      (5L, vec(0, 1)))
+      .toDF("id", "v")
+    // ceil(0.5*4) = 2 of the three cos-1.0 ties -> smallest ids 4, 7
+    val kept = Similarity.prototypeFilter(corpus, "id", "v", seed, "v", 0.5)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(kept == Seq(4L, 7L))
+  }
 }

@@ -178,6 +178,46 @@ class TextSimSpec extends AnyFunSuite {
     assert(one == expected)
   }
 
+  test("thresholdCurve: hand-computed bands, pair and doc counts, layout independent") {
+    // A (13 tokens, 11 trigrams), A' exact copy, S superset (20 trigrams):
+    // J(A,S) = J(A',S) = 11/20 = 0.55 -> band 5; J(A,A') = 1.0 -> band 10
+    val base = (1 to 13).map(i => s"w$i").mkString(" ")
+    val sup = base + " " + (14 to 22).map(i => s"x$i").mkString(" ")
+    val d = Seq((1L, base), (2L, base), (3L, sup),
+      (4L, (50 to 70).map(i => s"z$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Dedup.thresholdCurve(df, "text", "doc_id", n = 3, minThreshold = 0.4)
+        .select("band", "n_pairs", "n_docs")
+        .as[(Int, Long, Long)].collect().sortBy(_._1).toSeq
+    val out = run(d)
+    assert(out == Seq((5, 2L, 3L), (10, 1L, 2L)))
+    assert(run(d.repartition(7)) == out)
+  }
+
+  test("shardAssignments: md5-order placement, balanced shards, layout independent") {
+    val d = (1L to 103L).toDF("id")
+    def run(parts: Int) = Packing.shardAssignments(d, "id", nShards = 8, partitions = parts)
+      .select("id", "shard", "shard_pos")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+      .sortBy(_._1).toSeq
+    val one = run(1)
+    assert(run(5) == one && run(16) == one)
+    // sequential reference: rank in md5("id|42") order, round-robin shard
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def key(i: Long) = md.digest(s"$i|42".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val ranked = (1L to 103L).sortBy(i => (key(i), i)).zipWithIndex
+    val expected = ranked.map { case (i, r) => (i, r % 8, r.toLong / 8) }
+      .sortBy(_._1).toSeq
+    assert(one == expected)
+    // round-robin balance: shard sizes differ by at most 1 (103 = 8*12+7)
+    val sizes = one.groupBy(_._2).view.mapValues(_.size).toMap
+    assert(sizes.values.max - sizes.values.min <= 1)
+    // (shard, shard_pos) is a dense injective placement
+    assert(one.map(t => (t._2, t._3)).distinct.size == 103)
+  }
+
   test("contaminationReport flags benchmark-overlapping docs, not clean ones") {
     val bench = Seq((100L, "the quick brown fox jumps over the lazy dog tonight"))
       .toDF("doc_id", "text")
