@@ -716,6 +716,29 @@ object Oracles {
          |    floor(tok_start / 512))::BIGINT AS chunk_last
          |FROM c ORDER BY doc_id""".stripMargin,
 
+    // lengthBuckets replay: same ws token count as q_pack_chunks; the
+    // {16,32,64} ladder as a CASE; one window per bucket at oracle scale
+    "q_pack_length_buckets" ->
+      """WITH d AS (SELECT doc_id,
+        |    len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens
+        |  FROM documents),
+        |b AS (SELECT doc_id, n_tokens,
+        |    CASE WHEN least(n_tokens, 64) <= 16 THEN 16
+        |         WHEN least(n_tokens, 64) <= 32 THEN 32 ELSE 64 END AS bucket_len
+        |  FROM d),
+        |r AS (SELECT doc_id, n_tokens, bucket_len,
+        |    bucket_len - least(n_tokens, 64) AS pad_tokens,
+        |    n_tokens > 64 AS truncated,
+        |    row_number() OVER (PARTITION BY bucket_len ORDER BY doc_id) - 1
+        |      AS seq_in_bucket
+        |  FROM b)
+        |SELECT doc_id, n_tokens::INT AS n_tokens, bucket_len::INT AS bucket_len,
+        |  seq_in_bucket::BIGINT AS seq_in_bucket,
+        |  (seq_in_bucket // greatest(1, 256 // bucket_len))::BIGINT
+        |    AS batch_in_bucket,
+        |  pad_tokens::INT AS pad_tokens, truncated
+        |FROM r ORDER BY doc_id""".stripMargin,
+
     "q_text_decontaminate" ->
       """WITH aug AS (
         |  SELECT * FROM documents
@@ -1062,6 +1085,40 @@ object Oracles {
         |SELECT doc_id, lang FROM r JOIN k USING (lang)
         |WHERE rn <= keep_n ORDER BY doc_id""".stripMargin,
 
+    // unimaxAllocation replay: the integer greedy as a recursive CTE —
+    // groups ascending by (n, lang), each takes min(cap·n, rem/left)
+    "q_mix_unimax" ->
+      """WITH RECURSIVE t AS (
+        |  SELECT lang, CAST(sum(n_chars) AS BIGINT) AS n
+        |  FROM documents GROUP BY lang),
+        |o AS (SELECT lang, n,
+        |    CAST(row_number() OVER (ORDER BY n, lang) AS INT) AS i,
+        |    CAST(count(*) OVER () AS INT) AS k
+        |  FROM t),
+        |g AS (
+        |  SELECT 0 AS i,
+        |    CAST((SELECT sum(n) FROM t) * 50 // 100 AS BIGINT) AS rem,
+        |    CAST(NULL AS VARCHAR) AS lang, CAST(NULL AS BIGINT) AS n,
+        |    CAST(NULL AS BIGINT) AS alloc
+        |  UNION ALL
+        |  SELECT o.i,
+        |    g.rem - least(o.n * 120 // 100, g.rem // (o.k - g.i)),
+        |    o.lang, o.n,
+        |    least(o.n * 120 // 100, g.rem // (o.k - g.i))
+        |  FROM g JOIN o ON o.i = g.i + 1)
+        |SELECT lang, n AS n_units, alloc AS alloc_units,
+        |  CAST(alloc * 10000 // n AS BIGINT) AS epochs_x10000
+        |FROM g WHERE lang IS NOT NULL ORDER BY lang""".stripMargin,
+
+    // fuzzyContamination planted recovery (diagonal projection, same
+    // contract as q_dedup_minhash_pairs): every original (doc_id < 50)
+    // must recover its own +50000 clone; the unprojected edge list also
+    // (correctly) flags natural near-dups of the cloned docs, which are
+    // not SQL-predictable — TextSimSpec covers that surface
+    "q_decontam_fuzzy" ->
+      """SELECT doc_id AS id, doc_id + 50000 AS bench_id
+        |FROM documents WHERE doc_id < 50 ORDER BY id""".stripMargin,
+
     // data card: all-integer per-source rollup; duplicate mass counted on
     // the md5 normalized-text fingerprint (q_text_fingerprint_md5 replay).
     "q_data_card" ->
@@ -1334,6 +1391,27 @@ object Oracles {
         |QUALIFY rank <= 10
         |ORDER BY query_id, rank""".stripMargin,
 
+    // hardNegativesTopK: same full-SQL cosine replica as bruteforce_topk,
+    // restricted to label-mismatched pairs
+    "q_sim_hard_negatives" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv,
+        |      label AS qlabel
+        |    FROM embeddings WHERE vec_id < 30),
+        |  c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv,
+        |      label AS neighbor_label
+        |    FROM embeddings),
+        |  scored AS (SELECT query_id, neighbor_id, neighbor_label,
+        |    round(list_dot_product(cv, qv)
+        |      / (sqrt(list_dot_product(cv, cv)) * sqrt(list_dot_product(qv, qv))), 6)
+        |      AS cosine_sim
+        |    FROM c CROSS JOIN q WHERE neighbor_label <> qlabel)
+        |SELECT query_id, neighbor_id, neighbor_label, cosine_sim,
+        |  row_number() OVER (PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id)::INT
+        |    AS rank
+        |FROM scored
+        |QUALIFY rank <= 5
+        |ORDER BY query_id, rank""".stripMargin,
+
     // Rag.contextAssembly replay: brute-force cosine top-8 (the
     // q_sim_bruteforce_topk CTE), doc join on vec_id ↔ doc_id, rank-order
     // running-sum budget gate (rank 1 always kept), rank-ordered id CSV
@@ -1556,6 +1634,15 @@ object Oracles {
         |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
         |FROM events e JOIN bands b ON e.value >= b.lo AND e.value < b.hi
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // saltedEquiJoin is result-identical to the plain join by construction
+    // — the oracle is the UNSALTED join, which is the whole point
+    "q_j10_salted_join" ->
+      """SELECT l.l_orderkey, l.l_linenumber, l.l_quantity, l.l_extendedprice,
+        |  o.o_totalprice, o.o_orderstatus
+        |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |ORDER BY l.l_orderkey, l.l_linenumber, l.l_quantity,
+        |  l.l_extendedprice""".stripMargin,
 
     "q_text_vocab" ->
       """WITH toks AS (

@@ -734,6 +734,21 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** Length-bucketed batching over whitespace token counts: buckets
+    * {16,32,64} (64 truncates), 256 padded tokens per batch — per-doc
+    * bucket, within-bucket rank, batch id, padding waste. The two-phase
+    * grouped prefix rank keeps every bucket's ordering distributed; the
+    * oracle replays with one window per bucket (fine at oracle scale). */
+  def qPackLengthBuckets(s: SparkSession, dir: String): DataFrame =
+    text.Packing.lengthBuckets(
+        t(s, dir, "documents").select(col("doc_id"),
+          text.TextStats.tokenCountWs(col("text")).as("n_tokens")),
+        "doc_id", "n_tokens",
+        minBucket = 16, maxBucket = 64, maxTokensPerBatch = 256)
+      .select("doc_id", "n_tokens", "bucket_len", "seq_in_bucket",
+        "batch_in_bucket", "pad_tokens", "truncated")
+      .orderBy("doc_id")
+
   /** Benchmark decontamination: flag docs (corpus ∪ clones) sharing ≥ 2
     * distinct 5-grams with the "benchmark" set (doc_id < 10) — exact-count
     * DuckDB oracle over the same gram formula. */
@@ -922,6 +937,35 @@ object Queries {
       .select("doc_id", "lang")
       .orderBy("doc_id")
 
+  /** UniMax char-budget allocation over languages
+    * ([[graft.ops.Filters.unimaxAllocation]]): half the corpus's char
+    * mass (budgetFracX100 = 50) spread smallest-language-first under a
+    * 1.2-epoch cap (capX100 = 120) — low-resource languages are capped,
+    * the surplus flows to the largest. Integer greedy → the DuckDB
+    * recursive-CTE oracle replays it exactly. */
+  def qMixUnimax(s: SparkSession, dir: String): DataFrame =
+    Filters.unimaxAllocation(t(s, dir, "documents"), "lang", "n_chars",
+        budgetFracX100 = 50, capX100 = 120)
+      .orderBy("lang")
+
+  /** Fuzzy decontamination ([[graft.text.Dedup.fuzzyContamination]]):
+    * the "benchmark" is a lightly-edited clone set (docs < 50, one token
+    * appended, ids +50000) — every corpus original must recover its own
+    * clone. Planted-recovery projection (same contract as
+    * [[qDedupMinhashPairs]]): the diagonal restriction makes the result
+    * exactly SQL-predictable; the full edge list also (correctly) flags
+    * natural near-dups of the cloned docs, which TextSimSpec covers. */
+  def qDecontamFuzzy(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val bench = d.where(col("doc_id") < 50)
+      .withColumn("doc_id", col("doc_id") + 50000)
+      .withColumn("text", concat(col("text"), lit(" graftbench")))
+    Dedup.fuzzyContamination(d, "text", "doc_id", bench, "text", "doc_id",
+        numHashes = 64, bands = 16, threshold = 0.5)
+      .where(col("bench_id") === col("id") + 50000)
+      .orderBy("id")
+  }
+
   /** INCREMENTAL IVF index maintenance ([[graft.sim.IvfIndex]]): the
     * corpus partition (vec_id % 4 != 0) seeds the cluster-partitioned
     * posting store, the batch (vec_id % 4 == 0) is assigned map-only
@@ -1107,6 +1151,16 @@ object Queries {
     val emb = t(s, dir, "embeddings")
     Similarity.bruteForceTopK(emb, emb.where(col("vec_id") < 5),
         "vec_id", "embedding", "vec_id", k = 10)
+      .orderBy("query_id", "rank")
+  }
+
+  /** Hard-negative mining: top-5 most-similar OTHER-label vectors for the
+    * first 30 queries — the contrastive-training pair miner, full-SQL
+    * cosine replica oracle. */
+  def qSimHardNegatives(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    Similarity.hardNegativesTopK(emb, emb.where(col("vec_id") < 30),
+        "vec_id", "embedding", "label", k = 5)
       .orderBy("query_id", "rank")
   }
 
@@ -1319,6 +1373,20 @@ object Queries {
         sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"))
       .orderBy("band_id")
   }
+
+  /** J10 — skew-salted equi-join (lineitem ⋈ orders, 8-way salt):
+    * bit-identical to the plain join — the oracle IS the unsalted SQL
+    * join; salting only reshapes the shuffle (hot probe keys spread over
+    * 8 sub-partitions, build side replicated 8×). */
+  def qJ10SaltedJoin(s: SparkSession, dir: String): DataFrame =
+    Joins.saltedEquiJoin(
+        t(s, dir, "lineitem")
+          .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"),
+        t(s, dir, "orders")
+          .select(col("o_orderkey").as("l_orderkey"),
+            col("o_totalprice"), col("o_orderstatus")),
+        Seq("l_orderkey"), nSalts = 8)
+      .orderBy("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
 
   /** Composite training-data pipeline over documents (+ injected exact
     * dups): exact dedup → language ID + quality stats → filter → per
@@ -2023,7 +2091,9 @@ object Queries {
     "q_pack_chunks" -> (qPackChunks _),
     "q_pack_shards" -> (qPackShards _),
     "q_pack_chunks_bpe" -> (qPackChunksBpe _),
+    "q_pack_length_buckets" -> (qPackLengthBuckets _),
     "q_sim_bruteforce_topk" -> (qSimBruteForce _),
+    "q_sim_hard_negatives" -> (qSimHardNegatives _),
     "q_sim_ivf_topk" -> (qSimIvfTopK _),
     "q_sim_lsh_topk" -> (qSimLshTopK _),
     "q_sim_embedding_dedup" -> (qSimEmbeddingDedup _),
@@ -2035,6 +2105,7 @@ object Queries {
     "q_mm_binary_meta" -> (qMmBinaryMeta _),
     "q_w12_sessionize" -> (qW12Sessionize _),
     "q_j9_range_join" -> (qJ9RangeJoin _),
+    "q_j10_salted_join" -> (qJ10SaltedJoin _),
     "q_docs_pipeline" -> (qDocsPipeline _),
     "q_text_vocab" -> (qTextVocab _),
     "q_sketch_cardinality" -> (qSketchCardinality _),
@@ -2094,6 +2165,8 @@ object Queries {
     "q_text_bigram_rarity" -> (qTextBigramRarity _),
     "q_sim_recall_int8" -> (qSimRecallInt8 _),
     "q_curate_temperature" -> (qCurateTemperature _),
+    "q_mix_unimax" -> (qMixUnimax _),
+    "q_decontam_fuzzy" -> (qDecontamFuzzy _),
     "q_data_card" -> (qDataCard _),
     "q_sim_inc_index" -> (qSimIncIndex _),
     "q_token_fertility" -> (qTokenFertility _),

@@ -389,6 +389,56 @@ object Filters {
     * a second counting scan + broadcast join. Few-huge-group corpora hit
     * the same window-task caveat as [[groupSampleExact]] — shard the
     * group key first if a single group exceeds one task's budget. */
+  /** UniMax budget allocation (Chung et al., "UniMax: Fairer and More
+    * Effective Language Sampling for Large-Scale Multilingual
+    * Pretraining", ICLR 2023): split a total training budget across
+    * groups with the greedy water-filling pass — visit groups
+    * SMALLEST-first; each receives `min(cap · n_g, remaining budget /
+    * groups left)` units, so low-resource groups are capped at
+    * `capX100/100` epochs (no over-repetition) and whatever they cannot
+    * absorb flows on to the larger groups. The third mixture policy next
+    * to [[rebalanceMixture]] (explicit target fractions) and
+    * [[temperatureSample]] (n^α damping): budget-exact with an explicit
+    * repetition ceiling.
+    *
+    * All arithmetic is integer — units are rows/chars/tokens, the epoch
+    * cap is the `capX100/100` fixed point, quotas truncate — so the
+    * allocation, including `epochs_x10000 = alloc·10000 div n`, replays
+    * bit-for-bit in any engine (the DuckDB oracle is a recursive CTE over
+    * the same greedy). Budget is `total_units · budgetFracX100 div 100`,
+    * a fraction so ONE scan supplies both totals and budget. If every
+    * group hits its cap the leftover stays unallocated (epochs cannot
+    * exceed the cap by construction).
+    *
+    * Returns one row per group: `(groupCol, n_units, alloc_units,
+    * epochs_x10000)`.
+    *
+    * Scale: one distributed aggregation (map-side combine, one row per
+    * group); the greedy itself is inherently sequential and runs on the
+    * driver over the collected per-group totals — k rows, the same
+    * bounded-driver-state contract as
+    * [[graft.sim.Similarity.collectCentroids]]. */
+  def unimaxAllocation(df: DataFrame, groupCol: String, unitsCol: String,
+                       budgetFracX100: Int, capX100: Int): DataFrame = {
+    require(budgetFracX100 > 0 && capX100 > 0,
+      "budgetFracX100 and capX100 must be positive")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val totals = df.groupBy(col(groupCol))
+      .agg(sum(col(unitsCol).cast("long")).as("__n"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .sortBy { case (g, n) => (n, g) } // ascending n, group tie-break
+    var rem = totals.map(_._2).sum * budgetFracX100 / 100
+    val k = totals.length
+    val rows = totals.zipWithIndex.map { case ((g, n), i) =>
+      val quota = rem / (k - i)
+      val alloc = math.min(n * capX100 / 100, quota)
+      rem -= alloc
+      (g, n, alloc, if (n == 0) 0L else alloc * 10000L / n)
+    }
+    rows.toSeq.toDF(groupCol, "n_units", "alloc_units", "epochs_x10000")
+  }
+
   def temperatureSample(df: DataFrame, groupCol: String, c: Double,
                         alphaQuarters: Int, keyCols: Seq[String],
                         salt: Int = 42): DataFrame = {

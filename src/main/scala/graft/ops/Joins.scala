@@ -140,6 +140,41 @@ object Joins {
   def unionTables(dfs: Seq[DataFrame]): DataFrame =
     dfs.reduce(_.unionByName(_, allowMissingColumns = true))
 
+  /** J10 (extension) — skew-salted equi-join: result-identical to
+    * [[equiJoin]] `inner`, but a hot key on the probe side no longer lands
+    * in one reducer. The probe row's salt is derived from its WHOLE row
+    * (`xxhash64` over every column, mod `nSalts`) so rows sharing a hot key
+    * spread across `nSalts` sub-partitions; the build side replicates each
+    * row `nSalts`× (explode over the salt range) so every (key, salt)
+    * shuffle cell still sees its full match set — each output pair is
+    * produced exactly once, under exactly one salt.
+    *
+    * When to use: AQE's runtime skew-join split (SURVEY §4) already covers
+    * sort-merge joins, but it cannot re-split a join that must preserve a
+    * bucketed layout, and it reacts after a straggler materializes; manual
+    * salting is the plan-time form. Cost: build side ×`nSalts` shuffle
+    * volume — keep `nSalts` near (hot-key rows / average-key rows), not
+    * larger. The salt is deterministic (pure column function, no rand()),
+    * so reruns and retried tasks agree — a task retry under a
+    * nondeterministic salt could otherwise lose or duplicate rows.
+    *
+    * Reference analog: `joins.py:11-112` equi-join; the reference inherits
+    * its engine's skew handling — this is the Spark-native mitigation for
+    * layouts AQE cannot touch. */
+  def saltedEquiJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+                     nSalts: Int = 8): DataFrame = {
+    require(nSalts > 0, s"nSalts must be positive, got $nSalts")
+    val saltedLeft = left.withColumn("__salt",
+      pmod(xxhash64(left.columns.map(col): _*), lit(nSalts)).cast("int"))
+    val replicatedRight = right.withColumn("__salt",
+      explode(sequence(lit(0), lit(nSalts - 1))))
+    // duplicate non-key columns: left wins (same contract as equiJoin)
+    val dups = replicatedRight.columns.toSet
+      .intersect(saltedLeft.columns.toSet) -- keys - "__salt"
+    val r = dups.foldLeft(replicatedRight)((d, c) => d.drop(c))
+    saltedLeft.join(r, keys :+ "__salt").drop("__salt")
+  }
+
   /** J9 (extension) — interval/range join `left.v ∈ [right.lo, right.hi)`,
     * executed as an EQUI join: both sides are binned to `floor(x / binWidth)`
     * (each interval exploded over the bins it covers), hash-joined on the

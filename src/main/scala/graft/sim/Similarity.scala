@@ -66,6 +66,42 @@ object Similarity {
       .withColumnRenamed("__rn", "rank")
   }
 
+  /** Hard-negative mining for contrastive training: for each query vector,
+    * the exact top-k most-similar corpus vectors whose `labelCol` DIFFERS
+    * from the query's — the "closest wrong answers" every embedding-model
+    * trainer feeds its InfoNCE/triplet loss. Same broadcast topology as
+    * [[bruteForceTopK]] (query side small and broadcast, corpus streams
+    * map-only; the only shuffle is the per-query top-k window over rows
+    * that survive the label filter). The label filter runs BEFORE the
+    * cosine so same-label pairs never pay the dot product.
+    *
+    * Returns `(query_id, neighbor_id, neighbor_label, cosine_sim, rank)`.
+    *
+    * Scale: for corpora where brute force is too hot, mine within an ANN
+    * shortlist instead — compose [[ivfTopK]] with an oversized k and
+    * filter labels on the shortlist; this exact form is the correctness
+    * anchor the ANN variant is measured against (same contract as
+    * bruteforce vs IVF recall). */
+  def hardNegativesTopK(corpus: DataFrame, queries: DataFrame,
+                        idCol: String, vecCol: String, labelCol: String,
+                        k: Int = 5): DataFrame = {
+    val q = broadcast(queries.select(col(idCol).as("query_id"),
+      col(vecCol).cast("array<double>").as("__qv"),
+      col(labelCol).as("__qlabel")))
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      col(vecCol).cast("array<double>").as("__cv"),
+      col(labelCol).as("neighbor_label"))
+    val scored = c.crossJoin(q)
+      .where(col("neighbor_label") =!= col("__qlabel"))
+      .withColumn("cosine_sim",
+        round(cosineFast(corpus.sparkSession)(col("__cv"), col("__qv")), 6))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine_sim").desc, col("neighbor_id"))
+    scored.withColumn("__rn", row_number().over(w)).where(col("__rn") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("neighbor_label"),
+        col("cosine_sim"), col("__rn").as("rank"))
+  }
+
   /** SRP-LSH bucket key: sign bits of `nBits` seeded random hyperplane
     * projections, packed into a long. Hyperplane components are derived
     * deterministically from xxhash64(seed, dim-index) — no stored model. */

@@ -162,14 +162,12 @@ object Dedup {
       sequence(lit(0), greatest(size(tokens) - n, lit(0))),
       i => concat_ws(" ", slice(tokens, i + 1, lit(n)))))
 
-  /** Stage `__grams` behind projection barriers (see class doc). */
-  private def withGrams(df: DataFrame, textCol: String, n: Int): DataFrame =
-    df.withColumn("__tokens", tokensCol(col(textCol)))
-      .withColumn("__grams", ngramsFromTokens(col("__tokens"), n))
-      .drop("__tokens")
-
-  /** Word n-grams of normalized text, distinct per doc. Convenience form —
-    * inside repeated-evaluation contexts use withGrams staging instead. */
+  /** Word n-grams of normalized text, distinct per doc. READABLE REFERENCE
+    * FORM of the gram semantics (same contract as [[minHashSignature]]) —
+    * hot paths use the native [[graft.functions.NgramHashes]] kernel,
+    * which is also immune to the `InferFiltersFromGenerate` per-element
+    * re-tokenization trap this HOF form falls into under an explode (see
+    * [[docNovelty]]). */
   def wordNgrams(text: Column, n: Int = 3): Column =
     ngramsFromTokens(tokensCol(text), n)
 
@@ -291,6 +289,44 @@ object Dedup {
       .join(benchGrams, Seq("__g"))
       .groupBy("id").agg(count(lit(1)).as("n_overlap"))
       .where(col("n_overlap") >= minOverlap)
+  }
+
+  /** FUZZY benchmark decontamination: flag corpus documents whose MinHash
+    * signature collides with ANY benchmark document in at least one LSH
+    * band AND whose estimated Jaccard clears `threshold` — the
+    * near-duplicate complement of [[contaminationReport]]: a
+    * lightly-edited eval item (paraphrase tail, shifted whitespace) still
+    * lands in its source's band buckets, where the exact-gram overlap
+    * count can be gamed by a single-token edit inside every gram window.
+    *
+    * Returns the contamination EDGE LIST: distinct `(id, bench_id)` pairs
+    * above threshold — which corpus docs leak which eval items (one doc
+    * may leak several; `groupBy(id).agg(min(bench_id))` collapses to a
+    * per-doc witness when a flag set is all the caller needs).
+    *
+    * Scale: the benchmark side is eval-suite-sized by definition → its
+    * banded signatures broadcast; the corpus signs and bands MAP-ONLY
+    * (native NgramHashes→MinHashLong kernels) and the broadcast hash join
+    * filters band collisions map-side, so the only shuffle is the
+    * per-doc min-agg over rows that actually collided. The corpus is
+    * never self-joined, never re-read, never shuffled whole — the same
+    * topology contract as [[contaminationReport]]. */
+  def fuzzyContamination(corpus: DataFrame, textCol: String, idCol: String,
+                         benchmark: DataFrame, benchTextCol: String,
+                         benchIdCol: String,
+                         numHashes: Int = 64, bands: Int = 16,
+                         threshold: Double = 0.5): DataFrame = {
+    val bench = broadcast(
+      banded(benchmark, benchTextCol, benchIdCol, numHashes, bands)
+        .select(col("band"), col("key"),
+          col("__id").as("bench_id"), col("__sig").as("sig_b")))
+    banded(corpus, textCol, idCol, numHashes, bands)
+      .select(col("band"), col("key"),
+        col("__id").as("id"), col("__sig").as("sig_a"))
+      .join(bench, Seq("band", "key"))
+      .where(estJaccard(numHashes) >= threshold)
+      .select("id", "bench_id")
+      .dropDuplicates("id", "bench_id")
   }
 
   // ------------------------------- incremental dedup (batch vs corpus store)
@@ -662,11 +698,23 @@ object Dedup {
     * Scale: distinct (doc, gram) pairs → one gram-keyed min-id aggregate
     * (map-side combined) joined back on the gram, then a doc-keyed
     * rollup. Two scalar-row shuffles; no doc-doc pairs, no text
-    * reassembly. */
+    * reassembly. Grams ride as native [[graft.functions.NgramHashes]]
+    * longs (sorted-distinct, strings never materialize): identity-only
+    * consumers (counts, min-id, joins) are hash-invariant, and the
+    * codegen kernel is immune to the HOF-inlining trap —
+    * `InferFiltersFromGenerate` plants a `size(grams) > 0` filter under
+    * the explode, and with the `transform`-lambda gram form that filter
+    * re-tokenizes per ELEMENT inside the scan (measured 24 s → 0.9 s at
+    * sf0.1; the Generate-side cousin of CLAUDE.md invariant 6, which a
+    * projection barrier alone does NOT stop). */
   def docNovelty(df: DataFrame, textCol: String, idCol: String,
                  n: Int = 3): DataFrame = {
-    val pairs = withGrams(df.select(col(idCol), col(textCol)), textCol, n)
-      .select(col(idCol), explode(col("__grams")).as("__gram"))
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    val pairs = df.select(col(idCol), col(textCol))
+      .withColumn("__tokens", tokensCol(col(textCol)))
+      .select(col(idCol),
+        explode(call_function("graft_ngram_hashes", col("__tokens"), lit(n)))
+          .as("__gram"))
     val first = pairs.groupBy(col("__gram"))
       .agg(min(col(idCol)).as("__first"))
     pairs.join(first, Seq("__gram"))
@@ -711,8 +759,14 @@ object Dedup {
 
   def crossGroupOverlap(df: DataFrame, textCol: String, groupCol: String,
                         n: Int = 3): DataFrame = {
-    val grams = withGrams(df.select(col(groupCol), col(textCol)), textCol, n)
-      .select(col(groupCol), explode(col("__grams")).as("__gram"))
+    // native gram-hash kernel for the same reasons as [[docNovelty]]:
+    // identity-only consumers + immunity to the Generate-filter inlining
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    val grams = df.select(col(groupCol), col(textCol))
+      .withColumn("__tokens", tokensCol(col(textCol)))
+      .select(col(groupCol),
+        explode(call_function("graft_ngram_hashes", col("__tokens"), lit(n)))
+          .as("__gram"))
       .distinct()
     val totals = grams.groupBy(col(groupCol)).agg(count(lit(1)).as("__n"))
     val shared = grams.select(col(groupCol).as("group_a"), col("__gram"))

@@ -20,6 +20,32 @@ class CurateSpec extends AnyFunSuite {
     assert(out == Map(1L -> 1, 2L -> 1, 3L -> 1, 4L -> 2, 5L -> 2, 6L -> 1))
   }
 
+  test("unimaxAllocation: hand-computed greedy, caps bind small groups, surplus flows up") {
+    // groups a:10, b:100, c:1000 units; budget = 50% of 1110 = 555; cap 1.2x
+    val df = (Seq(("a", 4L), ("a", 6L)) ++
+      (1 to 10).map(_ => ("b", 10L)) ++
+      (1 to 10).map(_ => ("c", 100L))).toDF("g", "units")
+    val out = Filters.unimaxAllocation(df, "g", "units",
+        budgetFracX100 = 50, capX100 = 120)
+      .select("g", "n_units", "alloc_units", "epochs_x10000")
+      .as[(String, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    // ascending pass: a quota 555/3=185 -> cap 12; b quota 543/2=271 ->
+    // cap 120; c quota 423/1 -> 423 (cap 1200 not binding)
+    assert(out == Seq(("a", 10L, 12L, 12000L), ("b", 100L, 120L, 12000L),
+      ("c", 1000L, 423L, 4230L)))
+    // budget above total capacity: every group capped, leftover unallocated
+    val capped = Filters.unimaxAllocation(df, "g", "units",
+        budgetFracX100 = 200, capX100 = 110)
+      .select("g", "alloc_units").as[(String, Long)].collect().toMap
+    assert(capped == Map("a" -> 11L, "b" -> 110L, "c" -> 1100L))
+    // layout independence (aggregation + driver greedy)
+    val relaid = Filters.unimaxAllocation(df.repartition(7), "g", "units",
+        budgetFracX100 = 50, capX100 = 120)
+      .select("g", "n_units", "alloc_units", "epochs_x10000")
+      .as[(String, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(relaid == out)
+  }
+
   test("rebalanceMixture: exact per-group counts, best rows kept, unlisted groups dropped") {
     val df = (
       (1L to 10L).map(i => ("web", i, i * 10)) ++    // 10 rows, weight .5

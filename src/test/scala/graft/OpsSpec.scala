@@ -88,6 +88,30 @@ class OpsSpec extends AnyFunSuite {
     assert(binned.size > values.count()) // overlap produced multi-matches
   }
 
+  test("saltedEquiJoin: multiset-identical to the plain join under heavy skew") {
+    // hot key 7: 200 probe rows × 3 build rows → 600 pairs, each produced
+    // exactly once (every probe row meets the build set under ONE salt)
+    val left = ((1 to 200).map(i => (7L, i)) ++ (1 to 50).map(i => (i.toLong + 100, -i)))
+      .toDF("k", "lv")
+    val right = (Seq((7L, "a"), (7L, "b"), (7L, "c")) ++
+      (1 to 50).map(i => (i.toLong + 100, s"r$i"))).toDF("k", "rv")
+    def key(r: org.apache.spark.sql.Row) = (r.getLong(0), r.getInt(1), r.getString(2))
+    val plain = left.join(right, Seq("k")).collect().map(key).sorted.toSeq
+    val salted = Joins.saltedEquiJoin(left, right, Seq("k"), nSalts = 8)
+      .collect().map(key).sorted.toSeq
+    assert(salted == plain && salted.count(_._1 == 7L) == 600)
+    // layout independence: the deterministic whole-row salt doesn't depend
+    // on partitioning
+    val relaid = Joins.saltedEquiJoin(left.repartition(13), right.coalesce(1),
+      Seq("k"), nSalts = 8).collect().map(key).sorted.toSeq
+    assert(relaid == plain)
+    // the hot key's probe rows really spread across salts (the point)
+    val salts = left.where($"k" === 7L)
+      .select(pmod(xxhash64($"k", $"lv"), lit(8)).cast("int"))
+      .as[Int].collect().toSet
+    assert(salts.size > 1)
+  }
+
   test("hashSample/hashSplit: deterministic, disjoint, near-target fraction") {
     val df = (1L to 5000L).toDF("id")
     val s1 = Filters.hashSample(df, Seq("id"), 0.2).as[Long].collect().toSet

@@ -218,6 +218,62 @@ class TextSimSpec extends AnyFunSuite {
     assert(one.map(t => (t._2, t._3)).distinct.size == 103)
   }
 
+  test("lengthBuckets: ladder assignment, grouped ranks, padding, layout independent") {
+    // spans every path: below/at/above each ladder rung, exact boundaries
+    // (16, 32, 64), truncation (65, 80, 99), multi-batch buckets
+    val counts = Seq(1, 5, 16, 17, 31, 32, 33, 64, 65, 99,
+      10, 20, 40, 80, 16, 32, 64, 2, 63, 50)
+    val d = counts.zipWithIndex.map { case (n, i) => ((i + 1).toLong, n) }
+      .toDF("id", "n_tok")
+    def run(parts: Int) = Packing.lengthBuckets(d, "id", "n_tok",
+        minBucket = 16, maxBucket = 64, maxTokensPerBatch = 256,
+        partitions = parts)
+      .select("id", "bucket_len", "seq_in_bucket", "batch_in_bucket",
+        "pad_tokens", "truncated")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getLong(3), r.getInt(4), r.getBoolean(5)))
+      .sortBy(_._1).toSeq
+    val one = run(1)
+    assert(run(7) == one && run(13) == one)
+    // sequential reference
+    def bucketOf(n: Int) = {
+      val e = math.min(n, 64); if (e <= 16) 16 else if (e <= 32) 32 else 64
+    }
+    val byBucket = counts.zipWithIndex
+      .map { case (n, i) => ((i + 1).toLong, n) }
+      .groupBy { case (_, n) => bucketOf(n) }
+    val expected = counts.zipWithIndex.map { case (n, i) =>
+      val id = (i + 1).toLong
+      val b = bucketOf(n)
+      val seq = byBucket(b).map(_._1).sorted.indexOf(id).toLong
+      val batchSize = math.max(1, 256 / b)
+      (id, b, seq, seq / batchSize, b - math.min(n, 64), n > 64)
+    }.sortBy(_._1)
+    assert(one == expected)
+    // bucket-64 holds 9 docs at batch size 4 → batches 0,0,0,0,1,1,1,1,2
+    val b64 = one.filter(_._2 == 64).sortBy(_._3).map(_._4)
+    assert(b64 == Seq(0L, 0L, 0L, 0L, 1L, 1L, 1L, 1L, 2L))
+  }
+
+  test("fuzzyContamination: edited bench item flags its source, clean docs pass, min witness") {
+    val src = (1 to 30).map(i => s"w$i").mkString(" ")
+    val corpus = Seq(
+      (1L, src),                                          // the contaminated source
+      (2L, (100 to 130).map(i => s"u$i").mkString(" ")))  // unrelated
+      .toDF("doc_id", "text")
+    val bench = Seq(
+      (900L, src + " edited"),  // lightly-edited copy of doc 1
+      (901L, src))              // exact copy of doc 1
+      .toDF("doc_id", "text")
+    val out = Dedup.fuzzyContamination(corpus, "text", "doc_id",
+        bench, "text", "doc_id",
+        numHashes = 64, bands = 16, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    // doc 1 leaks BOTH bench items (the edge list reports each); the
+    // unrelated doc stays clean
+    assert(out == Seq((1L, 900L), (1L, 901L)))
+  }
+
   test("contaminationReport flags benchmark-overlapping docs, not clean ones") {
     val bench = Seq((100L, "the quick brown fox jumps over the lazy dog tonight"))
       .toDF("doc_id", "text")
@@ -306,6 +362,28 @@ class TextSimSpec extends AnyFunSuite {
       .orderBy("rank").collect()
     assert(top(0).getAs[Long]("neighbor_id") == 0L)
     assert(top(0).getAs[Double]("cosine_sim") > 0.999999)
+  }
+
+  test("hardNegativesTopK: same-label vectors excluded, brute-force agreement on the rest") {
+    // labels: id % 3 — a clone of vec 0 with label 0 must NOT surface for
+    // a label-0 query even though it's the globally nearest vector
+    val labeled = vecs.withColumn("label", (col("vec_id") % 3).cast("int"))
+    val q = labeled.where($"vec_id" === 0) // label 0
+    val hn = Similarity.hardNegativesTopK(labeled, q,
+        "vec_id", "embedding", "label", k = 5)
+      .collect()
+    assert(hn.length == 5)
+    assert(hn.forall(_.getAs[Int]("neighbor_label") != 0))
+    // agreement with brute force restricted to other-label corpus: the
+    // miner is exactly "top-k over the label-filtered corpus"
+    val other = labeled.where($"label" =!= 0)
+    val ref = Similarity.bruteForceTopK(other, q, "vec_id", "embedding", "vec_id", k = 5)
+      .select("query_id", "neighbor_id", "cosine_sim", "rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .sortBy(_._4).toSeq
+    val got = hn.map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"),
+      r.getAs[Double]("cosine_sim"), r.getAs[Int]("rank"))).sortBy(_._4).toSeq
+    assert(got == ref)
   }
 
   test("IVF corpus assignment is map-only: zero exchanges; planted clone at rank 1") {
