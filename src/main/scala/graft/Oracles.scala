@@ -1797,6 +1797,33 @@ object Oracles {
         |SELECT p_partkey, zx, zy, ${zOrderSql("zx", "zy", 7)} AS zval
         |FROM p ORDER BY p_partkey""".stripMargin,
 
+    // threeWaySplit replay: the q_p12 portable md5 gate cut at per-mille
+    // boundaries instead of one threshold
+    "q_p16_three_way_split" ->
+      """SELECT doc_id, lang,
+        |  CASE WHEN ('0x' || substr(md5(concat_ws('|', doc_id, '42')), 1, 15))::UBIGINT
+        |         % 1000000000 < 800000000 THEN 'train'
+        |       WHEN ('0x' || substr(md5(concat_ws('|', doc_id, '42')), 1, 15))::UBIGINT
+        |         % 1000000000 < 900000000 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // preferencePairs replay: the aggregation's argmax/argmin tie rules
+    // (best: smallest id among max score; worst: largest id among min)
+    // as two ranked windows
+    "q_pref_pairs" ->
+      """WITH c AS (SELECT source, doc_id AS chosen_id, n_chars AS chosen_score
+        |    FROM documents QUALIFY row_number() OVER (PARTITION BY source
+        |      ORDER BY n_chars DESC, doc_id) = 1),
+        |r AS (SELECT source, doc_id AS rejected_id, n_chars AS rejected_score
+        |    FROM documents QUALIFY row_number() OVER (PARTITION BY source
+        |      ORDER BY n_chars, doc_id DESC) = 1),
+        |n AS (SELECT source FROM documents GROUP BY source HAVING count(*) >= 2)
+        |SELECT c.source, chosen_id, chosen_score, rejected_id, rejected_score,
+        |  chosen_score - rejected_score AS margin
+        |FROM c JOIN r USING (source) JOIN n USING (source)
+        |ORDER BY c.source""".stripMargin,
+
     "q_p12_portable_sample" ->
       """SELECT c_custkey, c_name, c_mktsegment
         |FROM customer

@@ -1895,6 +1895,26 @@ object Queries {
       .select("o_orderkey", "w")
       .orderBy("o_orderkey")
 
+  /** P16 — deterministic 3-way train/val/test labeling over documents
+    * ([[graft.ops.Filters.threeWaySplit]]): portable md5 gate at
+    * 800/100/100 per-mille — hash independent of every data column, so
+    * the split is stratification-safe by construction. */
+  def qP16ThreeWaySplit(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Filters.threeWaySplit(
+        t(s, dir, "documents").select("doc_id", "lang"),
+        Seq("doc_id"), trainPermille = 800, valPermille = 100)
+      .orderBy("doc_id")
+
+  /** Preference-pair assembly per source
+    * ([[graft.features.TrainingSet.preferencePairs]]): best-vs-worst doc
+    * by `n_chars` with an integer margin — one argmax/argmin aggregation,
+    * no window; the oracle replays with two ranked windows. */
+  def qPrefPairs(s: SparkSession, dir: String): DataFrame =
+    graft.features.TrainingSet.preferencePairs(
+        t(s, dir, "documents").select("doc_id", "source", "n_chars"),
+        "source", "doc_id", "n_chars")
+      .orderBy("source")
+
   /** A9 — CUBE over (priority, status): all four grouping margins in one
     * pass ([[graft.ops.Aggregations.cubeAgg]]). */
   def qA9Cube(s: SparkSession, dir: String): DataFrame =
@@ -2145,6 +2165,8 @@ object Queries {
     "q_v_outliers" -> (qVOutliers _),
     "q_a8_rollup" -> (qA8Rollup _),
     "q_p15_weighted_sample" -> (qP15WeightedSample _),
+    "q_p16_three_way_split" -> (qP16ThreeWaySplit _),
+    "q_pref_pairs" -> (qPrefPairs _),
     "q_a9_cube" -> (qA9Cube _),
     "q_w15_rolling_z" -> (qW15RollingZ _),
     "q_feat_winsor" -> (qFeatWinsor _),

@@ -81,4 +81,41 @@ object TrainingSet {
       keys.map(col) ++ Seq(col(timeCol).as(prefix + timeCol)) ++
         payload.map(c => col(c).as(prefix + c)): _*)
   }
+
+  /** Preference-pair assembly (DPO/RLHF reward data): within each group
+    * (prompt, task, source shard), pair the BEST-scored candidate against
+    * the WORST — `(chosen, rejected, margin)`. Groups with a single
+    * candidate emit nothing (no pair exists); ties resolve
+    * deterministically (best: smallest id among max score; worst: largest
+    * id among min score), so a group whose candidates all tie still emits
+    * a valid pair of two distinct rows.
+    *
+    * Returns one row per eligible group:
+    * `(groupCol, chosen_id, chosen_score, rejected_id, rejected_score,
+    * margin)` with `margin = chosen_score − rejected_score` (exact when
+    * the score is integer/decimal).
+    *
+    * Reference analog: the reference's label frames feed ranking models
+    * via the training-set join (`joins.py:115-239`); explicit
+    * best-vs-worst pair mining is this engine's extended training-data
+    * scope.
+    *
+    * Scale: ONE aggregation, no window — argmax/argmin ride `max/min`
+    * over comparable structs `(score, −id, id, score)`, which combine
+    * map-side; shuffle mass is one partial row per (partition, group).
+    * The window form (`row_number` per group twice) would sort every
+    * group's candidates; this never sorts anything. */
+  def preferencePairs(df: DataFrame, groupCol: String, idCol: String,
+                      scoreCol: String): DataFrame = {
+    val probe = struct(col(scoreCol).as("s"), (-col(idCol)).as("t"),
+      col(idCol).as("id"), col(scoreCol).as("score"))
+    df.groupBy(col(groupCol))
+      .agg(max(probe).as("__c"), min(probe).as("__r"),
+        count(lit(1)).as("__n"))
+      .where(col("__n") >= 2)
+      .select(col(groupCol),
+        col("__c.id").as("chosen_id"), col("__c.score").as("chosen_score"),
+        col("__r.id").as("rejected_id"), col("__r.score").as("rejected_score"),
+        (col("__c.score") - col("__r.score")).as("margin"))
+  }
 }

@@ -119,6 +119,35 @@ object Filters {
     (df.where(u < fraction), df.where(u >= fraction))
   }
 
+  /** Deterministic 3-way train/val/test labeling: every row gets a
+    * `split` column from the portable md5 gate ([[portableHashSample]]'s
+    * hash — replayable verbatim by any engine), cut at integer per-mille
+    * boundaries (`trainPermille`, `valPermille`, remainder = test). A
+    * pure function of (keys, salt): layout-independent, rerun-stable on
+    * appended data, and — because the hash is independent of every data
+    * column — automatically proportionate within any stratum (language,
+    * source, time bucket) without per-stratum bookkeeping. Map-only,
+    * no shuffle.
+    *
+    * Reference analog: the reference splits train/eval by date filters
+    * (`fs_cus_credit_risk.py:59-83` ingest predicates); hash-split
+    * labeling is the leakage-safe extension for entity-keyed corpora. */
+  def threeWaySplit(df: DataFrame, keyCols: Seq[String],
+                    trainPermille: Int = 800, valPermille: Int = 100,
+                    salt: Int = 42): DataFrame = {
+    require(keyCols.nonEmpty, "keyCols must be non-empty")
+    require(trainPermille >= 0 && valPermille >= 0 &&
+      trainPermille + valPermille <= 1000,
+      "per-mille budgets must be non-negative and sum to <= 1000")
+    val h = conv(substring(md5(concat_ws("|",
+      keyCols.map(col) :+ lit(salt.toString): _*)), 1, 15), 16, 10)
+      .cast("long") % 1000000000L
+    df.withColumn("split",
+      when(h < trainPermille * 1000000L, "train")
+        .when(h < (trainPermille + valPermille) * 1000000L, "val")
+        .otherwise("test"))
+  }
+
   /** Deterministic stratified sample: per-stratum keep fractions (strata
     * missing from the map are dropped). The scalable form of
     * `df.stat.sampleBy`, with hash determinism instead of rand. */

@@ -102,6 +102,41 @@ object Similarity {
         col("cosine_sim"), col("__rn").as("rank"))
   }
 
+  /** Hard-negative mining on an ANN shortlist — the >10⁹-corpus form
+    * [[hardNegativesTopK]]'s Scaladoc names: [[ivfTopK]] retrieves an
+    * OVERSAMPLED top-(oversample·k) per query; labels join onto the
+    * shortlist (queries × oversample·k rows — never the corpus); same-
+    * label rows drop; survivors re-rank to top-k. Oversampling buys back
+    * the slots same-label neighbors occupy in the unlabeled shortlist;
+    * recall vs the exact miner is the IVF shortlist's recall.
+    *
+    * Topology: the label join streams the corpus's (id, label) projection
+    * against the BROADCAST shortlist — the corpus is never shuffled here
+    * (and ivfTopK's own contract already keeps it shuffle-free up to the
+    * per-query top-k). Spec-pinned: exhaustive probes + full oversample ≡
+    * [[hardNegativesTopK]] exactly; restricted probes stay same-label-free
+    * and rank by true cosine. */
+  def hardNegativesIvf(corpus: DataFrame, queries: DataFrame,
+                       idCol: String, vecCol: String, labelCol: String,
+                       k: Int = 5, oversample: Int = 4,
+                       nCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
+    val short = ivfTopK(corpus, queries, idCol, vecCol, idCol,
+      k = k * oversample, nCentroids = nCentroids, nProbe = nProbe)
+    val queryLabels = queries.select(col(idCol).as("query_id"),
+      col(labelCol).as("__qlabel"))
+    val corpusLabels = corpus.select(col(idCol).as("neighbor_id"),
+      col(labelCol).as("neighbor_label"))
+    val filtered = corpusLabels
+      .join(broadcast(short.join(queryLabels, Seq("query_id"))),
+        Seq("neighbor_id"))
+      .where(col("neighbor_label") =!= col("__qlabel"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine_sim").desc, col("neighbor_id"))
+    filtered.withColumn("__rn", row_number().over(w)).where(col("__rn") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("neighbor_label"),
+        col("cosine_sim"), col("__rn").as("rank"))
+  }
+
   /** SRP-LSH bucket key: sign bits of `nBits` seeded random hyperplane
     * projections, packed into a long. Hyperplane components are derived
     * deterministically from xxhash64(seed, dim-index) — no stored model. */

@@ -245,6 +245,26 @@ class FeaturesSpec extends AnyFunSuite {
     assert(avgArea < 63.0 * 63.0 / 4.0, s"avgArea=$avgArea")
   }
 
+  test("preferencePairs: best-vs-worst, deterministic ties, singletons dropped, layout-free") {
+    import graft.features.TrainingSet
+    val df = Seq(
+      ("p1", 1L, 10L), ("p1", 2L, 30L), ("p1", 3L, 30L), ("p1", 4L, 5L),
+      ("p2", 5L, 7L),                 // singleton — no pair exists
+      ("p3", 6L, 4L), ("p3", 7L, 4L)) // all-tie group still pairs 2 rows
+      .toDF("g", "id", "score")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      TrainingSet.preferencePairs(d, "g", "id", "score")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getLong(5))).sortBy(_._1).toSeq
+    val out = run(df)
+    // p1: max 30 ties (2,3) → smallest id 2; min is unique id 4
+    // p3: all tie at 4 → chosen smallest id 6, rejected largest id 7
+    assert(out == Seq(
+      ("p1", 2L, 30L, 4L, 5L, 25L),
+      ("p3", 6L, 4L, 7L, 4L, 0L)))
+    assert(run(df.repartition(7)) == out)
+  }
+
   test("TrainingSet.build: stacked as-of lookups pick latest snapshot <= label time, no leakage") {
     import graft.features.{FeatureLookup, TrainingSet}
     val labels = Seq((1L, 10L, "A"), (1L, 25L, "B"), (2L, 5L, "C"))

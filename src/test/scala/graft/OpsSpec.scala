@@ -126,6 +126,28 @@ class OpsSpec extends AnyFunSuite {
     assert(s1.subsetOf(s3))
   }
 
+  test("threeWaySplit: md5 replay, disjoint-exhaustive labels, sane proportions") {
+    val df = (1L to 3000L).toDF("id")
+    val out = Filters.threeWaySplit(df, Seq("id"), trainPermille = 800,
+        valPermille = 100)
+      .select("id", "split").as[(Long, String)].collect().toMap
+    // sequential md5 reference — the same portable gate any engine replays
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def u(i: Long) = java.lang.Long.parseLong(
+      md.digest(s"$i|42".getBytes("UTF-8")).map("%02x".format(_))
+        .mkString.take(15), 16) % 1000000000L
+    val expected = (1L to 3000L).map { i =>
+      i -> (if (u(i) < 800000000L) "train"
+            else if (u(i) < 900000000L) "val" else "test")
+    }.toMap
+    assert(out == expected)
+    // every row labeled; proportions near 80/10/10
+    assert(out.size == 3000)
+    val sizes = out.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(math.abs(sizes("train") - 2400) < 120)
+    assert(math.abs(sizes("val") - 300) < 90 && math.abs(sizes("test") - 300) < 90)
+  }
+
   test("stratifiedHashSample applies per-stratum fractions, drops unlisted strata") {
     val df = (1L to 3000L).map(i => (i, if (i % 3 == 0) "a" else if (i % 3 == 1) "b" else "c"))
       .toDF("id", "s")

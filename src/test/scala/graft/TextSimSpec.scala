@@ -386,6 +386,39 @@ class TextSimSpec extends AnyFunSuite {
     assert(got == ref)
   }
 
+  test("hardNegativesIvf: exhaustive probes equal the exact miner; restricted probes stay label-clean") {
+    val labeled = vecs.withColumn("label", (col("vec_id") % 3).cast("int"))
+    val q = labeled.where($"vec_id" < 3)
+    def tup(r: org.apache.spark.sql.Row) = (r.getAs[Long]("query_id"),
+      r.getAs[Long]("neighbor_id"), r.getAs[Double]("cosine_sim"),
+      r.getAs[Int]("rank"))
+    val exact = Similarity.hardNegativesTopK(labeled, q,
+        "vec_id", "embedding", "label", k = 5)
+      .collect().map(tup).sorted.toSeq
+    // nProbe = nCentroids and k·oversample ≥ |corpus| → the shortlist is
+    // the whole corpus, so the ANN miner must reproduce the exact one
+    val exhaustive = Similarity.hardNegativesIvf(labeled, q,
+        "vec_id", "embedding", "label",
+        k = 5, oversample = 10, nCentroids = 4, nProbe = 4)
+      .collect().map(tup).sorted.toSeq
+    assert(exhaustive == exact)
+    // restricted probes: possibly lower recall, but never a same-label
+    // result, dense 1..k' ranks, descending cosine order
+    val some = Similarity.hardNegativesIvf(labeled, q,
+        "vec_id", "embedding", "label",
+        k = 5, oversample = 2, nCentroids = 4, nProbe = 1)
+      .collect()
+    assert(some.nonEmpty)
+    assert(some.forall(r => r.getAs[Int]("neighbor_label") != (r.getAs[Long]("query_id") % 3).toInt))
+    val byQ = some.groupBy(_.getAs[Long]("query_id"))
+    byQ.values.foreach { rs =>
+      val sorted = rs.sortBy(_.getAs[Int]("rank"))
+      assert(sorted.map(_.getAs[Int]("rank")).toSeq == (1 to rs.length).toSeq)
+      val sims = sorted.map(_.getAs[Double]("cosine_sim")).toSeq
+      assert(sims == sims.sorted.reverse)
+    }
+  }
+
   test("IVF corpus assignment is map-only: zero exchanges; planted clone at rank 1") {
     val clone = vecs.where($"vec_id" === 7)
       .select(lit(999L).as("vec_id"), $"embedding")
