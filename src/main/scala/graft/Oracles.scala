@@ -716,6 +716,26 @@ object Oracles {
          |    floor(tok_start / 512))::BIGINT AS chunk_last
          |FROM c ORDER BY doc_id""".stripMargin,
 
+    // chunkManifest replay: q_pack_chunks' running-sum CTE + unnest over
+    // each doc's [chunk_first, chunk_last] range, span clamps inline
+    "q_pack_manifest" ->
+      """WITH d AS (SELECT doc_id,
+        |    len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens
+        |  FROM documents),
+        |c AS (SELECT doc_id, n_tokens,
+        |    coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tok_start
+        |  FROM d),
+        |e AS (SELECT doc_id, n_tokens, tok_start,
+        |    unnest(range(floor(tok_start / 512)::BIGINT,
+        |      greatest(floor((tok_start + n_tokens - 1) / 512),
+        |        floor(tok_start / 512))::BIGINT + 1)) AS chunk_id
+        |  FROM c WHERE n_tokens > 0)
+        |SELECT doc_id, n_tokens::INT AS n_tokens, chunk_id,
+        |  greatest(tok_start - chunk_id * 512, 0)::BIGINT AS start_in_chunk,
+        |  least(tok_start + n_tokens - chunk_id * 512, 512)::BIGINT AS end_in_chunk
+        |FROM e ORDER BY doc_id, chunk_id""".stripMargin,
+
     // lengthBuckets replay: same ws token count as q_pack_chunks; the
     // {16,32,64} ladder as a CASE; one window per bucket at oracle scale
     "q_pack_length_buckets" ->
@@ -1116,6 +1136,12 @@ object Oracles {
     // (correctly) flags natural near-dups of the cloned docs, which are
     // not SQL-predictable — TextSimSpec covers that surface
     "q_decontam_fuzzy" ->
+      """SELECT doc_id AS id, doc_id + 50000 AS bench_id
+        |FROM documents WHERE doc_id < 50 ORDER BY id""".stripMargin,
+
+    // incremental probe over the seeded band/signature stores recovers
+    // the identical plant (probe ≡ one-shot equality is spec-asserted)
+    "q_decontam_inc" ->
       """SELECT doc_id AS id, doc_id + 50000 AS bench_id
         |FROM documents WHERE doc_id < 50 ORDER BY id""".stripMargin,
 

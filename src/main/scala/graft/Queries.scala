@@ -715,6 +715,19 @@ object Queries {
       .select("doc_id", "shard", "shard_pos")
       .orderBy("doc_id")
 
+  /** Chunk manifest ([[graft.text.Packing.chunkManifest]]): the inverse
+    * packing map — per (chunk, doc) token spans, the loss-mask metadata a
+    * packed-training loader reads. Same token base as [[qPackChunks]];
+    * oracle = the running-sum CTE + an unnest over each doc's chunk
+    * range. */
+  def qPackManifest(s: SparkSession, dir: String): DataFrame =
+    text.Packing.chunkManifest(
+        t(s, dir, "documents").select(col("doc_id"),
+          text.TextStats.tokenCountWs(col("text")).as("n_tokens")),
+        "doc_id", "n_tokens", chunkTokens = 512)
+      .select("doc_id", "n_tokens", "chunk_id", "start_in_chunk", "end_in_chunk")
+      .orderBy("doc_id", "chunk_id")
+
   /** Concat-and-chunk packing under EXACT BPE token counts (round-3 item
     * 6, second half): context-window budgets follow
     * [[graft.text.Bpe.tokenCounts]] under the fixed merge table instead of
@@ -962,6 +975,30 @@ object Queries {
       .withColumn("text", concat(col("text"), lit(" graftbench")))
     Dedup.fuzzyContamination(d, "text", "doc_id", bench, "text", "doc_id",
         numHashes = 64, bands = 16, threshold = 0.5)
+      .where(col("bench_id") === col("id") + 50000)
+      .orderBy("id")
+  }
+
+  /** INCREMENTAL fuzzy decontamination
+    * ([[graft.text.Dedup.fuzzyContaminationIncremental]]): the corpus is
+    * seeded ONCE into a persisted band index + signature store
+    * ([[graft.text.Dedup.seedBandIndex]] /
+    * [[graft.text.Dedup.seedMinhashSignatures]]); the "benchmark" — the
+    * +50000 one-token-edit clone suite of docs < 50 — then probes the
+    * stores without the corpus ever being re-signed. Same diagonal
+    * projection and oracle as [[qDecontamFuzzy]]; TextSimSpec asserts
+    * probe ≡ one-shot equality. */
+  def qDecontamInc(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val bench = d.where(col("doc_id") < 50)
+      .withColumn("doc_id", col("doc_id") + 50000)
+      .withColumn("text", concat(col("text"), lit(" graftbench")))
+    val store = new graft.store.TableStore(s,
+      java.nio.file.Files.createTempDirectory("graft_decontam_inc").toString)
+    Dedup.seedBandIndex(store, "bands", d, "text", "doc_id")
+    Dedup.seedMinhashSignatures(store, "sigs", d, "text", "doc_id")
+    Dedup.fuzzyContaminationIncremental(store, "bands", "sigs",
+        bench, "text", "doc_id")
       .where(col("bench_id") === col("id") + 50000)
       .orderBy("id")
   }
@@ -2112,6 +2149,7 @@ object Queries {
     "q_pack_shards" -> (qPackShards _),
     "q_pack_chunks_bpe" -> (qPackChunksBpe _),
     "q_pack_length_buckets" -> (qPackLengthBuckets _),
+    "q_pack_manifest" -> (qPackManifest _),
     "q_sim_bruteforce_topk" -> (qSimBruteForce _),
     "q_sim_hard_negatives" -> (qSimHardNegatives _),
     "q_sim_ivf_topk" -> (qSimIvfTopK _),
@@ -2189,6 +2227,7 @@ object Queries {
     "q_curate_temperature" -> (qCurateTemperature _),
     "q_mix_unimax" -> (qMixUnimax _),
     "q_decontam_fuzzy" -> (qDecontamFuzzy _),
+    "q_decontam_inc" -> (qDecontamInc _),
     "q_data_card" -> (qDataCard _),
     "q_sim_inc_index" -> (qSimIncIndex _),
     "q_token_fertility" -> (qTokenFertility _),

@@ -329,6 +329,62 @@ object Dedup {
       .dropDuplicates("id", "bench_id")
   }
 
+  /** Seed the persisted CORPUS BAND INDEX for incremental decontamination
+    * ([[fuzzyContaminationIncremental]]): one `(band, key, id)` row per
+    * LSH band per doc (PK (band, key, id)), next to the per-doc signature
+    * table [[seedMinhashSignatures]] maintains. Together they are the
+    * reusable fuzzy-match index of the corpus — ~(bands·20 + hashes·8)
+    * bytes/doc of state, built in ONE corpus pass, after which no
+    * decontamination probe ever re-reads or re-signs the corpus. */
+  def seedBandIndex(store: graft.store.TableStore, bandTable: String,
+                    corpus: DataFrame, textCol: String, idCol: String,
+                    numHashes: Int = 64, bands: Int = 16,
+                    buckets: Int = 0): Unit = {
+    val rows = banded(corpus, textCol, idCol, numHashes, bands)
+      .select(col("band"), col("key"), col("__id").cast("long").as("id"))
+    if (store.exists(bandTable)) store.upsert(bandTable, rows, Seq("band", "key", "id"))
+    else store.overwrite(bandTable, rows,
+      primaryKeys = Seq("band", "key", "id"), buckets = buckets)
+  }
+
+  /** INCREMENTAL fuzzy decontamination: probe a NEW benchmark / eval
+    * suite against the persisted corpus band index + signature store —
+    * the per-suite form of [[fuzzyContamination]] at corpus scale, where
+    * re-signing 100 TB per arriving eval suite is exactly the cost to
+    * avoid. Same edge-list output `(id, bench_id)`; result identical to
+    * the one-shot form over the seeded corpus (spec-asserted).
+    *
+    * Topology: the benchmark signs MAP-ONLY (suite-sized, one pinned
+    * materialization feeds both probe subtrees); its band keys broadcast
+    * into a probe of the band-index scan (map-side filter); the hit set
+    * (collision-sized) broadcasts into a probe of the signature scan;
+    * est-Jaccard gates the fetched pairs. Every shuffle is bench- or
+    * collision-sized; both corpus tables stream map-only and are never
+    * re-derived. */
+  def fuzzyContaminationIncremental(store: graft.store.TableStore,
+                                    bandTable: String, sigTable: String,
+                                    benchmark: DataFrame, benchTextCol: String,
+                                    benchIdCol: String,
+                                    numHashes: Int = 64, bands: Int = 16,
+                                    threshold: Double = 0.5): DataFrame = {
+    val benchBands = banded(benchmark, benchTextCol, benchIdCol, numHashes, bands)
+      .select(col("band"), col("key"),
+        col("__id").cast("long").as("bench_id"), col("__sig").as("sig_b"))
+      .localCheckpoint() // sign the suite once; two broadcast consumers
+    val cand = store.read(bandTable)
+      .join(broadcast(benchBands.select("band", "key", "bench_id")),
+        Seq("band", "key"))
+      .select(col("id"), col("bench_id"))
+      .dropDuplicates("id", "bench_id")
+    store.read(sigTable)
+      .select(col("id"), col("sig").as("sig_a"))
+      .join(broadcast(cand), Seq("id"))
+      .join(broadcast(benchBands.select(col("bench_id"), col("sig_b"))
+        .dropDuplicates("bench_id")), Seq("bench_id"))
+      .where(estJaccard(numHashes) >= threshold)
+      .select("id", "bench_id")
+  }
+
   // ------------------------------- incremental dedup (batch vs corpus store)
 
   /** Exact INCREMENTAL dedup: flag a NEW batch against a persisted

@@ -114,6 +114,38 @@ object Packing {
       .drop("__part", "__offset", "__k", "__rank0")
   }
 
+  /** Chunk MANIFEST — the inverse map of [[chunkAssignments]] a training
+    * loader actually consumes: one row per (chunk, document) pair with the
+    * document's token span INSIDE that chunk
+    * (`start_in_chunk`/`end_in_chunk`, 0-based half-open). This is the
+    * per-example provenance table and the attention/loss-mask metadata for
+    * packed pretraining (cross-document attention masking needs exactly
+    * these boundaries). Zero-token documents emit no manifest rows.
+    *
+    * Invariants (spec-asserted): per-document spans sum to its token
+    * count; per-chunk spans tile `[0, chunkTokens)` exactly (the final
+    * chunk ends at the corpus total mod chunkTokens).
+    *
+    * Scale: [[chunkAssignments]]'s two-phase prefix sum plus ONE map-only
+    * explode over each doc's `[chunk_first, chunk_last]` range — fan-out
+    * is ceil(doc_tokens / chunkTokens) + 1 rows per doc, the manifest's
+    * inherent size; no extra shuffle. */
+  def chunkManifest(df: DataFrame, orderCol: String, tokenCountCol: String,
+                    chunkTokens: Int, partitions: Int = 0): DataFrame = {
+    val assigned = chunkAssignments(df, orderCol, tokenCountCol,
+      chunkTokens, partitions)
+    assigned
+      .where(col(tokenCountCol) > 0)
+      .select(col(orderCol), col(tokenCountCol), col("tok_start"),
+        explode(sequence(col("chunk_first"), col("chunk_last"))).as("chunk_id"))
+      .withColumn("start_in_chunk",
+        greatest(col("tok_start") - col("chunk_id") * chunkTokens, lit(0L)))
+      .withColumn("end_in_chunk",
+        least(col("tok_start") + col(tokenCountCol) - col("chunk_id") * chunkTokens,
+          lit(chunkTokens.toLong)))
+      .drop("tok_start")
+  }
+
   /** Length-bucketed batching: the padding-efficient alternative to
     * [[chunkAssignments]] for sequence-level training (SFT / encoder
     * fine-tuning), where examples are NOT concatenated — each sequence is

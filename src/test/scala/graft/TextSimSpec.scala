@@ -73,6 +73,33 @@ class TextSimSpec extends AnyFunSuite {
     assert(e.getMessage.contains("did not converge"))
   }
 
+  test("fuzzyContaminationIncremental: probe over seeded stores equals the one-shot form") {
+    val src = (1 to 30).map(i => s"w$i").mkString(" ")
+    val other = (200 to 230).map(i => s"v$i").mkString(" ")
+    val corpus = Seq((1L, src), (2L, other),
+      (3L, (100 to 130).map(i => s"u$i").mkString(" "))).toDF("doc_id", "text")
+    val suite1 = Seq((900L, src + " edited")).toDF("doc_id", "text")
+    val suite2 = Seq((901L, other), (902L, "totally unrelated words here now"))
+      .toDF("doc_id", "text")
+    val store = new graft.store.TableStore(spark,
+      java.nio.file.Files.createTempDirectory("graft_dc_inc_spec").toString)
+    Dedup.seedBandIndex(store, "bands", corpus, "text", "doc_id")
+    Dedup.seedMinhashSignatures(store, "sigs", corpus, "text", "doc_id")
+    def edges(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    for (suite <- Seq(suite1, suite2)) {
+      val oneShot = edges(Dedup.fuzzyContamination(corpus, "text", "doc_id",
+        suite, "text", "doc_id", threshold = 0.5))
+      val inc = edges(Dedup.fuzzyContaminationIncremental(store, "bands", "sigs",
+        suite, "text", "doc_id", threshold = 0.5))
+      assert(inc == oneShot)
+    }
+    // the second suite's exact-copy item flags doc 2; nothing flags doc 3
+    val inc2 = edges(Dedup.fuzzyContaminationIncremental(store, "bands", "sigs",
+      suite2, "text", "doc_id", threshold = 0.5))
+    assert(inc2 == Seq((2L, 901L)))
+  }
+
   test("exactIncremental: store flags batch dups map-only, registers survivors, replay remembers") {
     val store = new graft.store.TableStore(spark,
       java.nio.file.Files.createTempDirectory("graft_inc").toString)
@@ -176,6 +203,32 @@ class TextSimSpec extends AnyFunSuite {
       (i, start, start / 16, math.max((start + n - 1) / 16, start / 16))
     }
     assert(one == expected)
+  }
+
+  test("chunkManifest: spans tile chunks exactly and sum to each doc's tokens") {
+    val d = (1L to 100L).map(i => (i, (i % 7).toInt)).toDF("id", "n_tok")
+    val m = Packing.chunkManifest(d, "id", "n_tok", 16, partitions = 5)
+      .select("id", "chunk_id", "start_in_chunk", "end_in_chunk")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    // per-doc coverage == its token count; zero-token docs emit nothing
+    val perDoc = m.groupBy(_._1).view.mapValues(_.map(t => t._4 - t._3).sum).toMap
+    val expected = (1L to 100L).map(i => i -> (i % 7)).filter(_._2 > 0)
+      .map { case (k, v) => k -> v }.toMap
+    assert(perDoc == expected)
+    // per-chunk tiling: spans chain 0 → … → 16 (last chunk ends at the
+    // corpus total mod 16)
+    val total = (1L to 100L).map(_ % 7).sum // 297
+    m.groupBy(_._2).foreach { case (c, rows) =>
+      val spans = rows.sortBy(_._3).toSeq
+      assert(spans.head._3 == 0L)
+      spans.sliding(2).foreach {
+        case Seq(a, b) => assert(a._4 == b._3, s"gap in chunk $c")
+        case _ =>
+      }
+      if (c < total / 16) assert(spans.last._4 == 16L)
+      else assert(spans.last._4 == (total % 16).toLong)
+    }
   }
 
   test("thresholdCurve: hand-computed bands, pair and doc counts, layout independent") {
