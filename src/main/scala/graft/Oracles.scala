@@ -481,6 +481,20 @@ object Oracles {
         |    w -> NOT list_contains(bp.bad, w))))::INT AS n_removed
         |FROM d CROSS JOIN bp ORDER BY doc_id""".stripMargin,
 
+    // scrubAdjacentRepeats replay: 1-based index lambda keeps a token iff
+    // it differs from its predecessor
+    "q_text_scrub_repeats" ->
+      """WITH d AS (SELECT doc_id,
+        |    list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |k AS (SELECT doc_id, toks,
+        |    list_filter(toks, (x, i) -> i = 1 OR x <> toks[i - 1]) AS kept
+        |  FROM d)
+        |SELECT doc_id,
+        |  coalesce(array_to_string(kept, ' '), '') AS text_scrubbed,
+        |  (len(toks) - len(kept))::INT AS n_removed
+        |FROM k ORDER BY doc_id""".stripMargin,
+
     "q_text_rarity" ->
       """WITH d AS (SELECT doc_id,
         |    list_filter(regexp_split_to_array(regexp_replace(lower(trim(text)),
@@ -1669,6 +1683,29 @@ object Oracles {
         |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
         |ORDER BY l.l_orderkey, l.l_linenumber, l.l_quantity,
         |  l.l_extendedprice""".stripMargin,
+
+    // nearestEventJoin replay: rank candidates by (|Δ| asc, forward asc,
+    // direction-dependent id order) — the window form's exact tie rules
+    "q_j11_nearest_event" ->
+      """WITH l AS (SELECT user_id, event_id, ts, epoch_us(ts) AS lt
+        |    FROM events WHERE event_type = 'click'),
+        |r AS (SELECT user_id, event_id AS err_event_id, epoch_us(ts) AS rt
+        |    FROM events WHERE event_type = 'error'),
+        |cand AS (SELECT l.user_id, l.event_id, r.err_event_id,
+        |    abs(r.rt - l.lt) AS dist,
+        |    row_number() OVER (PARTITION BY l.user_id, l.event_id
+        |      ORDER BY abs(r.rt - l.lt), (r.rt > l.lt),
+        |        CASE WHEN r.rt > l.lt THEN r.err_event_id
+        |             ELSE -r.err_event_id END) AS rn
+        |  FROM l JOIN r ON l.user_id = r.user_id),
+        |best AS (SELECT user_id, event_id, err_event_id, dist
+        |  FROM cand WHERE rn = 1)
+        |SELECT l.user_id, l.event_id,
+        |  strftime(l.ts, '%Y-%m-%d %H:%M:%S') AS ts_str,
+        |  CASE WHEN b.dist <= 600000000 THEN b.err_event_id END AS err_event_id,
+        |  (CASE WHEN b.dist <= 600000000 THEN b.dist END)::BIGINT AS dist_micros
+        |FROM l LEFT JOIN best b USING (user_id, event_id)
+        |ORDER BY l.user_id, l.event_id""".stripMargin,
 
     "q_text_vocab" ->
       """WITH toks AS (

@@ -1096,6 +1096,15 @@ object Queries {
     graft.text.UnigramLM.vocabSpectrum(t(s, dir, "documents"), "text")
       .orderBy("freq_decade")
 
+  /** Adjacent-repeat scrub ([[graft.text.Repetition.scrubAdjacentRepeats]]):
+    * token stutters collapse in place, map-only; DuckDB replays with an
+    * index-lambda list_filter. */
+  def qTextScrubRepeats(s: SparkSession, dir: String): DataFrame =
+    graft.text.Repetition.scrubAdjacentRepeats(
+        t(s, dir, "documents").select("doc_id", "text"), "text", "doc_id")
+      .select("doc_id", "text_scrubbed", "n_removed")
+      .orderBy("doc_id")
+
   /** Per-doc novelty attribution ([[graft.text.Dedup.docNovelty]]) over
     * corpus ∪ exact clones: clones contribute zero new grams (their
     * originals have smaller ids), so the planted expectation is visible
@@ -1424,6 +1433,26 @@ object Queries {
             col("o_totalprice"), col("o_orderstatus")),
         Seq("l_orderkey"), nSalts = 8)
       .orderBy("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+
+  /** J11 — nearest-event join ([[graft.ops.Joins.nearestEventJoin]]):
+    * each click matched to its nearest error (either direction) for the
+    * same user within 10 minutes — one union-tag window pass, both
+    * directions, exact integer-micros distances; oracle is a ranked
+    * candidate replay with the identical tie rules. */
+  def qJ11NearestEvent(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val clicks = ev.where(col("event_type") === "click")
+      .select("user_id", "event_id", "ts")
+    val errors = ev.where(col("event_type") === "error")
+      .select(col("user_id"), col("ts"), col("event_id").as("err_event_id"))
+    Joins.nearestEventJoin(clicks, errors, Seq("user_id"), "ts", "ts",
+        tolerance = 600e6) // 10 min in micros
+      .select(col("user_id"), col("event_id"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_str"),
+        col("err_event_id"),
+        col("asof_dist").cast("long").as("dist_micros"))
+      .orderBy("user_id", "event_id")
+  }
 
   /** Composite training-data pipeline over documents (+ injected exact
     * dups): exact dedup → language ID + quality stats → filter → per
@@ -2123,6 +2152,7 @@ object Queries {
     "q_text_stats" -> (qTextStats _),
     "q_text_langid" -> (qTextLangId _),
     "q_text_repetition" -> (qTextRepetition _),
+    "q_text_scrub_repeats" -> (qTextScrubRepeats _),
     "q_text_redact" -> (qTextRedact _),
     "q_text_boilerplate" -> (qTextBoilerplate _),
     "q_text_rarity" -> (qTextRarity _),
@@ -2164,6 +2194,7 @@ object Queries {
     "q_w12_sessionize" -> (qW12Sessionize _),
     "q_j9_range_join" -> (qJ9RangeJoin _),
     "q_j10_salted_join" -> (qJ10SaltedJoin _),
+    "q_j11_nearest_event" -> (qJ11NearestEvent _),
     "q_docs_pipeline" -> (qDocsPipeline _),
     "q_text_vocab" -> (qTextVocab _),
     "q_sketch_cardinality" -> (qSketchCardinality _),

@@ -114,6 +114,80 @@ object Joins {
       payloadCols.filterNot(left.columns.contains).map(c => col(s"__asof.$c").as(c)): _*)
   }
 
+  /** J11 (extension) — NEAREST-event join: for each left row, the right
+    * row whose time is CLOSEST to the left time within `tolerance` —
+    * backward or forward — where [[pointInTimeJoin]] only looks back
+    * (sensor fusion, nearest-quote alignment, log correlation). ONE
+    * union-tag pass computes both directions: `last(payload)` over the
+    * preceding frame is the latest right ≤ t, `first(payload)` over the
+    * following frame the earliest right > t; the nearer wins (exact ties
+    * → the backward match) and a winner farther than `tolerance` nulls
+    * out. Emits the left columns + matched right time/payload +
+    * `asof_dist` (|Δ| in the internal time unit; null when unmatched).
+    *
+    * Times: TIMESTAMP columns are compared in exact integer MICROSECONDS
+    * (`tolerance` and `asof_dist` are micros); any numeric column is
+    * compared in its own units. Equal-time right rows resolve
+    * deterministically: backward picks the GREATEST payload tuple (the
+    * [[pointInTimeJoin]] rule), forward the SMALLEST — one window
+    * ordering cannot give both directions the same tie rule; spec-pinned.
+    *
+    * Scale: identical to [[pointInTimeJoin]] — ONE hash shuffle on the
+    * keys + one in-partition sort, zero row blowup, cost independent of
+    * history depth. Reference analog: `joins.py:115-238` (backward-only
+    * as-of). */
+  def nearestEventJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+                       leftTime: String, rightTime: String,
+                       tolerance: Double): DataFrame = {
+    import org.apache.spark.sql.types.TimestampType
+    require(tolerance >= 0, "tolerance must be non-negative")
+    def toNum(c: Column, isTs: Boolean): Column =
+      if (isTs) unix_micros(c).cast("double") else c.cast("double")
+    val rIsTs = right.schema(rightTime).dataType == TimestampType
+    val lIsTs = left.schema(leftTime).dataType == TimestampType
+    val payloadCols = right.columns.filterNot(c => keys.contains(c) || c == rightTime).toSeq
+    val rTagged = right.select(
+      keys.map(col) ++ Seq(
+        toNum(col(rightTime), rIsTs).as("__t"), lit(0).as("__src"),
+        struct((col(rightTime).as(rightTime) +: payloadCols.map(col)): _*).as("__payload")) ++
+      left.columns.filterNot(keys.contains)
+        .map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)
+    val lTagged = left.select(
+      keys.map(col) ++ Seq(
+        toNum(col(leftTime), lIsTs).as("__t"), lit(1).as("__src"),
+        lit(null).cast(rTagged.schema("__payload").dataType).as("__payload")) ++
+      left.columns.filterNot(keys.contains).map(col): _*)
+    val ord = Seq(col("__t"), col("__src"), col("__payload"))
+    val wPrev = Window.partitionBy(keys.map(col): _*).orderBy(ord: _*)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wNext = Window.partitionBy(keys.map(col): _*).orderBy(ord: _*)
+      .rowsBetween(0, Window.unboundedFollowing)
+    // the payload struct leads with rightTime, so its numeric form is
+    // recoverable from the match itself
+    def pt(p: Column): Column = toNum(p.getField(rightTime), rIsTs)
+    val merged = rTagged.unionByName(lTagged)
+      .withColumn("__prev", last(col("__payload"), ignoreNulls = true).over(wPrev))
+      .withColumn("__next", first(col("__payload"), ignoreNulls = true).over(wNext))
+      .where(col("__src") === 1)
+      .withColumn("__dp", col("__t") - pt(col("__prev")))
+      .withColumn("__dn", pt(col("__next")) - col("__t"))
+      .withColumn("__best",
+        when(col("__prev").isNotNull &&
+            (col("__next").isNull || col("__dp") <= col("__dn")), col("__prev"))
+          .otherwise(col("__next")))
+      .withColumn("__dist", abs(pt(col("__best")) - col("__t")))
+      .withColumn("__match",
+        when(col("__dist") <= tolerance, col("__best")))
+      .withColumn("asof_dist", when(col("__match").isNotNull, col("__dist")))
+    val rightTimeOut = if (left.columns.contains(rightTime)) rightTime + "_right" else rightTime
+    merged.select(
+      keys.map(col) ++
+      left.columns.filterNot(keys.contains).map(col) ++
+      Seq(col(s"__match.$rightTime").as(rightTimeOut)) ++
+      payloadCols.filterNot(left.columns.contains).map(c => col(s"__match.$c").as(c)) ++
+      Seq(col("asof_dist")): _*)
+  }
+
   /** J4 — left-anti exclusion on distinct-projected keys (`joins.py:241-268`). */
   def antiExclude(df: DataFrame, exclusions: DataFrame, keys: Seq[String]): DataFrame =
     df.join(exclusions.select(keys.map(col): _*).distinct(), keys, "left_anti")

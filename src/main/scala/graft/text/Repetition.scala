@@ -42,6 +42,35 @@ object Repetition {
   private def charSum(arr: Column): Column =
     aggregate(arr, lit(0), (acc, x) => acc + length(x))
 
+  /** Adjacent-repeat token scrub: collapse runs of the SAME whitespace
+    * token to one occurrence ("the the the" → "the") — the stutter
+    * artifact of OCR output, scraped marquees, and decode loops, fixed in
+    * place rather than merely measured (the removal counterpart of
+    * [[withSegmentRepetition]]'s report). Returns the input columns plus
+    * `text_scrubbed` (single-space rejoined) and `n_removed`.
+    *
+    * Built from `zip_with(tokens, shifted-tokens)` + `array_compact`, NOT
+    * an index lambda reading `tokens[i-1]` from the enclosing row — a
+    * lambda referencing the token ARRAY re-evaluates the split per
+    * ELEMENT once an optimizer rule inlines the alias (the
+    * [[Dedup.docNovelty]] hazard); here every HOF argument is evaluated
+    * once per row. Scale: MAP-ONLY, zero shuffle. */
+  def scrubAdjacentRepeats(df: DataFrame, textCol: String,
+                           idCol: String): DataFrame = {
+    val toks = filter(split(col(textCol), "\\s+"), t => t =!= "")
+    // prev[i] = toks[i-1], with a "" sentinel at position 0 ("" is never a
+    // token — empties are filtered — so the first token always survives)
+    val prev = concat(array(lit("")),
+      slice(toks, lit(1), greatest(size(toks) - 1, lit(0))))
+    val kept = array_compact(
+      zip_with(toks, prev, (t, p) => when(t.isNotNull && !(t <=> p), t)))
+    df.withColumn("__kept", kept)
+      .withColumn("__ntok", size(toks))
+      .withColumn("text_scrubbed", concat_ws(" ", col("__kept")))
+      .withColumn("n_removed", (col("__ntok") - size(col("__kept"))).cast("int"))
+      .drop("__kept", "__ntok")
+  }
+
   /** Duplicate-segment fractions in two staged projections (`__segs` and
     * `__dsegs` are each referenced ≥2 times downstream, so CollapseProject
     * keeps the barrier and the split/distinct run once per row — see

@@ -88,6 +88,45 @@ class OpsSpec extends AnyFunSuite {
     assert(binned.size > values.count()) // overlap produced multi-matches
   }
 
+  test("nearestEventJoin: nearest in either direction, tolerance nulls, pinned ties") {
+    val left = Seq((1L, 100.0, 10L), (1L, 205.0, 11L), (2L, 50.0, 12L),
+      (3L, 10.0, 13L)).toDF("k", "t", "lid")
+    val right = Seq(
+      (1L, 90.0, 20L),  // 10 before left@100
+      (1L, 104.0, 21L), // 4 after left@100 → nearest
+      (1L, 300.0, 22L), // 95 after left@205 vs 101 before → forward wins
+      (2L, 45.0, 23L), (2L, 45.0, 25L), // same-time backward tie → greatest rid
+      (2L, 55.0, 24L))  // equidistant to the 45s → backward preferred
+      .toDF("k", "t2", "rid")
+    def run(tol: Double) =
+      Joins.nearestEventJoin(left, right, Seq("k"), "t", "t2", tolerance = tol)
+        .select("k", "lid", "rid", "asof_dist")
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          Option(r.get(2)).map(_.asInstanceOf[Long]),
+          Option(r.get(3)).map(_.asInstanceOf[Double])))
+        .sortBy(t => (t._1, t._2)).toSeq
+    assert(run(100) == Seq(
+      (1L, 10L, Some(21L), Some(4.0)),
+      (1L, 11L, Some(22L), Some(95.0)),
+      (2L, 12L, Some(25L), Some(5.0)),
+      (3L, 13L, None, None)))
+    // tighter tolerance nulls the 95-away match, keeps the rest
+    assert(run(50) == Seq(
+      (1L, 10L, Some(21L), Some(4.0)),
+      (1L, 11L, None, None),
+      (2L, 12L, Some(25L), Some(5.0)),
+      (3L, 13L, None, None)))
+    // layout independence
+    val relaid = Joins.nearestEventJoin(left.repartition(7), right.repartition(5),
+        Seq("k"), "t", "t2", tolerance = 100)
+      .select("k", "lid", "rid", "asof_dist")
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        Option(r.get(2)).map(_.asInstanceOf[Long]),
+        Option(r.get(3)).map(_.asInstanceOf[Double])))
+      .sortBy(t => (t._1, t._2)).toSeq
+    assert(relaid == run(100))
+  }
+
   test("saltedEquiJoin: multiset-identical to the plain join under heavy skew") {
     // hot key 7: 200 probe rows × 3 build rows → 600 pairs, each produced
     // exactly once (every probe row meets the build set under ONE salt)

@@ -27,6 +27,25 @@ class RepetitionSpec extends AnyFunSuite {
       .collect().map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
   }
 
+  test("scrubAdjacentRepeats: runs collapse, alternations survive, edge shapes") {
+    val d = Seq(
+      (1L, "the the the quick fox fox jumps"), // two runs
+      (2L, "x y x y x y"),                     // alternation — nothing removed
+      (3L, "a"),                               // single token
+      (4L, ""),                                // empty text
+      (5L, "go  go   go"))                     // runs across multi-space gaps
+      .toDF("doc_id", "text")
+    val out = Repetition.scrubAdjacentRepeats(d, "text", "doc_id")
+      .select("doc_id", "text_scrubbed", "n_removed")
+      .as[(Long, String, Int)].collect().sortBy(_._1).toSeq
+    assert(out == Seq(
+      (1L, "the quick fox jumps", 3),
+      (2L, "x y x y x y", 0),
+      (3L, "a", 0),
+      (4L, "", 0),
+      (5L, "go", 2)))
+  }
+
   test("duplicate-word fractions match hand computation") {
     val m = metrics()
     // doc 1: words [ab,ab,ab,cd] → (4-2)/4 = 0.5; chars (8-4)/8 = 0.5
