@@ -2164,6 +2164,8 @@ object Oracles {
         |ORDER BY d_key, c_custkey""".stripMargin,
 
     "q_sim_pq_encode" -> pqEncodeSql,
+    "q_sim_mmr_rerank" -> mmrRerankSql(nQueries = 10, shortlist = 12,
+      k = 4, lam = 50),
 
     "q_sim_ivfadc_topk" ->
       """SELECT vec_id + 10000 AS query_id, vec_id AS neighbor_id FROM embeddings
@@ -2368,6 +2370,69 @@ object Oracles {
         |FROM g GROUP BY user_id, grp
         |ORDER BY user_id, session_start""".stripMargin,
   )
+
+  /** SQL replication of the MMR greedy (q_sim_mmr_rerank): the brute-force
+    * rounded-cosine shortlist feeds integer micro-unit similarities over
+    * QUANTIZED UNIT vectors; each greedy step is an unrolled CTE — argmax
+    * of `λ·sim_q − (1−λ)·max-pairwise-sim-to-selected`, all BIGINT, ties
+    * to the smallest candidate id. Exactly the Spark aggregate-walk
+    * semantics, step by step. */
+  private def mmrRerankSql(nQueries: Int, shortlist: Int, k: Int,
+                           lam: Int): String = {
+    val lamC = 100 - lam
+    def pair(a: String, b: String) =
+      s"CAST(list_sum(list_transform(range(1, 65), i -> $a.cv[i] * $b.cv[i])) AS BIGINT)"
+    val steps = (2 to k).map { n =>
+      val prevSel = (1 until n)
+        .map(i => s"SELECT query_id, cand_id, cv FROM s$i")
+        .mkString(" UNION ALL ")
+      s"""sel$n AS ($prevSel),
+         |p$n AS (SELECT c.query_id, c.cand_id,
+         |    $lam * max(c.sq) - $lamC * max(${pair("c", "s")}) AS o,
+         |    max(c.sq) AS sq
+         |  FROM c JOIN sel$n s ON s.query_id = c.query_id
+         |  WHERE NOT EXISTS (SELECT 1 FROM sel$n x
+         |    WHERE x.query_id = c.query_id AND x.cand_id = c.cand_id)
+         |  GROUP BY c.query_id, c.cand_id),
+         |s$n AS (SELECT p.query_id, p.cand_id, cc.cv, p.sq, $n AS rnk
+         |  FROM p$n p JOIN c cc
+         |    ON cc.query_id = p.query_id AND cc.cand_id = p.cand_id
+         |  QUALIFY row_number() OVER (PARTITION BY p.query_id
+         |    ORDER BY p.o DESC, p.cand_id) = 1)""".stripMargin
+    }.mkString(",\n")
+    val unionAll = (1 to k)
+      .map(i => s"SELECT query_id, cand_id, sq, rnk FROM s$i")
+      .mkString(" UNION ALL ")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS dv FROM embeddings),
+       |u AS (SELECT vec_id,
+       |    CASE WHEN list_dot_product(dv, dv) > 0
+       |      THEN list_transform(dv,
+       |        x -> CAST(round(x / sqrt(list_dot_product(dv, dv)) * 1000000) AS BIGINT))
+       |      ELSE list_transform(dv, x -> CAST(0 AS BIGINT)) END AS uv
+       |  FROM e),
+       |sc AS (SELECT query_id, neighbor_id FROM (
+       |    SELECT qq.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |      round(list_dot_product(c.dv, qq.dv)
+       |        / (sqrt(list_dot_product(c.dv, c.dv))
+       |         * sqrt(list_dot_product(qq.dv, qq.dv))), 6) AS cs
+       |    FROM e c CROSS JOIN e qq
+       |    WHERE qq.vec_id < $nQueries AND c.vec_id <> qq.vec_id)
+       |  QUALIFY row_number() OVER (PARTITION BY query_id
+       |    ORDER BY cs DESC, neighbor_id) <= $shortlist),
+       |c AS (SELECT sc.query_id, sc.neighbor_id AS cand_id, cu.uv AS cv,
+       |    CAST(list_sum(list_transform(range(1, 65),
+       |      i -> cu.uv[i] * qu.uv[i])) AS BIGINT) AS sq
+       |  FROM sc JOIN u cu ON cu.vec_id = sc.neighbor_id
+       |          JOIN u qu ON qu.vec_id = sc.query_id),
+       |s1 AS (SELECT query_id, cand_id, cv, sq, 1 AS rnk FROM c
+       |  QUALIFY row_number() OVER (PARTITION BY query_id
+       |    ORDER BY $lam * sq DESC, cand_id) = 1),
+       |$steps
+       |SELECT query_id, rnk AS mmr_rank, cand_id AS neighbor_id,
+       |  sq AS sim_q_int
+       |FROM ($unionAll)
+       |ORDER BY query_id, mmr_rank""".stripMargin
+  }
 
   /** SQL replication of the fixed-codebook PQ encode (q_sim_pq_encode):
     * per 32-dim subspace, integer micro-unit quantization then argmin

@@ -1210,6 +1210,17 @@ object Queries {
       .orderBy("query_id", "rank")
   }
 
+  /** MMR diversity re-ranking ([[graft.sim.Similarity.mmrRerank]]): top-12
+    * shortlist → greedy λ=0.5 pick of 4 per query, all-integer micro-unit
+    * similarities; the oracle unrolls the greedy one CTE per step. */
+  def qSimMmrRerank(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    Similarity.mmrRerank(emb, emb.where(col("vec_id") < 10),
+        "vec_id", "embedding", "vec_id",
+        k = 4, shortlist = 12, lambdaX100 = 50)
+      .orderBy("query_id", "mmr_rank")
+  }
+
   /** RAG context assembly end-to-end: brute-force top-8 retrieval for 5
     * query vectors, neighbors joined to their documents (vec_id ↔ doc_id),
     * greedy rank-order packing under a 250-token budget
@@ -2182,6 +2193,7 @@ object Queries {
     "q_pack_manifest" -> (qPackManifest _),
     "q_sim_bruteforce_topk" -> (qSimBruteForce _),
     "q_sim_hard_negatives" -> (qSimHardNegatives _),
+    "q_sim_mmr_rerank" -> (qSimMmrRerank _),
     "q_sim_ivf_topk" -> (qSimIvfTopK _),
     "q_sim_lsh_topk" -> (qSimLshTopK _),
     "q_sim_embedding_dedup" -> (qSimEmbeddingDedup _),

@@ -137,6 +137,96 @@ object Similarity {
         col("cosine_sim"), col("__rn").as("rank"))
   }
 
+  /** Integer micro-unit dot product of two quantized vectors (exact —
+    * |components| ≤ ~10⁶ ⇒ 64-dim sums stay far below 2⁶³). */
+  private def dotLong(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+
+  /** Micro-quantized UNIT vector: `round((x/‖v‖)·10⁶)` as long. sqrt and
+    * divide are correctly-rounded IEEE ops, so the integers replay
+    * bit-for-bit in any engine (the [[graft.sim.Cluster.quantize]] /
+    * temperatureSample determinism argument). Zero vectors quantize to
+    * zeros. */
+  private def unitQuantized(vec: Column): Column = {
+    val v = vec.cast("array<double>")
+    val n = l2Norm(v)
+    when(n > 0, transform(v, x => round(x / n * 1000000.0).cast("long")))
+      .otherwise(transform(v, _ => lit(0L)))
+  }
+
+  /** MMR (Maximal Marginal Relevance, Carbonell & Goldstein, SIGIR 1998)
+    * diversity re-ranking of a retrieval shortlist — the RAG answer to
+    * near-duplicate passages crowding a context window: greedily pick k
+    * of the top-`shortlist` candidates maximizing
+    * `λ·sim(q, c) − (1−λ)·max_{s∈selected} sim(c, s)`.
+    *
+    * Every similarity is an INTEGER dot product of micro-quantized unit
+    * vectors and λ is the integer percentage `lambdaX100`, so the whole
+    * greedy is integer arithmetic — the oracle replays it exactly with
+    * one unrolled CTE per step. Ties: greatest objective, then smallest
+    * candidate id.
+    *
+    * The greedy runs INSIDE one Catalyst `aggregate` HOF over the
+    * per-query candidate array: state = (selected, remaining); each step
+    * extracts the argmax by struct max and moves it across. One
+    * evaluation per query row — no per-step projections for an optimizer
+    * rule to duplicate (the invariant-6 hazard class), no UDFs, no
+    * driver loop.
+    *
+    * Scale: shortlist retrieval here is [[bruteForceTopK]] (swap in
+    * [[ivfTopK]] at corpus scale — same downstream contract); everything
+    * after is queries×shortlist-sized: the corpus contributes one
+    * map-only vector fetch against the broadcast shortlist, then a
+    * bounded collect_list per query and the map-only state walk. */
+  def mmrRerank(corpus: DataFrame, queries: DataFrame,
+                idCol: String, vecCol: String, queryIdCol: String,
+                k: Int = 4, shortlist: Int = 12,
+                lambdaX100: Int = 50): DataFrame = {
+    require(k > 0 && shortlist >= k, "need 0 < k <= shortlist")
+    require(lambdaX100 >= 0 && lambdaX100 <= 100, "lambdaX100 in 0..100")
+    val short = bruteForceTopK(corpus, queries, idCol, vecCol, queryIdCol,
+      k = shortlist)
+    val candVecs = corpus.select(col(idCol).as("neighbor_id"),
+      unitQuantized(col(vecCol)).as("__cv"))
+    val qVecs = queries.select(col(queryIdCol).as("query_id"),
+      unitQuantized(col(vecCol)).as("__qv"))
+    // corpus streams once against the broadcast shortlist; queries are
+    // broadcast-sized by the bruteForceTopK contract
+    val cands = candVecs
+      .join(broadcast(short.select("query_id", "neighbor_id")), Seq("neighbor_id"))
+      .join(broadcast(qVecs), Seq("query_id"))
+      .withColumn("__sq", dotLong(col("__cv"), col("__qv")))
+      // struct leads with (-sq, id): natural ascending array_sort = the
+      // deterministic (sq desc, id) candidate order
+      .select(col("query_id"),
+        struct((-col("__sq")).as("o"), col("neighbor_id").as("id"),
+          col("__sq").as("sq"), col("__cv").as("v")).as("__c"))
+      .groupBy("query_id")
+      .agg(array_sort(collect_list(col("__c"))).as("__cands"))
+    val lam = lit(lambdaX100.toLong)
+    val lamC = lit((100 - lambdaX100).toLong)
+    def pen(c: Column, sel: Column): Column =
+      coalesce(array_max(transform(sel, s => dotLong(c.getField("v"), s.getField("v")))), lit(0L))
+    def obj(c: Column, sel: Column): Column =
+      lam * c.getField("sq") - lamC * pen(c, sel)
+    val empty = filter(col("__cands"), _ => lit(false))
+    val init = struct(empty.as("sel"), col("__cands").as("rem"))
+    val walked = aggregate(sequence(lit(1), lit(k)), init, (st, _) => {
+      val sel = st.getField("sel")
+      val rem = st.getField("rem")
+      val best = array_max(transform(rem,
+        c => struct(obj(c, sel).as("o"), (-c.getField("id")).as("t"), c.as("c"))))
+      when(size(rem) > 0,
+        struct(
+          concat(sel, array(best.getField("c"))).as("sel"),
+          filter(rem, c => c.getField("id") =!= best.getField("c").getField("id")).as("rem")))
+        .otherwise(st)
+    })
+    cands.select(col("query_id"), posexplode(walked.getField("sel")))
+      .select(col("query_id"), (col("pos") + 1).cast("int").as("mmr_rank"),
+        col("col.id").as("neighbor_id"), col("col.sq").as("sim_q_int"))
+  }
+
   /** SRP-LSH bucket key: sign bits of `nBits` seeded random hyperplane
     * projections, packed into a long. Hyperplane components are derived
     * deterministically from xxhash64(seed, dim-index) — no stored model. */

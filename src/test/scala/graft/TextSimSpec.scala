@@ -439,6 +439,47 @@ class TextSimSpec extends AnyFunSuite {
     assert(got == ref)
   }
 
+  test("mmrRerank: matches an exact JVM reference greedy; diversity demotes the near-dup") {
+    // a ≈ query, b ≈ a (near-dup), c oblique, d far: raw ranking is
+    // (a, b, c, d); MMR must promote c above b after picking a
+    val vs: Map[Long, Array[Double]] = Map(
+      100L -> Array(1.0, 0.0, 0.0, 0.0),
+      1L -> Array(0.9, 0.10, 0.0, 0.0),
+      2L -> Array(0.9, 0.11, 0.0, 0.0),
+      3L -> Array(0.5, 0.0, 0.8, 0.0),
+      4L -> Array(0.0, 0.1, 0.0, 0.9))
+    val df = vs.toSeq.map { case (id, v) => (id, v.map(_.toFloat)) }
+      .toDF("vec_id", "embedding")
+    val out = Similarity.mmrRerank(df, df.where($"vec_id" === 100L),
+        "vec_id", "embedding", "vec_id",
+        k = 4, shortlist = 4, lambdaX100 = 50)
+      .orderBy("mmr_rank").select("neighbor_id").as[Long].collect().toSeq
+    // exact integer reference: HALF_UP micro-quantized unit vectors (the
+    // Spark round() rule), long dots, 50/50 objective, smallest-id ties
+    def uq(v: Array[Double]): Array[Long] = {
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(x => BigDecimal(x / n * 1e6)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong)
+    }
+    def dot(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    val q = uq(vs(100L))
+    val cands = Seq(1L, 2L, 3L, 4L)
+    val cu = cands.map(id => id -> uq(vs(id))).toMap
+    val sq = cands.map(id => id -> dot(cu(id), q)).toMap
+    var sel = Vector.empty[Long]; var rem = cands.toSet
+    while (sel.size < 4 && rem.nonEmpty) {
+      val best = rem.toSeq.map { id =>
+        val pen = if (sel.isEmpty) 0L else sel.map(s => dot(cu(id), cu(s))).max
+        (50L * sq(id) - 50L * pen, -id, id)
+      }.max
+      sel :+= best._3; rem -= best._3
+    }
+    assert(out == sel)
+    assert(out.head == 1L)                         // most relevant first
+    assert(out.indexOf(3L) < out.indexOf(2L))      // oblique above the near-dup
+  }
+
   test("hardNegativesIvf: exhaustive probes equal the exact miner; restricted probes stay label-clean") {
     val labeled = vecs.withColumn("label", (col("vec_id") % 3).cast("int"))
     val q = labeled.where($"vec_id" < 3)
