@@ -1355,6 +1355,47 @@ object Oracles {
         |WHERE d.doc_id % 3 != 0 AND coalesce(per.s, 0) > 0
         |ORDER BY d.doc_id""".stripMargin,
 
+    // calibration: the q_clf_curate train+score replay rolled up into
+    // signed-magnitude-decade bins (no signed division — floor-vs-truncate
+    // differs across engines) with exact positive rates
+    "q_clf_calibration" ->
+      """WITH docs AS (SELECT doc_id, text, lang FROM documents),
+        |b AS (SELECT doc_id, (lang = 'en') AS pos,
+        |    (('0x' || substr(md5(t.tok), 1, 15))::UBIGINT % 512)::BIGINT AS bucket
+        |  FROM docs, unnest(list_filter(regexp_split_to_array(
+        |      regexp_replace(lower(trim(text)), '[^a-z0-9áéíóúñü ]', '', 'g'),
+        |      '\s+'), x -> x != '')) AS t(tok)),
+        |cnt AS (SELECT r.range AS bucket,
+        |    coalesce(c.n_pos, 0)::BIGINT AS n_pos,
+        |    coalesce(c.n_neg, 0)::BIGINT AS n_neg
+        |  FROM range(512) r LEFT JOIN
+        |    (SELECT bucket, count(*) FILTER (pos) AS n_pos,
+        |       count(*) FILTER (NOT pos) AS n_neg
+        |     FROM b WHERE doc_id % 3 = 0 GROUP BY bucket) c
+        |    ON r.range = c.bucket),
+        |tot AS (SELECT ((SELECT sum(n_pos) FROM cnt) + 512)::BIGINT AS pt,
+        |               ((SELECT sum(n_neg) FROM cnt) + 512)::BIGINT AS nt),
+        |w AS (SELECT cnt.bucket,
+        |    floor((ln((cnt.n_pos + 1)::DOUBLE / tot.pt)
+        |         - ln((cnt.n_neg + 1)::DOUBLE / tot.nt)) * 1e6 + 0.5)::BIGINT AS w_micro
+        |  FROM cnt, tot),
+        |per AS (SELECT b.doc_id, sum(w.w_micro) AS s
+        |  FROM b JOIN w ON b.bucket = w.bucket
+        |  WHERE b.doc_id % 3 != 0 GROUP BY b.doc_id),
+        |sc AS (SELECT d.doc_id, (d.lang = 'en') AS is_en,
+        |    coalesce(per.s, 0)::BIGINT AS logit
+        |  FROM docs d LEFT JOIN per ON d.doc_id = per.doc_id
+        |  WHERE d.doc_id % 3 != 0),
+        |bb AS (SELECT (CASE WHEN logit = 0 THEN 0
+        |    ELSE (CASE WHEN logit > 0 THEN 1 ELSE -1 END)
+        |      * length(abs(logit)::VARCHAR) END)::INT AS bin, is_en
+        |  FROM sc)
+        |SELECT bin, count(*)::BIGINT AS n_docs,
+        |  (count(*) FILTER (is_en))::BIGINT AS n_true,
+        |  ((count(*) FILTER (is_en)) * 10000 // count(*))::BIGINT
+        |    AS true_rate_x10000
+        |FROM bb GROUP BY bin ORDER BY bin""".stripMargin,
+
     // Gopher rule battery: integer cross-multiplication verdicts replayed
     // over the same tokenizations (whitespace words, newline lines).
     "q_text_gopher_rules" ->

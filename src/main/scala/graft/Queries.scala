@@ -1143,6 +1143,27 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** Classifier CALIBRATION (reliability table): the held-out split's
+    * docs binned by SIGNED MAGNITUDE DECADE of their NB logit
+    * (`sign·digits(|logit_micro|)` — no signed division, whose
+    * floor-vs-truncate semantics differ between engines), each bin
+    * reporting observed positive rate. The model-trust report read
+    * before wiring [[qClfCurate]]'s threshold into a pipeline. */
+  def qClfCalibration(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select("doc_id", "text", "lang")
+    val train = docs.where(col("doc_id") % 3 === 0)
+      .withColumn("is_en", col("lang") === "en")
+    val w = graft.text.Classifier.trainNbWeights(train, "text", "is_en",
+      buckets = 512)
+    graft.text.Classifier.calibrationTable(
+        graft.text.Classifier.scoreDocs(
+            docs.where(col("doc_id") % 3 =!= 0), w, "text", "doc_id",
+            buckets = 512)
+          .withColumn("is_en", col("lang") === "en"),
+        "logit_micro", "is_en")
+      .orderBy("bin")
+  }
+
   /** Exact INCREMENTAL dedup against a persisted fingerprint store: the
     * corpus partition (doc_id % 4 != 0) seeds the store, then the batch
     * (doc_id % 4 == 0, plus planted corpus clones at +30000 and
@@ -2261,6 +2282,7 @@ object Queries {
     "q_w17_share" -> (qW17Share _),
     "q_dsir_resample" -> (qDsirResample _),
     "q_clf_curate" -> (qClfCurate _),
+    "q_clf_calibration" -> (qClfCalibration _),
     "q_text_gopher_rules" -> (qTextGopherRules _),
     "q_curate_tiers" -> (qCurateTiers _),
     "q_text_c4_filter" -> (qTextC4Filter _),

@@ -81,4 +81,27 @@ object Classifier {
       .withColumn("pred", col("logit_micro") > 0)
       .drop("__n", "__s")
   }
+
+  /** Calibration (reliability) table over a SCORED frame: docs binned by
+    * the SIGNED MAGNITUDE DECADE of `logitCol`
+    * (`sign · digit-count(|logit|)`, 0 for logit 0 — deliberately no
+    * signed division: integer `div` truncates toward zero in Spark but
+    * floors in DuckDB, so negative-logit bins would disagree), each bin
+    * reporting `(n_docs, n_true, true_rate_x10000)` against the boolean
+    * `labelCol`. The model-trust report read before wiring `pred` into a
+    * curation pipeline.
+    *
+    * Scale: one ~20-row aggregation over the scored frame (map-side
+    * combine); all outputs exact integers. */
+  def calibrationTable(scored: DataFrame, logitCol: String,
+                       labelCol: String): DataFrame =
+    scored
+      .withColumn("bin",
+        when(col(logitCol) === 0, lit(0))
+          .otherwise((signum(col(logitCol)) *
+            length(abs(col(logitCol)).cast("string"))).cast("int")))
+      .groupBy("bin")
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        sum(when(col(labelCol), 1L).otherwise(0L)).as("n_true"))
+      .withColumn("true_rate_x10000", expr("n_true * 10000 div n_docs"))
 }

@@ -84,6 +84,22 @@ class ClassifierSpec extends AnyFunSuite {
     assert(got(6L)._2 == 0 && got(6L)._3 == 0L && !got(6L)._4)
   }
 
+  test("calibrationTable: signed magnitude-decade bins, zero bin, exact rates") {
+    val scored = Seq(
+      (1L, 1234L, true),  // bin 4
+      (2L, 999L, false),  // bin 3
+      (3L, -50L, true),   // bin -2 (no signed division involved)
+      (4L, 0L, false),    // bin 0
+      (5L, 1500L, true),  // bin 4
+      (6L, -5L, false))   // bin -1
+      .toDF("doc_id", "logit_micro", "y")
+    val out = Classifier.calibrationTable(scored, "logit_micro", "y")
+      .select("bin", "n_docs", "n_true", "true_rate_x10000")
+      .as[(Int, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(out == Seq((-2, 1L, 1L, 10000L), (-1, 1L, 0L, 0L),
+      (0, 1L, 0L, 0L), (3, 1L, 0L, 0L), (4, 2L, 2L, 10000L)))
+  }
+
   test("a model trained on one split scores an unseen disjoint frame") {
     val train = docs.where(col("doc_id") <= 4)
     val unseen = Seq(
