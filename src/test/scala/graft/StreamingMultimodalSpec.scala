@@ -199,6 +199,51 @@ class StreamingMultimodalSpec extends AnyFunSuite {
       .groupBy("win_start", "event_type").count().where($"count" > 1).isEmpty)
   }
 
+  test("streaming ingest gate: per-batch incremental dedup + decontam equals one-shot") {
+    import graft.text.Dedup
+    val t1 = "documents about engines partitions and shuffles in production"
+    val t4 = "completely different content covering storage formats and codecs"
+    val t6 = "yet another unique page on watermarks and state stores"
+    val t8 = "final unique entry describing broadcast joins and skew"
+    val benchTxt = "alpha beta gamma delta epsilon one two three four five"
+    val docs = Seq(
+      (1L, t1), (2L, t1),                        // exact dup pair
+      (3L, benchTxt + " extra"),                 // near-copy of the bench item
+      (4L, t4), (5L, t1),                        // another dup of t1
+      (6L, t6), (7L, benchTxt),                  // exact copy of the bench item
+      (8L, t8)).toDF("doc_id", "text")
+    val bench = Seq((900L, benchTxt)).toDF("doc_id", "text")
+    val dir = Files.createTempDirectory("graft_gate").toString
+    docs.repartition(4).write.mode("overwrite").parquet(dir)
+    val store = new TableStore(spark, Files.createTempDirectory("graft_gate_st").toString)
+    val cp = Files.createTempDirectory("graft_gate_cp").toString
+    val stream = spark.readStream
+      .schema(docs.schema).option("maxFilesPerTrigger", 1).parquet(dir)
+    val q = stream.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        // the ingest gate: corpus-dup flagging via the fingerprint store,
+        // benchmark decontamination via the broadcast-bench fuzzy probe
+        val flagged = Dedup.exactIncremental(store, "sigs", batch, "text", "doc_id")
+        val contaminated = Dedup.fuzzyContamination(batch, "text", "doc_id",
+          bench, "text", "doc_id", threshold = 0.5).select("id").distinct()
+        val kept = flagged.where(col("kept"))
+          .join(contaminated, flagged("doc_id") === contaminated("id"), "left_anti")
+          .select("doc_id", "text")
+        if (!kept.isEmpty) {
+          if (store.exists("clean")) store.upsert("clean", kept, Seq("doc_id"))
+          else store.overwrite("clean", kept, primaryKeys = Seq("doc_id"))
+        }
+        ()
+      }
+      .option("checkpointLocation", cp)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val cleanTexts = store.read("clean").select("text").as[String].collect().toSeq
+    // exactly one survivor per distinct clean text; contaminated docs gone
+    assert(cleanTexts.sorted == Seq(t1, t4, t6, t8).sorted)
+  }
+
   // ---- multimodal plumbing ----
 
   private lazy val assets = Multimodal.toAssets(
