@@ -1144,6 +1144,39 @@ object Oracles {
         |  CAST(alloc * 10000 // n AS BIGINT) AS epochs_x10000
         |FROM g WHERE lang IS NOT NULL ORDER BY lang""".stripMargin,
 
+    // unimaxRepetitionPlan replay: the allocation CTE + a per-language
+    // md5-order running sum; +1 repeat while cum-before < remainder
+    "q_mix_unimax_plan" ->
+      """WITH RECURSIVE t AS (
+        |  SELECT lang, CAST(sum(n_chars) AS BIGINT) AS n
+        |  FROM documents GROUP BY lang),
+        |o AS (SELECT lang, n,
+        |    CAST(row_number() OVER (ORDER BY n, lang) AS INT) AS i,
+        |    CAST(count(*) OVER () AS INT) AS k
+        |  FROM t),
+        |g AS (
+        |  SELECT 0 AS i,
+        |    CAST((SELECT sum(n) FROM t) * 50 // 100 AS BIGINT) AS rem,
+        |    CAST(NULL AS VARCHAR) AS lang, CAST(NULL AS BIGINT) AS n,
+        |    CAST(NULL AS BIGINT) AS alloc
+        |  UNION ALL
+        |  SELECT o.i,
+        |    g.rem - least(o.n * 120 // 100, g.rem // (o.k - g.i)),
+        |    o.lang, o.n,
+        |    least(o.n * 120 // 100, g.rem // (o.k - g.i))
+        |  FROM g JOIN o ON o.i = g.i + 1),
+        |a AS (SELECT lang, alloc // n AS f, alloc % n AS r
+        |  FROM g WHERE lang IS NOT NULL),
+        |c AS (SELECT doc_id, lang, n_chars,
+        |    coalesce(sum(n_chars) OVER (PARTITION BY lang
+        |      ORDER BY md5(concat_ws('|', doc_id, '42')), doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+        |  FROM documents)
+        |SELECT c.doc_id, c.lang, c.n_chars,
+        |  CAST(a.f + CASE WHEN c.cb < a.r THEN 1 ELSE 0 END AS BIGINT)
+        |    AS n_repeats
+        |FROM c JOIN a USING (lang) ORDER BY c.doc_id""".stripMargin,
+
     // fuzzyContamination planted recovery (diagonal projection, same
     // contract as q_dedup_minhash_pairs): every original (doc_id < 50)
     // must recover its own +50000 clone; the unprojected edge list also

@@ -1003,6 +1003,20 @@ object Queries {
       .orderBy("id")
   }
 
+  /** UniMax plan MATERIALIZATION
+    * ([[graft.ops.Filters.unimaxRepetitionPlan]]): the [[qMixUnimax]]
+    * allocation realized as per-document repeat counts — full epochs for
+    * everyone, +1 for the md5-order prefix covering each language's
+    * remainder. Oracle = the allocation's recursive CTE + a per-language
+    * running-sum window over the same portable order. */
+  def qMixUnimaxPlan(s: SparkSession, dir: String): DataFrame =
+    Filters.unimaxRepetitionPlan(
+        t(s, dir, "documents").select("doc_id", "lang", "n_chars"),
+        "lang", "n_chars", budgetFracX100 = 50, capX100 = 120,
+        keyCols = Seq("doc_id"))
+      .select("doc_id", "lang", "n_chars", "n_repeats")
+      .orderBy("doc_id")
+
   /** INCREMENTAL IVF index maintenance ([[graft.sim.IvfIndex]]): the
     * corpus partition (vec_id % 4 != 0) seeds the cluster-partitioned
     * posting store, the batch (vec_id % 4 == 0) is assigned map-only
@@ -2291,6 +2305,7 @@ object Queries {
     "q_sim_recall_int8" -> (qSimRecallInt8 _),
     "q_curate_temperature" -> (qCurateTemperature _),
     "q_mix_unimax" -> (qMixUnimax _),
+    "q_mix_unimax_plan" -> (qMixUnimaxPlan _),
     "q_decontam_fuzzy" -> (qDecontamFuzzy _),
     "q_decontam_inc" -> (qDecontamInc _),
     "q_data_card" -> (qDataCard _),

@@ -46,6 +46,37 @@ class CurateSpec extends AnyFunSuite {
     assert(relaid == out)
   }
 
+  test("unimaxRepetitionPlan: full epochs + md5-prefix remainder, layout independent") {
+    val rows = Seq(("a", 1L, 4L), ("a", 2L, 6L)) ++
+      (1 to 10).map(i => ("b", 10L + i, 10L)) ++
+      (1 to 10).map(i => ("c", 100L + i, 100L))
+    val df = rows.toDF("g", "id", "units")
+    def run(parts: Int) = Filters.unimaxRepetitionPlan(df, "g", "units",
+        budgetFracX100 = 50, capX100 = 120, keyCols = Seq("id"),
+        partitions = parts)
+      .select("id", "n_repeats").as[(Long, Long)].collect().sortBy(_._1).toSeq
+    val one = run(1)
+    assert(run(7) == one)
+    // JVM reference: allocations a=12, b=120, c=423 (the unimaxAllocation
+    // test above) → full/rem: a 1/2, b 1/20, c 0/423; remainder docs in
+    // portable md5 order
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h(i: Long) = md.digest(s"$i|42".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    def plan(ids: Seq[(Long, Long)], full: Long, rem: Long): Map[Long, Long] = {
+      var cb = 0L
+      ids.sortBy { case (i, _) => (h(i), i) }.map { case (i, u) =>
+        val r = full + (if (cb < rem) 1L else 0L); cb += u; i -> r
+      }.toMap
+    }
+    val expected = plan(Seq(1L -> 4L, 2L -> 6L), 1, 2) ++
+      plan((1 to 10).map(i => (10L + i, 10L)), 1, 20) ++
+      plan((1 to 10).map(i => (100L + i, 100L)), 0, 423)
+    assert(one.toMap == expected)
+    // the epoch cap survives materialization: max repeats ≤ ceil(1.2) = 2
+    assert(one.map(_._2).max <= 2L)
+  }
+
   test("rebalanceMixture: exact per-group counts, best rows kept, unlisted groups dropped") {
     val df = (
       (1L to 10L).map(i => ("web", i, i * 10)) ++    // 10 rows, weight .5
