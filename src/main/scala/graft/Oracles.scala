@@ -750,6 +750,50 @@ object Oracles {
         |  least(tok_start + n_tokens - chunk_id * 512, 512)::BIGINT AS end_in_chunk
         |FROM e ORDER BY doc_id, chunk_id""".stripMargin,
 
+    // SFT-prep pipeline: scrub → gopher structural gate → md5 train split
+    // → length buckets, each stage the verbatim replay of its standalone
+    // oracle, chained
+    "q_pipe_sft_prep" ->
+      """WITH d0 AS (SELECT doc_id,
+        |    list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |sc AS (SELECT doc_id, coalesce(array_to_string(
+        |    list_filter(toks, (x, i) -> i = 1 OR x <> toks[i - 1]), ' '), '')
+        |    AS text
+        |  FROM d0),
+        |g0 AS (SELECT doc_id,
+        |    list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '')
+        |      AS words,
+        |    length(regexp_replace(text, '\s+', '', 'g')) AS n_chars_nws,
+        |    len(regexp_extract_all(text, '#'))
+        |      + len(regexp_extract_all(text, '\.\.\.|…')) AS n_symbols
+        |  FROM sc),
+        |gate AS (SELECT doc_id, len(words) AS n_tokens FROM g0
+        |  WHERE len(words) >= 20 AND len(words) <= 100000
+        |    AND 3 * len(words) <= n_chars_nws
+        |    AND n_chars_nws <= 10 * len(words)
+        |    AND 10 * n_symbols < len(words)
+        |    AND 5 * len(list_filter(words, x -> regexp_matches(x, '[A-Za-z]')))
+        |      >= 4 * len(words)),
+        |tr AS (SELECT doc_id, n_tokens FROM gate
+        |  WHERE ('0x' || substr(md5(concat_ws('|', doc_id, '42')), 1, 15))::UBIGINT
+        |    % 1000000000 < 800000000),
+        |b AS (SELECT doc_id, n_tokens,
+        |    CASE WHEN least(n_tokens, 64) <= 16 THEN 16
+        |         WHEN least(n_tokens, 64) <= 32 THEN 32 ELSE 64 END AS bucket_len
+        |  FROM tr),
+        |r AS (SELECT doc_id, n_tokens, bucket_len,
+        |    bucket_len - least(n_tokens, 64) AS pad_tokens,
+        |    row_number() OVER (PARTITION BY bucket_len ORDER BY doc_id) - 1
+        |      AS seq_in_bucket
+        |  FROM b)
+        |SELECT doc_id, n_tokens::INT AS n_tokens, bucket_len::INT AS bucket_len,
+        |  seq_in_bucket::BIGINT AS seq_in_bucket,
+        |  (seq_in_bucket // greatest(1, 256 // bucket_len))::BIGINT
+        |    AS batch_in_bucket,
+        |  pad_tokens::INT AS pad_tokens
+        |FROM r ORDER BY doc_id""".stripMargin,
+
     // lengthBuckets replay: same ws token count as q_pack_chunks; the
     // {16,32,64} ladder as a CASE; one window per bucket at oracle scale
     "q_pack_length_buckets" ->

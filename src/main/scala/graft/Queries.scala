@@ -1500,6 +1500,43 @@ object Queries {
       .orderBy("user_id", "event_id")
   }
 
+  /** Composed SFT-prep pipeline over the round-10 kit: stutter scrub
+    * ([[graft.text.Repetition.scrubAdjacentRepeats]]) → Gopher structural
+    * gate (word-count / word-length / symbol / alpha rules — the stopword
+    * rule is vocabulary-inapplicable to the synthetic corpus) →
+    * deterministic 3-way split keeping `train`
+    * ([[graft.ops.Filters.threeWaySplit]]) → length-bucketed batching on
+    * the SCRUBBED token counts ([[graft.text.Packing.lengthBuckets]]).
+    * Every stage is string/md5/integer exact, so the oracle chains the
+    * four stages' replays verbatim. */
+  def qPipeSftPrep(s: SparkSession, dir: String): DataFrame = {
+    val scrubbed = graft.text.Repetition.scrubAdjacentRepeats(
+        t(s, dir, "documents").select("doc_id", "text"), "text", "doc_id")
+      .select(col("doc_id"), col("text_scrubbed").as("text"))
+      // one scrub materialization feeds BOTH the gate subtree and the
+      // payload join — without it each side recomputes the HOF scrub
+      // (curation pipelines persist their cleaned corpus between stages;
+      // this is that stage boundary, measured 3.8 s → 2.2 s at sf0.1)
+      .localCheckpoint()
+    val gateIds = TextStats.gopherRules(scrubbed, "text", "doc_id",
+        minWords = 20, maxWords = 100000)
+      .where(col("r_word_count") && col("r_mean_word_len") &&
+        col("r_symbol_ratio") && col("r_alpha_words"))
+      .select("doc_id")
+    val train = Filters.threeWaySplit(
+        scrubbed.join(gateIds, Seq("doc_id")), Seq("doc_id"),
+        trainPermille = 800, valPermille = 100)
+      .where(col("split") === "train")
+    text.Packing.lengthBuckets(
+        train.select(col("doc_id"),
+          TextStats.tokenCountWs(col("text")).as("n_tokens")),
+        "doc_id", "n_tokens", minBucket = 16, maxBucket = 64,
+        maxTokensPerBatch = 256)
+      .select("doc_id", "n_tokens", "bucket_len", "seq_in_bucket",
+        "batch_in_bucket", "pad_tokens")
+      .orderBy("doc_id")
+  }
+
   /** Composite training-data pipeline over documents (+ injected exact
     * dups): exact dedup → language ID + quality stats → filter → per
     * (lang, source) corpus stats. Integer-only output (determinism). */
@@ -2312,6 +2349,7 @@ object Queries {
     "q_sim_inc_index" -> (qSimIncIndex _),
     "q_token_fertility" -> (qTokenFertility _),
     "q_pipe_curation" -> (qPipeCuration _),
+    "q_pipe_sft_prep" -> (qPipeSftPrep _),
     "q_source_overlap" -> (qSourceOverlap _),
     "q_vocab_spectrum" -> (qVocabSpectrum _),
     "q_doc_novelty" -> (qDocNovelty _),
