@@ -127,6 +127,56 @@ class OpsSpec extends AnyFunSuite {
     assert(relaid == run(100))
   }
 
+  test("nearestEventJoin property: random data matches a naive per-row reference") {
+    val rnd = new scala.util.Random(29)
+    val left = (1 to 400).map(i =>
+      (rnd.nextInt(6).toLong, rnd.nextInt(1000).toDouble, i.toLong))
+      .toDF("k", "t", "lid")
+    val right = (1 to 300).map(i =>
+      (rnd.nextInt(8).toLong, rnd.nextInt(1000).toDouble, 1000L + i))
+      .toDF("k", "t2", "rid")
+    val rightRows = right.collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+    for (tol <- Seq(5.0, 50.0, 10000.0)) {
+      val got = Joins.nearestEventJoin(left, right, Seq("k"), "t", "t2", tol)
+        .select("k", "lid", "rid")
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          Option(r.get(2)).map(_.asInstanceOf[Long])))
+        .sortBy(x => (x._1, x._2)).toSeq
+      // naive reference with the operator's exact tie rules: min
+      // (dist, isForward, directional id order)
+      val expected = left.collect()
+        .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+        .map { case (k, t, lid) =>
+          val cands = rightRows.filter(_._1 == k).map { case (_, rt, rid) =>
+            val fwd = rt > t
+            (math.abs(rt - t), if (fwd) 1 else 0,
+              if (fwd) rid else -rid, rid)
+          }
+          val best = if (cands.isEmpty) None
+            else Some(cands.minBy(c => (c._1, c._2, c._3)))
+          (k, lid, best.filter(_._1 <= tol).map(_._4))
+        }.sortBy(x => (x._1, x._2)).toSeq
+      assert(got == expected, s"tol=$tol")
+    }
+  }
+
+  test("saltedEquiJoin property: random multisets with duplicates match the plain join") {
+    val rnd = new scala.util.Random(31)
+    val left = (1 to 500).map(_ => (rnd.nextInt(20).toLong, rnd.nextInt(5)))
+      .toDF("k", "lv")
+    val right = (1 to 200).map(_ => (rnd.nextInt(25).toLong, rnd.nextInt(3)))
+      .toDF("k", "rv")
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getInt(1), r.getInt(2))
+    val plain = left.join(right, Seq("k")).collect().map(key).sorted.toSeq
+    for (n <- Seq(1, 3, 16)) {
+      val salted = Joins.saltedEquiJoin(left, right, Seq("k"), nSalts = n)
+        .collect().map(key).sorted.toSeq
+      assert(salted == plain, s"nSalts=$n")
+    }
+  }
+
   test("saltedEquiJoin: multiset-identical to the plain join under heavy skew") {
     // hot key 7: 200 probe rows × 3 build rows → 600 pairs, each produced
     // exactly once (every probe row meets the build set under ONE salt)
