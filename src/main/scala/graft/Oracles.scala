@@ -495,6 +495,24 @@ object Oracles {
         |  (len(toks) - len(kept))::INT AS n_removed
         |FROM k ORDER BY doc_id""".stripMargin,
 
+    // vocabCoverage: same tokenization as q_text_rarity; running coverage
+    // over the (cnt desc, token) vocabulary order
+    "q_vocab_coverage" ->
+      """WITH tok AS (SELECT unnest(list_filter(regexp_split_to_array(
+        |    regexp_replace(lower(trim(text)), '[^a-z0-9áéíóúñü ]', '', 'g'),
+        |    '\s+'), x -> x <> '')) AS token FROM documents),
+        |c AS (SELECT token, count(*)::BIGINT AS cnt FROM tok GROUP BY token),
+        |t AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM c),
+        |r AS (SELECT token, cnt,
+        |    row_number() OVER (ORDER BY cnt DESC, token)::INT AS rank,
+        |    CAST(sum(cnt) OVER (ORDER BY cnt DESC, token
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS cum_cnt
+        |  FROM c)
+        |SELECT rank, token, cnt, cum_cnt,
+        |  CAST(cum_cnt * 10000 // t.total AS BIGINT) AS coverage_x10000
+        |FROM r, t WHERE rank <= 30 ORDER BY rank""".stripMargin,
+
     "q_text_rarity" ->
       """WITH d AS (SELECT doc_id,
         |    list_filter(regexp_split_to_array(regexp_replace(lower(trim(text)),

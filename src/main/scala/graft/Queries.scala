@@ -1119,6 +1119,14 @@ object Queries {
       .select("doc_id", "text_scrubbed", "n_removed")
       .orderBy("doc_id")
 
+  /** Vocabulary coverage curve ([[graft.text.UnigramLM.vocabCoverage]]):
+    * top-30 types with exact cumulative token coverage — the word-level
+    * tokenizer-sizing report; running-sum-over-vocab oracle. */
+  def qVocabCoverage(s: SparkSession, dir: String): DataFrame =
+    graft.text.UnigramLM.vocabCoverage(t(s, dir, "documents"), "text",
+        topK = 30)
+      .orderBy("rank")
+
   /** Per-doc novelty attribution ([[graft.text.Dedup.docNovelty]]) over
     * corpus ∪ exact clones: clones contribute zero new grams (their
     * originals have smaller ids), so the planted expectation is visible
@@ -2352,6 +2360,7 @@ object Queries {
     "q_pipe_sft_prep" -> (qPipeSftPrep _),
     "q_source_overlap" -> (qSourceOverlap _),
     "q_vocab_spectrum" -> (qVocabSpectrum _),
+    "q_vocab_coverage" -> (qVocabCoverage _),
     "q_doc_novelty" -> (qDocNovelty _),
   )
 }

@@ -1,6 +1,7 @@
 package graft.text
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Corpus-derived unigram language-model scoring: how "expected" a
@@ -37,6 +38,31 @@ object UnigramLM {
   def unigramCounts(df: DataFrame, textCol: String): DataFrame =
     df.select(explode(toks(col(textCol))).as("token"))
       .groupBy("token").agg(count(lit(1)).as("cnt"))
+
+  /** Vocabulary COVERAGE curve — the tokenizer-sizing question ("how many
+    * word types cover X% of the token stream") answered exactly: the
+    * top-`topK` vocabulary in (frequency desc, token) order with each
+    * rank's cumulative token mass and `coverage_x10000 =
+    * cum·10⁴ div total` (exact integer fixed point). Reading the curve at
+    * a target coverage gives the vocab size a word-level tokenizer needs;
+    * the complement of [[vocabSpectrum]]'s tail-health view.
+    *
+    * Scale: the corpus collapses to the unigram aggregate (vocab-sized,
+    * map-side combined); the total rides as a broadcast 1-row agg inside
+    * the plan and the ranking window runs over VOCAB rows (the
+    * q_text_vocab precedent), never corpus rows. */
+  def vocabCoverage(df: DataFrame, textCol: String, topK: Int = 30): DataFrame = {
+    val counts = unigramCounts(df, textCol)
+    val total = counts.agg(sum("cnt").as("__total"))
+    val w = Window.orderBy(col("cnt").desc, col("token"))
+    counts.crossJoin(broadcast(total))
+      .withColumn("rank", row_number().over(w))
+      .withColumn("cum_cnt", sum("cnt").over(
+        w.rowsBetween(Window.unboundedPreceding, 0)))
+      .where(col("rank") <= topK)
+      .select(col("rank"), col("token"), col("cnt"), col("cum_cnt"),
+        expr("cum_cnt * 10000 div __total").as("coverage_x10000"))
+  }
 
   /** Frequency-of-frequencies spectrum — the Zipf-health audit of a
     * corpus vocabulary (the "frequency spectrum" of quantitative

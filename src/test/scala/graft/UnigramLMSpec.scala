@@ -37,6 +37,22 @@ class UnigramLMSpec extends AnyFunSuite {
     assert(out(3L).isEmpty)            // no tokens → null score
   }
 
+  test("vocabCoverage: hand-computed ranks, cumulative mass, exact fixed-point coverage") {
+    // tokens: a×5, b×3, c×1, d×1 → total 10; order (cnt desc, token):
+    // a(5, cum 5, 5000), b(3, cum 8, 8000), c(1, cum 9, 9000), d(1, cum 10, 10000)
+    val d = Seq((1L, "a a a b b c"), (2L, "a a b d")).toDF("doc_id", "text")
+    val out = UnigramLM.vocabCoverage(d, "text", topK = 3)
+      .select("rank", "token", "cnt", "cum_cnt", "coverage_x10000")
+      .as[(Int, String, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(out == Seq((1, "a", 5L, 5L, 5000L), (2, "b", 3L, 8L, 8000L),
+      (3, "c", 1L, 9L, 9000L)))
+    // layout independence
+    val relaid = UnigramLM.vocabCoverage(d.repartition(5), "text", topK = 3)
+      .select("rank", "token", "cnt", "cum_cnt", "coverage_x10000")
+      .as[(Int, String, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(relaid == out)
+  }
+
   test("rarity is partition-layout independent") {
     val a = UnigramLM.withRarityScore(docs.repartition(5), "text", "doc_id")
       .select("doc_id", "rarity_mean").as[(Long, Double)].collect().toSet
