@@ -495,6 +495,35 @@ object Oracles {
         |  (len(toks) - len(kept))::INT AS n_removed
         |FROM k ORDER BY doc_id""".stripMargin,
 
+    // withCompressionSignals replay: per-code-point unnest → per-(doc, char)
+    // counts → the same micro-unit fixed-point entropy terms as the
+    // CharEntropy kernel (integer sums, one ln per distinct char; the
+    // max(0,·) clamp mirrors the kernel's rounding-slack guard);
+    // 5545176 = 8 · 693147 (micro-unit ln 2)
+    "q_text_compress_ratio" ->
+      """WITH ch AS (SELECT doc_id, unnest(string_split(text, '')) AS ch
+        |  FROM documents),
+        |c AS (SELECT doc_id, ch, count(*)::BIGINT AS cnt
+        |  FROM ch GROUP BY doc_id, ch),
+        |d AS (SELECT doc_id,
+        |    CAST(sum(cnt) AS BIGINT) AS n_chars,
+        |    count(*)::INT AS n_distinct_chars,
+        |    CAST(sum(CAST(floor(cnt * ln(cnt) * 1e6 + 0.5) AS BIGINT))
+        |      AS BIGINT) AS s
+        |  FROM c GROUP BY doc_id),
+        |e AS (SELECT doc_id, n_chars, n_distinct_chars,
+        |    greatest(0, n_chars * CAST(floor(ln(n_chars) * 1e6 + 0.5)
+        |      AS BIGINT) - s) // n_chars AS entropy_nats_x1e6
+        |  FROM d)
+        |SELECT doc.doc_id,
+        |  coalesce(e.n_chars, 0) AS n_chars,
+        |  coalesce(e.n_distinct_chars, 0) AS n_distinct_chars,
+        |  coalesce(e.entropy_nats_x1e6, 0) AS entropy_nats_x1e6,
+        |  coalesce((e.entropy_nats_x1e6 * 10000) // 5545176, 0)
+        |    AS compress_ratio_x10000
+        |FROM documents doc LEFT JOIN e ON doc.doc_id = e.doc_id
+        |ORDER BY doc.doc_id""".stripMargin,
+
     // vocabCoverage: same tokenization as q_text_rarity; running coverage
     // over the (cnt desc, token) vocabulary order
     "q_vocab_coverage" ->
@@ -1754,6 +1783,13 @@ object Oracles {
     "q_sim_ivf2_topk" ->
       """SELECT vec_id + 10000 AS query_id, vec_id AS neighbor_id FROM embeddings
         |WHERE vec_id < 20 ORDER BY query_id""".stripMargin,
+
+    // hardNegativesIvf planted recovery: the same-label original is
+    // filtered, the planted other-label clone (vec_id+20000) must win rank 1
+    "q_sim_hard_negatives_ivf" ->
+      """SELECT vec_id + 10000 AS query_id, vec_id + 20000 AS neighbor_id,
+        |  CAST(-1 AS INT) AS neighbor_label
+        |FROM embeddings WHERE vec_id < 20 ORDER BY query_id""".stripMargin,
 
     "q_text_fingerprint" ->
       """WITH aug AS (

@@ -119,6 +119,12 @@ object GraftFunctions {
       "graft_bloom_might_contain", exprs => BloomMightContain(exprs(0), exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_topk", exprs => TopKSketch.fromExprs(exprs), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_scrub_repeats", exprs => ScrubRepeats(exprs(0)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_char_entropy", exprs => CharEntropy(exprs(0)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_deflate_len", exprs => DeflateLen(exprs(0)), "built-in")
   }
 
   /** Column-API face (usable after [[register]]). */

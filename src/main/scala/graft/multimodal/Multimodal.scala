@@ -118,10 +118,128 @@ object Multimodal {
     out
   }
 
-  /** Default decode kernel: REAL ImageIO luma-grid features when the bytes
-    * decode as an image, [[fakeDecode]] otherwise. */
+  /** Decoded PCM/WAV audio: format metadata + the mono-mixed samples
+    * normalized to [-1, 1]. */
+  private[multimodal] final case class WavAudio(sampleRate: Int, channels: Int,
+                                                bitsPerSample: Int,
+                                                samples: Array[Double])
+
+  private def le16(b: Array[Byte], o: Int): Int =
+    (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+  private def le32(b: Array[Byte], o: Int): Int =
+    (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8) |
+      ((b(o + 2) & 0xff) << 16) | ((b(o + 3) & 0xff) << 24)
+  private def tag(b: Array[Byte], o: Int): String =
+    new String(b, o, 4, java.nio.charset.StandardCharsets.US_ASCII)
+
+  /** REAL PCM/WAV decode: manual RIFF chunk walk (`RIFF…WAVE`, `fmt `,
+    * `data`) for uncompressed PCM at 8 or 16 bits — deterministic,
+    * dependency-free, and tolerant of extra chunks (`LIST`, `fact`) between
+    * `fmt ` and `data`. Multi-channel frames are mono-mixed by plain
+    * average. None for anything that is not a well-formed PCM WAV
+    * (compressed codecs, truncated streams) — the caller falls back, same
+    * contract as [[decodeImage]]. */
+  private[multimodal] def decodeWav(blob: Array[Byte]): Option[WavAudio] = {
+    if (blob == null || blob.length < 44 ||
+        tag(blob, 0) != "RIFF" || tag(blob, 8) != "WAVE") return None
+    var fmt: Option[(Int, Int, Int)] = None // (channels, sampleRate, bits)
+    var pos = 12
+    try {
+      while (pos + 8 <= blob.length) {
+        val id = tag(blob, pos)
+        val sz = le32(blob, pos + 4)
+        if (sz < 0 || pos + 8 + sz > blob.length) return None
+        if (id == "fmt ") {
+          if (sz < 16 || le16(blob, pos + 8) != 1) return None // PCM only
+          fmt = Some((le16(blob, pos + 10), le32(blob, pos + 12),
+            le16(blob, pos + 22)))
+        } else if (id == "data") {
+          val (ch, rate, bits) = fmt.getOrElse(return None)
+          if (ch < 1 || rate < 1 || (bits != 8 && bits != 16)) return None
+          val bytesPerSample = bits / 8
+          val frameBytes = ch * bytesPerSample
+          val nFrames = sz / frameBytes
+          val out = new Array[Double](nFrames)
+          var f = 0
+          while (f < nFrames) {
+            var acc = 0.0
+            var c = 0
+            while (c < ch) {
+              val o = pos + 8 + f * frameBytes + c * bytesPerSample
+              acc += (if (bits == 8) ((blob(o) & 0xff) - 128) / 128.0
+                      else le16(blob, o).toShort / 32768.0)
+              c += 1
+            }
+            out(f) = acc / ch
+            f += 1
+          }
+          return Some(WavAudio(rate, ch, bits, out))
+        }
+        pos += 8 + sz + (sz & 1) // RIFF chunks are 2-byte aligned
+      }
+      None
+    } catch { case _: Exception => None }
+  }
+
+  /** Feature vector from decoded audio: mean-|amplitude| envelope over
+    * `dim` equal sample windows (each sample lands in exactly one window —
+    * the audio analog of [[imageFeatures]]'s integer cell bucketing).
+    * Content-sensitive and deterministic; silence → zeros. */
+  private[multimodal] def audioFeatures(w: WavAudio, dim: Int): Array[Float] = {
+    val n = w.samples.length
+    val sums = new Array[Double](dim)
+    val counts = new Array[Long](dim)
+    var i = 0
+    while (i < n) {
+      val cell = (i.toLong * dim / n).toInt
+      sums(cell) += math.abs(w.samples(i))
+      counts(cell) += 1
+      i += 1
+    }
+    val out = new Array[Float](dim)
+    var j = 0
+    while (j < dim) {
+      out(j) = if (counts(j) > 0) (sums(j) / counts(j)).toFloat else 0f
+      j += 1
+    }
+    out
+  }
+
+  /** Default decode kernel: cheap WAV magic check first (REAL PCM envelope
+    * features), then REAL ImageIO luma-grid features (PNG / JPEG / BMP /
+    * GIF), then the [[fakeDecode]] byte-level stand-in — every asset flows,
+    * real codecs where the JDK has them. */
   private[multimodal] def imageOrHashDecode(blob: Array[Byte], dim: Int): Array[Float] =
-    decodeImage(blob).map(imageFeatures(_, dim)).getOrElse(fakeDecode(blob, dim))
+    decodeWav(blob).map(audioFeatures(_, dim))
+      .orElse(decodeImage(blob).map(imageFeatures(_, dim)))
+      .getOrElse(fakeDecode(blob, dim))
+
+  private val audioInfoSchema: StructType = StructType(Seq(
+    StructField("asset_id", LongType),
+    StructField("is_wav", BooleanType),
+    StructField("sample_rate", IntegerType),
+    StructField("n_channels", IntegerType),
+    StructField("bits_per_sample", IntegerType),
+    StructField("n_samples", IntegerType),
+    StructField("duration_ms", LongType)))
+
+  /** Audio metadata stage: per-asset PCM/WAV header fields (null-safe
+    * `is_wav = false` row when the bytes are not PCM WAV) — same
+    * mapPartitions topology as [[extractFeatures]]. */
+  def audioInfo(assets: DataFrame): DataFrame = {
+    val enc = Encoders.row(audioInfoSchema)
+    assets.select(col("asset_id"), col("blob")).mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        decodeWav(r.getAs[Array[Byte]](1)) match {
+          case Some(w) => Row(id, true, w.sampleRate, w.channels,
+            w.bitsPerSample, w.samples.length,
+            w.samples.length.toLong * 1000L / w.sampleRate)
+          case None => Row(id, false, null, null, null, null, null)
+        }
+      }
+    }(enc)
+  }
 
   private val featuresSchema: StructType = StructType(Seq(
     StructField("asset_id", LongType),

@@ -453,10 +453,13 @@ object Filters {
       "budgetFracX100 and capX100 must be positive")
     val spark = df.sparkSession
     import spark.implicits._
-    val totals = df.groupBy(col(groupCol))
+    // group key is cast to string for the driver-side greedy (a non-string
+    // key — int language id, date bucket — would otherwise CCE on getString);
+    // null keys sort first among equal-n groups
+    val totals = df.groupBy(col(groupCol).cast("string").as(groupCol))
       .agg(sum(col(unitsCol).cast("long")).as("__n"))
       .collect().map(r => (r.getString(0), r.getLong(1)))
-      .sortBy { case (g, n) => (n, g) } // ascending n, group tie-break
+      .sortBy { case (g, n) => (n, g != null, if (g == null) "" else g) }
     var rem = totals.map(_._2).sum * budgetFracX100 / 100
     val k = totals.length
     val rows = totals.zipWithIndex.map { case ((g, n), i) =>
@@ -494,7 +497,8 @@ object Filters {
     require(keyCols.nonEmpty, "keyCols must be non-empty")
     val alloc = broadcast(
       unimaxAllocation(df, groupCol, unitsCol, budgetFracX100, capX100)
-        .withColumn("__full", expr("alloc_units div n_units"))
+        .withColumn("__full", when(col("n_units") === 0, lit(0L))
+          .otherwise(expr("alloc_units div n_units")))
         .withColumn("__rem", col("alloc_units") - col("__full") * col("n_units"))
         .select(col(groupCol), col("__full"), col("__rem")))
     val nParts = if (partitions > 0) partitions

@@ -145,6 +145,12 @@ object Joins {
       if (isTs) unix_micros(c).cast("double") else c.cast("double")
     val rIsTs = right.schema(rightTime).dataType == TimestampType
     val lIsTs = left.schema(leftTime).dataType == TimestampType
+    // a TIMESTAMP on one side against a raw numeric on the other would
+    // silently compare microseconds to arbitrary units — garbage matches
+    require(lIsTs == rIsTs,
+      s"nearestEventJoin time columns must share a unit: $leftTime is " +
+        s"${left.schema(leftTime).dataType.simpleString} but $rightTime is " +
+        s"${right.schema(rightTime).dataType.simpleString}")
     val payloadCols = right.columns.filterNot(c => keys.contains(c) || c == rightTime).toSeq
     val rTagged = right.select(
       keys.map(col) ++ Seq(
@@ -234,7 +240,14 @@ object Joins {
     *
     * Reference analog: `joins.py:11-112` equi-join; the reference inherits
     * its engine's skew handling — this is the Spark-native mitigation for
-    * layouts AQE cannot touch. */
+    * layouts AQE cannot touch.
+    *
+    * Caveat: the salt is a hash of the WHOLE probe row, so probe rows that
+    * are fully identical (every column equal) all land on the same salt —
+    * for them the mitigation degrades to the unsalted join. If the hot key
+    * arrives as exact duplicate rows, add a distinguishing column (a stable
+    * unique id) before salting; `monotonically_increasing_id` is ruled out
+    * (nondeterministic across retries → lost/duplicated rows). */
   def saltedEquiJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
                      nSalts: Int = 8): DataFrame = {
     require(nSalts > 0, s"nSalts must be positive, got $nSalts")

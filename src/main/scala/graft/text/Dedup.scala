@@ -801,12 +801,20 @@ object Dedup {
     * explode — both bounded by the pair volume, which `minThreshold`
     * controls. */
   def thresholdCurve(df: DataFrame, textCol: String, idCol: String,
-                     n: Int = 3, minThreshold: Double = 0.4): DataFrame = {
-    val pairs = ngramJaccardPairs(df, textCol, idCol, n, minThreshold)
-      .withColumn("band",
-        expr("CAST(round(jaccard * 10000) AS BIGINT) div 1000").cast("int"))
-    val perPair = pairs.groupBy("band").agg(count(lit(1)).as("n_pairs"))
-    val perDoc = pairs
+                     n: Int = 3, minThreshold: Double = 0.4): DataFrame =
+    thresholdCurveFromPairs(
+      ngramJaccardPairs(df, textCol, idCol, n, minThreshold))
+
+  /** [[thresholdCurve]] over an ALREADY-MATERIALIZED pair list
+    * (`id_a, id_b, jaccard`) — the production shape: the pair list is the
+    * expensive artifact and is staged once (TableStore / checkpoint), then
+    * every consumer (curve, clusters, keep-best) reads it instead of
+    * re-running candidate generation. */
+  def thresholdCurveFromPairs(pairs: DataFrame): DataFrame = {
+    val banded = pairs.withColumn("band",
+      expr("CAST(round(jaccard * 10000) AS BIGINT) div 1000").cast("int"))
+    val perPair = banded.groupBy("band").agg(count(lit(1)).as("n_pairs"))
+    val perDoc = banded
       .select(col("band"), explode(array(col("id_a"), col("id_b"))).as("__id"))
       .distinct()
       .groupBy("band").agg(count(lit(1)).as("n_docs"))

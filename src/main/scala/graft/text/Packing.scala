@@ -188,7 +188,10 @@ object Packing {
       .takeWhile(_ < maxBucket).toSeq :+ maxBucket
     val nParts = if (partitions > 0) partitions
       else df.sparkSession.sessionState.conf.numShufflePartitions
-    val n = col(tokenCountCol)
+    // null token counts coalesce to 0 (→ the smallest bucket, fully padded)
+    // rather than a null bucket_len, which would silently vanish through
+    // the inner offset join — every input row is represented in the output
+    val n = coalesce(col(tokenCountCol), lit(0))
     val eff = least(n, lit(maxBucket))
     val staged = df
       .withColumn("bucket_len",

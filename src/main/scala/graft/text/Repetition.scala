@@ -49,14 +49,37 @@ object Repetition {
     * [[withSegmentRepetition]]'s report). Returns the input columns plus
     * `text_scrubbed` (single-space rejoined) and `n_removed`.
     *
-    * Built from `zip_with(tokens, shifted-tokens)` + `array_compact`, NOT
-    * an index lambda reading `tokens[i-1]` from the enclosing row — a
-    * lambda referencing the token ARRAY re-evaluates the split per
-    * ELEMENT once an optimizer rule inlines the alias (the
-    * [[Dedup.docNovelty]] hazard); here every HOF argument is evaluated
-    * once per row. Scale: MAP-ONLY, zero shuffle. */
+    * Runs on the native [[graft.functions.ScrubRepeats]] kernel — one
+    * byte-level pass, codegen'd, no intermediate token arrays (the earlier
+    * `zip_with` composition was CodegenFallback; kept as
+    * [[scrubAdjacentRepeatsHof]] for the differential spec). The struct
+    * output is staged behind a ≥2-reference projection barrier (both fields
+    * read) so CollapseProject cannot duplicate the kernel call.
+    * Scale: MAP-ONLY, zero shuffle. */
   def scrubAdjacentRepeats(df: DataFrame, textCol: String,
                            idCol: String): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    val sc = call_function("graft_scrub_repeats", col(textCol).cast("string"))
+    df.withColumn("__sc", sc)
+      // null text → "" scrubbed / null n_removed: the contract of the HOF
+      // form (concat_ws over a null array is ""; size(null) is null)
+      .withColumn("text_scrubbed",
+        coalesce(col("__sc.text_scrubbed"), lit("")))
+      .withColumn("n_removed", col("__sc.n_removed"))
+      .drop("__sc")
+  }
+
+  /** Composed-HOF reference form of [[scrubAdjacentRepeats]] — built from
+    * `zip_with(tokens, shifted-tokens)` + `array_compact`, NOT an index
+    * lambda reading `tokens[i-1]` from the enclosing row — a lambda
+    * referencing the token ARRAY re-evaluates the split per ELEMENT once an
+    * optimizer rule inlines the alias (the [[Dedup.docNovelty]] hazard);
+    * here every HOF argument is evaluated once per row. Retained as the
+    * spec oracle for the native kernel (`zip_with` is CodegenFallback —
+    * interpreted per row — which is why the kernel replaced it on the hot
+    * path). */
+  def scrubAdjacentRepeatsHof(df: DataFrame, textCol: String,
+                              idCol: String): DataFrame = {
     val toks = filter(split(col(textCol), "\\s+"), t => t =!= "")
     // prev[i] = toks[i-1], with a "" sentinel at position 0 ("" is never a
     // token — empties are filtered — so the first token always survives)

@@ -224,6 +224,48 @@ object TextStats {
       .drop("__nfp")
   }
 
+  /** Per-doc compressibility signals on the native
+    * [[graft.functions.CharEntropy]] kernel: code-point count, distinct
+    * code points, exact fixed-point character entropy (nats ×1e6) and
+    * `compress_ratio_x10000` — the entropy-bound estimate of (compressed /
+    * original) size assuming 1-byte characters:
+    * `entropy_bits / 8 = entropy_nats / (8·ln 2)`, computed all-integer as
+    * `entropy_nats_x1e6 · 10000 div 5545176` (5545176 = 8·floor(ln 2·1e6)+8·…
+    * — precisely 8 · 693147, the micro-unit ln 2). Low values flag
+    * degenerate/repetitive docs, values near the ceiling flag binary-ish
+    * noise — the Gopher-family compressibility gate in replayable form.
+    * For the literal zlib number, [[withDeflateRatio]].
+    *
+    * Scale: MAP-ONLY — one kernel call per row, no per-character explode
+    * (one shuffle row per input byte at 100 TB), no shuffle at all. The
+    * struct output is staged behind a ≥3-reference projection barrier so
+    * CollapseProject cannot duplicate the kernel call. */
+  def withCompressionSignals(df: DataFrame, textCol: String): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    df.withColumn("__ce",
+        call_function("graft_char_entropy", col(textCol).cast("string")))
+      .withColumn("n_chars", col("__ce.n_chars"))
+      .withColumn("n_distinct_chars", col("__ce.n_distinct_chars"))
+      .withColumn("entropy_nats_x1e6", col("__ce.entropy_nats_x1e6"))
+      .withColumn("compress_ratio_x10000",
+        expr("CAST((entropy_nats_x1e6 * 10000) DIV 5545176 AS BIGINT)"))
+      .drop("__ce")
+  }
+
+  /** Literal zlib compression ratio ×10000 (`deflate(level 6)` bytes ÷
+    * UTF-8 bytes) via the native [[graft.functions.DeflateLen]] probe —
+    * spec-verified (no cross-engine oracle replays zlib's bitstream; the
+    * oracle-checked form is [[withCompressionSignals]]). Map-only. */
+  def withDeflateRatio(df: DataFrame, textCol: String): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    df.withColumn("deflate_bytes",
+        call_function("graft_deflate_len", col(textCol).cast("string")))
+      .withColumn("__obytes", greatest(octet_length(col(textCol)), lit(1)).cast("long"))
+      .withColumn("deflate_ratio_x10000",
+        expr("CAST((CAST(deflate_bytes AS BIGINT) * 10000) DIV __obytes AS BIGINT)"))
+      .drop("__obytes")
+  }
+
   /** All stats in one projection. */
   def withTextStats(df: DataFrame, textCol: String): DataFrame =
     df.select(col("*"),

@@ -46,6 +46,27 @@ class RepetitionSpec extends AnyFunSuite {
       (5L, "go", 2)))
   }
 
+  test("native scrub kernel ≡ composed-HOF form (unicode, ws variants, null)") {
+    val rng = new scala.util.Random(42)
+    val toks = Vector("the", "fox", "日本語", "naïve", "x", "", "a-b", "ß")
+    val ws = Vector(" ", "  ", "\t", "\n", " \r\n ", "", "\f")
+    val rand = (0 until 200).map { i =>
+      val n = rng.nextInt(12)
+      val s = (0 until n).map(_ => toks(rng.nextInt(toks.size)) +
+        ws(rng.nextInt(ws.size))).mkString
+      (i.toLong, if (rng.nextInt(20) == 0) null else s)
+    }
+    val edge = Seq((900L, ""), (901L, "   "), (902L, "a a a"),
+      (903L, "日本語 日本語 ok"), (904L, "\ta\ta\n\na"))
+    val d = (rand ++ edge).toDF("doc_id", "text")
+    def run(f: (org.apache.spark.sql.DataFrame, String, String) => org.apache.spark.sql.DataFrame) =
+      f(d, "text", "doc_id").select("doc_id", "text_scrubbed", "n_removed")
+        .collect().map(r => (r.getLong(0), r.getString(1),
+          if (r.isNullAt(2)) None else Some(r.getInt(2)))).toSet
+    assert(run(Repetition.scrubAdjacentRepeats) ==
+      run(Repetition.scrubAdjacentRepeatsHof))
+  }
+
   test("duplicate-word fractions match hand computation") {
     val m = metrics()
     // doc 1: words [ab,ab,ab,cd] → (4-2)/4 = 0.5; chars (8-4)/8 = 0.5

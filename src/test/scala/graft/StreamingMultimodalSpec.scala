@@ -344,4 +344,88 @@ class StreamingMultimodalSpec extends AnyFunSuite {
       .where($"asset_id" === 2).head().getAs[Array[Byte]]("blob")
     assert(kept.sameElements(black))
   }
+
+  test("real JPEG blobs: ImageIO decode drives features and resize to PNG") {
+    import java.awt.image.BufferedImage
+    import java.io.ByteArrayOutputStream
+    import javax.imageio.ImageIO
+    def jpg(f: (Int, Int) => Int): Array[Byte] = {
+      val img = new BufferedImage(64, 48, BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 48; x <- 0 until 64) img.setRGB(x, y, f(x, y))
+      val bos = new ByteArrayOutputStream()
+      ImageIO.write(img, "jpg", bos)
+      bos.toByteArray
+    }
+    val dark = jpg((_, _) => 0)
+    val bright = jpg((_, _) => 0xffffff)
+    val imgs = Multimodal.toAssets(
+      Seq((1L, dark), (2L, bright)).toDF("id", "payload"),
+      "id", "payload", "image/jpeg")
+    val feats = Multimodal.extractFeatures(imgs, dim = 9)
+      .orderBy("asset_id").collect()
+      .map(r => r.getLong(0) -> r.getAs[scala.collection.Seq[Float]]("features"))
+    // lossy codec → near-extreme, not exact; content is still what decides
+    assert(feats(0)._2.forall(_ < 0.05f), s"dark jpeg: ${feats(0)._2}")
+    assert(feats(1)._2.forall(_ > 0.95f), s"bright jpeg: ${feats(1)._2}")
+    val resized = Multimodal.resizeImages(imgs, maxEdge = 16)
+      .orderBy("asset_id").collect()
+    resized.foreach { r =>
+      val img = ImageIO.read(new java.io.ByteArrayInputStream(r.getAs[Array[Byte]]("blob")))
+      assert(img.getWidth == 16 && img.getHeight == 12)
+      assert(r.getStruct(2).getString(0) == "image/png")
+    }
+  }
+
+  // Hand-assembled RIFF/WAVE bytes: `nFrames` PCM frames from `gen(frame)`
+  // in [-1,1], with a junk LIST chunk between fmt and data to exercise the
+  // chunk walk.
+  private def wavBytes(rate: Int, channels: Int, bits: Int, nFrames: Int,
+                       gen: Int => Double): Array[Byte] = {
+    val bps = bits / 8
+    val dataLen = nFrames * channels * bps
+    val bos = new java.io.ByteArrayOutputStream()
+    def w16(v: Int): Unit = { bos.write(v & 0xff); bos.write((v >> 8) & 0xff) }
+    def w32(v: Int): Unit = { w16(v & 0xffff); w16((v >> 16) & 0xffff) }
+    def tag(s: String): Unit = bos.write(s.getBytes("US-ASCII"))
+    tag("RIFF"); w32(4 + 24 + 12 + 8 + dataLen); tag("WAVE")
+    tag("fmt "); w32(16); w16(1); w16(channels); w32(rate)
+    w32(rate * channels * bps); w16(channels * bps); w16(bits)
+    tag("LIST"); w32(4); tag("INFO") // extra chunk the walker must skip
+    tag("data"); w32(dataLen)
+    for (f <- 0 until nFrames; _ <- 0 until channels) {
+      val v = gen(f)
+      if (bits == 8) bos.write(((v * 127).toInt + 128) & 0xff)
+      else w16(((v * 32767).toInt) & 0xffff)
+    }
+    bos.toByteArray
+  }
+
+  test("real WAV blobs: PCM decode drives envelope features and audioInfo") {
+    // 16-bit mono, 8 kHz: first half silence, second half full-scale square
+    val halfLoud = wavBytes(8000, 1, 16, 4000,
+      f => if (f < 2000) 0.0 else if (f % 2 == 0) 1.0 else -1.0)
+    // 8-bit stereo constant mid-level tone
+    val stereo = wavBytes(11025, 2, 8, 1102, _ => 0.5)
+    val notWav = "RIFFxxxx but not really".getBytes("US-ASCII")
+    val assets = Multimodal.toAssets(
+      Seq((1L, halfLoud), (2L, stereo), (3L, notWav)).toDF("id", "payload"),
+      "id", "payload", "audio/wav")
+    val feats = Multimodal.extractFeatures(assets, dim = 8)
+      .orderBy("asset_id").collect()
+      .map(r => r.getLong(0) -> r.getAs[scala.collection.Seq[Float]]("features"))
+    // envelope reflects CONTENT: silent first half ≈ 0, loud second ≈ 1
+    val env = feats(0)._2
+    assert(env.take(4).forall(_ < 0.01f), s"silent half: $env")
+    assert(env.drop(4).forall(_ > 0.9f), s"loud half: $env")
+    // 8-bit stereo mono-mix: constant ≈ 0.5 everywhere
+    assert(feats(1)._2.forall(v => v > 0.45f && v < 0.55f), s"${feats(1)._2}")
+    val info = Multimodal.audioInfo(assets).orderBy("asset_id").collect()
+    assert(info(0).getBoolean(1) && info(0).getInt(2) == 8000 &&
+      info(0).getInt(3) == 1 && info(0).getInt(4) == 16 &&
+      info(0).getInt(5) == 4000 && info(0).getLong(6) == 500L)
+    assert(info(1).getBoolean(1) && info(1).getInt(2) == 11025 &&
+      info(1).getInt(3) == 2 && info(1).getInt(4) == 8 &&
+      info(1).getInt(5) == 1102 && info(1).getLong(6) == 99L)
+    assert(!info(2).getBoolean(1) && info(2).isNullAt(2))
+  }
 }

@@ -391,6 +391,39 @@ class TextSimSpec extends AnyFunSuite {
     assert(es == "es")
   }
 
+  test("compression signals: hand-computed fixed-point entropy, unicode, clamp") {
+    val d = Seq(
+      (1L, "aaaa"),   // all-same → entropy 0 (exercises the max(0,·) clamp:
+                      // 4·floor(ln4·1e6+.5) = 5545176 < floor(4·ln4·1e6+.5) = 5545177)
+      (2L, "ab"),     // uniform over 2 → ln2 micro-nats = 693147 (exactly 1 bit)
+      (3L, "abab"),   // same distribution at n=4 → 693147 again
+      (4L, "日日本"), // unicode code points: n=3, distinct=2
+      (5L, ""))       // empty → all zeros
+      .toDF("doc_id", "text")
+    val out = TextStats.withCompressionSignals(d, "text")
+      .select("doc_id", "n_chars", "n_distinct_chars", "entropy_nats_x1e6",
+        "compress_ratio_x10000")
+      .as[(Long, Long, Int, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(out(1L) == ((1L, 4L, 1, 0L, 0L)))
+    assert(out(2L) == ((2L, 2L, 2, 693147L, 1250L)))
+    assert(out(3L) == ((3L, 4L, 2, 693147L, 1250L)))
+    assert(out(4L) == ((4L, 3L, 2, 636514L, 1147L)))
+    assert(out(5L) == ((5L, 0L, 0, 0L, 0L)))
+  }
+
+  test("deflate ratio: repetitive text compresses harder than varied text") {
+    val d = Seq(
+      (1L, "spam " * 400),
+      (2L, (0 until 400).map(i => (i * 2654435761L % 977).toString).mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = TextStats.withDeflateRatio(d, "text")
+      .select("doc_id", "deflate_bytes", "deflate_ratio_x10000")
+      .as[(Long, Int, Long)].collect().map(r => r._1 -> r).toMap
+    assert(out(1L)._2 > 0 && out(2L)._2 > 0)
+    assert(out(1L)._3 < out(2L)._3, s"repetitive ${out(1L)} !< varied ${out(2L)}")
+    assert(out(1L)._3 < 1000L)   // "spam "×400 deflates below 10%
+  }
+
   test("fingerprint is whitespace/case-insensitive content identity") {
     val fps = Seq("a  b\tc", "A b C", "a b d").toDF("text")
       .select(TextStats.fingerprint($"text")).as[Long].collect()
