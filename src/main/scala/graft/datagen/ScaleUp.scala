@@ -1,0 +1,110 @@
+package graft.datagen
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-factor escalation generator: replicate the driver's sf0.1 testdata
+  * `factor`× into a larger, self-consistent corpus (default: sf1 ≈ 6M-row
+  * lineitem / 50k docs / 20k embeddings) so SCALE.md's claims can be
+  * MEASURED instead of extrapolated (r8 verdict item 1).
+  *
+  * Replica `r` shifts every key column by `r · 10⁷` — far above any base
+  * key and any of the `+10000/+20000` planted-clone offsets the bench
+  * queries use — so referential joins (orders↔lineitem, customer↔orders,
+  * part/supplier↔lineitem) stay consistent within each replica and the
+  * whole corpus is the disjoint union of 10 coherent shards. Dimension
+  * tables (region, nation) are copied as-is, exactly like a real 10×
+  * data-volume growth.
+  *
+  * Payloads are deterministically DECORRELATED per replica (rep 0 is the
+  * untouched original):
+  *  - `documents.text`: tokens re-ordered by md5(token, doc, rep) — unigram
+  *    mass and token counts preserved, but 3-gram sets are ~disjoint across
+  *    replicas, so the near-dup pair volume scales like a real corpus
+  *    instead of every doc acquiring 9 cross-replica twins (which would
+  *    quadratically distort the dedup entries the run is meant to measure).
+  *  - `embeddings.embedding`: per-component hash jitter in ±0.1 — replicas
+  *    are distinct vectors, no degenerate distance ties in the ANN entries.
+  *  - `events`: ids/users shifted; timestamps kept (10× event density over
+  *    the same window, the realistic growth mode).
+  *
+  * Usage: `runMain graft.datagen.ScaleUp /root/testdata/sf0.1 /tmp/testdata/sf1 10`
+  */
+object ScaleUp {
+
+  private val Offset = 10000000L
+
+  /** df ∪ (factor−1) key-shifted replicas; `rep` column left for payload
+    * perturbation, dropped by the caller. */
+  private def replicate(df: DataFrame, factor: Int, keyCols: Seq[String]): DataFrame = {
+    val exploded = df.withColumn("rep",
+      explode(sequence(lit(0), lit(factor - 1))))
+    keyCols.foldLeft(exploded)((d, k) =>
+      d.withColumn(k, col(k) + col("rep") * Offset))
+  }
+
+  def main(args: Array[String]): Unit = {
+    val srcDir = args(0)
+    val outDir = args(1)
+    val factor = if (args.length > 2) args(2).toInt else 10
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      Runtime.getRuntime.availableProcessors().toString)
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def read(t: String): DataFrame = spark.read.parquet(s"$srcDir/$t.parquet")
+    def write(df: DataFrame, t: String): Unit = {
+      df.write.mode("overwrite").parquet(s"$outDir/$t.parquet")
+      println(s"[scaleup] $t: ${spark.read.parquet(s"$outDir/$t.parquet").count()} rows")
+    }
+
+    // dims copied as-is
+    write(read("region"), "region")
+    write(read("nation"), "nation")
+
+    write(replicate(read("customer"), factor, Seq("c_custkey")).drop("rep"), "customer")
+    write(replicate(read("supplier"), factor, Seq("s_suppkey")).drop("rep"), "supplier")
+    write(replicate(read("part"), factor, Seq("p_partkey")).drop("rep"), "part")
+    write(replicate(read("orders"), factor, Seq("o_orderkey", "o_custkey"))
+      .drop("rep"), "orders")
+    write(replicate(read("lineitem"), factor,
+      Seq("l_orderkey", "l_partkey", "l_suppkey")).drop("rep"), "lineitem")
+    write(replicate(read("events"), factor, Seq("event_id", "user_id"))
+      .drop("rep"), "events")
+
+    // documents: md5-order token shuffle per (doc, rep>0); unigram-preserving
+    val docs = replicate(read("documents"), factor, Seq("doc_id"))
+    val toks = filter(split(col("text"), "\\s+"), t => t =!= "")
+    val shuffled = concat_ws(" ",
+      transform(
+        array_sort(transform(toks,
+          t => struct(md5(concat_ws("|", t, col("doc_id"), col("rep"))).as("k"),
+            t.as("t")))),
+        s => s.getField("t")))
+    write(docs
+      .withColumn("text", when(col("rep") === 0, col("text")).otherwise(shuffled))
+      .withColumn("n_chars", length(col("text")))
+      .drop("rep"), "documents")
+
+    // embeddings: ±0.1 per-component hash jitter for rep > 0
+    val emb = replicate(read("embeddings"), factor, Seq("vec_id"))
+    val jittered = zip_with(
+      col("embedding").cast("array<double>"),
+      sequence(lit(0), size(col("embedding")) - 1),
+      (x, i) => (x + (pmod(xxhash64(col("vec_id"), i), lit(1001)) - 500)
+        / lit(5000.0)).cast("float"))
+    write(emb
+      .withColumn("embedding",
+        when(col("rep") === 0, col("embedding"))
+          .otherwise(jittered))
+      .drop("rep"), "embeddings")
+
+    spark.stop()
+  }
+}

@@ -99,6 +99,99 @@ class ScaleFunctionsSpec extends AnyFunSuite {
     unbucketed.count()
   }
 
+  // ---- AQE skew-join vs manual salting: the decision rule ----
+
+  /** Final-plan join nodes, AQE-aware (same walk as Scale.countExchanges). */
+  private def joinNodes(df: org.apache.spark.sql.DataFrame) = {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def walk(p: SparkPlan): Seq[SparkPlan] = {
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case s: QueryStageExec => Seq(s.plan)
+        case other => other.children
+      }
+      p +: kids.flatMap(walk)
+    }
+    walk(df.queryExecution.executedPlan).collect {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+      case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => j
+    }
+  }
+
+  test("AQE splits a skewed shuffle join; bucketed joins are salting territory") {
+    import org.apache.spark.sql.execution.joins.{ShuffledHashJoinExec, SortMergeJoinExec}
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "16KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "8KB",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2.0")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val pad = "x" * 200
+      // one hot key carrying ~98% of rows, padded so its partition crosses
+      // the (lowered) skew threshold
+      val fact = (1 to 50000).map(i => (if (i % 50 == 0) i % 40 else 0, i, pad))
+        .toDF("k", "v", "pad")
+      val dim = (0 until 40).map(k => (k, s"dim_$k")).toDF("k", "name")
+
+      // Case A — plain shuffle join: AQE's OptimizeSkewedJoin splits the hot
+      // partition at runtime; manual salting would be redundant here.
+      // Finalize the SAME Dataset with collect() before inspecting the plan
+      // (count() builds a different query — CLAUDE.md invariant 8).
+      val plain = fact.join(dim, Seq("k"))
+      assert(plain.collect().length == 50000)
+      val joins = joinNodes(plain)
+      assert(joins.nonEmpty, plain.queryExecution.executedPlan.toString)
+      val skewHandled = joins.exists {
+        case j: SortMergeJoinExec => j.isSkewJoin
+        case j: ShuffledHashJoinExec => j.isSkewJoin
+        case _ => false
+      }
+      assert(skewHandled,
+        "AQE did not mark the skewed join: " + plain.queryExecution.executedPlan)
+
+      // Case B — bucketed co-located join: there is NO shuffle stage for AQE
+      // to re-split (partitioning comes from the scan), so the same skew
+      // cannot be AQE-mitigated — this is where the explicit salt is the
+      // only mitigation (at the price of giving up the bucketed layout).
+      spark.sql("DROP TABLE IF EXISTS graft_skew_a")
+      spark.sql("DROP TABLE IF EXISTS graft_skew_b")
+      Seq("graft_skew_a", "graft_skew_b").foreach { t =>
+        val dir = new java.io.File(spark.conf.get("spark.sql.warehouse.dir")
+          .stripPrefix("file:"), t)
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm); f.delete(); ()
+        }
+        if (dir.exists()) rm(dir)
+      }
+      Scale.writeBucketed(fact, "graft_skew_a", Seq("k"), buckets = 4, sortCols = Seq("k"))
+      Scale.writeBucketed(dim, "graft_skew_b", Seq("k"), buckets = 4, sortCols = Seq("k"))
+      val bucketed = spark.table("graft_skew_a").join(spark.table("graft_skew_b"), Seq("k"))
+      assert(bucketed.collect().length == 50000)
+      assert(Scale.countExchanges(bucketed) == 0,
+        bucketed.queryExecution.executedPlan.toString)
+      val bucketedJoins = joinNodes(bucketed)
+      assert(bucketedJoins.nonEmpty && !bucketedJoins.exists {
+        case j: SortMergeJoinExec => j.isSkewJoin
+        case j: ShuffledHashJoinExec => j.isSkewJoin
+        case _ => false
+      }, "bucketed join unexpectedly skew-split: " + bucketed.queryExecution.executedPlan)
+
+      // ...and the manual salt actually spreads the hot key: distinct salts
+      // observed for k = 0 cover most of the salt range.
+      val salts = fact.where($"k" === 0)
+        .withColumn("__salt",
+          pmod(xxhash64(fact.columns.map(col): _*), lit(8)).cast("int"))
+        .select(countDistinct($"__salt")).as[Long].head()
+      assert(salts >= 6, s"hot key spread across only $salts of 8 salts")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   // ---- native codegen expression ----
 
   test("CosineSimilarity expression matches the composed HOF form") {

@@ -244,6 +244,75 @@ class StreamingMultimodalSpec extends AnyFunSuite {
     assert(cleanTexts.sorted == Seq(t1, t4, t6, t8).sorted)
   }
 
+  test("streaming composed curation ingest: dedup + decontam + IVF index across triggers ≡ one-shot") {
+    import graft.text.Dedup
+    import graft.sim.{Cluster, IvfIndex}
+    val t1 = "documents about engines partitions and shuffles in production"
+    val t4 = "completely different content covering storage formats and codecs"
+    val t6 = "yet another unique page on watermarks and state stores"
+    val t8 = "final unique entry describing broadcast joins and skew"
+    val benchTxt = "alpha beta gamma delta epsilon one two three four five"
+    val docs = Seq(
+      (1L, t1, Seq(1.0, 0.0, 0.0, 0.0)),
+      (2L, t1, Seq(0.9, 0.1, 0.0, 0.0)),               // exact dup of t1
+      (3L, benchTxt + " extra", Seq(0.0, 1.0, 0.0, 0.0)), // contaminated
+      (4L, t4, Seq(0.0, 0.9, 0.1, 0.0)),
+      (5L, t1, Seq(0.8, 0.2, 0.0, 0.0)),               // another t1 dup
+      (6L, t6, Seq(0.1, 0.0, 0.9, 0.0)),
+      (7L, benchTxt, Seq(0.0, 0.0, 0.0, 1.0)),         // contaminated
+      (8L, t8, Seq(0.9, 0.0, 0.1, 0.0)))
+      .toDF("doc_id", "text", "embedding")
+    val bench = Seq((900L, benchTxt)).toDF("doc_id", "text")
+    val centroids = Seq(Seq(1000000L, 0L, 0L, 0L), Seq(0L, 1000000L, 0L, 0L))
+    val dir = Files.createTempDirectory("graft_ci").toString
+    docs.repartition(4).write.mode("overwrite").parquet(dir)
+    val store = new TableStore(spark, Files.createTempDirectory("graft_ci_st").toString)
+    val cp = Files.createTempDirectory("graft_ci_cp").toString
+    val stream = spark.readStream
+      .schema(docs.schema).option("maxFilesPerTrigger", 1).parquet(dir)
+    val q = stream.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        // full curation gate: corpus-dup flag → benchmark decontam →
+        // survivors upserted AND IVF-indexed, all against persisted state
+        val flagged = Dedup.exactIncremental(store, "sigs", batch, "text", "doc_id")
+        val contaminated = Dedup.fuzzyContamination(batch, "text", "doc_id",
+          bench, "text", "doc_id", threshold = 0.5).select("id").distinct()
+        val kept = flagged.where(col("kept"))
+          .join(contaminated, flagged("doc_id") === contaminated("id"), "left_anti")
+          .select("doc_id", "text", "embedding")
+        if (!kept.isEmpty) {
+          if (store.exists("clean")) store.upsert("clean", kept, Seq("doc_id"))
+          else store.overwrite("clean", kept, primaryKeys = Seq("doc_id"))
+          IvfIndex.assignIncremental(store, "ivf", kept, "doc_id", "embedding",
+            centroids)
+          ()
+        }
+      }
+      .option("checkpointLocation", cp)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    // gate outcome: one survivor per clean text, contaminated gone
+    val clean = store.read("clean")
+    assert(clean.select("text").as[String].collect().toSeq.sorted ==
+      Seq(t1, t4, t6, t8).sorted)
+    // stream ≡ batch for the index leg: N incremental assignments equal ONE
+    // one-shot assignment over the final clean set, bit-for-bit
+    val streamedPostings = IvfIndex.postings(store, "ivf")
+      .as[(Long, Int)].collect().toSet
+    val oneShot = Cluster.assignQuantized(clean, "embedding", centroids)
+      .select(col("doc_id").cast("long"), col("cluster"))
+      .as[(Long, Int)].collect().toSet
+    assert(streamedPostings == oneShot && streamedPostings.size == 4)
+    // the stored index answers searches: a probe next to doc 4's vector
+    // finds doc 4 at rank 1 through ONE probed bucket
+    val probe = Seq((100L, Seq(0.0, 0.89, 0.1, 0.0))).toDF("qid", "v")
+    val hit = IvfIndex.searchStored(store, "ivf", probe, "qid", "v",
+        centroids, k = 1, nProbe = 1)
+      .select("neighbor_id").as[Long].head()
+    assert(hit == 4L)
+  }
+
   // ---- multimodal plumbing ----
 
   private lazy val assets = Multimodal.toAssets(
