@@ -1598,6 +1598,23 @@ object Oracles {
 
     // hardNegativesTopK: same full-SQL cosine replica as bruteforce_topk,
     // restricted to label-mismatched pairs
+    // knnDensity replay: cosine to the full anchor panel, rank window with
+    // the (sim desc, anchor id) tie rule, keep exactly rank k = 8
+    "q_sim_knn_density" ->
+      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS vv FROM embeddings),
+        |  a AS (SELECT vec_id AS aid, embedding::DOUBLE[] AS av
+        |    FROM embeddings WHERE vec_id < 64),
+        |  s AS (SELECT v.vec_id, a.aid,
+        |    round(list_dot_product(vv, av)
+        |      / (sqrt(list_dot_product(vv, vv)) * sqrt(list_dot_product(av, av))), 6)
+        |      AS sim
+        |    FROM v CROSS JOIN a WHERE v.vec_id <> a.aid),
+        |  r AS (SELECT vec_id, sim,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, aid) AS rn
+        |    FROM s)
+        |SELECT vec_id, sim AS knn_sim FROM r WHERE rn = 8
+        |ORDER BY vec_id""".stripMargin,
+
     "q_sim_hard_negatives" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv,
         |      label AS qlabel

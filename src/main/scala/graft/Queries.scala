@@ -1291,6 +1291,18 @@ object Queries {
       .orderBy("query_id", "rank")
   }
 
+  /** kNN-density outlier scoring ([[graft.sim.Similarity.knnDensity]]):
+    * each embedding's 6-dp cosine to its 8th-nearest anchor (panel =
+    * vec_id < 64, self excluded) — the embedding-space isolation gate;
+    * full-SQL cosine replica oracle (fixed per-row reduction order on
+    * both engines, the q_sim_hard_negatives precedent). */
+  def qSimKnnDensity(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    Similarity.knnDensity(emb, emb.where(col("vec_id") < 64),
+        "vec_id", "embedding", k = 8)
+      .orderBy("vec_id")
+  }
+
   /** ANN-shortlist hard-negative mining
     * ([[graft.sim.Similarity.hardNegativesIvf]]) with a planted-recovery
     * oracle: queries are +0.1-perturbed copies carrying their ORIGINAL's
@@ -2342,6 +2354,7 @@ object Queries {
     "q_sim_bruteforce_topk" -> (qSimBruteForce _),
     "q_sim_hard_negatives" -> (qSimHardNegatives _),
     "q_sim_hard_negatives_ivf" -> (qSimHardNegativesIvf _),
+    "q_sim_knn_density" -> (qSimKnnDensity _),
     "q_sim_mmr_rerank" -> (qSimMmrRerank _),
     "q_sim_ivf_topk" -> (qSimIvfTopK _),
     "q_sim_lsh_topk" -> (qSimLshTopK _),

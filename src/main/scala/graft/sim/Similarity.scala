@@ -66,6 +66,43 @@ object Similarity {
       .withColumnRenamed("__rn", "rank")
   }
 
+  /** kNN-density outlier score over an ANCHOR panel: each vector's cosine
+    * similarity to its `k`-th most-similar anchor (self excluded, 6-dp
+    * det-round, ties to the smaller anchor id). The embedding-space
+    * quality gate between [[prototypeFilter]] (distance to ONE seed mean)
+    * and [[graft.sim.Cluster]]'s SemDeDup (full clustering): a LOW k-th
+    * anchor similarity marks an isolated embedding (encoder junk, OOD
+    * content — the "does anything else look like this?" filter of
+    * SSL-prototype / SemDeDup-family curation), a HIGH one marks dense
+    * near-dup mass. Returns the input id column + `knn_sim`.
+    *
+    * Exact-kNN-vs-the-panel is deliberate: against a fixed anchor panel
+    * the score is exactly SQL-replayable (per-row array reduction order is
+    * fixed in both engines), where a corpus-wide exact kNN would be
+    * all-pairs. Panel size bounds both cost and memory.
+    *
+    * Scale: anchors BROADCAST (a panel is 10²–10⁴ rows by construction —
+    * sample via [[graft.ops.Filters]] portable gates for auditability);
+    * scoring is map-only against the broadcast; the only shuffle is the
+    * per-vector rank window over |anchors| rows per vector. Corpus is
+    * never self-joined — 10¹⁰ vectors cost one scan. */
+  def knnDensity(df: DataFrame, anchors: DataFrame, idCol: String,
+                 vecCol: String, k: Int = 8): DataFrame = {
+    require(k > 0, "k must be positive")
+    val a = broadcast(anchors.select(col(idCol).as("__aid"),
+      col(vecCol).cast("array<double>").as("__av")))
+    val v = df.select(col(idCol), col(vecCol).cast("array<double>").as("__v"))
+    val scored = v.crossJoin(a)
+      .where(col(idCol) =!= col("__aid"))
+      .withColumn("__sim",
+        round(cosineFast(df.sparkSession)(col("__v"), col("__av")), 6))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("__sim").desc, col("__aid"))
+    scored.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === k)
+      .select(col(idCol), col("__sim").as("knn_sim"))
+  }
+
   /** Hard-negative mining for contrastive training: for each query vector,
     * the exact top-k most-similar corpus vectors whose `labelCol` DIFFERS
     * from the query's — the "closest wrong answers" every embedding-model

@@ -391,6 +391,24 @@ class TextSimSpec extends AnyFunSuite {
     assert(es == "es")
   }
 
+  test("knnDensity: isolated vector scores ~0, dense mass ~1, exact kth rank") {
+    import graft.sim.Similarity
+    // five identical unit vectors + one orthogonal outlier; anchors = all
+    val vecs = ((0L to 4L).map(i => (i, Seq(1.0, 0.0))) :+ (5L, Seq(0.0, 1.0)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.knnDensity(vecs, vecs, "vec_id", "embedding", k = 3)
+      .as[(Long, Double)].collect().toMap
+    // dense vector: sims (1, 1, 1, 1, 0) → 3rd best = 1.0
+    (0L to 4L).foreach(i => assert(out(i) == 1.0, s"dense $i: ${out(i)}"))
+    // outlier: sims (0, 0, 0, 0, 0) → 3rd best = 0.0
+    assert(out(5L) == 0.0)
+    // k beyond the dense run reaches the cross sims: k=5 for a dense vector
+    // ranks the outlier similarity
+    val k5 = Similarity.knnDensity(vecs, vecs, "vec_id", "embedding", k = 5)
+      .as[(Long, Double)].collect().toMap
+    assert(k5(0L) == 0.0 && k5(5L) == 0.0)
+  }
+
   test("compression signals: hand-computed fixed-point entropy, unicode, clamp") {
     val d = Seq(
       (1L, "aaaa"),   // all-same → entropy 0 (exercises the max(0,·) clamp:
