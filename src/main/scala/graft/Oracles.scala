@@ -2051,6 +2051,52 @@ object Oracles {
 
     // threeWaySplit replay: the q_p12 portable md5 gate cut at per-mille
     // boundaries instead of one threshold
+    "q_pack_curriculum" ->
+      """SELECT doc_id, n_chars,
+        |  row_number() OVER (ORDER BY n_chars, doc_id) - 1 AS curriculum_pos
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // leakageSafeSplit replay: the q_dedup_clusters recursive CTE supplies
+    // the cluster labels; the q_p16 md5 per-mille CASE gates on the
+    // coalesced cluster key (singletons self-key)
+    "q_split_leakage_safe" ->
+      """WITH RECURSIVE aug AS (
+        |  SELECT * FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 20000, text || ' graftmarker', lang, source, n_chars
+        |  FROM documents WHERE doc_id < 50),
+        |  p AS (SELECT doc_id AS id,
+        |    list_distinct(list_transform(
+        |      range(1, greatest(len(regexp_split_to_array(
+        |        regexp_replace(lower(trim(text)), '[^a-z0-9áéíóúñü ]', '', 'g'),
+        |        '\s+')) - 2, 1) + 1),
+        |      i -> array_to_string(list_slice(regexp_split_to_array(
+        |        regexp_replace(lower(trim(text)), '[^a-z0-9áéíóúñü ]', '', 'g'),
+        |        '\s+'), i, i + 2), ' '))) AS grams
+        |    FROM aug),
+        |  pair AS (SELECT a.id AS id_a, b.id AS id_b
+        |    FROM p a JOIN p b ON a.id < b.id
+        |    WHERE floor(len(list_intersect(a.grams, b.grams))::DOUBLE
+        |      / (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))::DOUBLE)
+        |      * 10000 + 0.5) / 10000 >= 0.5),
+        |  edges AS (SELECT id_a AS src, id_b AS dst FROM pair
+        |    UNION SELECT id_b, id_a FROM pair),
+        |  reach(id, label) AS (
+        |    SELECT DISTINCT src, src FROM edges
+        |    UNION
+        |    SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.id),
+        |  clu AS (SELECT id, min(label) AS cluster_id FROM reach GROUP BY id)
+        |SELECT a.doc_id,
+        |  CASE WHEN ('0x' || substr(md5(concat_ws('|',
+        |         coalesce(c.cluster_id, a.doc_id), '42')), 1, 15))::UBIGINT
+        |         % 1000000000 < 800000000 THEN 'train'
+        |       WHEN ('0x' || substr(md5(concat_ws('|',
+        |         coalesce(c.cluster_id, a.doc_id), '42')), 1, 15))::UBIGINT
+        |         % 1000000000 < 900000000 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM aug a LEFT JOIN clu c ON a.doc_id = c.id
+        |ORDER BY a.doc_id""".stripMargin,
+
     "q_p16_three_way_split" ->
       """SELECT doc_id, lang,
         |  CASE WHEN ('0x' || substr(md5(concat_ws('|', doc_id, '42')), 1, 15))::UBIGINT

@@ -787,6 +787,28 @@ object Queries {
         "batch_in_bucket", "pad_tokens", "truncated")
       .orderBy("doc_id")
 
+  /** Curriculum ordering ([[graft.text.Packing.curriculumOrder]]): global
+    * easy-to-hard position under (n_chars, doc_id) via the two-phase
+    * prefix rank — never one window task; oracle = one SQL row_number. */
+  def qPackCurriculum(s: SparkSession, dir: String): DataFrame =
+    text.Packing.curriculumOrder(
+        t(s, dir, "documents").select("doc_id", "n_chars"),
+        "doc_id", "n_chars")
+      .select("doc_id", "n_chars", "curriculum_pos")
+      .orderBy("doc_id")
+
+  /** Leakage-safe split ([[graft.ops.Filters.leakageSafeSplit]]): the
+    * 3-way md5 split keyed by near-dup CLUSTER (staged 0.5-jaccard
+    * components; singletons self-key), so planted clones always land in
+    * their original's bucket. Oracle = the q_dedup_clusters recursive CTE
+    * + the q_p16 md5 CASE over the coalesced cluster key. */
+  def qSplitLeakageSafe(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Filters.leakageSafeSplit(
+        docsWithNearDups(s, dir).select("doc_id", "text"),
+        "doc_id", stagedClusters(s, dir))
+      .select("doc_id", "split")
+      .orderBy("doc_id")
+
   /** Benchmark decontamination: flag docs (corpus ∪ clones) sharing ≥ 2
     * distinct 5-grams with the "benchmark" set (doc_id < 10) — exact-count
     * DuckDB oracle over the same gram formula. */
@@ -2355,6 +2377,8 @@ object Queries {
     "q_sim_hard_negatives" -> (qSimHardNegatives _),
     "q_sim_hard_negatives_ivf" -> (qSimHardNegativesIvf _),
     "q_sim_knn_density" -> (qSimKnnDensity _),
+    "q_pack_curriculum" -> (qPackCurriculum _),
+    "q_split_leakage_safe" -> (qSplitLeakageSafe _),
     "q_sim_mmr_rerank" -> (qSimMmrRerank _),
     "q_sim_ivf_topk" -> (qSimIvfTopK _),
     "q_sim_lsh_topk" -> (qSimLshTopK _),

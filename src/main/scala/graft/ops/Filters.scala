@@ -148,6 +148,38 @@ object Filters {
         .otherwise("test"))
   }
 
+  /** Near-dup-LEAKAGE-SAFE split: split membership is decided per duplicate
+    * CLUSTER, not per document — all members of a near-dup cluster land in
+    * the same train/val/test bucket, so a test document can never have a
+    * near-copy in train (the contamination mode a plain per-id
+    * [[threeWaySplit]] cannot prevent). `clusters` is a
+    * [[graft.text.Dedup.duplicateClusters]] frame (`id`, `cluster_id`,
+    * covering only docs WITH duplicates); singletons key by their own id.
+    * Same md5 per-mille gate as [[threeWaySplit]] over the cluster key.
+    *
+    * Scale: the cluster table covers only duplicate-involved docs (a small
+    * fraction by construction — it is the pair list's node set), so the
+    * join broadcasts or hash-joins on the id without touching corpus
+    * layout; the gate itself is map-only. */
+  def leakageSafeSplit(df: DataFrame, idCol: String, clusters: DataFrame,
+                       trainPermille: Int = 800, valPermille: Int = 100,
+                       salt: Int = 42): DataFrame = {
+    require(trainPermille >= 0 && valPermille >= 0 &&
+      trainPermille + valPermille <= 1000,
+      "per-mille budgets must be non-negative and sum to <= 1000")
+    val c = clusters.select(col("id").as("__cid"),
+      col("cluster_id").as("__cluster"))
+    val h = conv(substring(md5(concat_ws("|",
+      coalesce(col("__cluster"), col(idCol)), lit(salt.toString))), 1, 15),
+      16, 10).cast("long") % 1000000000L
+    df.join(c, df(idCol) === c("__cid"), "left")
+      .withColumn("split",
+        when(h < trainPermille * 1000000L, "train")
+          .when(h < (trainPermille + valPermille) * 1000000L, "val")
+          .otherwise("test"))
+      .drop("__cid", "__cluster")
+  }
+
   /** Deterministic stratified sample: per-stratum keep fractions (strata
     * missing from the map are dropped). The scalable form of
     * `df.stat.sampleBy`, with hash determinism instead of rand. */

@@ -218,6 +218,40 @@ object Packing {
       .drop("__part", "__offset")
   }
 
+  /** Curriculum ordering index: the GLOBAL 0-based training position of
+    * every row under `(scoreCol asc, idCol asc)` — the deterministic
+    * easy-to-hard data ordering of curriculum learning (Bengio et al.,
+    * ICML 2009), materialized as a column a loader consumes directly.
+    * The id tie-break makes the order total, so the curriculum replays
+    * bit-for-bit in any engine; feed any difficulty proxy as the score
+    * (length, rarity, classifier logit, compressibility).
+    *
+    * Scale: a plain `row_number` over an unpartitioned window serializes
+    * the corpus through ONE task — this is the [[shardAssignments]]
+    * two-phase prefix rank instead: range-repartition on (score, id),
+    * per-partition counts → a partitions-sized offset table broadcast
+    * back, one partition-local window. One pinned materialization of the
+    * sampled range partitioning (CLAUDE.md invariant 7). */
+  def curriculumOrder(df: DataFrame, idCol: String, scoreCol: String,
+                      partitions: Int = 0): DataFrame = {
+    val nParts = if (partitions > 0) partitions
+      else df.sparkSession.sessionState.conf.numShufflePartitions
+    val ranged = df.repartitionByRange(nParts, col(scoreCol), col(idCol))
+      .withColumn("__part", spark_partition_id())
+      .localCheckpoint()
+    val offsets = broadcast(
+      ranged.groupBy("__part").agg(count(lit(1)).as("__pcnt"))
+        .withColumn("__offset", coalesce(
+          sum("__pcnt").over(Window.orderBy("__part")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select("__part", "__offset"))
+    val localW = Window.partitionBy("__part").orderBy(col(scoreCol), col(idCol))
+    ranged.join(offsets, Seq("__part"))
+      .withColumn("curriculum_pos",
+        col("__offset") + row_number().over(localW) - 1)
+      .drop("__part", "__offset")
+  }
+
   /** Per-document overlapping sliding windows: cut each document's unit
     * span `[0, lengthCol)` into chunks starting every `step` units, each
     * `window` units long (clipped at the document end). Emits one row per

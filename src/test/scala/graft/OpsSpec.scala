@@ -237,6 +237,28 @@ class OpsSpec extends AnyFunSuite {
     assert(math.abs(sizes("val") - 300) < 90 && math.abs(sizes("test") - 300) < 90)
   }
 
+  test("leakageSafeSplit: cluster members share a bucket, singletons equal threeWaySplit") {
+    val df = (1L to 600L).toDF("id")
+    // clusters: {1..5} -> 1, {10, 11} -> 10; everyone else singleton
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 1L), (5L, 1L),
+      (10L, 10L), (11L, 10L)).toDF("id", "cluster_id")
+    val out = Filters.leakageSafeSplit(df, "id", clusters)
+      .select("id", "split").as[(Long, String)].collect().toMap
+    assert(out.size == 600)
+    // all cluster members inherit the representative's bucket
+    assert((1L to 5L).map(out).toSet.size == 1)
+    assert(out(10L) == out(11L))
+    assert(out(1L) == out.getOrElse(1L, "?"))
+    // singletons match the plain per-id split exactly
+    val plain = Filters.threeWaySplit(df, Seq("id"))
+      .select("id", "split").as[(Long, String)].collect().toMap
+    val clustered = Set(1L, 2L, 3L, 4L, 5L, 10L, 11L)
+    df.as[Long].collect().filterNot(clustered).foreach(i =>
+      assert(out(i) == plain(i), s"singleton $i diverged"))
+    // cluster reps key by cluster_id == their own id -> same as plain too
+    assert(out(1L) == plain(1L) && out(10L) == plain(10L))
+  }
+
   test("stratifiedHashSample applies per-stratum fractions, drops unlisted strata") {
     val df = (1L to 3000L).map(i => (i, if (i % 3 == 0) "a" else if (i % 3 == 1) "b" else "c"))
       .toDF("id", "s")

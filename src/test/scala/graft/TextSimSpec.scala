@@ -391,6 +391,21 @@ class TextSimSpec extends AnyFunSuite {
     assert(es == "es")
   }
 
+  test("curriculumOrder: exact global (score, id) positions, layout independent") {
+    val rng = new scala.util.Random(7)
+    val rows = (1L to 500L).map(i => (i, rng.nextInt(40).toLong))
+    val df = rows.toDF("id", "score").repartition(13)
+    val out = Packing.curriculumOrder(df, "id", "score")
+      .select("id", "curriculum_pos").as[(Long, Long)].collect().toMap
+    val expected = rows.sortBy { case (i, s) => (s, i) }.zipWithIndex
+      .map { case ((i, _), pos) => i -> pos.toLong }.toMap
+    assert(out == expected)
+    // independent of the number of range partitions
+    val out3 = Packing.curriculumOrder(df, "id", "score", partitions = 3)
+      .select("id", "curriculum_pos").as[(Long, Long)].collect().toMap
+    assert(out3 == expected)
+  }
+
   test("knnDensity: isolated vector scores ~0, dense mass ~1, exact kth rank") {
     import graft.sim.Similarity
     // five identical unit vectors + one orthogonal outlier; anchors = all
