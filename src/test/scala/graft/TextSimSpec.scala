@@ -444,6 +444,37 @@ class TextSimSpec extends AnyFunSuite {
     assert(out(5L) == ((5L, 0L, 0, 0L, 0L)))
   }
 
+  test("char entropy kernel ≡ JVM reference on random unicode strings") {
+    val rng = new scala.util.Random(11)
+    val alphabets = Vector("ab", "abcdefgh", "aá日🎉 x\n\tß", "0")
+    val rows = (0 until 300).map { i =>
+      val alpha = alphabets(rng.nextInt(alphabets.size)).toCharArray
+        .mkString // keep surrogate pairs intact via codePoints below
+      val cps = alpha.codePoints().toArray
+      val n = rng.nextInt(50)
+      (i.toLong, new String(
+        (0 until n).flatMap(_ => Character.toChars(cps(rng.nextInt(cps.length)))).toArray))
+    }
+    def reference(s: String): (Long, Int, Long) = {
+      val cps = s.codePoints().toArray
+      val n = cps.length
+      val counts = cps.groupBy(identity).map(_._2.length)
+      val termSum = counts.map(c =>
+        math.floor(c.toDouble * math.log(c.toDouble) * 1e6 + 0.5).toLong).sum
+      val ent = if (n == 0) 0L
+        else math.max(0L, n.toLong *
+          math.floor(math.log(n.toDouble) * 1e6 + 0.5).toLong - termSum) / n
+      (n.toLong, counts.size, ent)
+    }
+    val out = TextStats.withCompressionSignals(rows.toDF("id", "text"), "text")
+      .select("id", "n_chars", "n_distinct_chars", "entropy_nats_x1e6")
+      .as[(Long, Long, Int, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    rows.foreach { case (id, s) =>
+      assert(out(id) == reference(s), s"id=$id text=${s.take(40)}")
+    }
+  }
+
   test("deflate ratio: repetitive text compresses harder than varied text") {
     val d = Seq(
       (1L, "spam " * 400),
