@@ -124,16 +124,22 @@ case class DeflateLen(child: Expression) extends UnaryExpression {
 }
 
 object DeflateLen {
+  // one native Deflater per executor thread, reset() per row — allocating
+  // (and JNI-initializing) a Deflater per ROW costs more than the deflate
+  // itself on short documents
+  private val local = new ThreadLocal[java.util.zip.Deflater] {
+    override def initialValue(): java.util.zip.Deflater =
+      new java.util.zip.Deflater(6)
+  }
+
   def deflatedLength(s: UTF8String): Int = {
-    val in = s.getBytes
-    val d = new java.util.zip.Deflater(6)
-    try {
-      d.setInput(in)
-      d.finish()
-      val buf = new Array[Byte](8192)
-      var total = 0
-      while (!d.finished()) total += d.deflate(buf)
-      total
-    } finally d.end()
+    val d = local.get()
+    d.reset()
+    d.setInput(s.getBytes)
+    d.finish()
+    val buf = new Array[Byte](8192)
+    var total = 0
+    while (!d.finished()) total += d.deflate(buf)
+    total
   }
 }

@@ -85,7 +85,12 @@ object Similarity {
     * sample via [[graft.ops.Filters]] portable gates for auditability);
     * scoring is map-only against the broadcast; the only shuffle is the
     * per-vector rank window over |anchors| rows per vector. Corpus is
-    * never self-joined — 10¹⁰ vectors cost one scan. */
+    * never self-joined — 10¹⁰ vectors cost one scan.
+    *
+    * Contract: the panel must offer at least `k` anchors to every vector
+    * (≥ k+1 anchors overall, since a vector that IS an anchor excludes
+    * itself) — a vector with fewer than `k` scored anchors has no rank-k
+    * row and is ABSENT from the output. */
   def knnDensity(df: DataFrame, anchors: DataFrame, idCol: String,
                  vecCol: String, k: Int = 8): DataFrame = {
     require(k > 0, "k must be positive")
