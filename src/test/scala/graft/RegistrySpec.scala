@@ -128,4 +128,63 @@ class RegistrySpec extends AnyFunSuite {
         maxIterations = 5)
     }
   }
+
+  test("HTTP status client drives the poll loop against a real HTTP server") {
+    import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
+    // scripted remote: each task advances one life-cycle step per GET
+    val script = Map(
+      "fs_cus_demographic" -> Seq(
+        """{"life_cycle_state": "PENDING"}""",
+        """{"life_cycle_state": "RUNNING"}""",
+        """{"life_cycle_state": "TERMINATED", "result_state": "SUCCESS"}"""),
+      "fs_cus_credit_risk" -> Seq(
+        """{"life_cycle_state": "TERMINATED", "result_state": "FAILED",
+          | "message": "upstream OOM"}""".stripMargin))
+    val hits = new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+    val server = HttpServer.create(new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/", new HttpHandler {
+      override def handle(ex: HttpExchange): Unit = {
+        val path = ex.getRequestURI.getPath // /targets/{t}/tasks/{k}/status
+        val parts = path.split("/")
+        val (target, task) = (parts(2), parts(4))
+        assert(target == "A" && parts(1) == "targets" && parts(5) == "status")
+        val n = hits.merge(task, 1, (a, b) => a + b) - 1
+        val s = script(task)
+        val body = s(math.min(n, s.size - 1)).getBytes("UTF-8")
+        ex.sendResponseHeaders(200, body.length)
+        ex.getResponseBody.write(body)
+        ex.close()
+      }
+    })
+    server.start()
+    try {
+      val base = s"http://127.0.0.1:${server.getAddress.getPort}"
+      val client = new graft.store.HttpStatusClient(base)
+      val registered = scala.collection.mutable.ArrayBuffer[(String, String)]()
+      val errors = Registration.pollAndRegister(
+        Map("A" -> Seq("fs_cus_demographic", "fs_cus_credit_risk")),
+        statusOf = client.statusOf,
+        onSuccess = (t, k) => registered += ((t, k)))
+      assert(registered.toSeq == Seq(("A", "fs_cus_demographic")))
+      assert(errors.map(e => (e.task, e.message)) ==
+        Seq(("fs_cus_credit_risk", "upstream OOM")))
+      assert(hits.get("fs_cus_demographic") == 3) // one GET per sweep
+      assert(hits.get("fs_cus_credit_risk") == 1)
+      // strict state mapping: unknown life-cycle states throw, not default
+      val bad = HttpServer.create(new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+      bad.createContext("/", new HttpHandler {
+        override def handle(ex: HttpExchange): Unit = {
+          val body = """{"life_cycle_state": "MYSTERY"}""".getBytes("UTF-8")
+          ex.sendResponseHeaders(200, body.length)
+          ex.getResponseBody.write(body)
+          ex.close()
+        }
+      })
+      bad.start()
+      try intercept[IllegalStateException] {
+        new graft.store.HttpStatusClient(
+          s"http://127.0.0.1:${bad.getAddress.getPort}").statusOf("A", "x")
+      } finally bad.stop(0)
+    } finally server.stop(0)
+  }
 }
