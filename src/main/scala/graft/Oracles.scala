@@ -524,6 +524,27 @@ object Oracles {
         |FROM documents doc LEFT JOIN e ON doc.doc_id = e.doc_id
         |ORDER BY doc.doc_id""".stripMargin,
 
+    // vocabGrowth: first-seen doc per token -> doc-rank slice -> rollup +
+    // running sum; same tokenization as q_text_rarity
+    "q_vocab_growth" ->
+      """WITH tok AS (SELECT doc_id, unnest(list_filter(regexp_split_to_array(
+        |    regexp_replace(lower(trim(text)), '[^a-z0-9áéíóúñü ]', '', 'g'),
+        |    '\s+'), x -> x <> '')) AS token FROM documents),
+        |f AS (SELECT token, min(doc_id) AS first_id FROM tok GROUP BY token),
+        |r AS (SELECT doc_id, row_number() OVER (ORDER BY doc_id) - 1 AS pos
+        |  FROM documents),
+        |n AS (SELECT count(*) AS total FROM documents),
+        |b AS (SELECT f.token, CAST((r.pos * 10) // n.total + 1 AS INT)
+        |    AS corpus_slice
+        |  FROM f JOIN r ON f.first_id = r.doc_id, n),
+        |g AS (SELECT corpus_slice, count(*) AS new_types FROM b
+        |  GROUP BY corpus_slice)
+        |SELECT corpus_slice, new_types,
+        |  CAST(sum(new_types) OVER (ORDER BY corpus_slice
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS cum_types
+        |FROM g ORDER BY corpus_slice""".stripMargin,
+
     // vocabCoverage: same tokenization as q_text_rarity; running coverage
     // over the (cnt desc, token) vocabulary order
     "q_vocab_coverage" ->

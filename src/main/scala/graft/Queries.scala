@@ -1187,6 +1187,15 @@ object Queries {
         topK = 30)
       .orderBy("rank")
 
+  /** Vocabulary growth curve ([[graft.text.UnigramLM.vocabGrowth]]):
+    * new types per corpus tenth — the Heaps'-law saturation audit that
+    * predicts whether gram-keyed pair ops stay linear; all-integer,
+    * replayed with one min + bucket + running-sum SQL. */
+  def qVocabGrowth(s: SparkSession, dir: String): DataFrame =
+    graft.text.UnigramLM.vocabGrowth(t(s, dir, "documents"), "text",
+        "doc_id", buckets = 10)
+      .orderBy("corpus_slice")
+
   /** Per-doc novelty attribution ([[graft.text.Dedup.docNovelty]]) over
     * corpus ∪ exact clones: clones contribute zero new grams (their
     * originals have smaller ids), so the planted expectation is visible
@@ -2379,6 +2388,7 @@ object Queries {
     "q_sim_knn_density" -> (qSimKnnDensity _),
     "q_pack_curriculum" -> (qPackCurriculum _),
     "q_split_leakage_safe" -> (qSplitLeakageSafe _),
+    "q_vocab_growth" -> (qVocabGrowth _),
     "q_sim_mmr_rerank" -> (qSimMmrRerank _),
     "q_sim_ivf_topk" -> (qSimIvfTopK _),
     "q_sim_lsh_topk" -> (qSimLshTopK _),

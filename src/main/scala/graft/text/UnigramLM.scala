@@ -84,6 +84,45 @@ object UnigramLM {
       .groupBy("freq_decade")
       .agg(count(lit(1)).as("n_types"), sum("cnt").as("n_tokens"))
 
+  /** Vocabulary GROWTH curve — the Heaps'-law audit (Heaps 1978,
+    * `V(n) ∝ n^β`): distinct types first observed in each successive
+    * `1/buckets` slice of the corpus (documents in `idCol` order).
+    * A healthy open-vocabulary corpus keeps minting types in every slice;
+    * a flat tail means the vocabulary has SATURATED — which is exactly the
+    * regime where gram-keyed pair operators go quadratic (the r9 sf1
+    * measurement: 29k distinct 3-grams for 50k docs → 139.6M genuine
+    * candidate pairs in [[Dedup.ngramJaccardPairs]]; see SCALE.md). Run
+    * this audit BEFORE choosing between exact gram pairs and MinHash-LSH.
+    *
+    * Returns `(corpus_slice ∈ 1..buckets, new_types, cum_types)` — exact
+    * integers; slices that mint no new types are absent.
+    *
+    * Scale: one token-keyed MIN aggregate (first-seen doc; the wordcount
+    * shape — shuffle = vocabulary mass, never occurrences); document
+    * ranks come from [[Packing.curriculumOrder]]'s two-phase prefix rank
+    * (no corpus-wide single-task window); the final rollup is ≤ `buckets`
+    * rows. */
+  def vocabGrowth(df: DataFrame, textCol: String, idCol: String,
+                  buckets: Int = 10): DataFrame = {
+    require(buckets > 0, "buckets must be positive")
+    val nDocs = df.count()
+    val ranks = Packing.curriculumOrder(
+      df.select(col(idCol)), idCol, idCol)
+      .select(col(idCol).as("__rid"), col("curriculum_pos").as("__pos"))
+    val firstSeen = df
+      .select(col(idCol).as("__id"), explode(toks(col(textCol))).as("token"))
+      .groupBy("token").agg(min(col("__id")).as("__first"))
+    firstSeen.join(ranks, col("__first") === col("__rid"))
+      .withColumn("corpus_slice",
+        (expr(s"(__pos * $buckets) div CAST(${math.max(nDocs, 1L)} AS BIGINT)")
+          + 1).cast("int"))
+      .groupBy("corpus_slice")
+      .agg(count(lit(1)).as("new_types"))
+      .withColumn("cum_types",
+        sum("new_types").over(Window.orderBy("corpus_slice")
+          .rowsBetween(Window.unboundedPreceding, 0)))
+  }
+
   private def joined(df: DataFrame, textCol: String, idCol: String,
                      broadcastVocab: Boolean): (DataFrame, Long) = {
     val counts = unigramCounts(df, textCol)

@@ -94,6 +94,29 @@ class UnigramLMSpec extends AnyFunSuite {
     }
   }
 
+  test("vocabGrowth: hand-computed slices, saturated vs open vocab, layout-independent") {
+    // 10 docs, 2 buckets: first half mints a,b,c; second half only d
+    val docs = Seq(
+      (1L, "a b"), (2L, "a c"), (3L, "b c"), (4L, "a"), (5L, "c b"),
+      (6L, "a d"), (7L, "b d"), (8L, "d"), (9L, "a b"), (10L, "c"))
+      .toDF("doc_id", "text")
+    val out = UnigramLM.vocabGrowth(docs, "text", "doc_id", buckets = 2)
+      .orderBy("corpus_slice")
+      .as[(Int, Long, Long)].collect().toSeq
+    assert(out == Seq((1, 3L, 3L), (2, 1L, 4L)))
+    // layout independent
+    val out7 = UnigramLM.vocabGrowth(docs.repartition(7), "text", "doc_id",
+        buckets = 2)
+      .orderBy("corpus_slice").as[(Int, Long, Long)].collect().toSeq
+    assert(out7 == out)
+    // fully saturated vocab: everything minted in slice 1, slice 2 absent
+    val sat = Seq((1L, "x y"), (2L, "y x"), (3L, "x"), (4L, "y"))
+      .toDF("doc_id", "text")
+    val satOut = UnigramLM.vocabGrowth(sat, "text", "doc_id", buckets = 2)
+      .orderBy("corpus_slice").as[(Int, Long, Long)].collect().toSeq
+    assert(satOut == Seq((1, 2L, 2L)))
+  }
+
   test("vocabSpectrum: hand-computed decade rows, layout-independent") {
     // "a" ×12 (decade 2), "b" ×3, "c" ×1, "d" ×1 (decade 1)
     val docs = (Seq.fill(12)("a") ++ Seq.fill(3)("b") ++ Seq("c d"))
