@@ -695,19 +695,46 @@ object Queries {
     * exact 4-dp jaccard — identical to generating at 0.5 directly because
     * prefix filtering is recall-complete and the final filter is the same
     * rounded comparison. */
-  private val stagedPairsCache =
-    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  // keyed WEAKLY on the session (entries die with it — identityHashCode
+  // keys would leak checkpointed frames of stopped sessions for the JVM
+  // lifetime and can collide across sessions); the inner map is plain
+  // ConcurrentHashMap keyed by (kind, dir). All get-or-compute goes
+  // through [[stagedEntry]], which computes OUTSIDE the map lock so a
+  // staged entry may depend on another staged entry (a computeIfAbsent
+  // mapping function must never touch other keys of the same CHM —
+  // recursive-update hazard).
+  private val stagedPairsCache = new java.util.WeakHashMap[
+    SparkSession, java.util.concurrent.ConcurrentHashMap[String, DataFrame]]()
+  private def stagedEntry(s: SparkSession, key: String)
+                         (compute: => DataFrame): DataFrame = {
+    val perSession = stagedPairsCache.synchronized {
+      var m = stagedPairsCache.get(s)
+      if (m == null) {
+        m = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+        stagedPairsCache.put(s, m)
+      }
+      m
+    }
+    val cached = perSession.get(key)
+    if (cached != null) cached
+    else {
+      val built = compute // outside any map lock; duplicate races are benign
+      val prev = perSession.putIfAbsent(key, built)
+      if (prev != null) prev else built
+    }
+  }
   private def stagedNearDupPairs(s: SparkSession, dir: String): DataFrame =
-    stagedPairsCache.computeIfAbsent(
-      System.identityHashCode(s) + "|" + dir,
-      _ => Dedup.ngramJaccardPairs(docsWithNearDups(s, dir), "text", "doc_id",
-        n = 3, threshold = 0.4).localCheckpoint())
-  private def stagedClusters(s: SparkSession, dir: String): DataFrame =
-    stagedPairsCache.computeIfAbsent(
-      "clusters|" + System.identityHashCode(s) + "|" + dir,
-      _ => Dedup.duplicateClusters(
-        stagedNearDupPairs(s, dir).where(col("jaccard") >= 0.5))
-        .localCheckpoint())
+    stagedEntry(s, "pairs|" + dir) {
+      Dedup.ngramJaccardPairs(docsWithNearDups(s, dir), "text", "doc_id",
+        n = 3, threshold = 0.4).localCheckpoint()
+    }
+  private def stagedClusters(s: SparkSession, dir: String): DataFrame = {
+    val pairs = stagedNearDupPairs(s, dir) // hoisted dependency (see above)
+    stagedEntry(s, "clusters|" + dir) {
+      Dedup.duplicateClusters(pairs.where(col("jaccard") >= 0.5))
+        .localCheckpoint()
+    }
+  }
 
   /** Dedup-threshold sensitivity curve over the near-dup-augmented corpus:
     * pairs + distinct docs per 0.1 jaccard band at candidate threshold
@@ -1353,7 +1380,8 @@ object Queries {
       .withColumn("vec_id", col("vec_id") + 20000)
       .withColumn("label", lit(-1).cast("int"))
       .withColumn("embedding",
-        zip_with(col("embedding"), sequence(lit(0), lit(63)),
+        zip_with(col("embedding"),
+          sequence(lit(0), size(col("embedding")) - 1),
           (x, i) => when(i === 0, x + 0.2).otherwise(x)))
     Similarity.hardNegativesIvf(base.unionByName(hardClones),
         perturbedQueries(emb), "vec_id", "embedding", "label",
@@ -1413,7 +1441,10 @@ object Queries {
       .withColumn("vec_id", col("vec_id") + 10000)
       .withColumn("embedding",
         zip_with(col("embedding").cast("array<double>"),
-          sequence(lit(0), lit(63)),
+          // index range derived from the data, not a hardcoded dim —
+          // zip_with null-pads the shorter side, so a fixture dim change
+          // would otherwise silently produce null-laden vectors
+          sequence(lit(0), size(col("embedding")) - 1),
           (x, i) => when(i === 0, x + 0.1).otherwise(x)))
 
   /** IVF planted-rank-1 recovery: each perturbed query probes its nProbe

@@ -500,7 +500,13 @@ object Filters {
       rem -= alloc
       (g, n, alloc, if (n == 0) 0L else alloc * 10000L / n)
     }
+    // restore the caller's group-key type: the string rendering exists only
+    // for the driver-side greedy. Leaving it string would both change the
+    // visible schema and make downstream equi-joins against the original
+    // column coerce string-vs-numeric through DOUBLE (exactness lost above
+    // 2^53 for long keys → silent mis-joins).
     rows.toSeq.toDF(groupCol, "n_units", "alloc_units", "epochs_x10000")
+      .withColumn(groupCol, col(groupCol).cast(df.schema(groupCol).dataType))
   }
 
   /** MATERIALIZE a [[unimaxAllocation]]: per-document repetition counts

@@ -56,11 +56,15 @@ class HttpStatusClient(baseUrl: String,
     require(resp.statusCode() == 200,
       s"status endpoint $uri returned HTTP ${resp.statusCode()}")
     val body = resp.body()
-    field(body, "life_cycle_state").map(_.toUpperCase) match {
+    // Locale.ROOT: under e.g. a Turkish default locale "running".toUpperCase
+    // is "RUNNİNG" (dotted İ) and every valid state would fail the match
+    field(body, "life_cycle_state")
+      .map(_.toUpperCase(java.util.Locale.ROOT)) match {
       case Some("PENDING") => TaskStatus.Pending
       case Some("RUNNING") => TaskStatus.Running
       case Some("TERMINATED") =>
-        field(body, "result_state").map(_.toUpperCase) match {
+        field(body, "result_state")
+          .map(_.toUpperCase(java.util.Locale.ROOT)) match {
           case Some("SUCCESS") => TaskStatus.Terminated(TaskResult.Success)
           case Some("CANCELED") => TaskStatus.Terminated(TaskResult.Canceled)
           case Some(other) => TaskStatus.Terminated(TaskResult.Failed(
