@@ -632,6 +632,33 @@ object Oracles {
         |FROM d LEFT JOIN agg USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
 
+    // fixed-point BM25 replay: same digit-count idf bucket as tfidf,
+    // k1=1.2/b=0.75 as x10/x100 fixed points, every division an integer
+    // DIV in the same order as the Spark side
+    "q_text_bm25" ->
+      """WITH d AS (SELECT doc_id,
+        |    list_filter(regexp_split_to_array(regexp_replace(lower(trim(text)),
+        |      '[^a-z0-9áéíóúñü ]', '', 'g'), '\s+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |lens AS (SELECT doc_id, len(toks)::BIGINT AS dl FROM d),
+        |totals AS (SELECT count(*)::BIGINT AS n_docs,
+        |    sum(dl)::BIGINT AS total_dl FROM lens),
+        |tok AS (SELECT doc_id, unnest(toks) AS token FROM d),
+        |tf AS (SELECT token, doc_id, count(*)::BIGINT AS tf FROM tok
+        |  WHERE token IN ('join', 'vector', 'slow') GROUP BY 1, 2),
+        |p AS (SELECT token, doc_id, tf,
+        |    count(*) OVER (PARTITION BY token)::BIGINT AS doc_freq FROM tf),
+        |s AS (SELECT p.doc_id,
+        |    (length((n_docs // doc_freq)::VARCHAR) * tf * 22 * 100000)
+        |      // (tf * 1000 + 12 * (25 + (75 * dl) // (total_dl // n_docs)))
+        |      AS term_x1000
+        |  FROM p JOIN lens USING (doc_id) CROSS JOIN totals),
+        |agg AS (SELECT doc_id, sum(term_x1000)::BIGINT AS bm25_x1000
+        |  FROM s GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(agg.bm25_x1000, 0)::BIGINT AS bm25_x1000
+        |FROM d LEFT JOIN agg USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+
     "q_dedup_exact" ->
       """WITH aug AS (
         |  SELECT * FROM documents
@@ -664,6 +691,33 @@ object Oracles {
         |      * 10000 + 0.5) / 10000 AS jaccard
         |  FROM p a JOIN p b ON a.id < b.id)
         |SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.5
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    // ordered-pair containment |A∩B|/|A| over the same gram CTE; quotes
+    // are raw-word prefixes so quote→source containment is exactly 1.0
+    "q_dedup_containment" ->
+      """WITH aug AS (
+        |  SELECT * FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 30000,
+        |    array_to_string(list_slice(
+        |      regexp_split_to_array(text, '\s+'), 1, 12), ' '),
+        |    lang, source, n_chars
+        |  FROM documents WHERE doc_id < 50),
+        |  p AS (SELECT doc_id AS id,
+        |    list_distinct(list_transform(
+        |      range(1, greatest(len(regexp_split_to_array(
+        |        regexp_replace(lower(trim(text)), '[^a-z0-9áéíóúñü ]', '', 'g'),
+        |        '\s+')) - 2, 1) + 1),
+        |      i -> array_to_string(list_slice(regexp_split_to_array(
+        |        regexp_replace(lower(trim(text)), '[^a-z0-9áéíóúñü ]', '', 'g'),
+        |        '\s+'), i, i + 2), ' '))) AS grams
+        |    FROM aug),
+        |  j AS (SELECT a.id AS id_a, b.id AS id_b,
+        |    floor(len(list_intersect(a.grams, b.grams))::DOUBLE
+        |      / len(a.grams) * 10000 + 0.5) / 10000 AS containment
+        |  FROM p a JOIN p b ON a.id <> b.id)
+        |SELECT id_a, id_b, containment FROM j WHERE containment >= 0.8
         |ORDER BY id_a, id_b""".stripMargin,
 
     // thresholdCurve replay: same gram/jaccard CTE at candidate threshold
@@ -1303,6 +1357,31 @@ object Oracles {
     "q_decontam_inc" ->
       """SELECT doc_id AS id, doc_id + 50000 AS bench_id
         |FROM documents WHERE doc_id < 50 ORDER BY id""".stripMargin,
+
+    // version-diff replay: rebuild both snapshot versions as CTEs and
+    // compare column-by-column (IS DISTINCT FROM = the null-aware compare
+    // the store implements as a null-indicator-folded hash)
+    "q_store_version_diff" ->
+      """WITH v0 AS (
+        |  SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier),
+        |v1 AS (
+        |  SELECT s_suppkey, s_name, s_nationkey,
+        |    CASE WHEN s_suppkey % 5 = 0 THEN s_acctbal + 10
+        |         ELSE s_acctbal END AS s_acctbal
+        |  FROM supplier WHERE s_suppkey % 7 <> 0
+        |  UNION ALL
+        |  SELECT s_suppkey + 100000, s_name, s_nationkey, s_acctbal
+        |  FROM supplier WHERE s_suppkey < 10),
+        |j AS (SELECT coalesce(v0.s_suppkey, v1.s_suppkey) AS s_suppkey,
+        |    CASE WHEN v0.s_suppkey IS NULL THEN 'added'
+        |         WHEN v1.s_suppkey IS NULL THEN 'removed'
+        |         WHEN v0.s_name IS DISTINCT FROM v1.s_name
+        |           OR v0.s_nationkey IS DISTINCT FROM v1.s_nationkey
+        |           OR v0.s_acctbal IS DISTINCT FROM v1.s_acctbal
+        |           THEN 'updated' END AS change
+        |  FROM v0 FULL OUTER JOIN v1 ON v0.s_suppkey = v1.s_suppkey)
+        |SELECT s_suppkey, change FROM j WHERE change IS NOT NULL
+        |ORDER BY s_suppkey""".stripMargin,
 
     // data card: all-integer per-source rollup; duplicate mass counted on
     // the md5 normalized-text fingerprint (q_text_fingerprint_md5 replay).
@@ -2270,6 +2349,24 @@ object Oracles {
         |FROM r WHERE rank < 10
         |ORDER BY event_type, rank""".stripMargin,
 
+    // exact replay of the md5-hex-prefix Count-Min cells: estimates match
+    // collision-for-collision, not just as an upper bound
+    "q_sketch_cms" ->
+      """WITH ds AS (SELECT unnest(range(0, 4)) AS d),
+        |cells AS (SELECT d,
+        |    substr(md5(d::VARCHAR || '|' || l_suppkey::VARCHAR), 1, 2)
+        |      AS bucket,
+        |    count(*) AS cnt
+        |  FROM lineitem CROSS JOIN ds GROUP BY 1, 2),
+        |probes AS (SELECT DISTINCT s_suppkey AS item FROM supplier
+        |  WHERE s_suppkey < 20),
+        |pe AS (SELECT item, d,
+        |    substr(md5(d::VARCHAR || '|' || item::VARCHAR), 1, 2) AS bucket
+        |  FROM probes CROSS JOIN ds)
+        |SELECT item, min(coalesce(cnt, 0))::BIGINT AS est
+        |FROM pe LEFT JOIN cells USING (d, bucket)
+        |GROUP BY item ORDER BY item""".stripMargin,
+
     "q_w14_range_frame" ->
       """SELECT event_id, user_id,
         |  CAST(sum(CAST(value AS DECIMAL(18,6))) OVER (
@@ -2289,6 +2386,18 @@ object Oracles {
         |SELECT doc_id, fp,
         |  (count(*) OVER (PARTITION BY fp))::INT AS n_fp_dups
         |FROM fp ORDER BY doc_id""".stripMargin,
+
+    // k-anonymity / l-diversity: exact group size + distinct sensitive
+    // values per quasi-identifier combination (count DISTINCT excludes
+    // nulls in both engines)
+    "q_privacy_kanon" ->
+      """SELECT c_nationkey, c_mktsegment,
+        |  count(*)::BIGINT AS n_rows,
+        |  count(DISTINCT c_acctbal)::BIGINT AS n_sensitive,
+        |  count(*) >= 5 AS k_anonymous,
+        |  count(DISTINCT c_acctbal) >= 3 AS l_diverse
+        |FROM customer GROUP BY c_nationkey, c_mktsegment
+        |ORDER BY c_nationkey, c_mktsegment""".stripMargin,
 
     "q_v_profile" -> profileSql("orders", Seq(
       ("o_orderkey", true), ("o_orderstatus", false),

@@ -594,6 +594,17 @@ object Queries {
       .select("doc_id", "tfidf_sum", "tfidf_max")
       .orderBy("doc_id")
 
+  /** Fixed-point BM25 ([[graft.text.InvertedIndex.bm25Fixed]]) of every
+    * document against a 3-term query — the integer Okapi saturation
+    * curve, replayed term-for-term by the oracle (the float [[qTextTfidf]]
+    * sibling's ranked-retrieval upgrade; the continuous-log variant stays
+    * spec-tested). */
+  def qTextBm25(s: SparkSession, dir: String): DataFrame =
+    graft.text.InvertedIndex.bm25Fixed(
+        t(s, dir, "documents").select("doc_id", "text"), "text", "doc_id",
+        query = Seq("join", "vector", "slow"))
+      .orderBy("doc_id")
+
   /** PII redaction over documents with deterministically planted PII (a
     * suffix built from doc_id: email, phone, IPv4, 6-digit account run) —
     * the redaction chain and counts are RE2-compatible regexes, so DuckDB
@@ -684,6 +695,25 @@ object Queries {
     Dedup.ngramJaccardPairs(docsWithNearDups(s, dir), "text", "doc_id",
         n = 3, threshold = 0.5)
       .orderBy("id_a", "id_b")
+
+  /** Asymmetric containment pairs ([[graft.text.Dedup.containmentPairs]])
+    * over documents ∪ planted QUOTES: doc_id+30000 carries the first 12
+    * raw words of each source doc (doc_id < 50) — a contiguous prefix, so
+    * every quote's n-gram set is a subset of its source's and containment
+    * is exactly 1.0 in the quote→source direction (and far below
+    * threshold the other way: the asymmetry Jaccard cannot see). Oracle
+    * replays the ordered-pair brute force with the same 4-dp fixed
+    * point. */
+  def qDedupContainment(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val quotes = d.where(col("doc_id") < 50)
+      .withColumn("doc_id", col("doc_id") + 30000)
+      .withColumn("text",
+        concat_ws(" ", slice(split(col("text"), "\\s+"), 1, 12)))
+    Dedup.containmentPairs(d.unionByName(quotes), "text", "doc_id",
+        n = 3, threshold = 0.8)
+      .orderBy("id_a", "id_b")
+  }
 
   /** STAGED near-dup pair list at candidate threshold 0.4, memoized per
     * (session, sf dir) and pinned with `localCheckpoint` — the production
@@ -1074,6 +1104,34 @@ object Queries {
         bench, "text", "doc_id")
       .where(col("bench_id") === col("id") + 50000)
       .orderBy("id")
+  }
+
+  /** Change-data view between two snapshot versions
+    * ([[graft.store.TableStore.diffVersions]], the Delta CDF-style audit
+    * surface): v0 = supplier, v1 = a deterministic mutation planting all
+    * three change kinds — keys %7==0 removed, surviving keys %5==0 get
+    * s_acctbal+10 (updated), keys <10 re-inserted as +100000 clones
+    * (added). The store round-trips both versions through its bucketed
+    * snapshot layout; the oracle replays the same mutation and full-outer
+    * compare in SQL, so the row says the STORE's diff semantics (hash
+    * compare, null handling) agree with a column-by-column compare. */
+  def qStoreVersionDiff(s: SparkSession, dir: String): DataFrame = {
+    val sup = t(s, dir, "supplier")
+      .select("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+    val store = new graft.store.TableStore(s,
+      java.nio.file.Files.createTempDirectory("graft_version_diff").toString)
+    store.overwrite("suppliers", sup,
+      primaryKeys = Seq("s_suppkey"), buckets = 8)
+    val v1 = sup.where(col("s_suppkey") % 7 =!= 0)
+      .withColumn("s_acctbal",
+        when(col("s_suppkey") % 5 === 0, col("s_acctbal") + 10)
+          .otherwise(col("s_acctbal")))
+      .unionByName(sup.where(col("s_suppkey") < 10)
+        .withColumn("s_suppkey", col("s_suppkey") + 100000))
+    store.overwrite("suppliers", v1)
+    store.diffVersions("suppliers", 0, 1)
+      .withColumnRenamed("__change", "change")
+      .orderBy("s_suppkey")
   }
 
   /** UniMax plan MATERIALIZATION
@@ -1936,6 +1994,20 @@ object Queries {
         Seq("event_type"), "bucket", k = 10, capacity = 128)
       .orderBy("event_type", "rank")
 
+  /** Engine-portable Count-Min sketch ([[graft.ops.Sketches.cmsCells]] /
+    * cmsEstimate): depth-4 × 256-bucket cells over lineitem supplier
+    * keys, probed for suppkeys < 20. The md5-hex-prefix hashing replays
+    * bit-for-bit in SQL, so the oracle reproduces the EXACT estimates —
+    * collisions included — not just a bound. */
+  def qSketchCms(s: SparkSession, dir: String): DataFrame = {
+    val cells = graft.ops.Sketches.cmsCells(
+      t(s, dir, "lineitem").select(col("l_suppkey").as("item")), "item")
+    graft.ops.Sketches.cmsEstimate(cells,
+        t(s, dir, "supplier").where(col("s_suppkey") < 20)
+          .select(col("s_suppkey").as("item")), "item")
+      .orderBy("item")
+  }
+
   /** W14 — trailing 3-day event-time RANGE frame per user: the
     * irregular-cadence-correct rolling sum
     * ([[graft.ops.Windows.trailingTimeSum]]). */
@@ -1965,6 +2037,18 @@ object Queries {
     graft.validate.Validation.profile(t(s, dir, "orders"),
         Seq("o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority"))
       .orderBy("column")
+
+  /** k-anonymity / l-diversity risk report
+    * ([[graft.validate.Privacy.riskReport]]) over customer with
+    * quasi-identifiers (c_nationkey, c_mktsegment) and sensitive
+    * attribute c_acctbal — the structured-data release gate next to the
+    * text-side PII redaction. Exact distinct counts (a release gate must
+    * not ride an approximate sketch); one aggregation, group-bounded
+    * output. */
+  def qPrivacyKanon(s: SparkSession, dir: String): DataFrame =
+    graft.validate.Privacy.riskReport(t(s, dir, "customer"),
+        Seq("c_nationkey", "c_mktsegment"), "c_acctbal", k = 5, l = 3)
+      .orderBy("c_nationkey", "c_mktsegment")
 
   /** Quarantine split on deterministically-corrupted orders
     * ([[graft.validate.Validation.quarantine]]): rejected rows carry the
@@ -2392,12 +2476,14 @@ object Queries {
     "q_text_quantile_filter" -> (qTextQuantileFilter _),
     "q_text_inverted" -> (qTextInverted _),
     "q_text_tfidf" -> (qTextTfidf _),
+    "q_text_bm25" -> (qTextBm25 _),
     "q_text_fingerprint" -> (qTextFingerprint _),
     "q_dedup_exact" -> (qDedupExact _),
     "q_dedup_minhash_pairs" -> (qDedupMinhashPairs _),
     "q_sim_ivf2_topk" -> (qSimIvf2TopK _),
     "q_dedup_simhash_pairs" -> (qDedupSimhashPairs _),
     "q_dedup_ngram_jaccard" -> (qDedupNgramJaccard _),
+    "q_dedup_containment" -> (qDedupContainment _),
     "q_dedup_threshold_curve" -> (qDedupThresholdCurve _),
     "q_rag_context" -> (qRagContext _),
     "q_sim_prototype" -> (qSimPrototype _),
@@ -2452,9 +2538,11 @@ object Queries {
     "q_w13_forward_fill" -> (qW13ForwardFill _),
     "q_text_fingerprint_md5" -> (qTextFingerprintMd5 _),
     "q_v_profile" -> (qVProfile _),
+    "q_privacy_kanon" -> (qPrivacyKanon _),
     "q_v_quarantine" -> (qVQuarantine _),
     "q_w14_range_frame" -> (qW14RangeFrame _),
     "q_sketch_topk" -> (qSketchTopk _),
+    "q_sketch_cms" -> (qSketchCms _),
     "q_feat_rank_norm" -> (qFeatRankNorm _),
     "q_feat_lift" -> (qFeatLift _),
     "q_feat_onehot" -> (qFeatOneHot _),
@@ -2500,6 +2588,7 @@ object Queries {
     "q_mix_unimax_plan" -> (qMixUnimaxPlan _),
     "q_decontam_fuzzy" -> (qDecontamFuzzy _),
     "q_decontam_inc" -> (qDecontamInc _),
+    "q_store_version_diff" -> (qStoreVersionDiff _),
     "q_data_card" -> (qDataCard _),
     "q_sim_inc_index" -> (qSimIncIndex _),
     "q_token_fertility" -> (qTokenFertility _),

@@ -108,6 +108,8 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_jaccard_sorted", exprs => JaccardSorted(exprs(0), exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_sorted_intersect", exprs => SortedIntersect(exprs(0), exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_ngram_hashes", exprs => NgramHashes(exprs(0), exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_minhash_long", exprs => MinHashLong(exprs(0), exprs(1)), "built-in")

@@ -41,6 +41,54 @@ object Sketches {
                seed: Int = 42): CountMinSketch =
     df.stat.countMinSketch(valueCol, eps, confidence, seed)
 
+  /** ENGINE-PORTABLE Count-Min sketch, materialized as a cell table
+    * (Cormode & Muthukrishnan, "An improved data stream summary: the
+    * count-min sketch and its applications", J. Algorithms 2005): row d's
+    * hash of item x is the first `hexChars` hex digits of
+    * `md5(d || '|' || x)` — width 16^hexChars buckets per row, and the
+    * whole construction (md5 → hex-prefix bucket → cell count) replays
+    * bit-for-bit in any SQL engine, unlike [[countMin]]'s JVM-seeded
+    * driver-side sketch. The PERSISTABLE form: store the ≤ depth·width
+    * cell rows, answer later frequency queries without the raw data, and
+    * union-merge sketches of table increments by summing cell counts.
+    *
+    * Scale: this is the sketch whose aggregation CANNOT blow up — keys
+    * are (d, bucket) with at most depth·16^hexChars values, so map-side
+    * partial aggregation collapses every partition to that bound before
+    * the shuffle; the exchange carries cells, never the distinct-item
+    * universe (an exact per-item count shuffles every key — the thing a
+    * 100 TB heavy-hitter probe must not do). */
+  def cmsCells(df: DataFrame, itemCol: String,
+               depth: Int = 4, hexChars: Int = 2): DataFrame = {
+    require(depth >= 1, "depth must be >= 1")
+    require(hexChars >= 1 && hexChars <= 8, "hexChars must be in 1..8")
+    df.select(col(itemCol).cast("string").as("__x"),
+        explode(sequence(lit(0), lit(depth - 1))).as("d"))
+      .select(col("d"), substring(
+        md5(concat(col("d").cast("string"), lit("|"), col("__x"))),
+        1, hexChars).as("bucket"))
+      .groupBy("d", "bucket").agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Point-query a [[cmsCells]] sketch: each probe item's estimate is the
+    * MIN over the depth rows of its cell counts — `true ≤ est ≤ true +
+    * collisions`, never an undercount. The cell table is broadcast (≤
+    * depth·width rows by construction), so probing is map-only over the
+    * probe set. */
+  def cmsEstimate(cells: DataFrame, probes: DataFrame, itemCol: String,
+                  depth: Int = 4, hexChars: Int = 2): DataFrame = {
+    require(depth >= 1, "depth must be >= 1")
+    require(hexChars >= 1 && hexChars <= 8, "hexChars must be in 1..8")
+    val p = probes.select(col(itemCol)).distinct()
+      .select(col(itemCol), explode(sequence(lit(0), lit(depth - 1))).as("d"))
+      .withColumn("bucket", substring(
+        md5(concat(col("d").cast("string"), lit("|"),
+          col(itemCol).cast("string"))), 1, hexChars))
+    p.join(broadcast(cells), Seq("d", "bucket"), "left")
+      .groupBy(itemCol)
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
+  }
+
   /** Bloom filter over a (small-ish) key set, built distributed. */
   def keyBloom(df: DataFrame, keyCol: String, expectedItems: Long,
                fpp: Double = 0.01): BloomFilter =

@@ -689,6 +689,73 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Asymmetric n-gram CONTAINMENT pairs: ordered pairs `(a, b)`, a ≠ b,
+    * with `C(A→B) = |A ∩ B| / |A| ≥ threshold` over word n-gram sets —
+    * the subset/quotation detector symmetric Jaccard misses (a 30-word
+    * quote inside a 3000-word page has Jaccard ≈ 0.01 but containment
+    * 1.0). The standard third member of the set-similarity family next to
+    * [[ngramJaccardPairs]]; cf. Broder's containment measure ("On the
+    * resemblance and containment of documents", SEQUENCES 1997).
+    *
+    * Candidate generation is PPJoin-style asymmetric prefix filtering
+    * (Xiao et al., WWW 2008, adapted to containment): only the PROBE side
+    * (A) prefixes — `p = |A| − ⌈t·|A|⌉ + 1` grams per doc — because
+    * containment puts no lower bound on B's share of its own grams, so
+    * the index side must post ALL grams (the inverted-index cost, linear
+    * in corpus grams). Prefix grams are each doc's RAREST under the
+    * ascending-document-frequency global order (CLAUDE.md invariant 9 —
+    * hash-order prefixes go quadratic on hot grams); recall is complete:
+    * if no prefix gram of A hits B then `|A∩B| ≤ |A| − p < ⌈t·|A|⌉`.
+    * The one size filter containment admits: `|A∩B| ≤ |B|` ⟹
+    * `|B| ≥ t·|A|`. Exact verification is the native sorted-merge
+    * intersection kernel ([[graft.functions.SortedIntersect]]) on the
+    * candidate set only, 4-dp fixed-point rounded (tie-free across
+    * engines).
+    *
+    * Scale: probe side carries O(docs · p) rows, index side O(total
+    * grams) — both shuffle once on the gram key; verification joins gram
+    * arrays for surviving candidates only. A hot gram inflates only the
+    * postings it actually matches (bounded by the rare-first prefix
+    * choice), never an all-pairs product. */
+  def containmentPairs(df: DataFrame, textCol: String, idCol: String,
+                       n: Int = 3, threshold: Double = 0.8): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    val prepped = df
+      .withColumn("__tokens", tokensCol(col(textCol)))
+      .select(col(idCol).as("__id"),
+        call_function("graft_ngram_hashes", col("__tokens"), lit(n)).as("__gh"))
+    val grams = prepped
+      .select(col("__id"), size(col("__gh")).as("__sz"),
+        explode(col("__gh")).as("__key"))
+    val dfTab = grams.groupBy("__key").agg(count(lit(1)).as("__df"))
+    // 1e-9 slack: binary overshoot of t·sz must not ceil past the exact
+    // decimal value and shave an element off the safe prefix
+    val prefixLen = greatest(
+      col("__sz") - ceil(lit(threshold) * col("__sz") - 1e-9).cast("int") + 1,
+      lit(1))
+    val rankW = Window.partitionBy(col("__id")).orderBy(col("__df"), col("__key"))
+    val probe = grams.join(dfTab, Seq("__key"))
+      .withColumn("__rn", row_number().over(rankW))
+      .where(col("__rn") <= prefixLen)
+      .select(col("__key"), col("__id").as("id_a"), col("__sz").as("sz_a"))
+    val index = grams
+      .select(col("__key"), col("__id").as("id_b"), col("__sz").as("sz_b"))
+    val cand = probe.join(index.hint("shuffle_hash"), Seq("__key"))
+      .where(col("id_a") =!= col("id_b") &&
+        col("sz_b") >= col("sz_a") * threshold - 1e-9)
+      .select("id_a", "id_b").distinct()
+    val arrays = prepped.repartition(col("__id"))
+    val ga = arrays.select(col("__id").as("id_a"), col("__gh").as("g_a"))
+    val gb = arrays.select(col("__id").as("id_b"), col("__gh").as("g_b"))
+    cand.join(ga.hint("shuffle_hash"), Seq("id_a"))
+      .join(gb.hint("shuffle_hash"), Seq("id_b"))
+      .withColumn("containment",
+        floor(call_function("graft_sorted_intersect", col("g_a"), col("g_b"))
+          .cast("double") / size(col("g_a")) * 10000.0 + 0.5) / 10000.0)
+      .where(col("containment") >= threshold)
+      .select("id_a", "id_b", "containment")
+  }
+
   /** Corpus-wide exact block dedup with document reassembly — the
     * block-granular analog of ExactSubstr dedup (Lee et al., "Deduplicating
     * Training Data Makes Language Models Better", ACL 2022): documents are

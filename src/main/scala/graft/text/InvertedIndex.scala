@@ -88,4 +88,57 @@ object InvertedIndex {
     df.select(col(idCol).as("doc_id")).join(scored, Seq("doc_id"), "left")
       .na.fill(0.0, Seq("bm25"))
   }
+
+  /** ENGINE-EXACT fixed-point BM25 — the oracle-checkable sibling of
+    * [[bm25]] (whose log/division float math is spec-tested only). All
+    * arithmetic is integer, so the score replays bit-for-bit in any SQL
+    * engine:
+    *
+    *  - `idf` is the digit count of `nDocs DIV doc_freq` (the
+    *    [[withTfIdf]] ⌈−log₁₀⌉ quantization, same determinism rationale),
+    *  - `avgdl = totalTokens DIV nDocs`, `k1 = k1X10/10`, `b = bX100/100`
+    *    as fixed points,
+    *  - `norm_x100 = (100 − bX100) + (bX100·dl) DIV avgdl`,
+    *  - `den_x1000 = tf·1000 + k1X10·norm_x100`,
+    *  - per-term `score_x1000 = (idf·tf·(k1X10+10)·100000) DIV den_x1000`
+    *    — the Okapi saturation curve `tf·(k1+1)/(tf + k1·norm)` scaled by
+    *    10³, truncated once, summed per doc.
+    *
+    * Scale: query terms are filtered BEFORE any aggregation (predicate on
+    * the exploded token stream — only query-term postings ever shuffle);
+    * corpus totals ride a broadcast 1-row aggregate (single-job fit: no
+    * `.count()`/`.head()` driver actions); doc_freq is an unordered count
+    * window over the token partitioning of the already-tiny filtered tf
+    * table. One scan of the corpus, one (token,doc) aggregation, one
+    * broadcast join back. */
+  def bm25Fixed(df: DataFrame, textCol: String, idCol: String,
+                query: Seq[String], k1X10: Int = 12, bX100: Int = 75): DataFrame = {
+    require(query.nonEmpty, "query must have at least one term")
+    require(k1X10 >= 1, "k1X10 must be >= 1")
+    require(bX100 >= 0 && bX100 <= 100, "bX100 must be in 0..100")
+    val lens = df.select(col(idCol).as("doc_id"),
+      size(toks(col(textCol))).cast("long").as("dl"))
+    val totals = broadcast(lens.agg(
+      count(lit(1)).as("__n_docs"), sum("dl").as("__total_dl")))
+    val tf = df
+      .select(col(idCol).as("doc_id"), explode(toks(col(textCol))).as("token"))
+      .where(col("token").isInCollection(query))
+      .groupBy("token", "doc_id").agg(count(lit(1)).cast("long").as("tf"))
+    val p = tf.withColumn("doc_freq",
+      count(lit(1)).over(Window.partitionBy(col("token"))))
+    val scored = p.join(lens, Seq("doc_id"))
+      .crossJoin(totals)
+      .withColumn("__avgdl", expr("__total_dl DIV __n_docs"))
+      .withColumn("__idfb",
+        length(expr("CAST(__n_docs DIV doc_freq AS STRING)")).cast("long"))
+      .withColumn("__norm_x100",
+        lit((100 - bX100).toLong) + expr(s"(${bX100} * dl) DIV __avgdl"))
+      .withColumn("__den_x1000",
+        col("tf") * 1000L + lit(k1X10.toLong) * col("__norm_x100"))
+      .withColumn("__term_x1000",
+        expr(s"(__idfb * tf * ${k1X10 + 10} * 100000) DIV __den_x1000"))
+      .groupBy("doc_id").agg(sum("__term_x1000").as("bm25_x1000"))
+    df.select(col(idCol).as("doc_id")).join(scored, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("bm25_x1000"))
+  }
 }

@@ -114,6 +114,34 @@ object Packing {
       .drop("__part", "__offset", "__k", "__rank0")
   }
 
+  /** Materialize a [[shardAssignments]] placement as JSONL shard files —
+    * the wire format most training loaders actually read. Output layout is
+    * `outDir/shard=N/part-*.json` with one JSON object per line, lines
+    * ordered by `shard_pos` inside each file (the writer sorts within the
+    * shard partitions, and a JSONL file's line order is the partition
+    * iterator order), so a loader streams each shard file sequentially
+    * and sees the deterministic global md5 order.
+    *
+    * Scale: one `repartition(nShards, shard)` exchange after the
+    * assignment's own two-phase rank — each shard is one task writing one
+    * file run; no global sort, no driver collect. For shards larger than
+    * one task should write, raise nShards (shards are cheap; a global
+    * file-count contract is the loader's concern, not the engine's). */
+  def exportJsonlShards(df: DataFrame, idCol: String, nShards: Int,
+                        outDir: String, salt: Int = 42): Unit =
+    shardAssignments(df, idCol, nShards, salt)
+      .repartition(nShards, col("shard"))
+      .sortWithinPartitions("shard", "shard_pos")
+      .write.mode("overwrite").partitionBy("shard").json(outDir)
+
+  /** Read a [[exportJsonlShards]] layout back: the `shard=N` partition
+    * directories come back as the `shard` column; `shard_pos` restores
+    * the in-shard order (JSON round-trips long/string/bool exactly;
+    * reading is partition-pruned when a `shard` predicate is pushed). */
+  def readJsonlShards(spark: org.apache.spark.sql.SparkSession,
+                      dir: String): DataFrame =
+    spark.read.json(dir)
+
   /** Chunk MANIFEST — the inverse map of [[chunkAssignments]] a training
     * loader actually consumes: one row per (chunk, document) pair with the
     * document's token span INSIDE that chunk

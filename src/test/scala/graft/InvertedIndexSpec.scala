@@ -54,6 +54,23 @@ class InvertedIndexSpec extends AnyFunSuite {
     assert(out(1L) == 0.0)         // no query term
   }
 
+  test("bm25Fixed: hand-computed integer scores, ranking agrees with float bm25") {
+    // corpus: nDocs=3, dl = (3,2,3), total=8, avgdl = 8 DIV 3 = 2
+    // query 'join': df=2 → idfb = digits(3 DIV 2) = 1
+    // doc 3 (tf=3, dl=3): norm_x100 = 25 + (75*3) DIV 2 = 137
+    //   den_x1000 = 3000 + 12*137 = 4644
+    //   score = (1*3*22*100000) DIV 4644 = 6600000 DIV 4644 = 1421
+    // doc 2 (tf=1, dl=2): norm_x100 = 25 + 75 = 100; den = 1000+1200 = 2200
+    //   score = 2200000 DIV 2200 = 1000
+    val out = InvertedIndex.bm25Fixed(docs, "text", "doc_id", Seq("join"))
+      .as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 0L, 2L -> 1000L, 3L -> 1421L))
+    // rank order matches the continuous-float sibling on the same query
+    val f = InvertedIndex.bm25(docs, "text", "doc_id", Seq("join"))
+      .as[(Long, Double)].collect().toMap
+    assert((f(3L) > f(2L)) == (out(3L) > out(2L)))
+  }
+
   test("topFractionByGroup keeps exact per-group top fraction with ties") {
     val rows = Seq(
       ("a", 1L, 10), ("a", 2L, 10), ("a", 3L, 5), ("a", 4L, 1),

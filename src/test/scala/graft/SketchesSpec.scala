@@ -48,6 +48,36 @@ class SketchesSpec extends AnyFunSuite {
     }
   }
 
+  test("cmsCells/cmsEstimate: never underestimates, exact when wide, merge = rebuild") {
+    val items = Seq.tabulate(500)(i => "k" + (i % 37)).toDF("item")
+    val truth = items.groupBy("item").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val probes = truth.keys.toSeq.toDF("item")
+    // narrow sketch (16 buckets): estimates are upper bounds
+    val narrow = Sketches.cmsEstimate(
+      Sketches.cmsCells(items, "item", depth = 4, hexChars = 1),
+      probes, "item", depth = 4, hexChars = 1)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    truth.foreach { case (k, n) => assert(narrow(k) >= n, s"undercount on $k") }
+    // wide sketch (16^6 buckets, 37 keys): collision-free → exact
+    val wide = Sketches.cmsEstimate(
+      Sketches.cmsCells(items, "item", depth = 4, hexChars = 6),
+      probes, "item", depth = 4, hexChars = 6)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(wide == truth)
+    // mergeability: summing cell counts of two increments == one-shot cells
+    val half = Seq.tabulate(250)(i => "k" + (i % 37)).toDF("item")
+    val merged = Sketches.cmsCells(half, "item")
+      .unionByName(Sketches.cmsCells(items, "item"))
+      .groupBy("d", "bucket").agg(sum("cnt").as("cnt"))
+    val est2 = Sketches.cmsEstimate(merged, probes, "item")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val oneShot = Sketches.cmsEstimate(
+      Sketches.cmsCells(half.unionByName(items), "item"), probes, "item")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(est2 == oneShot)
+  }
+
   test("HLL sketches: union-of-parts equals sketch-of-whole, estimate near exact") {
     val df = (1L to 5000L).map(i => (s"g${i % 2}", (i % 7).toInt, i % 700))
       .toDF("g", "bucket", "v")

@@ -271,6 +271,29 @@ class TextSimSpec extends AnyFunSuite {
     assert(one.map(t => (t._2, t._3)).distinct.size == 103)
   }
 
+  test("jsonl shard export round-trips placement, order inside each shard file") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_jsonl").toString
+    val d = (1L to 40L).map(i => (i, s"body $i")).toDF("doc_id", "text")
+    Packing.exportJsonlShards(d, "doc_id", nShards = 4, outDir = dir)
+    val back = Packing.readJsonlShards(spark, dir)
+    // placement round-trips exactly
+    val expect = Packing.shardAssignments(d, "doc_id", nShards = 4)
+      .select("doc_id", "shard", "shard_pos")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val got = back.select(col("doc_id"), col("shard").cast("int"), col("shard_pos"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(got == expect)
+    assert(back.select("shard").distinct().count() == 4)
+    // line order inside each shard file is shard_pos order (loader contract)
+    for (sd <- new java.io.File(dir).listFiles() if sd.getName.startsWith("shard=")) {
+      val lines = sd.listFiles().filter(_.getName.endsWith(".json"))
+        .flatMap(f => scala.io.Source.fromFile(f).getLines().toSeq)
+      val poss = lines.map(l =>
+        "\"shard_pos\":(\\d+)".r.findFirstMatchIn(l).get.group(1).toLong).toSeq
+      assert(poss == poss.sorted, s"unordered lines in ${sd.getName}")
+    }
+  }
+
   test("lengthBuckets: ladder assignment, grouped ranks, padding, layout independent") {
     // spans every path: below/at/above each ladder rung, exact boundaries
     // (16, 32, 64), truncation (65, 80, 99), multi-batch buckets
@@ -360,6 +383,38 @@ class TextSimSpec extends AnyFunSuite {
         uni = (gs(a) | gs(b)).size
         j = math.floor(inter.toDouble / uni * 10000 + 0.5) / 10000
         if j >= t
+      } yield (a, b)).toSet
+      assert(got == expect, s"threshold $t: got ${got.size}, expected ${expect.size}")
+    }
+  }
+
+  test("containmentPairs: quote is contained in its source, not vice versa") {
+    val page = (1 to 40).map(i => "word" + i).mkString(" ")
+    val quote = (1 to 12).map(i => "word" + i).mkString(" ") // prefix quote
+    val d = Seq((1L, page), (2L, quote),
+      (3L, "unrelated content about entirely different things altogether today"))
+      .toDF("doc_id", "text")
+    val got = Dedup.containmentPairs(d, "text", "doc_id", n = 3, threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got == Seq((2L, 1L, 1.0))) // quote→page only; page→quote is ~0.26
+  }
+
+  test("containment prefix filtering is recall-complete vs brute force (random corpora)") {
+    val rnd = new scala.util.Random(7)
+    val docs = (1L to 40L).map { i =>
+      (i, Seq.fill(5 + rnd.nextInt(25))("tok" + rnd.nextInt(25)).mkString(" "))
+    }
+    def grams(s: String): Set[String] =
+      s.split(" ").toSeq.sliding(3).map(_.mkString(" ")).toSet
+    val gs = docs.map { case (i, s) => i -> grams(s) }.toMap
+    val df = docs.toDF("doc_id", "text")
+    for (t <- Seq(0.5, 0.7, 0.8, 0.9)) {
+      val got = Dedup.containmentPairs(df, "text", "doc_id", n = 3, threshold = t)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val expect = (for {
+        a <- docs.map(_._1); b <- docs.map(_._1) if a != b
+        c = math.floor((gs(a) & gs(b)).size.toDouble / gs(a).size * 10000 + 0.5) / 10000
+        if c >= t
       } yield (a, b)).toSet
       assert(got == expect, s"threshold $t: got ${got.size}, expected ${expect.size}")
     }

@@ -12,6 +12,31 @@ class ValidationRunnerSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   import spark.implicits._
 
+  test("privacy: k-anonymity/l-diversity verdicts and suppression, hand-computed") {
+    import graft.validate.Privacy
+    import org.apache.spark.sql.functions.col
+    // QI (city): a=3 rows / 2 sensitive values, b=2 rows / 2 values,
+    // c=1 row / 1 value (null sensitive excluded from the distinct count)
+    val df = Seq(
+      ("a", Some(10)), ("a", Some(10)), ("a", Some(20)),
+      ("b", Some(30)), ("b", None),
+      ("c", Some(40))).toDF("city", "income")
+    val rep = Privacy.riskReport(df, Seq("city"), "income", k = 2, l = 2)
+      .orderBy("city")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getBoolean(3), r.getBoolean(4))).toSeq
+    assert(rep == Seq(
+      ("a", 3L, 2L, true, true),
+      ("b", 2L, 1L, true, false), // null income doesn't count toward l
+      ("c", 1L, 1L, false, false)))
+    val kept = Privacy.suppressSmallGroups(df, Seq("city"), k = 2)
+      .select("city").as[String].collect().sorted.toSeq
+    assert(kept == Seq("a", "a", "a", "b", "b")) // c suppressed
+    // suppression keeps the input schema untouched
+    assert(Privacy.suppressSmallGroups(df, Seq("city"), k = 2).columns.toSeq
+      == df.columns.toSeq)
+  }
+
   test("crossCheckHistorical flags diverging months, passes equal ones") {
     val src = Seq(("2024-01-01", 1), ("2024-01-01", 2), ("2024-02-01", 3)).toDF("d", "x")
     val tgtSame = src
