@@ -77,8 +77,16 @@ object InvertedIndex {
     val lens = df.select(col(idCol).as("doc_id"),
       size(toks(col(textCol))).as("dl"))
     val avgdl = lens.agg(avg("dl")).head().getDouble(0)
-    val p = postings(df, textCol, idCol)
+    // filter to query terms BEFORE aggregating: only query-term postings
+    // ever shuffle, and no posting_rank sort is paid for the whole corpus
+    // (the [[postings]]-then-filter form cannot push the predicate below
+    // the rank window)
+    val tfq = df
+      .select(col(idCol).as("doc_id"), explode(toks(col(textCol))).as("token"))
       .where(col("token").isInCollection(query))
+      .groupBy("token", "doc_id").agg(count(lit(1)).cast("int").as("tf"))
+    val p = tfq.withColumn("doc_freq",
+      count(lit(1)).over(Window.partitionBy(col("token"))).cast("int"))
     val idf = log((lit(nDocs.toDouble) - col("doc_freq") + 0.5)
       / (col("doc_freq") + 0.5) + 1.0)
     val scored = p.join(lens, Seq("doc_id"))
