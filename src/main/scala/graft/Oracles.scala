@@ -720,6 +720,39 @@ object Oracles {
         |SELECT id_a, id_b, containment FROM j WHERE containment >= 0.8
         |ORDER BY id_a, id_b""".stripMargin,
 
+    // incremental probe replay: ordered batch(quote)→corpus brute force —
+    // the persisted-index path must recover exactly the one-shot slice
+    "q_dedup_inc_containment" ->
+      """WITH q AS (
+        |  SELECT doc_id + 30000 AS id,
+        |    array_to_string(list_slice(
+        |      regexp_split_to_array(text, '\s+'), 1, 12), ' ') AS text
+        |  FROM documents WHERE doc_id < 50),
+        |  pq AS (SELECT id,
+        |    list_distinct(list_transform(
+        |      range(1, greatest(len(regexp_split_to_array(
+        |        regexp_replace(lower(trim(text)), '[^a-z0-9áéíóúñü ]', '', 'g'),
+        |        '\s+')) - 2, 1) + 1),
+        |      i -> array_to_string(list_slice(regexp_split_to_array(
+        |        regexp_replace(lower(trim(text)), '[^a-z0-9áéíóúñü ]', '', 'g'),
+        |        '\s+'), i, i + 2), ' '))) AS grams
+        |    FROM q),
+        |  pc AS (SELECT doc_id AS id,
+        |    list_distinct(list_transform(
+        |      range(1, greatest(len(regexp_split_to_array(
+        |        regexp_replace(lower(trim(text)), '[^a-z0-9áéíóúñü ]', '', 'g'),
+        |        '\s+')) - 2, 1) + 1),
+        |      i -> array_to_string(list_slice(regexp_split_to_array(
+        |        regexp_replace(lower(trim(text)), '[^a-z0-9áéíóúñü ]', '', 'g'),
+        |        '\s+'), i, i + 2), ' '))) AS grams
+        |    FROM documents),
+        |  j AS (SELECT a.id AS probe_id, b.id AS id,
+        |    floor(len(list_intersect(a.grams, b.grams))::DOUBLE
+        |      / len(a.grams) * 10000 + 0.5) / 10000 AS containment
+        |  FROM pq a CROSS JOIN pc b)
+        |SELECT probe_id, id, containment FROM j WHERE containment >= 0.8
+        |ORDER BY probe_id, id""".stripMargin,
+
     // thresholdCurve replay: same gram/jaccard CTE at candidate threshold
     // 0.4; band recovered from the fixed-point integer j4 (j4 div 1000),
     // docs touched = distinct ids over both pair sides per band

@@ -1106,6 +1106,27 @@ object Queries {
       .orderBy("id")
   }
 
+  /** INCREMENTAL containment probe
+    * ([[graft.text.Dedup.containmentIncremental]]): the documents corpus
+    * is seeded ONCE into the persisted gram-posting index (postings + df
+    * + gram arrays), then the planted-quote batch (first 12 raw words of
+    * each doc < 50, ids +30000) probes it map-only. Oracle replays the
+    * batch→corpus ordered brute force; every quote must flag its source
+    * at containment 1.0 (probe ≡ one-shot equality is spec-asserted). */
+  def qDedupIncContainment(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val quotes = d.where(col("doc_id") < 50)
+      .withColumn("doc_id", col("doc_id") + 30000)
+      .withColumn("text",
+        concat_ws(" ", slice(split(col("text"), "\\s+"), 1, 12)))
+    val store = new graft.store.TableStore(s,
+      java.nio.file.Files.createTempDirectory("graft_inc_containment").toString)
+    Dedup.seedGramIndex(store, "postings", "dfs", "grams", d, "text", "doc_id")
+    Dedup.containmentIncremental(store, "postings", "dfs", "grams",
+        quotes, "text", "doc_id", threshold = 0.8)
+      .orderBy("probe_id", "id")
+  }
+
   /** Change-data view between two snapshot versions
     * ([[graft.store.TableStore.diffVersions]], the Delta CDF-style audit
     * surface): v0 = supplier, v1 = a deterministic mutation planting all
@@ -2484,6 +2505,7 @@ object Queries {
     "q_dedup_simhash_pairs" -> (qDedupSimhashPairs _),
     "q_dedup_ngram_jaccard" -> (qDedupNgramJaccard _),
     "q_dedup_containment" -> (qDedupContainment _),
+    "q_dedup_inc_containment" -> (qDedupIncContainment _),
     "q_dedup_threshold_curve" -> (qDedupThresholdCurve _),
     "q_rag_context" -> (qRagContext _),
     "q_sim_prototype" -> (qSimPrototype _),

@@ -756,6 +756,99 @@ object Dedup {
       .select("id_a", "id_b", "containment")
   }
 
+  /** Seed the persisted CONTAINMENT index for
+    * [[containmentIncremental]]: three corpus-derived tables —
+    * `postingsTable (gram, id, sz)` (PK (gram, id); the inverted index,
+    * bucketed by gram so probes are partition-prunable),
+    * `dfTable (gram, df)` (vocab-sized; the global rare-first prefix
+    * order without touching the postings), and
+    * `gramsTable (id, grams, sz)` (PK id; the sorted gram arrays exact
+    * verification reads). Re-seeding with a grown corpus recomputes all
+    * three from the given frame (upsert merges postings/grams rows;
+    * df rows replace by PK) — a true delta-merge of df (summing
+    * increments) is the production refinement, same contract note as
+    * the band index. */
+  def seedGramIndex(store: graft.store.TableStore, postingsTable: String,
+                    dfTable: String, gramsTable: String,
+                    corpus: DataFrame, textCol: String, idCol: String,
+                    n: Int = 3, buckets: Int = 0): Unit = {
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
+    val prepped = corpus
+      .withColumn("__tokens", tokensCol(col(textCol)))
+      .select(col(idCol).cast("long").as("id"),
+        call_function("graft_ngram_hashes", col("__tokens"), lit(n)).as("grams"))
+      .withColumn("sz", size(col("grams")))
+    val postings = prepped
+      .select(explode(col("grams")).as("gram"), col("id"), col("sz"))
+    def put(table: String, rows: DataFrame, pks: Seq[String]): Unit =
+      if (store.exists(table)) store.upsert(table, rows, pks)
+      else store.overwrite(table, rows, primaryKeys = pks, buckets = buckets)
+    put(postingsTable, postings, Seq("gram", "id"))
+    put(dfTable, postings.groupBy("gram").agg(count(lit(1)).as("df")),
+      Seq("gram"))
+    put(gramsTable, prepped.select("id", "grams", "sz"), Seq("id"))
+  }
+
+  /** INCREMENTAL containment probe: flag each document of a NEW batch
+    * whose n-gram set is ≥ `threshold` CONTAINED in some already-ingested
+    * corpus document — the per-ingest form of [[containmentPairs]] at
+    * corpus scale ("is this incoming page mostly a quote of something we
+    * already have"), where re-indexing the corpus per arriving batch is
+    * exactly the cost to avoid. Returns `(probe_id, id, containment)`
+    * ordered batch→corpus; batch-internal pairs are out of scope by
+    * construction (the batch only probes the store).
+    *
+    * Topology (every corpus table streams MAP-ONLY, every shuffle batch-
+    * or collision-sized): the batch signs once (pinned — prefix and
+    * verify subtrees share it); its distinct grams broadcast-probe the
+    * vocab-sized df table for the rare-first prefix order (grams unseen
+    * in the corpus take df 0 — they hit nothing, so they are the CHEAPEST
+    * prefix slots, and recall-completeness holds under ANY prefix choice:
+    * missing all p prefix grams bounds `|A∩B| ≤ |A| − p`); the per-doc
+    * prefix broadcast-probes the postings index (size-filtered on the
+    * stored corpus sz); candidate ids broadcast-probe the gram-array
+    * table; the native sorted-merge kernel verifies exactly. */
+  def containmentIncremental(store: graft.store.TableStore,
+                             postingsTable: String, dfTable: String,
+                             gramsTable: String,
+                             batch: DataFrame, textCol: String, idCol: String,
+                             n: Int = 3, threshold: Double = 0.8): DataFrame = {
+    graft.functions.GraftFunctions.register(batch.sparkSession)
+    val prepped = batch
+      .withColumn("__tokens", tokensCol(col(textCol)))
+      .select(col(idCol).cast("long").as("probe_id"),
+        call_function("graft_ngram_hashes", col("__tokens"), lit(n)).as("__gh"))
+      .localCheckpoint()
+    val probeGrams = prepped
+      .select(col("probe_id"), size(col("__gh")).as("__sz"),
+        explode(col("__gh")).as("gram"))
+    val dfs = store.read(dfTable)
+      .join(broadcast(probeGrams.select("gram").distinct()), Seq("gram"))
+    val prefixLen = greatest(
+      col("__sz") - ceil(lit(threshold) * col("__sz") - 1e-9).cast("int") + 1,
+      lit(1))
+    val rankW = Window.partitionBy(col("probe_id"))
+      .orderBy(col("__df"), col("gram"))
+    val prefix = probeGrams.join(broadcast(dfs), Seq("gram"), "left")
+      .withColumn("__df", coalesce(col("df"), lit(0L)))
+      .withColumn("__rn", row_number().over(rankW))
+      .where(col("__rn") <= prefixLen)
+      .select(col("gram"), col("probe_id"), col("__sz"))
+    val cand = store.read(postingsTable)
+      .join(broadcast(prefix), Seq("gram"))
+      .where(col("sz") >= col("__sz") * threshold - 1e-9)
+      .select(col("probe_id"), col("id"))
+      .dropDuplicates("probe_id", "id")
+    store.read(gramsTable).select(col("id"), col("grams"))
+      .join(broadcast(cand), Seq("id"))
+      .join(broadcast(prepped), Seq("probe_id"))
+      .withColumn("containment",
+        floor(call_function("graft_sorted_intersect", col("__gh"), col("grams"))
+          .cast("double") / size(col("__gh")) * 10000.0 + 0.5) / 10000.0)
+      .where(col("containment") >= threshold)
+      .select("probe_id", "id", "containment")
+  }
+
   /** Corpus-wide exact block dedup with document reassembly — the
     * block-granular analog of ExactSubstr dedup (Lee et al., "Deduplicating
     * Training Data Makes Language Models Better", ACL 2022): documents are

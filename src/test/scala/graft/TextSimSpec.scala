@@ -420,6 +420,33 @@ class TextSimSpec extends AnyFunSuite {
     }
   }
 
+  test("containmentIncremental over a seeded store equals the one-shot batch→corpus slice") {
+    val corpus = Seq(
+      (1L, (1 to 40).map(i => "word" + i).mkString(" ")),
+      (2L, "some other totally different page about streaming joins and state"),
+      (3L, (1 to 30).map(i => "tok" + (i % 9)).mkString(" ")))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (100L, (1 to 12).map(i => "word" + i).mkString(" ")), // quote of doc 1
+      (101L, "entirely unrelated brand new content never indexed before"),
+      (102L, (5 to 16).map(i => "word" + i).mkString(" "))) // interior quote of doc 1
+      .toDF("doc_id", "text")
+    val store = new graft.store.TableStore(spark,
+      java.nio.file.Files.createTempDirectory("graft_cont_inc").toString)
+    Dedup.seedGramIndex(store, "postings", "dfs", "grams", corpus, "text", "doc_id")
+    val inc = Dedup.containmentIncremental(store, "postings", "dfs", "grams",
+        batch, "text", "doc_id", threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // one-shot over corpus ∪ batch, restricted to the batch→corpus direction
+    val oneShot = Dedup.containmentPairs(corpus.unionByName(batch),
+        "text", "doc_id", threshold = 0.8)
+      .where(col("id_a") >= 100L && col("id_b") < 100L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(inc == oneShot)
+    assert(inc.contains((100L, 1L, 1.0)) && inc.contains((102L, 1L, 1.0)))
+    assert(!inc.exists(_._1 == 101L)) // unseen grams hit nothing
+  }
+
   test("simhash maxHamming=0 groups by exact hash, not one global bucket") {
     val d = Seq((1L, "alpha beta gamma delta"), (2L, "alpha beta gamma delta"),
       (3L, "totally different words here")).toDF("doc_id", "text")
