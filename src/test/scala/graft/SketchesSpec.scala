@@ -159,6 +159,21 @@ class SketchesSpec extends AnyFunSuite {
     }
   }
 
+  test("cms plan: partial cell aggregation before the exchange, broadcast probe") {
+    val items = Seq.tabulate(200)(i => "k" + (i % 11)).toDF("item")
+    val cells = Sketches.cmsCells(items, "item")
+    cells.collect()
+    // map-side combine collapses each partition to ≤ depth·width cells
+    // BEFORE the shuffle — the whole CMS scale contract
+    val cellPlan = cells.queryExecution.executedPlan.toString
+    assert(cellPlan.contains("partial_count") || cellPlan.toLowerCase.contains("partial"), cellPlan)
+    val est = Sketches.cmsEstimate(cells, Seq("k1", "k2").toDF("item"), "item")
+    est.collect()
+    // the cell table rides a broadcast: probing adds no cell-side shuffle
+    assert(est.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"),
+      est.queryExecution.executedPlan.toString)
+  }
+
   test("topKApprox plan: partial SpaceSaving aggregation before the exchange") {
     val df = (1 to 100).map(i => ("g", s"i${i % 7}")).toDF("g", "item")
     val out = Sketches.topKApprox(df, Seq("g"), "item", k = 3, capacity = 8)

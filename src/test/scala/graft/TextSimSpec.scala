@@ -447,6 +447,28 @@ class TextSimSpec extends AnyFunSuite {
     assert(!inc.exists(_._1 == 101L)) // unseen grams hit nothing
   }
 
+  test("containmentIncremental shuffles are batch-sized: exchange count is corpus-size-independent") {
+    def seededProbe(nCorpusDocs: Int) = {
+      val corpus = (1L to nCorpusDocs.toLong)
+        .map(i => (i, (1 to 25).map(j => s"w${i}_$j").mkString(" ")))
+        .toDF("doc_id", "text")
+      val store = new graft.store.TableStore(spark,
+        java.nio.file.Files.createTempDirectory("graft_cont_plan").toString)
+      Dedup.seedGramIndex(store, "p", "d", "g", corpus, "text", "doc_id")
+      val batch = Seq((900L, (1 to 12).map(j => s"w3_$j").mkString(" ")))
+        .toDF("doc_id", "text")
+      Dedup.containmentIncremental(store, "p", "d", "g", batch, "text", "doc_id")
+    }
+    val small = seededProbe(5); val big = seededProbe(20)
+    small.collect(); big.collect() // finalize (invariant 8)
+    val (nS, nB) = (graft.ops.Scale.countExchanges(small),
+      graft.ops.Scale.countExchanges(big))
+    assert(nS == nB, s"corpus growth changed the shuffle count: $nS vs $nB")
+    // every corpus table rides a broadcast probe; only batch-derived
+    // subtrees (distinct grams, prefix window, candidate dedup) shuffle
+    assert(nB <= 4, s"expected batch-sized shuffles only, got $nB")
+  }
+
   test("simhash maxHamming=0 groups by exact hash, not one global bucket") {
     val d = Seq((1L, "alpha beta gamma delta"), (2L, "alpha beta gamma delta"),
       (3L, "totally different words here")).toDF("doc_id", "text")
