@@ -1997,6 +1997,45 @@ object Oracles {
         |FROM events e JOIN bands b ON e.value >= b.lo AND e.value < b.hi
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    // intervalOverlapJoin is result-identical to the plain non-equi
+    // overlap join — the oracle is exactly that
+    "q_j12_interval_overlap" ->
+      """WITH li AS (SELECT l_quantity,
+        |    datediff('day', DATE '1970-01-01', l_shipdate) AS ship_d,
+        |    datediff('day', DATE '1970-01-01', l_shipdate)
+        |      + 1 + (l_orderkey % 10) AS rcpt_d
+        |  FROM lineitem),
+        |w AS (SELECT o_orderkey AS win_id,
+        |    datediff('day', DATE '1970-01-01', o_orderdate) AS win_lo,
+        |    datediff('day', DATE '1970-01-01', o_orderdate) + 5 AS win_hi
+        |  FROM orders WHERE o_orderkey < 300)
+        |SELECT win_id, count(*) AS n_overlapping,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM li JOIN w ON ship_d < win_hi AND win_lo < rcpt_d
+        |GROUP BY win_id ORDER BY win_id""".stripMargin,
+
+    // running-max boundary flag + island running sum + rollup — island
+    // membership is a set property, so (lo, hi) ties can't change it
+    "q_w18_interval_merge" ->
+      """WITH iv AS (SELECT l_suppkey,
+        |    datediff('day', DATE '1970-01-01', l_shipdate)::INT AS lo,
+        |    (datediff('day', DATE '1970-01-01', l_shipdate)
+        |      + 1 + (l_orderkey % 10))::INT AS hi
+        |  FROM lineitem),
+        |b AS (SELECT l_suppkey, lo, hi,
+        |    CASE WHEN lo > coalesce(max(hi) OVER (PARTITION BY l_suppkey
+        |        ORDER BY lo, hi ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |        -2147483648) THEN 1 ELSE 0 END AS brk
+        |  FROM iv),
+        |isl AS (SELECT l_suppkey, lo, hi,
+        |    sum(brk) OVER (PARTITION BY l_suppkey ORDER BY lo, hi
+        |      ROWS UNBOUNDED PRECEDING) AS island
+        |  FROM b)
+        |SELECT l_suppkey, min(lo) AS island_start, max(hi) AS island_end,
+        |  count(*) AS n_intervals
+        |FROM isl GROUP BY l_suppkey, island
+        |ORDER BY l_suppkey, island_start""".stripMargin,
+
     // saltedEquiJoin is result-identical to the plain join by construction
     // — the oracle is the UNSALTED join, which is the whole point
     "q_j10_salted_join" ->

@@ -1694,6 +1694,48 @@ object Queries {
       .orderBy("band_id")
   }
 
+  /** J12 — interval OVERLAP join ([[graft.ops.Joins.intervalOverlapJoin]]):
+    * lineitem shipping spans (half-open 1–10-day widths keyed off the
+    * order key) against 5-day order windows (o_orderkey < 300), rolled
+    * up per window. Binned to 7-day buckets with exactly-once
+    * canonical-bin dedup; the oracle is the plain non-equi overlap join.
+    * Decimal-exact quantity sum (determinism rules). */
+  def qJ12IntervalOverlap(s: SparkSession, dir: String): DataFrame = {
+    // the synthetic lineitem has no receipt date; the span is a
+    // deterministic 1–10-day width derived from the order key
+    val li = t(s, dir, "lineitem").select(
+      col("l_quantity"),
+      datediff(col("l_shipdate"), lit("1970-01-01")).as("ship_d"),
+      (datediff(col("l_shipdate"), lit("1970-01-01"))
+        + lit(1) + (col("l_orderkey") % 10).cast("int")).as("rcpt_d"))
+    val win = t(s, dir, "orders").where(col("o_orderkey") < 300)
+      .select(col("o_orderkey").as("win_id"),
+        datediff(col("o_orderdate"), lit("1970-01-01")).as("win_lo"),
+        (datediff(col("o_orderdate"), lit("1970-01-01")) + 5).as("win_hi"))
+    graft.ops.Joins.intervalOverlapJoin(li, "ship_d", "rcpt_d",
+        win, "win_lo", "win_hi", binWidth = 7.0)
+      .groupBy("win_id")
+      .agg(count(lit(1)).as("n_overlapping"),
+        sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"))
+      .orderBy("win_id")
+  }
+
+  /** W18 — gaps-and-islands interval merge
+    * ([[graft.ops.Windows.mergeIntervals]]): per-supplier shipping
+    * coverage islands over lineitem (half-open day intervals, 1–10-day
+    * widths keyed off the order key). Oracle replays the running-max
+    * boundary + island-sum windows; integer day bounds are
+    * engine-exact. */
+  def qW18IntervalMerge(s: SparkSession, dir: String): DataFrame = {
+    val iv = t(s, dir, "lineitem").select(
+      col("l_suppkey"),
+      datediff(col("l_shipdate"), lit("1970-01-01")).as("lo"),
+      (datediff(col("l_shipdate"), lit("1970-01-01"))
+        + lit(1) + (col("l_orderkey") % 10).cast("int")).as("hi"))
+    graft.ops.Windows.mergeIntervals(iv, "l_suppkey", "lo", "hi")
+      .orderBy("l_suppkey", "island_start")
+  }
+
   /** J10 — skew-salted equi-join (lineitem ⋈ orders, 8-way salt):
     * bit-identical to the plain join — the oracle IS the unsalted SQL
     * join; salting only reshapes the shuffle (hot probe keys spread over
@@ -2540,6 +2582,8 @@ object Queries {
     "q_mm_binary_meta" -> (qMmBinaryMeta _),
     "q_w12_sessionize" -> (qW12Sessionize _),
     "q_j9_range_join" -> (qJ9RangeJoin _),
+    "q_j12_interval_overlap" -> (qJ12IntervalOverlap _),
+    "q_w18_interval_merge" -> (qW18IntervalMerge _),
     "q_j10_salted_join" -> (qJ10SaltedJoin _),
     "q_j11_nearest_event" -> (qJ11NearestEvent _),
     "q_docs_pipeline" -> (qDocsPipeline _),

@@ -286,4 +286,41 @@ object Joins {
       .where(col(valueCol) >= col(loCol) && col(valueCol) < col(hiCol))
       .drop("__bin")
   }
+
+  /** J12 (extension) — interval OVERLAP join: every pair with
+    * `[l.lo, l.hi) ∩ [r.lo, r.hi) ≠ ∅` (i.e. `l.lo < r.hi && r.lo <
+    * l.hi`), the two-sided generalization of [[rangeJoin]] (maintenance
+    * windows × activity spans, session × outage, ad flight × pageview
+    * span). Column names of the two frames must be disjoint.
+    *
+    * Both sides explode over the bins their interval covers and
+    * hash-join on the bin. An overlapping pair shares every bin of the
+    * intersection — recall-complete — and is kept ONLY in its canonical
+    * meeting bin, the bin of `max(l.lo, r.lo)` (which both intervals
+    * provably cover), so each pair survives exactly once with NO
+    * dedup/distinct pass.
+    *
+    * Scale: a non-equi overlap predicate plans as
+    * BroadcastNestedLoopJoin — O(|L|·|R|) and driver-bound; binned it is
+    * an ordinary shuffle hash equi-join. Each side explodes by
+    * ~(interval width / binWidth + 1)× — pick `binWidth` near the median
+    * interval width so fan-out stays small on both sides; a single
+    * pathologically long interval costs its own fan-out, never a cross
+    * product. */
+  def intervalOverlapJoin(left: DataFrame, lLoCol: String, lHiCol: String,
+                          right: DataFrame, rLoCol: String, rHiCol: String,
+                          binWidth: Double): DataFrame = {
+    require(binWidth > 0, "binWidth must be positive")
+    val l = left.withColumn("__bin",
+      explode(sequence(floor(col(lLoCol) / binWidth).cast("long"),
+        floor(col(lHiCol) / binWidth).cast("long"))))
+    val r = right.withColumn("__bin",
+      explode(sequence(floor(col(rLoCol) / binWidth).cast("long"),
+        floor(col(rHiCol) / binWidth).cast("long"))))
+    l.join(r, Seq("__bin"))
+      .where(col(lLoCol) < col(rHiCol) && col(rLoCol) < col(lHiCol) &&
+        col("__bin") ===
+          floor(greatest(col(lLoCol), col(rLoCol)) / binWidth).cast("long"))
+      .drop("__bin")
+  }
 }

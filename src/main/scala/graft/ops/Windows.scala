@@ -185,6 +185,43 @@ object Windows {
     df.withColumn(as, sum(boundary).over(w))
   }
 
+  /** W18 (extension) — gaps-and-islands interval MERGE: per entity,
+    * coalesce overlapping-or-touching half-open `[lo, hi)` intervals into
+    * maximal islands `(island_start, island_end, n_intervals)` — the
+    * coverage rollup behind "total covered time", outage windows, user
+    * activity spans (and the aggregated complement of
+    * [[graft.ops.Joins.intervalOverlapJoin]], which pairs two interval
+    * sets instead of coalescing one). Touching intervals (`lo == prev
+    * max hi`) merge; a strict gap starts a new island.
+    *
+    * The classic two-window form: a boundary flag where `lo` exceeds the
+    * RUNNING MAX of `hi` over all earlier intervals (a plain `lag(hi)`
+    * is wrong when an interval is fully contained in a predecessor —
+    * the running max is what "earlier coverage" means), then a running
+    * sum of flags as the island id, then one rollup. Island membership
+    * is a set property of the interval multiset, so ties in the
+    * `(lo, hi)` order cannot change the output — the result is
+    * engine-replayable on integer bounds.
+    *
+    * Scale: ONE hash shuffle on the entity + one in-partition sort feeds
+    * both windows and the final aggregation (same Exchange, W6 pattern).
+    * Per-entity interval counts are the window-task bound — the
+    * [[sessionize]] caveat class. */
+  def mergeIntervals(df: DataFrame, entityCol: String, loCol: String,
+                     hiCol: String): DataFrame = {
+    val w = Window.partitionBy(col(entityCol)).orderBy(col(loCol), col(hiCol))
+    val prevMax = max(col(hiCol)).over(
+      w.rowsBetween(Window.unboundedPreceding, -1))
+    val boundary = when(prevMax.isNull || col(loCol) > prevMax, 1L).otherwise(0L)
+    df.withColumn("__island", sum(boundary).over(
+        w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col(entityCol), col("__island"))
+      .agg(min(col(loCol)).as("island_start"),
+        max(col(hiCol)).as("island_end"),
+        count(lit(1)).as("n_intervals"))
+      .drop("__island")
+  }
+
   /** W14 (extension) — trailing event-TIME range frame: aggregates over
     * all of the entity's rows within the last `trailingMicros` of event
     * time (RANGE frame on the epoch-micros order key), not the last N

@@ -587,4 +587,49 @@ class OpsSpec extends AnyFunSuite {
       Filters.timeSplit(df, "d", "2024-02-01", "2024-01-01")
     }
   }
+
+  test("mergeIntervals: contained intervals, touching merge, gap split, layout-independent") {
+    // key a: [0,10), [2,4) contained, [8,12), [12,15) touching, gap, [20,22).
+    // The contained [2,4) is the lag-vs-running-max trap: at [8,12) a
+    // lag(hi) sees 4 and would wrongly start a new island (8 > 4); the
+    // running max sees 10 → merged. Expected: [0,15) of 4, then [20,22).
+    val d = Seq(
+      ("a", 0, 10), ("a", 2, 4), ("a", 8, 12), ("a", 12, 15), ("a", 20, 22),
+      ("b", 5, 6)).toDF("k", "lo", "hi")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Windows.mergeIntervals(df, "k", "lo", "hi")
+        .orderBy("k", "island_start")
+        .collect().map(r => (r.getString(0), r.getInt(1), r.getInt(2), r.getLong(3))).toSeq
+    val expect = Seq(("a", 0, 15, 4L), ("a", 20, 22, 1L), ("b", 5, 6, 1L))
+    assert(run(d) == expect)
+    assert(run(d.repartition(7)) == expect) // layout independence
+  }
+
+  test("intervalOverlapJoin ≡ brute-force overlap, exactly once per pair (random intervals)") {
+    val rnd = new scala.util.Random(11)
+    val ls = (1 to 60).map { i =>
+      val lo = rnd.nextInt(200); (i.toLong, lo.toDouble, (lo + 1 + rnd.nextInt(40)).toDouble)
+    }
+    val rs = (1 to 50).map { j =>
+      val lo = rnd.nextInt(200); (j.toLong, lo.toDouble, (lo + 1 + rnd.nextInt(40)).toDouble)
+    }
+    val left = ls.toDF("lid", "l_lo", "l_hi")
+    val right = rs.toDF("rid", "r_lo", "r_hi")
+    val expect = (for {
+      (i, llo, lhi) <- ls; (j, rlo, rhi) <- rs
+      if llo < rhi && rlo < lhi
+    } yield (i, j)).toSet
+    for (w <- Seq(3.0, 10.0, 50.0)) { // pairs span many / few / one bin(s)
+      val rows = Joins.intervalOverlapJoin(left, "l_lo", "l_hi",
+          right, "r_lo", "r_hi", binWidth = w)
+        .select("lid", "rid").as[(Long, Long)].collect().toSeq
+      assert(rows.size == rows.toSet.size, s"binWidth $w: duplicated pairs")
+      assert(rows.toSet == expect, s"binWidth $w: got ${rows.size}, expected ${expect.size}")
+    }
+    // touching-but-not-overlapping half-open intervals do not pair
+    val touch = Joins.intervalOverlapJoin(
+      Seq((1L, 0.0, 10.0)).toDF("lid", "l_lo", "l_hi"), "l_lo", "l_hi",
+      Seq((2L, 10.0, 20.0)).toDF("rid", "r_lo", "r_hi"), "r_lo", "r_hi", 5.0)
+    assert(touch.count() == 0)
+  }
 }
