@@ -2779,6 +2779,16 @@ object Oracles {
         |ORDER BY grouping_id, o_orderpriority NULLS FIRST,
         |  o_orderstatus NULLS FIRST""".stripMargin,
 
+    "q_a10_grouping_sets" ->
+      """SELECT o_orderpriority, o_orderstatus, count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS amt,
+        |  CAST(GROUPING(o_orderpriority) * 2 + GROUPING(o_orderstatus) AS INT)
+        |    AS grouping_id
+        |FROM orders GROUP BY GROUPING SETS ((o_orderpriority),
+        |  (o_orderstatus), (o_orderpriority, o_orderstatus))
+        |ORDER BY grouping_id, o_orderpriority NULLS FIRST,
+        |  o_orderstatus NULLS FIRST""".stripMargin,
+
     "q_p15_weighted_sample" ->
       """WITH w AS (SELECT o_orderkey,
         |    least(o_totalprice / 250000.0, 1.0) AS w

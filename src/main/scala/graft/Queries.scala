@@ -2369,6 +2369,20 @@ object Queries {
       .orderBy(col("grouping_id"), col("o_orderpriority").asc_nulls_first,
         col("o_orderstatus").asc_nulls_first)
 
+  /** A10 — explicit GROUPING SETS
+    * ([[graft.ops.Aggregations.groupingSetsAgg]]): exactly the
+    * (priority), (status), and (priority, status) margins — no grand
+    * total, which neither ROLLUP nor CUBE can express alone. One Expand +
+    * one shuffle. */
+  def qA10GroupingSets(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Aggregations.groupingSetsAgg(t(s, dir, "orders"),
+        Seq("o_orderpriority", "o_orderstatus"),
+        Seq(Seq("o_orderpriority"), Seq("o_orderstatus"),
+          Seq("o_orderpriority", "o_orderstatus")),
+        Seq(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("amt")))
+      .orderBy(col("grouping_id"), col("o_orderpriority").asc_nulls_first,
+        col("o_orderstatus").asc_nulls_first)
+
   /** W15 — trailing-3-month rolling z-score anomaly flags on monthly
     * customer spend ([[graft.ops.Windows.rollingZFlags]]) — the
     * time-series outlier screen beside the population IQR one. */
@@ -2630,6 +2644,7 @@ object Queries {
     "q_p16_three_way_split" -> (qP16ThreeWaySplit _),
     "q_pref_pairs" -> (qPrefPairs _),
     "q_a9_cube" -> (qA9Cube _),
+    "q_a10_grouping_sets" -> (qA10GroupingSets _),
     "q_w15_rolling_z" -> (qW15RollingZ _),
     "q_feat_winsor" -> (qFeatWinsor _),
     "q_sketch_hll_union" -> (qSketchHllUnion _),

@@ -147,4 +147,27 @@ object Aggregations {
     df.cube(keys.map(col): _*)
       .agg(withGid.head, withGid.tail: _*)
   }
+
+  /** A10 — explicit GROUPING SETS: exactly the margin combinations the
+    * report asks for, no more (ROLLUP's prefix ladder and CUBE's 2^k
+    * explosion are both special cases; a dashboard wanting (region),
+    * (segment), and (region, segment) but NOT the grand total says so
+    * here). `sets` lists each grouping set as the subset of `keys` it
+    * keeps; the empty Seq is the grand total.
+    *
+    * Same Expand + ONE-shuffle plan as rollup/cube — the input replicates
+    * |sets|× through Spark's Expand node before a single hash
+    * aggregation, so cost is |sets| scans' worth of aggregation input,
+    * never |sets| separate jobs unioned (the naive form). grouping_id
+    * disambiguates margins exactly as in [[rollupAgg]]. */
+  def groupingSetsAgg(df: DataFrame, keys: Seq[String],
+                      sets: Seq[Seq[String]], aggs: Seq[Column]): DataFrame = {
+    require(keys.nonEmpty && aggs.nonEmpty, "need grouping keys and aggregates")
+    require(sets.nonEmpty, "need at least one grouping set")
+    sets.foreach(s => require(s.forall(keys.contains),
+      s"grouping set ${s.mkString("(", ",", ")")} not a subset of keys"))
+    val withGid = aggs :+ grouping_id().cast("int").as("grouping_id")
+    df.groupingSets(sets.map(_.map(col)), keys.map(col): _*)
+      .agg(withGid.head, withGid.tail: _*)
+  }
 }

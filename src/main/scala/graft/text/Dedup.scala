@@ -814,6 +814,11 @@ object Dedup {
                              batch: DataFrame, textCol: String, idCol: String,
                              n: Int = 3, threshold: Double = 0.8): DataFrame = {
     graft.functions.GraftFunctions.register(batch.sparkSession)
+    // the verify join is ROOTED at a store-read frame, whose session can
+    // differ from the batch's (foreachBatch hands a CLONED session) — the
+    // kernel must resolve under the analyzing session too
+    val gramsStore = store.read(gramsTable)
+    graft.functions.GraftFunctions.register(gramsStore.sparkSession)
     val prepped = batch
       .withColumn("__tokens", tokensCol(col(textCol)))
       .select(col(idCol).cast("long").as("probe_id"),
@@ -839,7 +844,7 @@ object Dedup {
       .where(col("sz") >= col("__sz") * threshold - 1e-9)
       .select(col("probe_id"), col("id"))
       .dropDuplicates("probe_id", "id")
-    store.read(gramsTable).select(col("id"), col("grams"))
+    gramsStore.select(col("id"), col("grams"))
       .join(broadcast(cand), Seq("id"))
       .join(broadcast(prepped), Seq("probe_id"))
       .withColumn("containment",

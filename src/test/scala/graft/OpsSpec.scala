@@ -476,6 +476,24 @@ class OpsSpec extends AnyFunSuite {
     assert(out.size == 6)
   }
 
+  test("groupingSetsAgg: exactly the requested margins, no grand total, subset guard") {
+    val df = Seq(("a", "x", 1L), ("a", "y", 2L), ("b", "x", 4L))
+      .toDF("g1", "g2", "v")
+    val out = Aggregations.groupingSetsAgg(df, Seq("g1", "g2"),
+        Seq(Seq("g1"), Seq("g1", "g2")), Seq(sum($"v").as("s")))
+      .collect().map(r => (Option(r.getString(0)), Option(r.getString(1))) ->
+        ((r.getLong(2), r.getInt(3)))).toMap
+    assert(out((Some("a"), Some("x"))) == ((1L, 0)))  // detail set
+    assert(out((Some("a"), None)) == ((3L, 1)))       // per-g1 margin
+    assert(out((Some("b"), None)) == ((4L, 1)))
+    assert(!out.contains((None, None)))               // no grand total requested
+    assert(out.size == 5)                             // 3 detail + 2 margins
+    intercept[IllegalArgumentException] {
+      Aggregations.groupingSetsAgg(df, Seq("g1"), Seq(Seq("nope")),
+        Seq(sum($"v").as("s")))
+    }
+  }
+
   test("weightedHashSample: weight bounds, determinism, monotone keep rate") {
     val df = (1L to 4000L).map(i => (i, if (i <= 2000) 0.1 else 0.9)).toDF("id", "w")
     val kept = Filters.weightedHashSample(df, Seq("id"), "w")

@@ -313,6 +313,60 @@ class StreamingMultimodalSpec extends AnyFunSuite {
     assert(hit == 4L)
   }
 
+  test("streaming containment gate: a later-arriving quote of ingested content is dropped") {
+    import graft.text.Dedup
+    val pages = Seq(
+      (1L, (1 to 40).map(i => "word" + i).mkString(" ")),
+      (2L, "a separate page about completely unrelated topics and things"))
+      .toDF("doc_id", "text")
+    val arrivals = Seq(
+      (3L, (1 to 12).map(i => "word" + i).mkString(" ")), // quote of doc 1
+      (4L, "genuinely novel content never seen in any earlier page today"))
+      .toDF("doc_id", "text")
+    val dir = Files.createTempDirectory("graft_cg").toString
+    pages.coalesce(1).write.mode("append").parquet(dir)
+    // pin arrival ORDER: the file source processes files in mtime order,
+    // so the pages must be strictly older than the quote batch
+    val old = java.nio.file.attribute.FileTime.fromMillis(
+      System.currentTimeMillis() - 120000)
+    java.nio.file.Files.list(java.nio.file.Paths.get(dir)).forEach(p =>
+      java.nio.file.Files.setLastModifiedTime(p, old))
+    arrivals.coalesce(1).write.mode("append").parquet(dir)
+    val store = new TableStore(spark, Files.createTempDirectory("graft_cg_st").toString)
+    val cp = Files.createTempDirectory("graft_cg_cp").toString
+    val q = spark.readStream.schema(pages.schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        // quote-of-corpus gate: containment probe vs the persisted gram
+        // index; survivors are indexed and kept (first batch seeds)
+        val kept =
+          if (!store.exists("cpost")) batch
+          else {
+            val contained = Dedup.containmentIncremental(store,
+                "cpost", "cdf", "cgrams", batch, "text", "doc_id",
+                threshold = 0.8)
+              .select(col("probe_id").as("doc_id")).distinct()
+            batch.join(contained, Seq("doc_id"), "left_anti")
+          }
+        if (!kept.isEmpty) {
+          Dedup.seedGramIndex(store, "cpost", "cdf", "cgrams",
+            kept, "text", "doc_id")
+          if (store.exists("clean"))
+            store.upsert("clean", kept.select("doc_id", "text"), Seq("doc_id"))
+          else store.overwrite("clean", kept.select("doc_id", "text"),
+            primaryKeys = Seq("doc_id"))
+          ()
+        }
+      }
+      .option("checkpointLocation", cp)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val clean = store.read("clean").select("doc_id").as[Long].collect().sorted.toSeq
+    assert(clean == Seq(1L, 2L, 4L)) // the quote (3) was gated out
+  }
+
   // ---- multimodal plumbing ----
 
   private lazy val assets = Multimodal.toAssets(
