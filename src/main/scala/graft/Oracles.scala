@@ -714,10 +714,11 @@ object Oracles {
         |        '\s+'), i, i + 2), ' '))) AS grams
         |    FROM aug),
         |  j AS (SELECT a.id AS id_a, b.id AS id_b,
-        |    floor(len(list_intersect(a.grams, b.grams))::DOUBLE
-        |      / len(a.grams) * 10000 + 0.5) / 10000 AS containment
+        |    len(list_intersect(a.grams, b.grams))::DOUBLE
+        |      / len(a.grams) AS c
         |  FROM p a JOIN p b ON a.id <> b.id)
-        |SELECT id_a, id_b, containment FROM j WHERE containment >= 0.8
+        |SELECT id_a, id_b, floor(c * 10000 + 0.5) / 10000 AS containment
+        |FROM j WHERE c >= 0.8
         |ORDER BY id_a, id_b""".stripMargin,
 
     // incremental probe replay: ordered batch(quote)→corpus brute force —
@@ -747,10 +748,11 @@ object Oracles {
         |        '\s+'), i, i + 2), ' '))) AS grams
         |    FROM documents),
         |  j AS (SELECT a.id AS probe_id, b.id AS id,
-        |    floor(len(list_intersect(a.grams, b.grams))::DOUBLE
-        |      / len(a.grams) * 10000 + 0.5) / 10000 AS containment
+        |    len(list_intersect(a.grams, b.grams))::DOUBLE
+        |      / len(a.grams) AS c
         |  FROM pq a CROSS JOIN pc b)
-        |SELECT probe_id, id, containment FROM j WHERE containment >= 0.8
+        |SELECT probe_id, id, floor(c * 10000 + 0.5) / 10000 AS containment
+        |FROM j WHERE c >= 0.8
         |ORDER BY probe_id, id""".stripMargin,
 
     // thresholdCurve replay: same gram/jaccard CTE at candidate threshold
@@ -1403,7 +1405,7 @@ object Oracles {
         |         ELSE s_acctbal END AS s_acctbal
         |  FROM supplier WHERE s_suppkey % 7 <> 0
         |  UNION ALL
-        |  SELECT s_suppkey + 100000, s_name, s_nationkey, s_acctbal
+        |  SELECT -s_suppkey - 1, s_name, s_nationkey, s_acctbal
         |  FROM supplier WHERE s_suppkey < 10),
         |j AS (SELECT coalesce(v0.s_suppkey, v1.s_suppkey) AS s_suppkey,
         |    CASE WHEN v0.s_suppkey IS NULL THEN 'added'

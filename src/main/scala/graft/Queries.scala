@@ -725,32 +725,29 @@ object Queries {
     * exact 4-dp jaccard — identical to generating at 0.5 directly because
     * prefix filtering is recall-complete and the final filter is the same
     * rounded comparison. */
-  // keyed WEAKLY on the session (entries die with it — identityHashCode
-  // keys would leak checkpointed frames of stopped sessions for the JVM
-  // lifetime and can collide across sessions); the inner map is plain
-  // ConcurrentHashMap keyed by (kind, dir). All get-or-compute goes
-  // through [[stagedEntry]], which computes OUTSIDE the map lock so a
-  // staged entry may depend on another staged entry (a computeIfAbsent
-  // mapping function must never touch other keys of the same CHM —
-  // recursive-update hazard).
-  private val stagedPairsCache = new java.util.WeakHashMap[
-    SparkSession, java.util.concurrent.ConcurrentHashMap[String, DataFrame]]()
+  // Session-keyed two-level cache. A WeakHashMap would NOT reclaim these
+  // entries: a DataFrame value strongly references its own SparkSession
+  // key (exactly the value→key cycle the WeakHashMap javadoc warns
+  // about), so stopped sessions are instead PRUNED eagerly on every
+  // access (sparkContext.isStopped). Per-key Holder objects give single
+  // materialization under a per-key lock while the map's own
+  // computeIfAbsent only ever allocates a Holder — a staged entry may
+  // therefore depend on another staged entry without the CHM
+  // recursive-update hazard (dependencies are acyclic, so the nested
+  // per-key locks cannot deadlock).
+  private final class StagedHolder { var df: DataFrame = _ }
+  private val stagedPairsCache = new java.util.concurrent.ConcurrentHashMap[
+    SparkSession, java.util.concurrent.ConcurrentHashMap[String, StagedHolder]]()
   private def stagedEntry(s: SparkSession, key: String)
                          (compute: => DataFrame): DataFrame = {
-    val perSession = stagedPairsCache.synchronized {
-      var m = stagedPairsCache.get(s)
-      if (m == null) {
-        m = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
-        stagedPairsCache.put(s, m)
-      }
-      m
-    }
-    val cached = perSession.get(key)
-    if (cached != null) cached
-    else {
-      val built = compute // outside any map lock; duplicate races are benign
-      val prev = perSession.putIfAbsent(key, built)
-      if (prev != null) prev else built
+    stagedPairsCache.keySet.removeIf(sess =>
+      sess.sparkContext.isStopped && (sess ne s))
+    val perSession = stagedPairsCache.computeIfAbsent(s,
+      _ => new java.util.concurrent.ConcurrentHashMap[String, StagedHolder]())
+    val holder = perSession.computeIfAbsent(key, _ => new StagedHolder)
+    holder.synchronized {
+      if (holder.df == null) holder.df = compute
+      holder.df
     }
   }
   private def stagedNearDupPairs(s: SparkSession, dir: String): DataFrame =
@@ -1131,8 +1128,11 @@ object Queries {
     * ([[graft.store.TableStore.diffVersions]], the Delta CDF-style audit
     * surface): v0 = supplier, v1 = a deterministic mutation planting all
     * three change kinds — keys %7==0 removed, surviving keys %5==0 get
-    * s_acctbal+10 (updated), keys <10 re-inserted as +100000 clones
-    * (added). The store round-trips both versions through its bucketed
+    * s_acctbal+10 (updated), keys <10 re-inserted as NEGATIVE-key clones
+    * (added; −k−1 — disjoint from the natural key space at ANY scale
+    * factor, where a fixed positive offset would eventually collide and
+    * break both PK uniqueness and the unique ORDER BY). The store
+    * round-trips both versions through its bucketed
     * snapshot layout; the oracle replays the same mutation and full-outer
     * compare in SQL, so the row says the STORE's diff semantics (hash
     * compare, null handling) agree with a column-by-column compare. */
@@ -1148,7 +1148,7 @@ object Queries {
         when(col("s_suppkey") % 5 === 0, col("s_acctbal") + 10)
           .otherwise(col("s_acctbal")))
       .unionByName(sup.where(col("s_suppkey") < 10)
-        .withColumn("s_suppkey", col("s_suppkey") + 100000))
+        .withColumn("s_suppkey", -col("s_suppkey") - 1))
     store.overwrite("suppliers", v1)
     store.diffVersions("suppliers", 0, 1)
       .withColumnRenamed("__change", "change")

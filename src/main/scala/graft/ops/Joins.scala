@@ -317,8 +317,13 @@ object Joins {
     val r = right.withColumn("__bin",
       explode(sequence(floor(col(rLoCol) / binWidth).cast("long"),
         floor(col(rHiCol) / binWidth).cast("long"))))
+    // non-empty guards: an inverted span (lo > hi) is the EMPTY interval
+    // — it overlaps nothing, but without the guard the pairwise predicate
+    // alone would still admit it (sequence() silently iterates descending
+    // bins), silently joining corrupted rows
     l.join(r, Seq("__bin"))
-      .where(col(lLoCol) < col(rHiCol) && col(rLoCol) < col(lHiCol) &&
+      .where(col(lLoCol) < col(lHiCol) && col(rLoCol) < col(rHiCol) &&
+        col(lLoCol) < col(rHiCol) && col(rLoCol) < col(lHiCol) &&
         col("__bin") ===
           floor(greatest(col(lLoCol), col(rLoCol)) / binWidth).cast("long"))
       .drop("__bin")

@@ -62,7 +62,12 @@ object Sketches {
                depth: Int = 4, hexChars: Int = 2): DataFrame = {
     require(depth >= 1, "depth must be >= 1")
     require(hexChars >= 1 && hexChars <= 8, "hexChars must be in 1..8")
-    df.select(col(itemCol).cast("string").as("__x"),
+    // NULL items are excluded (symmetrically in cmsEstimate): md5/concat
+    // propagate null into a null bucket the estimate join could never
+    // match, which would return 0 for an item the sketch had counted —
+    // an undercount, the one thing CMS must never do
+    df.where(col(itemCol).isNotNull)
+      .select(col(itemCol).cast("string").as("__x"),
         explode(sequence(lit(0), lit(depth - 1))).as("d"))
       .select(col("d"), substring(
         md5(concat(col("d").cast("string"), lit("|"), col("__x"))),
@@ -72,14 +77,15 @@ object Sketches {
 
   /** Point-query a [[cmsCells]] sketch: each probe item's estimate is the
     * MIN over the depth rows of its cell counts — `true ≤ est ≤ true +
-    * collisions`, never an undercount. The cell table is broadcast (≤
-    * depth·width rows by construction), so probing is map-only over the
-    * probe set. */
+    * collisions`, never an undercount. NULL probes are dropped (nulls are
+    * excluded from the sketch — see [[cmsCells]]). The cell table is
+    * broadcast (≤ depth·width rows by construction), so probing is
+    * map-only over the probe set. */
   def cmsEstimate(cells: DataFrame, probes: DataFrame, itemCol: String,
                   depth: Int = 4, hexChars: Int = 2): DataFrame = {
     require(depth >= 1, "depth must be >= 1")
     require(hexChars >= 1 && hexChars <= 8, "hexChars must be in 1..8")
-    val p = probes.select(col(itemCol)).distinct()
+    val p = probes.select(col(itemCol)).where(col(itemCol).isNotNull).distinct()
       .select(col(itemCol), explode(sequence(lit(0), lit(depth - 1))).as("d"))
       .withColumn("bucket", substring(
         md5(concat(col("d").cast("string"), lit("|"),

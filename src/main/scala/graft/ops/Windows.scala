@@ -206,14 +206,19 @@ object Windows {
     * Scale: ONE hash shuffle on the entity + one in-partition sort feeds
     * both windows and the final aggregation (same Exchange, W6 pattern).
     * Per-entity interval counts are the window-task bound — the
-    * [[sessionize]] caveat class. */
+    * [[sessionize]] caveat class.
+    *
+    * Precondition: `lo <= hi` (inverted spans are filtered out as empty
+    * — they cover nothing, and letting them through would poison the
+    * running max with a hi that precedes its own lo). */
   def mergeIntervals(df: DataFrame, entityCol: String, loCol: String,
                      hiCol: String): DataFrame = {
     val w = Window.partitionBy(col(entityCol)).orderBy(col(loCol), col(hiCol))
     val prevMax = max(col(hiCol)).over(
       w.rowsBetween(Window.unboundedPreceding, -1))
     val boundary = when(prevMax.isNull || col(loCol) > prevMax, 1L).otherwise(0L)
-    df.withColumn("__island", sum(boundary).over(
+    df.where(col(loCol) <= col(hiCol))
+      .withColumn("__island", sum(boundary).over(
         w.rowsBetween(Window.unboundedPreceding, 0)))
       .groupBy(col(entityCol), col("__island"))
       .agg(min(col(loCol)).as("island_start"),

@@ -747,12 +747,20 @@ object Dedup {
     val arrays = prepped.repartition(col("__id"))
     val ga = arrays.select(col("__id").as("id_a"), col("__gh").as("g_a"))
     val gb = arrays.select(col("__id").as("id_b"), col("__gh").as("g_b"))
+    // gate on the UNROUNDED ratio: int/int division is correctly rounded
+    // in IEEE, so the comparison replays bit-exactly in any engine, and
+    // it is exactly the predicate the prefix/size filters are
+    // recall-complete for (a rounded gate would admit true containment
+    // down to t − 5e-5 — below the filters' guarantee, a divergence
+    // reachable at ≥20k grams/doc). The 4-dp rounding is presentation
+    // only, applied after the gate.
     cand.join(ga.hint("shuffle_hash"), Seq("id_a"))
       .join(gb.hint("shuffle_hash"), Seq("id_b"))
-      .withColumn("containment",
-        floor(call_function("graft_sorted_intersect", col("g_a"), col("g_b"))
-          .cast("double") / size(col("g_a")) * 10000.0 + 0.5) / 10000.0)
-      .where(col("containment") >= threshold)
+      .withColumn("__c",
+        call_function("graft_sorted_intersect", col("g_a"), col("g_b"))
+          .cast("double") / size(col("g_a")))
+      .where(col("__c") >= threshold)
+      .withColumn("containment", floor(col("__c") * 10000.0 + 0.5) / 10000.0)
       .select("id_a", "id_b", "containment")
   }
 
@@ -763,11 +771,12 @@ object Dedup {
     * `dfTable (gram, df)` (vocab-sized; the global rare-first prefix
     * order without touching the postings), and
     * `gramsTable (id, grams, sz)` (PK id; the sorted gram arrays exact
-    * verification reads). Re-seeding with a grown corpus recomputes all
-    * three from the given frame (upsert merges postings/grams rows;
-    * df rows replace by PK) — a true delta-merge of df (summing
-    * increments) is the production refinement, same contract note as
-    * the band index. */
+    * verification reads). Each call ADDS a batch to the index: postings
+    * and gram arrays upsert by PK (idempotent per doc), df DELTA-MERGES
+    * by summing (see below — PK replace would void the rare-first scale
+    * contract). Seed each document once; re-seeding the same documents
+    * inflates df, which skews only the prefix ORDER (performance), never
+    * recall or results. */
   def seedGramIndex(store: graft.store.TableStore, postingsTable: String,
                     dfTable: String, gramsTable: String,
                     corpus: DataFrame, textCol: String, idCol: String,
@@ -784,8 +793,20 @@ object Dedup {
       if (store.exists(table)) store.upsert(table, rows, pks)
       else store.overwrite(table, rows, primaryKeys = pks, buckets = buckets)
     put(postingsTable, postings, Seq("gram", "id"))
-    put(dfTable, postings.groupBy("gram").agg(count(lit(1)).as("df")),
-      Seq("gram"))
+    // df must DELTA-MERGE (sum), never PK-replace: an upsert would reset a
+    // corpus-wide gram's df to its count in the latest batch, hot grams
+    // would rank as rare, enter prefixes, and the postings probe would
+    // re-create the hot-bucket blowup invariant 9 exists to prevent
+    // (recall would survive — prefix choice is order-free — but the scale
+    // contract would silently void). The merged table is vocab-sized, so
+    // the per-batch rewrite is bounded by the vocabulary, not the corpus.
+    val batchDf = postings.groupBy("gram").agg(count(lit(1)).as("df"))
+    if (store.exists(dfTable))
+      store.overwrite(dfTable,
+        store.read(dfTable).unionByName(batchDf)
+          .groupBy("gram").agg(sum("df").as("df")))
+    else store.overwrite(dfTable, batchDf,
+      primaryKeys = Seq("gram"), buckets = buckets)
     put(gramsTable, prepped.select("id", "grams", "sz"), Seq("id"))
   }
 
@@ -844,13 +865,15 @@ object Dedup {
       .where(col("sz") >= col("__sz") * threshold - 1e-9)
       .select(col("probe_id"), col("id"))
       .dropDuplicates("probe_id", "id")
+    // unrounded gate, rounded presentation — see [[containmentPairs]]
     gramsStore.select(col("id"), col("grams"))
       .join(broadcast(cand), Seq("id"))
       .join(broadcast(prepped), Seq("probe_id"))
-      .withColumn("containment",
-        floor(call_function("graft_sorted_intersect", col("__gh"), col("grams"))
-          .cast("double") / size(col("__gh")) * 10000.0 + 0.5) / 10000.0)
-      .where(col("containment") >= threshold)
+      .withColumn("__c",
+        call_function("graft_sorted_intersect", col("__gh"), col("grams"))
+          .cast("double") / size(col("__gh")))
+      .where(col("__c") >= threshold)
+      .withColumn("containment", floor(col("__c") * 10000.0 + 0.5) / 10000.0)
       .select("probe_id", "id", "containment")
   }
 

@@ -649,5 +649,11 @@ class OpsSpec extends AnyFunSuite {
       Seq((1L, 0.0, 10.0)).toDF("lid", "l_lo", "l_hi"), "l_lo", "l_hi",
       Seq((2L, 10.0, 20.0)).toDF("rid", "r_lo", "r_hi"), "r_lo", "r_hi", 5.0)
     assert(touch.count() == 0)
+    // inverted (empty) spans match nothing — the pairwise predicate alone
+    // would admit (5,3) vs (0,10)
+    val inverted = Joins.intervalOverlapJoin(
+      Seq((1L, 5.0, 3.0)).toDF("lid", "l_lo", "l_hi"), "l_lo", "l_hi",
+      Seq((2L, 0.0, 10.0)).toDF("rid", "r_lo", "r_hi"), "r_lo", "r_hi", 5.0)
+    assert(inverted.count() == 0)
   }
 }

@@ -76,6 +76,15 @@ class SketchesSpec extends AnyFunSuite {
       Sketches.cmsCells(half.unionByName(items), "item"), probes, "item")
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(est2 == oneShot)
+    // null items are excluded symmetrically (a null cell could never be
+    // probed back — it would surface as an undercount)
+    val withNulls = Seq(Some("k1"), None, Some("k1"), None).toDF("item")
+    val nullCells = Sketches.cmsCells(withNulls, "item")
+    assert(nullCells.where(col("bucket").isNull).count() == 0)
+    val nullEst = Sketches.cmsEstimate(nullCells,
+      Seq(Some("k1"), None).toDF("item"), "item")
+      .collect().map(r => Option(r.getString(0)) -> r.getLong(1)).toMap
+    assert(nullEst == Map(Some("k1") -> 2L))
   }
 
   test("HLL sketches: union-of-parts equals sketch-of-whole, estimate near exact") {

@@ -413,7 +413,7 @@ class TextSimSpec extends AnyFunSuite {
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       val expect = (for {
         a <- docs.map(_._1); b <- docs.map(_._1) if a != b
-        c = math.floor((gs(a) & gs(b)).size.toDouble / gs(a).size * 10000 + 0.5) / 10000
+        c = (gs(a) & gs(b)).size.toDouble / gs(a).size // unrounded gate
         if c >= t
       } yield (a, b)).toSet
       assert(got == expect, s"threshold $t: got ${got.size}, expected ${expect.size}")
@@ -445,6 +445,14 @@ class TextSimSpec extends AnyFunSuite {
     assert(inc == oneShot)
     assert(inc.contains((100L, 1L, 1.0)) && inc.contains((102L, 1L, 1.0)))
     assert(!inc.exists(_._1 == 101L)) // unseen grams hit nothing
+    // df DELTA-MERGES across seeds: a second batch sharing doc 1's grams
+    // must raise their df to 2 (a PK-replace would reset it to 1 and
+    // silently void the rare-first prefix contract)
+    assert(store.read("dfs").agg(max("df")).as[Long].head() == 1L)
+    Dedup.seedGramIndex(store, "postings", "dfs", "grams",
+      Seq((50L, (1 to 20).map(i => "word" + i).mkString(" ")))
+        .toDF("doc_id", "text"), "text", "doc_id")
+    assert(store.read("dfs").agg(max("df")).as[Long].head() == 2L)
   }
 
   test("containmentIncremental shuffles are batch-sized: exchange count is corpus-size-independent") {
