@@ -996,6 +996,36 @@ object Oracles {
         |WHERE len(list_intersect(p.grams, bench.bg)) >= 2
         |ORDER BY id""".stripMargin,
 
+    // positional replay of the surgical spans: 5-gram stream with
+    // 0-based positions, hit set vs the benchmark gram set, consecutive
+    // runs via the pos − row_number island trick, minRun filter
+    "q_text_contam_spans" ->
+      """WITH corp AS (SELECT doc_id AS id,
+        |    regexp_split_to_array(regexp_replace(lower(trim(text)),
+        |      '[^a-z0-9áéíóúñü ]', '', 'g'), '\s+') AS w
+        |  FROM documents),
+        |g AS (SELECT id, u.i - 1 AS pos,
+        |    array_to_string(list_slice(w, u.i, u.i + 4), ' ') AS gram
+        |  FROM corp, unnest(range(1, greatest(len(w) - 4, 0) + 1)) AS u(i)),
+        |bq AS (SELECT array_to_string(list_slice(
+        |    regexp_split_to_array(text, '\s+'), 5, 12), ' ') AS text
+        |  FROM documents WHERE doc_id < 20),
+        |bw AS (SELECT regexp_split_to_array(regexp_replace(lower(trim(text)),
+        |    '[^a-z0-9áéíóúñü ]', '', 'g'), '\s+') AS w FROM bq),
+        |bg AS (SELECT DISTINCT array_to_string(list_slice(w, u.i, u.i + 4), ' ')
+        |    AS gram
+        |  FROM bw, unnest(range(1, greatest(len(w) - 4, 0) + 1)) AS u(i)),
+        |hits AS (SELECT id, pos FROM g JOIN bg USING (gram)),
+        |runs AS (SELECT id, pos,
+        |    pos - row_number() OVER (PARTITION BY id ORDER BY pos) AS grp
+        |  FROM hits)
+        |SELECT id, min(pos)::INT AS tok_start,
+        |  (max(pos) + 5)::INT AS tok_end,
+        |  count(*) AS n_grams
+        |FROM runs GROUP BY id, grp
+        |HAVING count(*) >= 2
+        |ORDER BY id, tok_start""".stripMargin,
+
     // keepBestPerCluster: the q_dedup_clusters recursive-CTE CC labelling
     // plus one row_number window (score DESC, id ASC) — exactly the
     // Dedup.keepBestPerCluster semantics (singletons self-cluster via the

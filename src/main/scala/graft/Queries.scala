@@ -873,6 +873,23 @@ object Queries {
         n = 5, minOverlap = 2)
       .orderBy("id")
 
+  /** SURGICAL decontamination spans
+    * ([[graft.text.Dedup.contaminationSpans]]): benchmark = the raw words
+    * 5–12 of each doc < 20, so every source doc carries one planted
+    * contiguous overlap run (4 five-grams) the span must recover exactly
+    * — plus whatever natural vocabulary runs clear minRun=2, which the
+    * oracle replays positionally (grams with positions → hit set →
+    * consecutive-run islands). */
+  def qTextContamSpans(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val bench = d.where(col("doc_id") < 20)
+      .select(concat_ws(" ",
+        slice(split(col("text"), "\\s+"), 5, 8)).as("text"))
+    Dedup.contaminationSpans(d, "text", "doc_id", bench, "text",
+        n = 5, minRun = 2)
+      .orderBy("id", "tok_start")
+  }
+
   /** Duplicate CLUSTERS: connected components (min-label propagation) over
     * the ngram near-dup pair list — the keep-one-per-cluster resolution
     * step; oracle is a DuckDB recursive CTE over the same edges. Edges come
@@ -2562,6 +2579,7 @@ object Queries {
     "q_dedup_ngram_jaccard" -> (qDedupNgramJaccard _),
     "q_dedup_containment" -> (qDedupContainment _),
     "q_dedup_inc_containment" -> (qDedupIncContainment _),
+    "q_text_contam_spans" -> (qTextContamSpans _),
     "q_dedup_threshold_curve" -> (qDedupThresholdCurve _),
     "q_rag_context" -> (qRagContext _),
     "q_sim_prototype" -> (qSimPrototype _),

@@ -291,6 +291,56 @@ object Dedup {
       .where(col("n_overlap") >= minOverlap)
   }
 
+  /** SURGICAL decontamination: the exact token SPANS of benchmark overlap
+    * per corpus document — maximal runs of ≥ `minRun` consecutive
+    * contaminated n-gram positions, returned as `(id, tok_start,
+    * tok_end, n_grams)` with half-open token bounds — so a pipeline can
+    * CUT the leaked passage and keep the document, instead of dropping
+    * every page that quotes one benchmark sentence
+    * ([[contaminationReport]] flags whole documents; this is its
+    * span-resolution refinement, the ExactSubstr shape of Lee et al.,
+    * ACL 2022, at gram granularity). `minRun` suppresses incidental
+    * single-gram vocabulary collisions.
+    *
+    * Positional grams ride the [[dedupBlocksGlobal]] construction — the
+    * token array is materialized as an attribute and each gram slices
+    * it per element, so nothing expensive re-evaluates under the
+    * Generate (invariant 6 shape). Consecutive positions merge via
+    * [[graft.ops.Windows.mergeIntervals]] over unit intervals
+    * `[pos, pos+1)` — runs are exactly its touching-islands semantics.
+    *
+    * Scale: benchmark gram set broadcasts (eval-suite-sized); the corpus
+    * gram stream is map-only until the broadcast join filter, so the
+    * only shuffle is the hit set (true-overlap-sized) into the island
+    * windows keyed by doc. */
+  def contaminationSpans(corpus: DataFrame, textCol: String, idCol: String,
+                         benchmark: DataFrame, benchTextCol: String,
+                         n: Int = 5, minRun: Int = 2): DataFrame = {
+    require(n >= 1 && minRun >= 1, "n and minRun must be >= 1")
+    val base = corpus
+      .select(col(idCol).as("id"), tokensCol(col(textCol)).as("__w"))
+      .select(col("id"), col("__w"),
+        (size(col("__w")) - (n - 1)).as("__ng"))
+    val grams = base.where(col("__ng") > 0)
+      .select(col("id"),
+        posexplode(transform(sequence(lit(0), col("__ng") - 1),
+          i => concat_ws(" ", slice(col("__w"), i + 1, lit(n)))))
+          .as(Seq("pos", "gram")))
+    val benchGrams = broadcast(benchmark
+      .select(tokensCol(col(benchTextCol)).as("__bw"))
+      .select(explode(ngramsFromTokens(col("__bw"), n)).as("gram"))
+      .distinct())
+    val hits = grams.join(benchGrams, Seq("gram"))
+      .select(col("id"), col("pos"), (col("pos") + 1).as("__end"))
+    graft.ops.Windows.mergeIntervals(hits, "id", "pos", "__end")
+      .where(col("n_intervals") >= minRun)
+      .select(col("id"),
+        col("island_start").as("tok_start"),
+        // last gram starts at island_end − 1 and covers n tokens
+        (col("island_end") + n - 1).as("tok_end"),
+        col("n_intervals").as("n_grams"))
+  }
+
   /** FUZZY benchmark decontamination: flag corpus documents whose MinHash
     * signature collides with ANY benchmark document in at least one LSH
     * band AND whose estimated Jaccard clears `threshold` — the

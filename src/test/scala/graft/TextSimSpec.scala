@@ -477,6 +477,26 @@ class TextSimSpec extends AnyFunSuite {
     assert(nB <= 4, s"expected batch-sized shuffles only, got $nB")
   }
 
+  test("contaminationSpans: planted run recovered exactly; minRun suppresses single hits") {
+    val corpus = Seq(
+      (1L, "aa bb cc dd ee ff gg hh ii jj kk ll mm nn"), // dd..jj at pos 3..9
+      (2L, "zz yy xx ww vv uu tt ss rr qq"))             // ww..ss at pos 3..7
+      .toDF("doc_id", "text")
+    val bench = Seq(
+      ("dd ee ff gg hh ii jj"), // 7 tokens → 3 five-grams → run of 3 in doc 1
+      ("ww vv uu tt ss"))       // 5 tokens → 1 five-gram → single hit in doc 2
+      .toDF("text")
+    val out = Dedup.contaminationSpans(corpus, "text", "doc_id", bench, "text",
+        n = 5, minRun = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3))).toSeq
+    // doc 1: gram positions 3,4,5 → tokens [3, 10); doc 2's single hit suppressed
+    assert(out == Seq((1L, 3, 10, 3L)))
+    val all = Dedup.contaminationSpans(corpus, "text", "doc_id", bench, "text",
+        n = 5, minRun = 1)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3))).toSet
+    assert(all == Set((1L, 3, 10, 3L), (2L, 3, 8, 1L)))
+  }
+
   test("simhash maxHamming=0 groups by exact hash, not one global bucket") {
     val d = Seq((1L, "alpha beta gamma delta"), (2L, "alpha beta gamma delta"),
       (3L, "totally different words here")).toDF("doc_id", "text")
