@@ -2848,7 +2848,87 @@ object Oracles {
         |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
         |FROM g GROUP BY user_id, grp
         |ORDER BY user_id, session_start""".stripMargin,
+
+    "q_scd2_build" -> scd2RebuildSql,
+
+    // scd2Merge's contract IS row-identity with the full rebuild — the
+    // incremental Spark path and this rebuild oracle hashing equal is
+    // the point of the entry.
+    "q_scd2_merge" -> scd2RebuildSql,
+
+    "q_scd2_asof" ->
+      s"""$scd2DimCte
+         |SELECT user_id, version::INT AS version, event_type, tier,
+         |  epoch_us(valid_from) AS valid_from_us
+         |FROM dim
+         |WHERE valid_from <= TIMESTAMP '2024-01-15 00:00:00'
+         |  AND (valid_to IS NULL OR valid_to > TIMESTAMP '2024-01-15 00:00:00')
+         |ORDER BY user_id""".stripMargin,
+
+    "q_graph_degree" ->
+      """WITH e AS (SELECT DISTINCT 'c:' || o_custkey::VARCHAR AS src,
+        |    's:' || l_suppkey::VARCHAR AS dst
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |n AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+        |o AS (SELECT src AS node, count(*) AS outd FROM e GROUP BY 1),
+        |i AS (SELECT dst AS node, count(*) AS ind FROM e GROUP BY 1)
+        |SELECT n.node, coalesce(o.outd, 0)::BIGINT AS out_degree,
+        |  coalesce(i.ind, 0)::BIGINT AS in_degree
+        |FROM n LEFT JOIN o ON n.node = o.node LEFT JOIN i ON n.node = i.node
+        |ORDER BY n.node""".stripMargin,
+
+    "q_graph_pagerank" ->
+      s"""WITH e0 AS (SELECT DISTINCT 'c:' || o_custkey::VARCHAR AS src,
+         |    's:' || l_suppkey::VARCHAR AS dst
+         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         |e AS (SELECT src, dst FROM e0 UNION ALL SELECT dst AS src, src AS dst FROM e0),
+         |n AS (SELECT DISTINCT src AS node FROM e),
+         |d AS (SELECT src, count(*) AS outdeg FROM e GROUP BY 1),
+         |r0 AS (SELECT node, 1000000::BIGINT AS r FROM n),
+         |${prIterSql("r0", "r1")},
+         |${prIterSql("r1", "r2")},
+         |${prIterSql("r2", "r3")}
+         |SELECT node, r AS rank_micros FROM r3 ORDER BY node""".stripMargin,
   )
+
+  /** The SCD2 dimension rebuild as a DuckDB CTE chain — the shared body
+    * of the build/merge/as-of oracles. Mirrors `ops/Scd.scd2Build` over
+    * the banded event change log: lag-suppression of unchanged
+    * (event_type, tier) pairs, then version/validity windows, all
+    * ordered (ts, event_id) per user. */
+  private def scd2DimCte: String =
+    """WITH log AS (SELECT user_id, event_id, ts, event_type,
+      |    CASE WHEN value < 50 THEN 'lo' WHEN value < 100 THEN 'mid'
+      |         ELSE 'hi' END AS tier
+      |  FROM events),
+      |flagged AS (SELECT *, row_number() OVER w AS rn,
+      |    lag(event_type) OVER w AS p_type, lag(tier) OVER w AS p_tier
+      |  FROM log WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |kept AS (SELECT user_id, ts, event_id, event_type, tier FROM flagged
+      |  WHERE rn = 1 OR event_type IS DISTINCT FROM p_type
+      |     OR tier IS DISTINCT FROM p_tier),
+      |dim AS (SELECT user_id, row_number() OVER w AS version, event_type,
+      |    tier, ts AS valid_from, lead(ts) OVER w AS valid_to
+      |  FROM kept WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))""".stripMargin
+
+  private def scd2RebuildSql: String =
+    s"""$scd2DimCte
+       |SELECT user_id, version::INT AS version, event_type, tier,
+       |  epoch_us(valid_from) AS valid_from_us,
+       |  epoch_us(valid_to) AS valid_to_us,
+       |  (valid_to IS NULL)::INT AS is_current
+       |FROM dim ORDER BY user_id, version""".stripMargin
+
+  /** One unrolled fixed-point PageRank round: integer micro-unit ranks,
+    * truncating integral division (`//` — operands are all positive, so
+    * DuckDB's floor division equals Spark's truncating `div`). */
+  private def prIterSql(prev: String, cur: String): String =
+    s"""$cur AS (SELECT n.node,
+       |    (150000 + (85 * coalesce(f.inflow, 0)) // 100)::BIGINT AS r
+       |  FROM n LEFT JOIN (
+       |    SELECT e.dst AS node, sum(r.r // d.outdeg)::BIGINT AS inflow
+       |    FROM e JOIN $prev r ON e.src = r.node JOIN d ON e.src = d.src
+       |    GROUP BY 1) f ON n.node = f.node)""".stripMargin
 
   /** SQL replication of the MMR greedy (q_sim_mmr_rerank): the brute-force
     * rounded-cosine shortlist feeds integer micro-unit similarities over

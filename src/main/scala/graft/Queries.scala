@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.{Dates, Exprs, TextNorm, Types}
-import graft.ops.{Aggregations, Filters, Joins, Selection, Windows}
+import graft.ops.{Aggregations, Filters, Graph, Joins, Scd, Selection, Windows}
 import graft.text.{Dedup, TextStats}
 import graft.sim.{Cluster, Similarity}
 
@@ -2515,6 +2515,78 @@ object Queries {
       .orderBy("custkey", "month_dt")
 
   // =====================================================================
+  // SCD2 dimension builds + graph centrality (round-10 extensions)
+  // =====================================================================
+
+  /** The change log the SCD entries share: events as per-user attribute
+    * changes. Tracked attrs are the event type plus a BANDED value tier —
+    * banded so change-suppression actually bites (raw doubles virtually
+    * never repeat, which would make every change "real"). Band compares
+    * raw doubles against literals — no arithmetic, engine-identical. */
+  private def scdLog(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events").select(
+      col("user_id"), col("ts"), col("event_id"), col("event_type"),
+      when(col("value") < 50, "lo").when(col("value") < 100, "mid")
+        .otherwise("hi").as("tier"))
+
+  private def scdShape(dim: DataFrame): DataFrame =
+    dim.select(col("user_id"), col("version"), col("event_type"), col("tier"),
+      unix_micros(col("valid_from")).as("valid_from_us"),
+      unix_micros(col("valid_to")).as("valid_to_us"),
+      col("is_current").cast("int").as("is_current"))
+
+  /** SCD2 full rebuild from the change log: per-user versions with
+    * validity intervals, consecutive unchanged attrs suppressed.
+    * Timestamps emitted as epoch micros (integer-exact across engines);
+    * (user_id, version) is the unique ORDER BY. */
+  def qScd2Build(s: SparkSession, dir: String): DataFrame =
+    scdShape(Scd.scd2Build(scdLog(s, dir), "user_id", "ts",
+        Seq("event_type", "tier"), Seq("event_id")))
+      .orderBy("user_id", "version")
+
+  /** SCD2 incremental merge: dimension built from the pre-cutoff log,
+    * then the post-cutoff tail applied as a delta batch WITHOUT
+    * reprocessing history. The oracle is the FULL REBUILD over the whole
+    * log — the hash match proves merge ≡ rebuild, the invariant the
+    * production ingest path must keep. */
+  def qScd2Merge(s: SparkSession, dir: String): DataFrame = {
+    val log = scdLog(s, dir)
+    val cutoff = lit("2024-01-20 00:00:00").cast("timestamp")
+    val dim = Scd.scd2Build(log.where(col("ts") < cutoff), "user_id", "ts",
+      Seq("event_type", "tier"), Seq("event_id"))
+    scdShape(Scd.scd2Merge(dim, log.where(col("ts") >= cutoff), "user_id",
+        "ts", Seq("event_type", "tier"), Seq("event_id")))
+      .orderBy("user_id", "version")
+  }
+
+  /** Point-in-time dimension snapshot mid-history: exactly one version
+    * per user whose interval contains the as-of instant (users whose
+    * first change postdates it are absent — leakage-safe). */
+  def qScd2AsOf(s: SparkSession, dir: String): DataFrame =
+    Scd.scd2SnapshotAt(
+        Scd.scd2Build(scdLog(s, dir), "user_id", "ts",
+          Seq("event_type", "tier"), Seq("event_id")),
+        lit("2024-01-15 00:00:00").cast("timestamp"))
+      .select(col("user_id"), col("version"), col("event_type"), col("tier"),
+        unix_micros(col("valid_from")).as("valid_from_us"))
+      .orderBy("user_id")
+
+  /** In/out degree over the directed customer→supplier trading graph. */
+  def qGraphDegree(s: SparkSession, dir: String): DataFrame =
+    Graph.degrees(Graph.tradeEdges(t(s, dir, "orders"), t(s, dir, "lineitem")))
+      .orderBy("node")
+
+  /** 3-iteration fixed-point PageRank (micro-unit integer ranks, exact
+    * integral arithmetic) over the symmetrized trading graph — the
+    * oracle replays the identical integer recurrence as three unrolled
+    * CTEs. */
+  def qGraphPagerank(s: SparkSession, dir: String): DataFrame =
+    Graph.pageRankMicros(
+        Graph.bidirectedTradeEdges(t(s, dir, "orders"), t(s, dir, "lineitem")),
+        iters = 3)
+      .orderBy("node")
+
+  // =====================================================================
   // Registry
   // =====================================================================
 
@@ -2697,5 +2769,10 @@ object Queries {
     "q_vocab_spectrum" -> (qVocabSpectrum _),
     "q_vocab_coverage" -> (qVocabCoverage _),
     "q_doc_novelty" -> (qDocNovelty _),
+    "q_scd2_build" -> (qScd2Build _),
+    "q_scd2_merge" -> (qScd2Merge _),
+    "q_scd2_asof" -> (qScd2AsOf _),
+    "q_graph_degree" -> (qGraphDegree _),
+    "q_graph_pagerank" -> (qGraphPagerank _),
   )
 }

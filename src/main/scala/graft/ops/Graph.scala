@@ -1,0 +1,101 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Graph centrality over relation-derived edge lists (extension beyond
+  * the reference surface; sibling of the label-propagation connected
+  * components in `text/Dedup.scala` — together they cover the two graph
+  * primitives a curation pipeline reaches for: component structure and
+  * node importance).
+  *
+  * Everything is ENGINE-EXACT fixed-point integer arithmetic (micro-unit
+  * ranks, integral division) so results are deterministic and
+  * oracle-checkable across engines — the same discipline as the
+  * fixed-point BM25 in `text/InvertedIndex.scala`.
+  */
+object Graph {
+
+  /** Directed customer→supplier edge list derived from the order facts:
+    * one edge per DISTINCT (customer, supplier) trading pair, node ids
+    * namespaced `c:`/`s:` so the two key spaces cannot collide. One
+    * shuffle for the orderkey join (lineitem-side partitioned), one for
+    * the distinct. */
+  def tradeEdges(orders: DataFrame, lineitem: DataFrame): DataFrame =
+    orders.join(lineitem, col("o_orderkey") === col("l_orderkey"))
+      .select(
+        concat(lit("c:"), col("o_custkey")).as("src"),
+        concat(lit("s:"), col("l_suppkey")).as("dst"))
+      .distinct()
+
+  /** Both directions of [[tradeEdges]] — makes the bipartite trade graph
+    * symmetric so rank mass actually circulates (a one-directional
+    * bipartite graph reaches its fixed point after a single step). */
+  def bidirectedTradeEdges(orders: DataFrame, lineitem: DataFrame): DataFrame = {
+    val e = tradeEdges(orders, lineitem).localCheckpoint()
+    e.unionByName(e.select(col("dst").as("src"), col("src").as("dst")))
+  }
+
+  /** In/out degree per node over a directed edge list — the cheapest
+    * centrality signal (two groupBys + one outer merge on the node key). */
+  def degrees(edges: DataFrame): DataFrame = {
+    val outd = edges.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("out_degree"))
+    val ind = edges.groupBy(col("dst").as("node"))
+      .agg(count(lit(1)).as("in_degree"))
+    outd.join(ind, Seq("node"), "full_outer")
+      .select(col("node"),
+        coalesce(col("out_degree"), lit(0L)).as("out_degree"),
+        coalesce(col("in_degree"), lit(0L)).as("in_degree"))
+  }
+
+  /** Fixed-iteration PageRank in exact integer micro-units: every node
+    * starts at `baseMicros` (1.0); each iteration a node's rank becomes
+    *
+    * {{{ teleport + (dampNum * Σ_incoming (r(src) div outdeg(src))) div dampDen }}}
+    *
+    * with `teleport = baseMicros·(dampDen−dampNum) div dampDen` (150 000
+    * at the classic d=0.85). All arithmetic is integral (`div` =
+    * truncating division on longs, sums of longs are exact and
+    * order-independent), so the result is bit-identical across engines
+    * and partitionings — the property the DuckDB oracle hash-checks.
+    * Truncation leaks <1 micro-unit of mass per edge per round; with a
+    * symmetric edge list there are no dangling nodes, so ranks stay in
+    * [teleport, n·baseMicros].
+    *
+    * Scale: the classic Pregel topology — per iteration one hash join
+    * ranks⋈edges on `src` (both sides partitionable by the same key; on
+    * a real cluster pre-bucket the edge list by src and the join is
+    * Exchange-free) plus one map-side-combinable groupBy on `dst`.
+    * Driver holds nothing but the loop counter; each round's rank table
+    * is `localCheckpoint`ed (CLAUDE.md invariant 7 — iterative frames
+    * otherwise nest lineage exponentially). */
+  def pageRankMicros(edges: DataFrame, iters: Int,
+                     dampNum: Long = 85L, dampDen: Long = 100L,
+                     baseMicros: Long = 1000000L): DataFrame = {
+    require(iters >= 1, "iters must be >= 1")
+    require(dampNum >= 0 && dampNum <= dampDen, "damping must be in [0,1]")
+    val e = edges.select(col("src"), col("dst")).localCheckpoint()
+    val nodes = e.select(col("src").as("node"))
+      .unionByName(e.select(col("dst").as("node")))
+      .distinct().localCheckpoint()
+    val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg")).localCheckpoint()
+    val teleport = baseMicros * (dampDen - dampNum) / dampDen
+    var ranks = nodes.withColumn("r", lit(baseMicros)).localCheckpoint()
+    var i = 0
+    while (i < iters) {
+      val inflow = e
+        .join(ranks.withColumnRenamed("node", "src"), Seq("src"))
+        .join(deg, Seq("src"))
+        .select(col("dst").as("node"), expr("r div outdeg").as("contrib"))
+        .groupBy("node").agg(sum("contrib").as("inflow"))
+      ranks = nodes.join(inflow, Seq("node"), "left")
+        .select(col("node"),
+          (lit(teleport) +
+            expr(s"($dampNum * coalesce(inflow, 0L)) div $dampDen")).as("r"))
+        .localCheckpoint()
+      i += 1
+    }
+    ranks.withColumnRenamed("r", "rank_micros")
+  }
+}

@@ -1,0 +1,123 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.ops.{Graph, Scd}
+
+/** SCD2 dimension builds and fixed-point graph centrality. */
+class GraphScdSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  // ------------------------------------------------------------- SCD2
+
+  test("scd2Build suppresses unchanged runs, chains validity, versions per key") {
+    val log = Seq(
+      (1L, ts("2024-01-01 00:00:00"), 1L, "A"),
+      (1L, ts("2024-01-02 00:00:00"), 2L, "A"), // unchanged → suppressed
+      (1L, ts("2024-01-03 00:00:00"), 3L, "B"),
+      (1L, ts("2024-01-04 00:00:00"), 4L, "B"), // unchanged → suppressed
+      (1L, ts("2024-01-05 00:00:00"), 5L, "A"), // back to A → NEW version
+      (2L, ts("2024-01-02 00:00:00"), 6L, "X")
+    ).toDF("k", "t", "eid", "attr")
+    val got = Scd.scd2Build(log, "k", "t", Seq("attr"), Seq("eid"))
+      .select("k", "version", "attr", "valid_from", "valid_to", "is_current")
+      .orderBy("k", "version")
+      .as[(Long, Int, String, java.sql.Timestamp, Option[java.sql.Timestamp], Boolean)]
+      .collect().toSeq
+    assert(got == Seq(
+      (1L, 1, "A", ts("2024-01-01 00:00:00"), Some(ts("2024-01-03 00:00:00")), false),
+      (1L, 2, "B", ts("2024-01-03 00:00:00"), Some(ts("2024-01-05 00:00:00")), false),
+      (1L, 3, "A", ts("2024-01-05 00:00:00"), None, true),
+      (2L, 1, "X", ts("2024-01-02 00:00:00"), None, true)))
+  }
+
+  test("scd2Build null attr values participate in change detection") {
+    val log = Seq(
+      (1L, ts("2024-01-01 00:00:00"), 1L, Some("A")),
+      (1L, ts("2024-01-02 00:00:00"), 2L, None),      // A → null is a change
+      (1L, ts("2024-01-03 00:00:00"), 3L, None),      // null → null suppressed
+      (1L, ts("2024-01-04 00:00:00"), 4L, Some("A"))
+    ).toDF("k", "t", "eid", "attr")
+    val got = Scd.scd2Build(log, "k", "t", Seq("attr"), Seq("eid"))
+      .select("version", "attr").orderBy("version")
+      .as[(Int, Option[String])].collect().toSeq
+    assert(got == Seq((1, Some("A")), (2, None), (3, Some("A"))))
+  }
+
+  test("scd2Merge is row-identical to a full rebuild (random differential)") {
+    val rnd = new scala.util.Random(20260814)
+    val rows = (1 to 500).map { i =>
+      (rnd.nextInt(12).toLong,
+       ts(f"2024-01-${1 + rnd.nextInt(28)}%02d ${rnd.nextInt(24)}%02d:00:00"),
+       i.toLong, // unique tie-break
+       Seq("A", "B", "C")(rnd.nextInt(3)))
+    }
+    val log = rows.toDF("k", "t", "eid", "attr").localCheckpoint()
+    val cutoff = lit(ts("2024-01-20 00:00:00"))
+    val dim = Scd.scd2Build(log.where(col("t") < cutoff),
+      "k", "t", Seq("attr"), Seq("eid"))
+    val merged = Scd.scd2Merge(dim, log.where(col("t") >= cutoff),
+      "k", "t", Seq("attr"), Seq("eid"))
+    val rebuilt = Scd.scd2Build(log, "k", "t", Seq("attr"), Seq("eid"))
+    assert(merged.exceptAll(rebuilt).isEmpty, "merge rows missing from rebuild")
+    assert(rebuilt.exceptAll(merged).isEmpty, "rebuild rows missing from merge")
+  }
+
+  test("scd2Merge: fully-suppressed delta keeps the current row open; " +
+       "delta-only keys start at version 1") {
+    val dimLog = Seq((1L, ts("2024-01-01 00:00:00"), 1L, "A")).toDF("k", "t", "eid", "attr")
+    val dim = Scd.scd2Build(dimLog, "k", "t", Seq("attr"), Seq("eid"))
+    val delta = Seq(
+      (1L, ts("2024-02-01 00:00:00"), 2L, "A"), // same attr → suppressed
+      (3L, ts("2024-02-02 00:00:00"), 3L, "Z")  // new key
+    ).toDF("k", "t", "eid", "attr")
+    val got = Scd.scd2Merge(dim, delta, "k", "t", Seq("attr"), Seq("eid"))
+      .select("k", "version", "attr", "is_current").orderBy("k")
+      .as[(Long, Int, String, Boolean)].collect().toSeq
+    assert(got == Seq((1L, 1, "A", true), (3L, 1, "Z", true)))
+  }
+
+  test("scd2SnapshotAt returns the one containing version per key") {
+    val log = Seq(
+      (1L, ts("2024-01-01 00:00:00"), 1L, "A"),
+      (1L, ts("2024-01-03 00:00:00"), 2L, "B"),
+      (2L, ts("2024-01-06 00:00:00"), 3L, "X") // first change AFTER as-of → absent
+    ).toDF("k", "t", "eid", "attr")
+    val dim = Scd.scd2Build(log, "k", "t", Seq("attr"), Seq("eid"))
+    val got = Scd.scd2SnapshotAt(dim, lit(ts("2024-01-04 00:00:00")))
+      .select("k", "attr").as[(Long, String)].collect().toSeq
+    assert(got == Seq((1L, "B")))
+  }
+
+  // ---------------------------------------------------------- PageRank
+
+  test("pageRankMicros: symmetric 2-cycle is the exact fixed point") {
+    val edges = Seq(("a", "b"), ("b", "a")).toDF("src", "dst")
+    val got = Graph.pageRankMicros(edges, iters = 5)
+      .as[(String, Long)].collect().toMap
+    // teleport + 85% of an undivided 1.0 inflow = 150000 + 850000
+    assert(got == Map("a" -> 1000000L, "b" -> 1000000L))
+  }
+
+  test("pageRankMicros: 3-node star matches the hand-computed recurrence") {
+    val edges = Seq(("a", "b"), ("a", "c"), ("b", "a"), ("c", "a"))
+      .toDF("src", "dst")
+    val i1 = Graph.pageRankMicros(edges, iters = 1)
+      .as[(String, Long)].collect().toMap
+    assert(i1 == Map("a" -> 1850000L, "b" -> 575000L, "c" -> 575000L))
+    val i2 = Graph.pageRankMicros(edges, iters = 2)
+      .as[(String, Long)].collect().toMap
+    // a: 150000 + 85·(575000+575000) div 100; b,c: 150000 + 85·(1850000 div 2) div 100
+    assert(i2 == Map("a" -> 1127500L, "b" -> 936250L, "c" -> 936250L))
+  }
+
+  test("degrees counts in/out with zero-fill over the node union") {
+    val edges = Seq(("a", "b"), ("a", "c"), ("b", "a")).toDF("src", "dst")
+    val got = Graph.degrees(edges)
+      .as[(String, Long, Long)].collect().toSet
+    assert(got == Set(("a", 2L, 1L), ("b", 1L, 1L), ("c", 0L, 1L)))
+  }
+}
