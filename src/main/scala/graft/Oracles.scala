@@ -2857,13 +2857,24 @@ object Oracles {
     "q_scd2_merge" -> scd2RebuildSql,
 
     "q_scd2_asof" ->
-      s"""$scd2DimCte
+      s"""${scd2DimCte()}
          |SELECT user_id, version::INT AS version, event_type, tier,
          |  epoch_us(valid_from) AS valid_from_us
          |FROM dim
          |WHERE valid_from <= TIMESTAMP '2024-01-15 00:00:00'
          |  AND (valid_to IS NULL OR valid_to > TIMESTAMP '2024-01-15 00:00:00')
          |ORDER BY user_id""".stripMargin,
+
+    "q_scd2_pit_join" ->
+      s"""${scd2DimCte(" WHERE event_type <> 'purchase'")}
+         |SELECT e.event_id, e.user_id, epoch_us(e.ts) AS fact_ts_us,
+         |  d.version::INT AS version, d.tier AS profile_tier,
+         |  d.event_type AS profile_event_type
+         |FROM events e JOIN dim d ON e.user_id = d.user_id
+         |  AND d.valid_from <= e.ts
+         |  AND (d.valid_to IS NULL OR e.ts < d.valid_to)
+         |WHERE e.event_type = 'purchase'
+         |ORDER BY e.event_id""".stripMargin,
 
     "q_graph_degree" ->
       """WITH e AS (SELECT DISTINCT 'c:' || o_custkey::VARCHAR AS src,
@@ -2896,11 +2907,11 @@ object Oracles {
     * the banded event change log: lag-suppression of unchanged
     * (event_type, tier) pairs, then version/validity windows, all
     * ordered (ts, event_id) per user. */
-  private def scd2DimCte: String =
-    """WITH log AS (SELECT user_id, event_id, ts, event_type,
+  private def scd2DimCte(where: String = ""): String =
+    s"""WITH log AS (SELECT user_id, event_id, ts, event_type,
       |    CASE WHEN value < 50 THEN 'lo' WHEN value < 100 THEN 'mid'
       |         ELSE 'hi' END AS tier
-      |  FROM events),
+      |  FROM events$where),
       |flagged AS (SELECT *, row_number() OVER w AS rn,
       |    lag(event_type) OVER w AS p_type, lag(tier) OVER w AS p_tier
       |  FROM log WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
@@ -2912,7 +2923,7 @@ object Oracles {
       |  FROM kept WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))""".stripMargin
 
   private def scd2RebuildSql: String =
-    s"""$scd2DimCte
+    s"""${scd2DimCte()}
        |SELECT user_id, version::INT AS version, event_type, tier,
        |  epoch_us(valid_from) AS valid_from_us,
        |  epoch_us(valid_to) AS valid_to_us,

@@ -2571,6 +2571,24 @@ object Queries {
         unix_micros(col("valid_from")).as("valid_from_us"))
       .orderBy("user_id")
 
+  /** Leakage-safe PIT training join: every purchase fact picks up the
+    * user's PROFILE dimension version (SCD2 over the non-purchase event
+    * stream) valid at the purchase instant. Facts predating the user's
+    * first profile change are absent (inner as-of semantics). */
+  def qScd2PitJoin(s: SparkSession, dir: String): DataFrame = {
+    val log = scdLog(s, dir)
+    val dim = Scd.scd2Build(log.where(col("event_type") =!= "purchase"),
+      "user_id", "ts", Seq("event_type", "tier"), Seq("event_id"))
+    val facts = log.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), col("ts"))
+    Scd.scd2PitJoin(facts, dim, "user_id", "ts")
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("fact_ts_us"),
+        col("version"), col("tier").as("profile_tier"),
+        col("event_type").as("profile_event_type"))
+      .orderBy("event_id")
+  }
+
   /** In/out degree over the directed customer→supplier trading graph. */
   def qGraphDegree(s: SparkSession, dir: String): DataFrame =
     Graph.degrees(Graph.tradeEdges(t(s, dir, "orders"), t(s, dir, "lineitem")))
@@ -2772,6 +2790,7 @@ object Queries {
     "q_scd2_build" -> (qScd2Build _),
     "q_scd2_merge" -> (qScd2Merge _),
     "q_scd2_asof" -> (qScd2AsOf _),
+    "q_scd2_pit_join" -> (qScd2PitJoin _),
     "q_graph_degree" -> (qGraphDegree _),
     "q_graph_pagerank" -> (qGraphPagerank _),
   )

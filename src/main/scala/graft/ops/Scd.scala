@@ -149,4 +149,31 @@ object Scd {
   def scd2SnapshotAt(dim: DataFrame, asOf: Column): DataFrame =
     dim.where(col("valid_from") <= asOf &&
       (col("valid_to").isNull || col("valid_to") > asOf))
+
+  /** Point-in-time TRAINING join: each fact row picks up the dimension
+    * version valid at ITS OWN timestamp (`valid_from <= fact_ts <
+    * valid_to`) — the per-row as-of semantics a leakage-safe training
+    * set needs (the reference's PIT lookup shape,
+    * `notebooks/utils.py` as-of logic, against an interval dimension
+    * instead of a raw change log). Inner join: facts predating the
+    * key's first version are absent rather than null-padded.
+    *
+    * Scale: an EQUI-join on the dimension key with the interval bounds
+    * as residual filters — one co-partitionable shuffle pair, and the
+    * per-fact match fan-in is the key's version count over the fact's
+    * instant (exactly 1 by SCD2 interval disjointness). Versions per
+    * key are bounded (change-suppressed), so the join never explodes;
+    * contrast J3's union-tag rewrite, which is the right tool when the
+    * right side is a raw EVENT log instead of disjoint intervals. */
+  def scd2PitJoin(facts: DataFrame, dim: DataFrame, keyCol: String,
+                  factTsCol: String): DataFrame =
+    // Alias-qualified sides: facts and dim routinely share lineage (a
+    // dimension built from the same event source as the facts), and
+    // dataframe-indexed columns would trip ambiguous-self-join detection.
+    facts.as("__fact").join(dim.as("__dim"),
+      col(s"__fact.$keyCol") === col(s"__dim.$keyCol") &&
+        col("__dim.valid_from") <= col(s"__fact.$factTsCol") &&
+        (col("__dim.valid_to").isNull ||
+          col(s"__fact.$factTsCol") < col("__dim.valid_to")))
+      .drop(col(s"__dim.$keyCol"))
 }

@@ -92,6 +92,26 @@ class GraphScdSpec extends AnyFunSuite {
     assert(got == Seq((1L, "B")))
   }
 
+  test("scd2PitJoin: containing version per fact, boundary inclusive on " +
+       "valid_from, pre-history and unknown keys absent") {
+    val log = Seq(
+      (1L, ts("2024-01-01 00:00:00"), 1L, "A"),
+      (1L, ts("2024-01-05 00:00:00"), 2L, "B")
+    ).toDF("k", "t", "eid", "attr")
+    val dim = Scd.scd2Build(log, "k", "t", Seq("attr"), Seq("eid"))
+    val facts = Seq(
+      (1L, 10L, ts("2024-01-03 00:00:00")), // inside v1
+      (1L, 11L, ts("2024-01-05 00:00:00")), // ON the boundary → v2
+      (1L, 12L, ts("2024-01-09 00:00:00")), // open current → v2
+      (2L, 13L, ts("2024-01-02 00:00:00")), // unknown key → absent
+      (1L, 14L, ts("2023-12-30 00:00:00"))  // predates v1 → absent
+    ).toDF("k", "fid", "t")
+    val got = Scd.scd2PitJoin(facts, dim, "k", "t")
+      .select("fid", "version", "attr").orderBy("fid")
+      .as[(Long, Int, String)].collect().toSeq
+    assert(got == Seq((10L, 1, "A"), (11L, 2, "B"), (12L, 2, "B")))
+  }
+
   // ---------------------------------------------------------- PageRank
 
   test("pageRankMicros: symmetric 2-cycle is the exact fixed point") {
