@@ -2865,6 +2865,40 @@ object Oracles {
          |  AND (valid_to IS NULL OR valid_to > TIMESTAMP '2024-01-15 00:00:00')
          |ORDER BY user_id""".stripMargin,
 
+    "q_ea_transitions" ->
+      """WITH seq AS (SELECT user_id, event_type,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS next_type
+        |  FROM events),
+        |p AS (SELECT event_type AS cur_type, next_type, count(*) AS n_pairs
+        |  FROM seq WHERE next_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT cur_type, next_type, n_pairs,
+        |  ((n_pairs * 1000000)
+        |    // sum(n_pairs) OVER (PARTITION BY cur_type))::BIGINT AS p_micros
+        |FROM p ORDER BY cur_type, next_type""".stripMargin,
+
+    "q_basket_rules" ->
+      """WITH m0 AS (SELECT DISTINCT l_orderkey AS basket, l_partkey AS item
+        |    FROM lineitem),
+        |sz AS (SELECT basket FROM m0 GROUP BY basket HAVING count(*) <= 64),
+        |m AS (SELECT m0.* FROM m0 JOIN sz USING (basket)),
+        |tot AS (SELECT count(DISTINCT basket) AS n_baskets FROM m),
+        |ic AS (SELECT item, count(*) AS n_item FROM m GROUP BY 1),
+        |pc AS (SELECT a.item AS item_a, b.item AS item_b, count(*) AS n_ab
+        |  FROM m a JOIN m b ON a.basket = b.basket AND a.item < b.item
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |d AS (SELECT item_a, item_b, n_ab FROM pc
+        |  UNION ALL SELECT item_b, item_a, n_ab FROM pc)
+        |SELECT d.item_a, d.item_b, d.n_ab,
+        |  ((d.n_ab * 1000000) // t.n_baskets)::BIGINT AS support_micros,
+        |  ((d.n_ab * 1000000) // ia.n_item)::BIGINT AS confidence_micros,
+        |  ((((d.n_ab * 1000000) // ia.n_item) * t.n_baskets)
+        |    // ib.n_item)::BIGINT AS lift_micros
+        |FROM d JOIN ic ia ON d.item_a = ia.item
+        |  JOIN ic ib ON d.item_b = ib.item
+        |  CROSS JOIN tot t
+        |ORDER BY d.item_a, d.item_b""".stripMargin,
+
     "q_scd2_pit_join" ->
       s"""${scd2DimCte(" WHERE event_type <> 'purchase'")}
          |SELECT e.event_id, e.user_id, epoch_us(e.ts) AS fact_ts_us,

@@ -2589,6 +2589,22 @@ object Queries {
       .orderBy("event_id")
   }
 
+  /** First-order Markov transition matrix over per-user event-type
+    * sequences — transition counts + fixed-point probabilities. */
+  def qEaTransitions(s: SparkSession, dir: String): DataFrame =
+    graft.ops.EventAnalytics.transitionMatrix(t(s, dir, "events"),
+        "user_id", "ts", "event_type", Seq("event_id"))
+      .orderBy("cur_type", "next_type")
+
+  /** Market-basket association rules over order line items: item pairs
+    * co-purchased in ≥2 baskets, fixed-point support/confidence/lift. */
+  def qBasketRules(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Baskets.pairRules(
+        graft.ops.Baskets.basketItems(t(s, dir, "lineitem"),
+          "l_orderkey", "l_partkey"),
+        minPairCount = 2L)
+      .orderBy("item_a", "item_b")
+
   /** In/out degree over the directed customer→supplier trading graph. */
   def qGraphDegree(s: SparkSession, dir: String): DataFrame =
     Graph.degrees(Graph.tradeEdges(t(s, dir, "orders"), t(s, dir, "lineitem")))
@@ -2791,6 +2807,8 @@ object Queries {
     "q_scd2_merge" -> (qScd2Merge _),
     "q_scd2_asof" -> (qScd2AsOf _),
     "q_scd2_pit_join" -> (qScd2PitJoin _),
+    "q_ea_transitions" -> (qEaTransitions _),
+    "q_basket_rules" -> (qBasketRules _),
     "q_graph_degree" -> (qGraphDegree _),
     "q_graph_pagerank" -> (qGraphPagerank _),
   )

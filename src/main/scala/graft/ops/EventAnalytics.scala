@@ -96,4 +96,35 @@ object EventAnalytics {
       .withColumn("retention",
         col("n_active").cast("double") / col("cohort_size").cast("double"))
   }
+
+  /** First-order Markov transition matrix over the per-entity event-type
+    * sequence: for every observed (current, next) type pair, the
+    * transition count and an ENGINE-EXACT fixed-point probability
+    * `n(cur,next)·10⁶ div n(cur,·)` (integer micro-units — the repo's
+    * oracle-portable arithmetic, see `text/InvertedIndex.bm25Fixed`).
+    * The behavioral prior every sequence model starts from.
+    *
+    * Scale: one entity-keyed Window (the lead) — the same single shuffle
+    * every W-family op pays — then a groupBy on (cur, next) whose
+    * map-side partials collapse to at most k² rows for k event types;
+    * the per-cur totals come from a k-row window over the k²-row
+    * aggregate, not a second scan. */
+  def transitionMatrix(events: DataFrame, entityCol: String, timeCol: String,
+                       typeCol: String,
+                       tieBreakCols: Seq[String] = Nil): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(entityCol)
+      .orderBy((timeCol +: tieBreakCols).map(col): _*)
+    val pairs = events
+      .withColumn("__next", lead(col(typeCol), 1).over(w))
+      .where(col("__next").isNotNull)
+      .groupBy(col(typeCol).as("cur_type"), col("__next").as("next_type"))
+      .agg(count(lit(1)).as("n_pairs"))
+    pairs
+      .withColumn("__cur_total",
+        sum(col("n_pairs")).over(Window.partitionBy(col("cur_type"))))
+      .withColumn("p_micros",
+        expr("(n_pairs * 1000000L) div __cur_total"))
+      .drop("__cur_total")
+  }
 }

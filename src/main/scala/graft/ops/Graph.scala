@@ -67,9 +67,12 @@ object Graph {
     * ranks⋈edges on `src` (both sides partitionable by the same key; on
     * a real cluster pre-bucket the edge list by src and the join is
     * Exchange-free) plus one map-side-combinable groupBy on `dst`.
-    * Driver holds nothing but the loop counter; each round's rank table
-    * is `localCheckpoint`ed (CLAUDE.md invariant 7 — iterative frames
-    * otherwise nest lineage exponentially). */
+    * Driver holds nothing but the loop counter; the rank lineage is
+    * truncated with `localCheckpoint` every 5 rounds (CLAUDE.md
+    * invariant 7 — here growth is linear, not exponential, since each
+    * round references the previous ranks once and there is no per-round
+    * driver action, so periodic truncation suffices and per-round eager
+    * materialization would waste a job per round). */
   def pageRankMicros(edges: DataFrame, iters: Int,
                      dampNum: Long = 85L, dampDen: Long = 100L,
                      baseMicros: Long = 1000000L): DataFrame = {
@@ -79,22 +82,31 @@ object Graph {
     val nodes = e.select(col("src").as("node"))
       .unionByName(e.select(col("dst").as("node")))
       .distinct().localCheckpoint()
-    val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg")).localCheckpoint()
+    // Out-degree is loop-invariant: bake it onto the edge list ONCE so
+    // every round is a single ranks⋈edges join instead of two.
+    val degEdges = e
+      .join(e.groupBy("src").agg(count(lit(1)).as("outdeg")), Seq("src"))
+      .localCheckpoint()
     val teleport = baseMicros * (dampDen - dampNum) / dampDen
-    var ranks = nodes.withColumn("r", lit(baseMicros)).localCheckpoint()
+    var ranks = nodes.withColumn("r", lit(baseMicros))
     var i = 0
     while (i < iters) {
-      val inflow = e
+      val inflow = degEdges
         .join(ranks.withColumnRenamed("node", "src"), Seq("src"))
-        .join(deg, Seq("src"))
         .select(col("dst").as("node"), expr("r div outdeg").as("contrib"))
         .groupBy("node").agg(sum("contrib").as("inflow"))
       ranks = nodes.join(inflow, Seq("node"), "left")
         .select(col("node"),
           (lit(teleport) +
             expr(s"($dampNum * coalesce(inflow, 0L)) div $dampDen")).as("r"))
-        .localCheckpoint()
       i += 1
+      // The loop runs NO per-round action (fixed iterations, no
+      // convergence read), and each round references the previous ranks
+      // exactly once off checkpointed leaves — lineage grows LINEARLY,
+      // not exponentially, so the invariant-7 truncation only needs to
+      // fire periodically; eager per-round materialization would cost a
+      // job per round for nothing.
+      if (i % 5 == 0 && i < iters) ranks = ranks.localCheckpoint()
     }
     ranks.withColumnRenamed("r", "rank_micros")
   }
