@@ -38,17 +38,31 @@ object Bench {
       math.min(once(), once())
     }
 
-    val queryTimes = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      name -> time(fn(spark, sfDir).count())
-    }
+    // Optional entry filter (comma-separated regexes) for targeted runs —
+    // e.g. a scaling check on a handful of new entries shouldn't pay a
+    // full-suite sf1 sweep. Unset = the full catalog (driver behavior).
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(',').map(_.trim.r).toSeq)
+    def selected(name: String): Boolean =
+      only.forall(_.exists(_.findFirstIn(name).isDefined))
+
+    val queryTimes = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => selected(name) }
+      .map { case (name, fn) =>
+        name -> time(fn(spark, sfDir).count())
+      }
 
     // the five pipelines over reference-scale generated banking data;
     // cache + materialize the generated sources OUTSIDE the timed region —
     // otherwise each pipeline's time is charged for re-running the
     // generator (round-2 bench showed pipe_transactions at 2.7× baseline
     // purely from uncached datagen recomputation)
-    val sources = graft.datagen.BankingDataGen.all(spark)
-      .map { case (k, df) => k -> df.cache() }
+    val pipelineNames = Seq("pipe_transactions", "pipe_credit_risk",
+      "pipe_payment_behavior", "pipe_holding_products", "pipe_demographic")
+    val sources = if (pipelineNames.exists(selected))
+      graft.datagen.BankingDataGen.all(spark)
+        .map { case (k, df) => k -> df.cache() }
+    else Map.empty[String, org.apache.spark.sql.DataFrame]
     sources.values.foreach(_.count())
     val pipelineTimes = Seq(
       "pipe_transactions" -> (() => graft.pipelines.Pipelines.transactions(sources("transacciones"))),
@@ -57,7 +71,8 @@ object Bench {
       "pipe_holding_products" -> (() => graft.pipelines.Pipelines.holdingProducts(sources("productos"))),
       "pipe_demographic" -> (() => graft.pipelines.Pipelines.demographic(
         sources("clientes"), "2023-01-01", graft.datagen.BankingDataGen.AnchorMonth)),
-    ).map { case (name, mk) => name -> time(mk().count()) }
+    ).filter { case (name, _) => selected(name) }
+      .map { case (name, mk) => name -> time(mk().count()) }
 
     val results = (queryTimes ++ pipelineTimes).sortBy(-_._2)
     val total = results.map(_._2).sum
