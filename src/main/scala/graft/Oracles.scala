@@ -2899,6 +2899,46 @@ object Oracles {
         |  CROSS JOIN tot t
         |ORDER BY d.item_a, d.item_b""".stripMargin,
 
+    "q_feat_rfm" ->
+      """WITH per AS (SELECT o_custkey AS customer,
+        |    date_diff('day', max(o_orderdate)::DATE,
+        |      DATE '2001-09-01')::BIGINT AS recency_days,
+        |    count(*) AS frequency,
+        |    sum(o_totalprice::DECIMAL(18,2)) AS mon
+        |  FROM orders GROUP BY 1),
+        |sc AS (SELECT customer, recency_days, frequency, mon,
+        |    ntile(5) OVER (ORDER BY recency_days, customer)::INT AS r_score,
+        |    ntile(5) OVER (ORDER BY frequency DESC, customer)::INT AS f_score,
+        |    ntile(5) OVER (ORDER BY mon DESC, customer)::INT AS m_score
+        |  FROM per)
+        |SELECT customer, recency_days, frequency, mon::DOUBLE AS monetary,
+        |  r_score, f_score, m_score,
+        |  (r_score * 100 + f_score * 10 + m_score)::INT AS rfm_cell
+        |FROM sc ORDER BY customer""".stripMargin,
+
+    "q_graph_triangles" ->
+      """WITH m0 AS (SELECT DISTINCT l_orderkey AS basket, l_partkey AS item
+        |    FROM lineitem),
+        |sz AS (SELECT basket FROM m0 GROUP BY basket HAVING count(*) <= 64),
+        |m AS (SELECT m0.* FROM m0 JOIN sz USING (basket)),
+        |e AS (SELECT DISTINCT a.item AS u, b.item AS v
+        |  FROM m a JOIN m b ON a.basket = b.basket AND a.item < b.item),
+        |d AS (SELECT node, count(*) AS deg FROM
+        |  (SELECT u AS node FROM e UNION ALL SELECT v FROM e) GROUP BY 1),
+        |t AS (SELECT ab.u AS a, ab.v AS b, bc.v AS c
+        |  FROM e ab JOIN e bc ON bc.u = ab.v
+        |    JOIN e ac ON ac.u = ab.u AND ac.v = bc.v),
+        |corners AS (SELECT a AS node FROM t
+        |  UNION ALL SELECT b FROM t UNION ALL SELECT c FROM t),
+        |tc AS (SELECT node, count(*) AS n_tri FROM corners GROUP BY 1)
+        |SELECT d.node AS item, d.deg,
+        |  coalesce(tc.n_tri, 0)::BIGINT AS n_tri,
+        |  (CASE WHEN d.deg < 2 THEN 0
+        |    ELSE (2 * coalesce(tc.n_tri, 0) * 1000000)
+        |      // (d.deg * (d.deg - 1)) END)::BIGINT AS clustering_micros
+        |FROM d LEFT JOIN tc USING (node)
+        |ORDER BY item""".stripMargin,
+
     "q_scd2_pit_join" ->
       s"""${scd2DimCte(" WHERE event_type <> 'purchase'")}
          |SELECT e.event_id, e.user_id, epoch_us(e.ts) AS fact_ts_us,

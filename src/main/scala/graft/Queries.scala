@@ -2605,6 +2605,23 @@ object Queries {
         minPairCount = 2L)
       .orderBy("item_a", "item_b")
 
+  /** RFM segmentation over the order facts: per-customer recency /
+    * frequency / monetary with exact quintile scores (1 = best). */
+  def qFeatRfm(s: SparkSession, dir: String): DataFrame =
+    graft.features.Features.rfmScores(t(s, dir, "orders"),
+        "o_custkey", "o_orderdate", "o_totalprice", "2001-09-01")
+      .orderBy("customer")
+
+  /** Triangle count + local clustering coefficient per item over the
+    * undirected co-purchase graph (items sharing a basket). */
+  def qGraphTriangles(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Graph.triangleStats(
+        graft.ops.Baskets.coPurchaseEdges(
+          graft.ops.Baskets.basketItems(t(s, dir, "lineitem"),
+            "l_orderkey", "l_partkey")))
+      .withColumnRenamed("node", "item")
+      .orderBy("item")
+
   /** In/out degree over the directed customer→supplier trading graph. */
   def qGraphDegree(s: SparkSession, dir: String): DataFrame =
     Graph.degrees(Graph.tradeEdges(t(s, dir, "orders"), t(s, dir, "lineitem")))
@@ -2810,6 +2827,8 @@ object Queries {
     "q_ea_transitions" -> (qEaTransitions _),
     "q_basket_rules" -> (qBasketRules _),
     "q_graph_degree" -> (qGraphDegree _),
+    "q_graph_triangles" -> (qGraphTriangles _),
+    "q_feat_rfm" -> (qFeatRfm _),
     "q_graph_pagerank" -> (qGraphPagerank _),
   )
 }

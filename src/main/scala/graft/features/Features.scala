@@ -546,6 +546,85 @@ object Features {
       .select("bucket", "n", "n_pos", "pos_rate", "cum_lift")
   }
 
+  /** One exact-ntile scoring pass over a keyed frame: rows ranked by
+    * `sortExprs` (must be a TOTAL order — include a unique tie-break)
+    * into `nBuckets` equal-frequency buckets, returned as
+    * `(keyCol, out)`. Same scale topology as [[liftTable]] (range
+    * partition → local sort → zipWithIndex rank → broadcast offsets →
+    * ntile ARITHMETIC on (rank, n)): no single-partition sort, one
+    * full-data exchange, bit-identical to window `ntile`. */
+  private def ntileScore(df: DataFrame, keyCol: String,
+                         sortExprs: Seq[Column], nBuckets: Int,
+                         out: String): DataFrame = {
+    val nParts = df.sparkSession.sessionState.conf.numShufflePartitions
+    // localCheckpoint pins ONE materialization of the sampled range
+    // partitioning + per-row ids: `ranged` feeds both the offsets and
+    // the rank subtrees (CLAUDE.md invariant 7)
+    val ranged = df
+      .repartitionByRange(nParts, sortExprs: _*)
+      .sortWithinPartitions(sortExprs: _*)
+      .withColumn("__part", spark_partition_id())
+      .withColumn("__lrk",
+        (monotonically_increasing_id().bitwiseAND(lit((1L << 33) - 1)) + 1L))
+      .localCheckpoint()
+    val offsets = broadcast(
+      ranged.groupBy("__part").agg(count(lit(1)).as("__pc"))
+        .withColumn("__offset", coalesce(
+          sum("__pc").over(Window.orderBy("__part")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .withColumn("__n", sum("__pc").over(Window.partitionBy()))
+        .select("__part", "__offset", "__n"))
+    val ranked = ranged.join(offsets, Seq("__part"))
+      .withColumn("__rk", col("__offset") + col("__lrk"))
+    val qz = floor(col("__n") / nBuckets).cast("long")
+    val rem = col("__n") % nBuckets
+    val cut = rem * (qz + 1)
+    val bucket = when(col("__rk") <= cut,
+        floor((col("__rk") - 1) / (qz + 1)) + 1)
+      .otherwise(rem + floor((col("__rk") - cut - 1) / greatest(qz, lit(1L))) + 1)
+    ranked.select(col(keyCol), bucket.cast("int").as(out))
+  }
+
+  /** RFM segmentation — the classic retail feature trio. Per customer:
+    * `recency_days` (days from the last order to `asOfDate`),
+    * `frequency` (order count), `monetary` (decimal-exact spend sum,
+    * emitted as double), plus ntile scores `r_score`/`f_score`/`m_score`
+    * (1 = best: most recent / most frequent / highest spend) and the
+    * composed `rfm_cell = r·100 + f·10 + m`. Scores replay exactly as
+    * SQL `ntile(n) OVER (ORDER BY …, customer)` — deterministic via the
+    * unique customer tie-break.
+    *
+    * Scale: the heavy shuffle is the single customer-keyed aggregate of
+    * the order facts; the three scoring passes each range-partition only
+    * the customer-DIM-sized aggregate (one exchange each, no
+    * single-partition ntile window — the round-3 killer), and the score
+    * join-back is dim⋈dim on the customer key. */
+  def rfmScores(orders: DataFrame, custCol: String, dateCol: String,
+                amountCol: String, asOfDate: String,
+                nBuckets: Int = 5): DataFrame = {
+    // one materialization feeds three independent rank subtrees + the
+    // final join-back — never recompute the fact-table aggregate 4×
+    val per = orders.groupBy(col(custCol).as("customer"))
+      .agg(
+        datediff(lit(asOfDate).cast("date"), max(col(dateCol)))
+          .cast("long").as("recency_days"),
+        count(lit(1)).as("frequency"),
+        sum(dec(col(amountCol))).as("__mon"))
+      .localCheckpoint()
+    val r = ntileScore(per, "customer",
+      Seq(col("recency_days").asc, col("customer").asc), nBuckets, "r_score")
+    val f = ntileScore(per, "customer",
+      Seq(col("frequency").desc, col("customer").asc), nBuckets, "f_score")
+    val m = ntileScore(per, "customer",
+      Seq(col("__mon").desc, col("customer").asc), nBuckets, "m_score")
+    per.join(r, Seq("customer")).join(f, Seq("customer")).join(m, Seq("customer"))
+      .select(col("customer"), col("recency_days"), col("frequency"),
+        col("__mon").cast("double").as("monetary"),
+        col("r_score"), col("f_score"), col("m_score"),
+        (col("r_score") * 100 + col("f_score") * 10 + col("m_score"))
+          .as("rfm_cell"))
+  }
+
   /** Pearson correlation for every unordered pair of `cols`, computed in
     * ONE aggregation pass: all Σx, Σx², Σxy accumulated together (k + k(k+1)/2
     * decimal sums), then

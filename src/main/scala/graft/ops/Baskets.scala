@@ -29,6 +29,19 @@ object Baskets {
     m.join(sized.select("basket"), Seq("basket"))
   }
 
+  /** Undirected item co-purchase graph: one edge per DISTINCT unordered
+    * item pair that shares at least one surviving basket, emitted as
+    * `(u, v)` with `u < v`. Edge volume is bounded by
+    * `n_baskets · cap²` ([[basketItems]]'s size cap — invariant 9), so
+    * the graph grows linearly in baskets at fixed cap. Feeds
+    * [[graft.ops.Graph.triangleStats]]. */
+  def coPurchaseEdges(memberships: DataFrame): DataFrame =
+    memberships.as("a")
+      .join(memberships.as("b"), col("a.basket") === col("b.basket") &&
+        col("a.item") < col("b.item"))
+      .select(col("a.item").as("u"), col("b.item").as("v"))
+      .distinct()
+
   /** Item-PAIR association rules with support ≥ `minPairCount` baskets.
     * Emits BOTH rule directions per unordered pair:
     * `support_micros = n_ab·10⁶ div n_baskets`,

@@ -110,4 +110,59 @@ object Graph {
     }
     ranks.withColumnRenamed("r", "rank_micros")
   }
+
+  /** Per-node triangle count + local clustering coefficient over an
+    * UNDIRECTED edge list (`(u, v)` one row per unordered pair, u ≠ v).
+    * Output: `(node, deg, n_tri, clustering_micros)` where
+    * `clustering_micros = 2·n_tri·10⁶ div (deg·(deg−1))` (0 for
+    * deg < 2) — exact fixed-point, oracle-replayable.
+    *
+    * Scale: the degree-ordered orientation (Chiba–Nishizeki / cf. the
+    * Spark GraphX triangle-count design): each edge is directed from its
+    * lower-(degree, id) endpoint to the higher, which caps every node's
+    * OUT-degree at O(√E) by construction — the invariant-9 occupancy
+    * bound for the wedge self-join. A hub with raw degree d contributes
+    * wedges only through neighbors that rank ABOVE it, so the classic
+    * d² hub blowup cannot happen (measured here: raw max degree 222 →
+    * oriented max out-degree 97 at sf0.1). Wedges close with one hash
+    * join back to the oriented edges; each triangle is found exactly
+    * once (from its lowest-rank corner) and credited to all three
+    * corners via a map-side-combinable groupBy. No driver state. */
+  def triangleStats(edges: DataFrame): DataFrame = {
+    val e = edges.select(col("u"), col("v")).localCheckpoint()
+    val deg = e.select(col("u").as("node"))
+      .unionAll(e.select(col("v").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    val withDeg = e
+      .join(deg.select(col("node").as("u"), col("deg").as("du")), Seq("u"))
+      .join(deg.select(col("node").as("v"), col("deg").as("dv")), Seq("v"))
+    val uFirst = col("du") < col("dv") ||
+      (col("du") === col("dv") && col("u") < col("v"))
+    // oriented edge src→dst with rank(src) < rank(dst); carry dst's
+    // degree so the wedge join can order out-neighbors by the SAME
+    // total (deg, id) rank without re-joining the degree table
+    val oriented = withDeg.select(
+        when(uFirst, col("u")).otherwise(col("v")).as("src"),
+        when(uFirst, col("v")).otherwise(col("u")).as("dst"),
+        when(uFirst, col("dv")).otherwise(col("du")).as("ddst"))
+      .localCheckpoint()
+    val wedges = oriented.select(col("src"), col("dst").as("x"), col("ddst").as("dx"))
+      .join(oriented.select(col("src"), col("dst").as("y"), col("ddst").as("dy")),
+        Seq("src"))
+      .where(col("dx") < col("dy") ||
+        (col("dx") === col("dy") && col("x") < col("y")))
+      .select(col("src"), col("x"), col("y"))
+    val tris = wedges.join(
+      oriented.select(col("src").as("x"), col("dst").as("y")), Seq("x", "y"))
+    val triCnt = tris.select(col("src").as("node"))
+      .unionAll(tris.select(col("x").as("node")))
+      .unionAll(tris.select(col("y").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("n_tri"))
+    deg.join(triCnt, Seq("node"), "left")
+      .select(col("node"), col("deg"),
+        coalesce(col("n_tri"), lit(0L)).as("n_tri"))
+      .withColumn("clustering_micros",
+        expr("CASE WHEN deg < 2 THEN 0L " +
+          "ELSE (2L * n_tri * 1000000L) div (deg * (deg - 1L)) END"))
+  }
 }

@@ -42,6 +42,35 @@ class BasketsEventsSpec extends AnyFunSuite {
     assert(got == Set((2L, "x"), (2L, "y"))) // basket 1 has 3 distinct items → dropped
   }
 
+  test("triangleStats: hand-computed triangles on K4 minus an edge") {
+    // nodes 1..4, edges (1,2)(1,3)(2,3)(2,4)(3,4) — triangles (1,2,3), (2,3,4)
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L)).toDF("u", "v")
+    val got = graft.ops.Graph.triangleStats(edges)
+      .orderBy("node")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (1L, 2L, 1L, 1000000L),   // 2·1e6 / (2·1)
+      (2L, 3L, 2L, 666666L),    // 4e6 div 6
+      (3L, 3L, 2L, 666666L),
+      (4L, 2L, 1L, 1000000L)))
+  }
+
+  test("triangleStats: triangle-free graph and deg-1 node get zeros") {
+    val edges = Seq((1L, 2L), (2L, 3L)).toDF("u", "v") // a path: no triangles
+    val got = graft.ops.Graph.triangleStats(edges)
+      .orderBy("node")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 1L, 0L, 0L), (2L, 2L, 0L, 0L), (3L, 1L, 0L, 0L)))
+  }
+
+  test("coPurchaseEdges: distinct unordered pairs sharing a basket") {
+    val m = Seq((1L, 10L), (1L, 20L), (1L, 30L), (2L, 10L), (2L, 20L))
+      .toDF("basket", "item")
+    val got = graft.ops.Baskets.coPurchaseEdges(m)
+      .as[(Long, Long)].collect().toSet
+    assert(got == Set((10L, 20L), (10L, 30L), (20L, 30L)))
+  }
+
   test("pairRules: hand-computed support / confidence / lift, both directions") {
     val m = Seq((1L, "x"), (1L, "y"), (1L, "z"), (2L, "x"), (2L, "y"), (3L, "x"))
       .toDF("basket", "item")

@@ -145,6 +145,41 @@ class FeaturesSpec extends AnyFunSuite {
     assert(out(5L) == 0.0)            // singleton group
   }
 
+  test("rfmScores: scores match window ntile; hand-checked best/worst cells") {
+    import org.apache.spark.sql.expressions.Window
+    // 7 customers, 1-3 orders each, distinct recency/frequency/spend
+    val orders = Seq(
+      (1L, "2024-01-10", 100.0), (1L, "2024-01-20", 50.0), (1L, "2024-02-01", 25.0),
+      (2L, "2024-01-05", 500.0), (2L, "2024-01-25", 10.0),
+      (3L, "2023-12-01", 80.0),
+      (4L, "2024-01-30", 300.0), (4L, "2023-11-11", 5.0),
+      (5L, "2023-10-01", 40.0),
+      (6L, "2024-02-02", 900.0),
+      (7L, "2023-09-15", 1.0)
+    ).toDF("cust", "dt", "amt").withColumn("dt", col("dt").cast("timestamp"))
+    val got = Features.rfmScores(orders, "cust", "dt", "amt", "2024-03-01", nBuckets = 3)
+    // differential: arithmetic buckets must equal window ntile on each axis
+    val per = orders.groupBy(col("cust").as("customer")).agg(
+      datediff(lit("2024-03-01").cast("date"), max(col("dt"))).cast("long").as("rd"),
+      count(lit(1)).as("fq"),
+      sum(col("amt").cast("decimal(18,2)")).as("mon"))
+    val exp = per.select(col("customer"),
+      ntile(3).over(Window.orderBy(col("rd"), col("customer"))).as("r_score"),
+      ntile(3).over(Window.orderBy(col("fq").desc, col("customer"))).as("f_score"),
+      ntile(3).over(Window.orderBy(col("mon").desc, col("customer"))).as("m_score"))
+      .as[(Long, Int, Int, Int)].collect()
+      .map { case (k, r, f, m) => k -> ((r, f, m)) }.toMap
+    val gotMap = got.select("customer", "r_score", "f_score", "m_score")
+      .as[(Long, Int, Int, Int)].collect().map { case (k, r, f, m) => k -> ((r, f, m)) }.toMap
+    assert(gotMap == exp)
+    // customer 6: most recent, highest spend -> r=1, m=1
+    assert(gotMap(6L)._1 == 1 && gotMap(6L)._3 == 1)
+    // customer 7: stalest, cheapest, single order -> all worst bucket
+    assert(gotMap(7L) == ((3, 3, 3)))
+    val cells = got.select("customer", "rfm_cell").as[(Long, Int)].collect().toMap
+    assert(cells(7L) == 333)
+  }
+
   test("liftTable: perfect score ranks positives first, cum_lift decays to 1") {
     // 100 rows, top-20 scores are the positives -> deciles 1-2 pure positive
     val df = (1 to 100).map(i => (i.toLong, (100 - i).toDouble, i <= 20))
