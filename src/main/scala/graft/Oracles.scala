@@ -2899,6 +2899,61 @@ object Oracles {
         |  CROSS JOIN tot t
         |ORDER BY d.item_a, d.item_b""".stripMargin,
 
+    "q_ab_report" ->
+      """WITH units AS (SELECT user_id,
+        |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS converted
+        |  FROM events GROUP BY 1),
+        |v AS (SELECT CASE WHEN
+        |    ('0x' || substr(md5(concat_ws('|', user_id, 'ab')), 1, 15))
+        |      ::UBIGINT % 2 = 0 THEN 'A' ELSE 'B' END AS variant, converted
+        |  FROM units),
+        |per AS (SELECT variant, count(*) AS n_units,
+        |    count(CASE WHEN converted = 1 THEN 1 END) AS n_conv
+        |  FROM v GROUP BY 1),
+        |per2 AS (SELECT variant, n_units, n_conv,
+        |    ((n_conv * 1000000) // n_units)::BIGINT AS rate_micros FROM per),
+        |c AS (SELECT n_units AS nc, n_conv AS cc FROM per2
+        |  WHERE variant = 'A')
+        |SELECT p.variant, p.n_units, p.n_conv, p.rate_micros,
+        |  (CASE WHEN p.variant = 'A' THEN NULL
+        |    ELSE p.rate_micros - ((c.cc * 1000000) // c.nc)
+        |    END)::BIGINT AS delta_micros,
+        |  CASE WHEN p.variant = 'A' OR NOT
+        |    sqrt(((p.n_conv + c.cc)::DOUBLE / (p.n_units + c.nc)::DOUBLE)
+        |      * (1.0 - (p.n_conv + c.cc)::DOUBLE
+        |          / (p.n_units + c.nc)::DOUBLE)
+        |      * (1.0 / p.n_units::DOUBLE + 1.0 / c.nc::DOUBLE)) > 0
+        |  THEN NULL ELSE
+        |    (p.n_conv::DOUBLE / p.n_units::DOUBLE
+        |      - c.cc::DOUBLE / c.nc::DOUBLE)
+        |    / sqrt(((p.n_conv + c.cc)::DOUBLE / (p.n_units + c.nc)::DOUBLE)
+        |      * (1.0 - (p.n_conv + c.cc)::DOUBLE
+        |          / (p.n_units + c.nc)::DOUBLE)
+        |      * (1.0 / p.n_units::DOUBLE + 1.0 / c.nc::DOUBLE))
+        |  END AS z_stat
+        |FROM per2 p CROSS JOIN c
+        |ORDER BY p.variant""".stripMargin,
+
+    "q_stat_bootstrap" ->
+      """WITH rep AS (SELECT unnest(range(32))::INT AS replicate),
+        |x AS (SELECT o_orderkey, o_totalprice::DECIMAL(18,2) AS v
+        |  FROM orders),
+        |d AS (SELECT r.replicate, x.v,
+        |    ('0x' || substr(md5(concat_ws('|', x.o_orderkey, r.replicate,
+        |      '42')), 1, 15))::UBIGINT % 1000000000 AS u
+        |  FROM x CROSS JOIN rep r),
+        |w AS (SELECT replicate, v,
+        |    CASE WHEN u < 367879441 THEN 0 WHEN u < 735758882 THEN 1
+        |         WHEN u < 919698602 THEN 2 WHEN u < 981011843 THEN 3
+        |         WHEN u < 996340153 THEN 4 WHEN u < 999405815 THEN 5
+        |         WHEN u < 999916758 THEN 6 WHEN u < 999989750 THEN 7
+        |         ELSE 8 END AS wt
+        |  FROM d)
+        |SELECT replicate, sum(wt)::BIGINT AS n_eff,
+        |  (sum(wt * v))::DOUBLE / (sum(wt))::DOUBLE AS wmean
+        |FROM w GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "q_feat_rfm" ->
       """WITH per AS (SELECT o_custkey AS customer,
         |    date_diff('day', max(o_orderdate)::DATE,

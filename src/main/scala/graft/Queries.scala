@@ -2605,6 +2605,28 @@ object Queries {
         minPairCount = 2L)
       .orderBy("item_a", "item_b")
 
+  /** A/B conversion readout: users hash-split into two variants, a user
+    * converts iff they have a purchase event; per-variant rates + the
+    * two-proportion z statistic vs control A. */
+  def qAbReport(s: SparkSession, dir: String): DataFrame = {
+    val units = t(s, dir, "events")
+      .groupBy(col("user_id"))
+      .agg(max(when(col("event_type") === "purchase", 1).otherwise(0))
+        .as("converted"))
+      .withColumn("variant",
+        when(conv(substring(md5(concat_ws("|", col("user_id"), lit("ab"))),
+          1, 15), 16, 10).cast("long") % 2 === 0, "A").otherwise("B"))
+    graft.ops.Stats.abReport(units, "variant", "converted", "A")
+      .orderBy("variant")
+  }
+
+  /** Poisson(1) bootstrap of mean order value: 32 deterministic
+    * replicates via the portable md5 gate. */
+  def qStatBootstrap(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Stats.bootstrapReplicates(t(s, dir, "orders"),
+        "o_totalprice", Seq("o_orderkey"), nReplicates = 32)
+      .orderBy("replicate")
+
   /** RFM segmentation over the order facts: per-customer recency /
     * frequency / monetary with exact quintile scores (1 = best). */
   def qFeatRfm(s: SparkSession, dir: String): DataFrame =
@@ -2829,6 +2851,8 @@ object Queries {
     "q_graph_degree" -> (qGraphDegree _),
     "q_graph_triangles" -> (qGraphTriangles _),
     "q_feat_rfm" -> (qFeatRfm _),
+    "q_ab_report" -> (qAbReport _),
+    "q_stat_bootstrap" -> (qStatBootstrap _),
     "q_graph_pagerank" -> (qGraphPagerank _),
   )
 }

@@ -1,0 +1,126 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Experiment analysis and resampling statistics (extension beyond the
+  * reference surface — the measurement layer a feature store feeds:
+  * A/B conversion readouts and bootstrap uncertainty on any metric).
+  *
+  * Determinism contract (same rules as [[graft.Queries]]): rates are
+  * fixed-point micro-units from exact counts; the z statistic is a fixed
+  * double expression over exact counts (IEEE +,-,*,/ and sqrt are
+  * correctly rounded, so any engine replaying the same shape produces
+  * bit-identical doubles); bootstrap weights derive from the portable
+  * md5 gate ([[Filters.portableHashSample]]'s hash), so every replicate
+  * is replayable by any SQL engine.
+  */
+object Stats {
+
+  /** Two-proportion A/B readout: one row per variant with unit count,
+    * conversions, fixed-point rate, plus — for every non-control
+    * variant — the rate delta vs control (micro-units, signed) and the
+    * two-proportion z statistic
+    * `(p_v − p_c) / sqrt(p·(1−p)·(1/n_v + 1/n_c))` with `p` pooled.
+    * Control's delta/z are null.
+    *
+    * Scale: one variant-keyed aggregate of the unit frame (map-side
+    * combine → one row per variant); the control row rides back as a
+    * broadcast single-row join. No window, no driver math. */
+  def abReport(units: DataFrame, variantCol: String, convCol: String,
+               controlVariant: String): DataFrame = {
+    val per = units.groupBy(col(variantCol).as("variant"))
+      .agg(count(lit(1)).as("n_units"),
+        count(when(col(convCol).cast("boolean"), 1)).as("n_conv"))
+      .withColumn("rate_micros", expr("(n_conv * 1000000L) div n_units"))
+    val ctrl = broadcast(per.where(col("variant") === controlVariant)
+      .select(col("n_units").as("__nc"), col("n_conv").as("__cc")))
+    val pooled = (col("n_conv") + col("__cc")).cast("double") /
+      (col("n_units") + col("__nc")).cast("double")
+    val denom = sqrt(pooled * (lit(1.0) - pooled) *
+      (lit(1.0) / col("n_units").cast("double") +
+        lit(1.0) / col("__nc").cast("double")))
+    // degenerate pooled rate 0 or 1 (nobody / everybody converts):
+    // z is undefined — emit null rather than divide by zero (ANSI)
+    val z = when(denom > 0,
+      (col("n_conv").cast("double") / col("n_units").cast("double") -
+        col("__cc").cast("double") / col("__nc").cast("double")) / denom)
+      .otherwise(lit(null).cast("double"))
+    per.crossJoin(ctrl)
+      .select(col("variant"), col("n_units"), col("n_conv"), col("rate_micros"),
+        when(col("variant") === controlVariant, lit(null).cast("long"))
+          .otherwise(col("rate_micros") -
+            expr("(__cc * 1000000L) div __nc")).as("delta_micros"),
+        when(col("variant") === controlVariant, lit(null).cast("double"))
+          .otherwise(z).as("z_stat"))
+  }
+
+  /** Deterministic unit-interval position in [0, 1e9) from the portable
+    * md5 gate over (keys…, salt) — replayable by any engine with md5. */
+  private def u9(keys: Seq[Column], salt: Column): Column =
+    conv(substring(md5(concat_ws("|", keys :+ salt: _*)), 1, 15), 16, 10)
+      .cast("long") % 1000000000L
+
+  /** Cumulative Poisson(1) thresholds scaled to 1e9 (floor): weight k is
+    * drawn when the uniform lands in [cum(k−1), cum(k)). The tail is
+    * capped at 8 (P(X>8|λ=1) ≈ 1e-6 — negligible bias, exact
+    * determinism). Constants, not runtime libm. */
+  private val PoissonCum9 = Seq(367879441L, 735758882L, 919698602L,
+    981011843L, 996340153L, 999405815L, 999916758L, 999989750L)
+
+  /** Poisson(1) bootstrap replicate table — the at-scale bootstrap: one
+    * pass, no per-replicate resample-shuffle. Every (row, replicate)
+    * draws an integer weight from Poisson(1) via the portable md5
+    * uniform of `(keyCols…, replicate, salt)`, and each replicate's
+    * weighted mean of `valueCol` is
+    * `sum(w·decimal(value)) / sum(w)` — decimal-exact numerator,
+    * integer denominator, one double division at the end. Output:
+    * `(replicate, n_eff, wmean)`, `nReplicates` rows.
+    *
+    * `keyCols` must uniquely identify a row (the hash is the row's
+    * resampling identity — duplicates would draw correlated weights).
+    *
+    * Scale: the explode multiplies rows ×R MAP-SIDE ONLY — the very next
+    * operator is a replicate-keyed aggregate whose partial combine
+    * collapses each partition to R rows before any exchange, so the
+    * shuffle carries #partitions·R tiny partials, never the exploded
+    * data. Driver holds nothing; CI summarization ([[bootstrapCI]])
+    * runs over the R-row result. */
+  def bootstrapReplicates(df: DataFrame, valueCol: String,
+                          keyCols: Seq[String], nReplicates: Int = 32,
+                          salt: Int = 42): DataFrame = {
+    require(keyCols.nonEmpty, "keyCols must be non-empty")
+    require(nReplicates >= 2, "need nReplicates >= 2")
+    val u = u9(keyCols.map(col) ++ Seq(col("replicate")), lit(salt.toString))
+    val w = PoissonCum9.zipWithIndex.foldRight(lit(PoissonCum9.size): Column) {
+      case ((thr, k), rest) => when(u < thr, k).otherwise(rest)
+    }
+    df.select(col(valueCol).cast("decimal(18,2)").as("__v") +:
+        keyCols.map(col): _*)
+      .withColumn("replicate",
+        explode(sequence(lit(0), lit(nReplicates - 1))))
+      .withColumn("__w", w.cast("long"))
+      .groupBy("replicate")
+      .agg(sum("__w").as("n_eff"),
+        (sum(col("__w") * col("__v")).cast("double") /
+          sum("__w").cast("double")).as("wmean"))
+  }
+
+  /** Percentile CI over a replicate table: nearest-rank lo/hi quantiles
+    * of `wmean` plus their mean — a 1-row summary of
+    * [[bootstrapReplicates]] (the sort runs over R rows, not data). */
+  def bootstrapCI(replicates: DataFrame, level: Double = 0.95): DataFrame = {
+    require(level > 0 && level < 1, "level in (0,1)")
+    val lo = (1.0 - level) / 2.0
+    val ranked = replicates
+      .withColumn("__rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("wmean"))))
+      .crossJoin(broadcast(replicates.select(count(lit(1)).as("__n"))))
+    ranked.agg(
+      avg(col("wmean")).as("boot_mean"),
+      max(when(col("__rk") === greatest(ceil(lit(lo) * col("__n")), lit(1)),
+        col("wmean"))).as("ci_lo"),
+      max(when(col("__rk") === ceil(lit(1.0 - lo) * col("__n")),
+        col("wmean"))).as("ci_hi"))
+  }
+}

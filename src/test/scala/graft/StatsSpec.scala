@@ -1,0 +1,64 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.ops.Stats
+
+/** Experiment readout + Poisson bootstrap. */
+class StatsSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("abReport: hand-computed rates, delta, and two-proportion z") {
+    val units = Seq(
+      ("A", 0), ("A", 1), ("A", 0), ("A", 0),
+      ("B", 1), ("B", 1), ("B", 1), ("B", 0)
+    ).toDF("variant", "converted")
+    val got = Stats.abReport(units, "variant", "converted", "A")
+      .orderBy("variant")
+      .as[(String, Long, Long, Long, Option[Long], Option[Double])]
+      .collect().toSeq
+    assert(got.head == (("A", 4L, 1L, 250000L, None, None)))
+    val b = got(1)
+    assert((b._1, b._2, b._3, b._4, b._5) == (("B", 4L, 3L, 750000L, Some(500000L))))
+    // p1=.75 p2=.25 pooled=.5 -> z = .5 / sqrt(.5*.5*(1/4+1/4)) = sqrt 2
+    // (the fixed expression shape rounds 1 ulp below math.sqrt(2) — the
+    // SAME shape in any IEEE engine reproduces this exact double)
+    assert(b._6.get == 1.414213562373095)
+    assert(math.abs(b._6.get - math.sqrt(2.0)) < 1e-15)
+  }
+
+  test("abReport: degenerate all-convert panel yields null z, not an ANSI error") {
+    val units = Seq(("A", 1), ("A", 1), ("B", 1)).toDF("variant", "converted")
+    val got = Stats.abReport(units, "variant", "converted", "A")
+      .orderBy("variant")
+      .as[(String, Long, Long, Long, Option[Long], Option[Double])]
+      .collect().toSeq
+    assert(got(1) == (("B", 1L, 1L, 1000000L, Some(0L), None)))
+  }
+
+  test("bootstrapReplicates: deterministic, layout-independent, sane weights") {
+    val df = (1L to 500L).map(i => (i, (i % 97).toDouble + 1.0)).toDF("id", "x")
+    val a = Stats.bootstrapReplicates(df, "x", Seq("id"), nReplicates = 8)
+      .orderBy("replicate")
+      .as[(Int, Long, Double)].collect().toSeq
+    val b = Stats.bootstrapReplicates(df.repartition(7), "x", Seq("id"),
+        nReplicates = 8)
+      .orderBy("replicate")
+      .as[(Int, Long, Double)].collect().toSeq
+    assert(a == b)                       // pure function of (keys, replicate, salt)
+    assert(a.map(_._1) == (0 until 8))
+    // Poisson(1) weights: n_eff concentrates near n (sd ~ sqrt(500) ~ 22)
+    assert(a.forall { case (_, nEff, _) => nEff > 380 && nEff < 620 })
+    val (lo, hi) = (1.0, 97.0)
+    assert(a.forall { case (_, _, m) => m > lo && m < hi })
+  }
+
+  test("bootstrapCI: nearest-rank bounds over a hand replicate table") {
+    val reps = (1 to 10).map(i => (i, 100L, i.toDouble)).toDF("replicate", "n_eff", "wmean")
+    val got = Stats.bootstrapCI(reps, level = 0.9)
+      .as[(Double, Double, Double)].collect().head
+    assert(got == ((5.5, 1.0, 10.0)))
+  }
+}
