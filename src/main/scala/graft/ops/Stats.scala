@@ -29,10 +29,14 @@ object Stats {
     * broadcast single-row join. No window, no driver math. */
   def abReport(units: DataFrame, variantCol: String, convCol: String,
                controlVariant: String): DataFrame = {
+    // k-variant-row aggregate, localCheckpoint'ed: it feeds BOTH the
+    // output rows and the control filter — without the pin the whole
+    // unit-frame aggregation runs twice
     val per = units.groupBy(col(variantCol).as("variant"))
       .agg(count(lit(1)).as("n_units"),
         count(when(col(convCol).cast("boolean"), 1)).as("n_conv"))
       .withColumn("rate_micros", expr("(n_conv * 1000000L) div n_units"))
+      .localCheckpoint()
     val ctrl = broadcast(per.where(col("variant") === controlVariant)
       .select(col("n_units").as("__nc"), col("n_conv").as("__cc")))
     val pooled = (col("n_conv") + col("__cc")).cast("double") /
