@@ -2899,6 +2899,27 @@ object Oracles {
         |  CROSS JOIN tot t
         |ORDER BY d.item_a, d.item_b""".stripMargin,
 
+    "q_ea_attribution" ->
+      """WITH conv AS (SELECT user_id, min(ts) AS conv_ts FROM events
+        |  WHERE event_type = 'purchase' GROUP BY 1),
+        |t AS (SELECT e.event_type,
+        |    row_number() OVER (PARTITION BY e.user_id
+        |      ORDER BY e.ts, e.event_id) AS pos,
+        |    count(*) OVER (PARTITION BY e.user_id) AS n
+        |  FROM events e JOIN conv USING (user_id)
+        |  WHERE e.ts < conv.conv_ts AND e.event_type <> 'purchase'),
+        |c AS (SELECT event_type AS channel,
+        |    CASE WHEN pos = 1 THEN 1000000 ELSE 0 END AS f,
+        |    CASE WHEN pos = n THEN 1000000 ELSE 0 END AS l,
+        |    (1000000 // n)
+        |      + (CASE WHEN pos <= 1000000 % n THEN 1 ELSE 0 END) AS lin
+        |  FROM t)
+        |SELECT channel, sum(f)::BIGINT AS first_micros,
+        |  sum(l)::BIGINT AS last_micros,
+        |  sum(lin)::BIGINT AS linear_micros,
+        |  count(*)::BIGINT AS n_touches
+        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "q_ab_report" ->
       """WITH units AS (SELECT user_id,
         |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)

@@ -2605,6 +2605,14 @@ object Queries {
         minPairCount = 2L)
       .orderBy("item_a", "item_b")
 
+  /** Multi-touch attribution over the event stream: first/last/linear
+    * credit per channel for touches preceding each user's first
+    * purchase, in exact micro-units. */
+  def qEaAttribution(s: SparkSession, dir: String): DataFrame =
+    graft.ops.EventAnalytics.attribution(t(s, dir, "events"),
+        "user_id", "ts", "event_type", "purchase", Seq("event_id"))
+      .orderBy("channel")
+
   /** A/B conversion readout: users hash-split into two variants, a user
     * converts iff they have a purchase event; per-variant rates + the
     * two-proportion z statistic vs control A. */
@@ -2852,6 +2860,7 @@ object Queries {
     "q_graph_triangles" -> (qGraphTriangles _),
     "q_feat_rfm" -> (qFeatRfm _),
     "q_ab_report" -> (qAbReport _),
+    "q_ea_attribution" -> (qEaAttribution _),
     "q_stat_bootstrap" -> (qStatBootstrap _),
     "q_graph_pagerank" -> (qGraphPagerank _),
   )

@@ -97,6 +97,45 @@ object EventAnalytics {
         col("n_active").cast("double") / col("cohort_size").cast("double"))
   }
 
+  /** Multi-touch attribution: for every entity that CONVERTS (first
+    * event of `conversionType`), credit the touches that preceded the
+    * conversion under three standard models — first-touch, last-touch,
+    * and linear — and roll the credits up per channel (`typeCol`).
+    * Credits are exact integer micro-units; the linear model hands each
+    * touch `10⁶ div n` and distributes the remainder one micro-unit at a
+    * time to the EARLIEST touches, so every converting entity
+    * contributes exactly 10⁶ per model (totals reconcile to
+    * `10⁶ · n_converters` by construction).
+    *
+    * Scale: one entity-keyed aggregate for the conversion times, one
+    * entity-keyed join + the standard per-entity window pair (ordered
+    * row_number + unordered count share the entity partitioning), then a
+    * channel-keyed rollup that collapses map-side to k channel rows. */
+  def attribution(events: DataFrame, entityCol: String, timeCol: String,
+                  typeCol: String, conversionType: String,
+                  tieBreakCols: Seq[String] = Nil): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val conv = events.where(col(typeCol) === conversionType)
+      .groupBy(col(entityCol)).agg(min(col(timeCol)).as("__conv_ts"))
+    val touches = events.join(conv, Seq(entityCol))
+      .where(col(timeCol) < col("__conv_ts") &&
+        col(typeCol) =!= conversionType)
+    val ordered = Window.partitionBy(entityCol)
+      .orderBy((timeCol +: tieBreakCols).map(col): _*)
+    val entity = Window.partitionBy(entityCol)
+    touches
+      .withColumn("__pos", row_number().over(ordered))
+      .withColumn("__n", count(lit(1)).over(entity))
+      .select(col(typeCol).as("channel"),
+        when(col("__pos") === 1, 1000000L).otherwise(0L).as("__f"),
+        when(col("__pos") === col("__n"), 1000000L).otherwise(0L).as("__l"),
+        expr("(1000000L div __n) + " +
+          "(CASE WHEN __pos <= 1000000L % __n THEN 1L ELSE 0L END)").as("__lin"))
+      .groupBy("channel")
+      .agg(sum("__f").as("first_micros"), sum("__l").as("last_micros"),
+        sum("__lin").as("linear_micros"), count(lit(1)).as("n_touches"))
+  }
+
   /** First-order Markov transition matrix over the per-entity event-type
     * sequence: for every observed (current, next) type pair, the
     * transition count and an ENGINE-EXACT fixed-point probability

@@ -42,6 +42,34 @@ class BasketsEventsSpec extends AnyFunSuite {
     assert(got == Set((2L, "x"), (2L, "y"))) // basket 1 has 3 distinct items → dropped
   }
 
+  test("attribution: first/last/linear credits reconcile per converter") {
+    val events = Seq(
+      // user 1: A, B, C then purchase -> n=3, linear rem 1 to A
+      (1L, ts("2024-01-01 00:00:00"), 1L, "A"),
+      (1L, ts("2024-01-01 00:01:00"), 2L, "B"),
+      (1L, ts("2024-01-01 00:02:00"), 3L, "C"),
+      (1L, ts("2024-01-01 00:03:00"), 4L, "purchase"),
+      // user 2: single touch B then purchase; later touch excluded
+      (2L, ts("2024-01-01 00:00:00"), 5L, "B"),
+      (2L, ts("2024-01-01 00:01:00"), 6L, "purchase"),
+      (2L, ts("2024-01-01 00:02:00"), 7L, "A"),
+      // user 3: never converts -> excluded entirely
+      (3L, ts("2024-01-01 00:00:00"), 8L, "A")
+    ).toDF("user_id", "t", "eid", "typ")
+    val got = graft.ops.EventAnalytics
+      .attribution(events, "user_id", "t", "typ", "purchase", Seq("eid"))
+      .orderBy("channel")
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      ("A", 1000000L, 0L, 333334L, 1L),
+      ("B", 1000000L, 1000000L, 1333333L, 2L),
+      ("C", 0L, 1000000L, 333333L, 1L)))
+    // per-model totals reconcile to 1e6 per converter (2 converters)
+    assert(got.map(_._2).sum == 2000000L)
+    assert(got.map(_._3).sum == 2000000L)
+    assert(got.map(_._4).sum == 2000000L)
+  }
+
   test("triangleStats: hand-computed triangles on K4 minus an edge") {
     // nodes 1..4, edges (1,2)(1,3)(2,3)(2,4)(3,4) — triangles (1,2,3), (2,3,4)
     val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L)).toDF("u", "v")
