@@ -2899,6 +2899,32 @@ object Oracles {
         |  CROSS JOIN tot t
         |ORDER BY d.item_a, d.item_b""".stripMargin,
 
+    "q_w19_running_distinct" ->
+      """WITH f AS (SELECT event_id, user_id, event_type, ts,
+        |    CASE WHEN row_number() OVER (PARTITION BY user_id, event_type
+        |      ORDER BY ts, event_id) = 1 THEN 1 ELSE 0 END AS fs
+        |  FROM events)
+        |SELECT event_id, user_id, event_type,
+        |  sum(fs) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+        |    AS distinct_so_far
+        |FROM f ORDER BY event_id""".stripMargin,
+
+    "q_ts_backtest" ->
+      """WITH daily AS (SELECT event_type AS series, ts::DATE AS day,
+        |    count(*) AS actual
+        |  FROM events GROUP BY 1, 2),
+        |j AS (SELECT d.series, d.actual, f.actual AS forecast
+        |  FROM daily d JOIN daily f ON f.series = d.series
+        |    AND f.day + 7 = d.day)
+        |SELECT series, count(*)::BIGINT AS n_days,
+        |  sum(actual)::BIGINT AS total_actual,
+        |  ((sum(abs(actual - forecast)) * 1000000)
+        |    // sum(actual))::BIGINT AS wape_micros,
+        |  (sum((abs(actual - forecast) * 1000000) // actual)
+        |    // count(*))::BIGINT AS mape_micros
+        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "q_ea_attribution" ->
       """WITH conv AS (SELECT user_id, min(ts) AS conv_ts FROM events
         |  WHERE event_type = 'purchase' GROUP BY 1),

@@ -2605,6 +2605,21 @@ object Queries {
         minPairCount = 2L)
       .orderBy("item_a", "item_b")
 
+  /** Running distinct event-type count per user over time. */
+  def qW19RunningDistinct(s: SparkSession, dir: String): DataFrame =
+    Windows.runningDistinct(
+        t(s, dir, "events").select("event_id", "user_id", "ts", "event_type"),
+        "user_id", "event_type", Seq("ts", "event_id"))
+      .select("event_id", "user_id", "event_type", "distinct_so_far")
+      .orderBy("event_id")
+
+  /** Seasonal-naive (lag-7-days) backtest of daily event counts per
+    * event type: fixed-point WAPE / MAPE per series. */
+  def qTsBacktest(s: SparkSession, dir: String): DataFrame =
+    graft.ops.EventAnalytics.seasonalNaiveBacktest(
+        t(s, dir, "events"), "event_type", "ts", seasonDays = 7)
+      .orderBy("series")
+
   /** Multi-touch attribution over the event stream: first/last/linear
     * credit per channel for touches preceding each user's first
     * purchase, in exact micro-units. */
@@ -2861,6 +2876,8 @@ object Queries {
     "q_feat_rfm" -> (qFeatRfm _),
     "q_ab_report" -> (qAbReport _),
     "q_ea_attribution" -> (qEaAttribution _),
+    "q_w19_running_distinct" -> (qW19RunningDistinct _),
+    "q_ts_backtest" -> (qTsBacktest _),
     "q_stat_bootstrap" -> (qStatBootstrap _),
     "q_graph_pagerank" -> (qGraphPagerank _),
   )

@@ -97,6 +97,39 @@ object EventAnalytics {
         col("n_active").cast("double") / col("cohort_size").cast("double"))
   }
 
+  /** Seasonal-naive forecast backtest over per-(series, day) counts:
+    * forecast(day) = actual(day − `seasonDays`), joined BY DATE (not by
+    * row offset — gapped series must not slip the season), then exact
+    * fixed-point error metrics per series: WAPE and MAPE in micro-units
+    * (`mape_micros = (Σ |err|·10⁶ div actual) div n_days` — per-day
+    * integral division, replayable bit-for-bit). The standard sanity
+    * gate before shipping any forecasting feature.
+    *
+    * Scale: one (series, day) aggregate of the event stream (map-side
+    * combine), one self-join of the day-dim-sized count table on the
+    * shifted date, one series-keyed rollup. The fact table is touched
+    * once. */
+  def seasonalNaiveBacktest(events: DataFrame, seriesCol: String,
+                            timeCol: String, seasonDays: Int = 7): DataFrame = {
+    val daily = events
+      .groupBy(col(seriesCol).as("series"),
+        to_date(col(timeCol)).as("day"))
+      .agg(count(lit(1)).as("actual"))
+      .localCheckpoint() // feeds both sides of the shifted self-join
+    val fc = daily.select(col("series"),
+      date_add(col("day"), seasonDays).as("day"),
+      col("actual").as("forecast"))
+    daily.join(fc, Seq("series", "day"))
+      .withColumn("__abs_err", abs(col("actual") - col("forecast")))
+      .groupBy("series")
+      .agg(count(lit(1)).as("n_days"),
+        sum("actual").as("total_actual"),
+        expr("(sum(__abs_err) * 1000000L) div sum(actual)")
+          .as("wape_micros"),
+        expr("sum((__abs_err * 1000000L) div actual) div count(1)")
+          .as("mape_micros"))
+  }
+
   /** Multi-touch attribution: for every entity that CONVERTS (first
     * event of `conversionType`), credit the touches that preceded the
     * conversion under three standard models — first-touch, last-touch,

@@ -263,4 +263,28 @@ object Windows {
     cols.foldLeft(df)((acc, c) =>
       acc.withColumn(c, last(col(c), ignoreNulls = true).over(w)))
   }
+
+  /** Running DISTINCT count per entity: for every row, how many distinct
+    * `valueCol` values the entity has seen up to and including it.
+    * Window functions cannot express `count(distinct)` directly — the
+    * standard rewrite: flag each value's FIRST occurrence per entity
+    * (row_number over (entity, value) == 1), then a running sum of the
+    * flags over the entity's time order. Two windows, but both partition
+    * on the entity-prefixed keys: the (entity, value) window and the
+    * (entity) window — one wide shuffle pair on small keys, no join.
+    * `orderCols` must totally order rows within an entity. */
+  def runningDistinct(df: DataFrame, entityCol: String, valueCol: String,
+                      orderCols: Seq[String],
+                      as: String = "distinct_so_far"): DataFrame = {
+    require(orderCols.nonEmpty, "orderCols must be non-empty")
+    val firstSeen = Window.partitionBy(col(entityCol), col(valueCol))
+      .orderBy(orderCols.map(col): _*)
+    val running = Window.partitionBy(col(entityCol))
+      .orderBy(orderCols.map(col): _*)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    df.withColumn("__first",
+        when(row_number().over(firstSeen) === 1, 1L).otherwise(0L))
+      .withColumn(as, sum(col("__first")).over(running))
+      .drop("__first")
+  }
 }

@@ -42,6 +42,36 @@ class BasketsEventsSpec extends AnyFunSuite {
     assert(got == Set((2L, "x"), (2L, "y"))) // basket 1 has 3 distinct items → dropped
   }
 
+  test("runningDistinct: counts climb only on first occurrences per entity") {
+    val events = Seq(
+      (1L, ts("2024-01-01 00:00:00"), 1L, "A"),
+      (1L, ts("2024-01-01 00:01:00"), 2L, "B"),
+      (1L, ts("2024-01-01 00:02:00"), 3L, "A"),
+      (1L, ts("2024-01-01 00:03:00"), 4L, "C"),
+      (2L, ts("2024-01-01 00:00:00"), 5L, "B")
+    ).toDF("user_id", "t", "eid", "typ")
+    val got = graft.ops.Windows.runningDistinct(events, "user_id", "typ",
+        Seq("t", "eid"))
+      .orderBy("eid").select("eid", "distinct_so_far")
+      .as[(Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 1L), (2L, 2L), (3L, 2L), (4L, 3L), (5L, 1L)))
+  }
+
+  test("seasonalNaiveBacktest: date-keyed season join, exact WAPE/MAPE") {
+    // series X: days 1..9 counts 1,1,1,1,1,1,1,3,1 -> lag-7 pairs at
+    // days 8 (actual 3 vs fc 1) and 9 (actual 1 vs fc 1)
+    val rows = (1 to 7).map(d => (f"2024-01-0$d%d 10:00:00", 1)) ++
+      Seq(("2024-01-08 10:00:00", 3), ("2024-01-09 10:00:00", 1))
+    val events = rows.flatMap { case (d, n) =>
+      (1 to n).map(i => ("X", ts(d.replace("10:00", f"1$i%d:00")))) }
+      .toDF("typ", "t")
+    val got = graft.ops.EventAnalytics
+      .seasonalNaiveBacktest(events, "typ", "t", seasonDays = 7)
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    // n_days=2, total_actual=4, wape = (2*1e6) div 4, mape = ((2e6 div 3)+0) div 2
+    assert(got == Seq(("X", 2L, 4L, 500000L, 333333L)))
+  }
+
   test("attribution: first/last/linear credits reconcile per converter") {
     val events = Seq(
       // user 1: A, B, C then purchase -> n=3, linear rem 1 to A
