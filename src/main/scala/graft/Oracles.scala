@@ -2899,6 +2899,25 @@ object Oracles {
         |  CROSS JOIN tot t
         |ORDER BY d.item_a, d.item_b""".stripMargin,
 
+    "q_feat_ks" ->
+      """WITH f AS (SELECT o_totalprice AS v, o_orderpriority AS g
+        |  FROM orders WHERE o_orderpriority IN ('1-URGENT', '5-LOW')),
+        |per AS (SELECT v,
+        |    count(CASE WHEN g = '1-URGENT' THEN 1 END) AS ca,
+        |    count(CASE WHEN g = '5-LOW' THEN 1 END) AS cb
+        |  FROM f GROUP BY 1),
+        |tot AS (SELECT sum(ca) AS na, sum(cb) AS nb FROM per),
+        |c AS (SELECT
+        |    sum(ca) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+        |      AND CURRENT ROW) AS cuma,
+        |    sum(cb) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+        |      AND CURRENT ROW) AS cumb
+        |  FROM per)
+        |SELECT tot.na::BIGINT AS n_a, tot.nb::BIGINT AS n_b,
+        |  ((max(abs(cuma * tot.nb - cumb * tot.na)) * 1000000)
+        |    // (tot.na * tot.nb))::BIGINT AS ks_micros
+        |FROM c CROSS JOIN tot GROUP BY tot.na, tot.nb""".stripMargin,
+
     "q_w19_running_distinct" ->
       """WITH f AS (SELECT event_id, user_id, event_type, ts,
         |    CASE WHEN row_number() OVER (PARTITION BY user_id, event_type

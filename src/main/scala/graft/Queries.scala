@@ -2605,6 +2605,12 @@ object Queries {
         minPairCount = 2L)
       .orderBy("item_a", "item_b")
 
+  /** Exact two-sample KS statistic: order-value distribution of urgent
+    * vs low-priority orders. */
+  def qFeatKs(s: SparkSession, dir: String): DataFrame =
+    graft.features.Features.ksStatistic(t(s, dir, "orders"),
+      "o_totalprice", "o_orderpriority", "1-URGENT", "5-LOW")
+
   /** Running distinct event-type count per user over time. */
   def qW19RunningDistinct(s: SparkSession, dir: String): DataFrame =
     Windows.runningDistinct(
@@ -2877,6 +2883,7 @@ object Queries {
     "q_ab_report" -> (qAbReport _),
     "q_ea_attribution" -> (qEaAttribution _),
     "q_w19_running_distinct" -> (qW19RunningDistinct _),
+    "q_feat_ks" -> (qFeatKs _),
     "q_ts_backtest" -> (qTsBacktest _),
     "q_stat_bootstrap" -> (qStatBootstrap _),
     "q_graph_pagerank" -> (qGraphPagerank _),

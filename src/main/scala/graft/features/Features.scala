@@ -625,6 +625,64 @@ object Features {
           .as("rfm_cell"))
   }
 
+  /** EXACT two-sample Kolmogorov–Smirnov statistic — the
+    * distribution-drift gate PSI can't provide when bins would hide the
+    * shift. `ks = max_v |F_a(v) − F_b(v)|` over every observed value,
+    * computed without a global sort: value-keyed per-group counts (one
+    * aggregate), then the distributed prefix-sum topology
+    * ([[graft.text.Packing.chunkAssignments]] / [[liftTable]]): range
+    * partition by value, LOCAL cumulative windows per partition, plus
+    * broadcast per-partition offsets. The CDF gap is kept integral —
+    * `|cum_a·n_b − cum_b·n_a|` as DECIMAL(38,0), exact up to 10¹⁹-row
+    * samples — and only the final micro-unit division truncates:
+    * `ks_micros = max_gap·10⁶ div (n_a·n_b)`. Output: one row
+    * `(n_a, n_b, ks_micros)`.
+    *
+    * Scale: two exchanges total over the VALUE-DISTINCT aggregate (the
+    * groupBy and the range partition), windows only within partitions,
+    * the offset table is #partitions rows, and the final max is a scalar
+    * aggregate. No single-partition window over the data. */
+  def ksStatistic(df: DataFrame, valueCol: String, groupCol: String,
+                  aLabel: String, bLabel: String): DataFrame = {
+    val nParts = df.sparkSession.sessionState.conf.numShufflePartitions
+    val v = df
+      .where(col(groupCol).isin(aLabel, bLabel))
+      .groupBy(col(valueCol).as("__v"))
+      .agg(count(when(col(groupCol) === aLabel, 1)).as("__ca"),
+        count(when(col(groupCol) === bLabel, 1)).as("__cb"))
+    // one materialization of the sampled range partitioning feeds both
+    // the offsets and the cumsum subtrees (CLAUDE.md invariant 7)
+    val ranged = v.repartitionByRange(nParts, col("__v"))
+      .sortWithinPartitions(col("__v"))
+      .withColumn("__part", spark_partition_id())
+      .localCheckpoint()
+    val offsets = broadcast(
+      ranged.groupBy("__part")
+        .agg(sum("__ca").as("__pa"), sum("__cb").as("__pb"))
+        .withColumn("__oa", coalesce(
+          sum("__pa").over(Window.orderBy("__part")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .withColumn("__ob", coalesce(
+          sum("__pb").over(Window.orderBy("__part")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .withColumn("__na", sum("__pa").over(Window.partitionBy()))
+        .withColumn("__nb", sum("__pb").over(Window.partitionBy()))
+        .select("__part", "__oa", "__ob", "__na", "__nb"))
+    val local = Window.partitionBy("__part").orderBy("__v")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val dec38 = "decimal(38,0)"
+    ranged.join(offsets, Seq("__part"))
+      .withColumn("__cuma", sum("__ca").over(local) + col("__oa"))
+      .withColumn("__cumb", sum("__cb").over(local) + col("__ob"))
+      .withColumn("__gap", abs(
+        col("__cuma").cast(dec38) * col("__nb").cast(dec38) -
+          col("__cumb").cast(dec38) * col("__na").cast(dec38)))
+      .agg(max("__na").as("n_a"), max("__nb").as("n_b"),
+        expr(s"(max(__gap) * 1000000L) div " +
+          s"(max(CAST(__na AS $dec38)) * max(CAST(__nb AS $dec38)))")
+          .as("ks_micros"))
+  }
+
   /** Pearson correlation for every unordered pair of `cols`, computed in
     * ONE aggregation pass: all Σx, Σx², Σxy accumulated together (k + k(k+1)/2
     * decimal sums), then

@@ -180,6 +180,29 @@ class FeaturesSpec extends AnyFunSuite {
     assert(cells(7L) == 333)
   }
 
+  test("ksStatistic: hand-computed gap, identical samples, disjoint samples") {
+    val df = Seq(("a", 1.0), ("a", 2.0), ("b", 2.0), ("b", 3.0)).toDF("g", "x")
+    val got = Features.ksStatistic(df, "x", "g", "a", "b")
+      .as[(Long, Long, Long)].collect().head
+    assert(got == ((2L, 2L, 500000L))) // max gap at v=1: |F_a-F_b| = 1/2
+    val same = Seq(("a", 1.0), ("a", 5.0), ("b", 1.0), ("b", 5.0)).toDF("g", "x")
+    assert(Features.ksStatistic(same, "x", "g", "a", "b")
+      .as[(Long, Long, Long)].collect().head._3 == 0L)
+    val disj = Seq(("a", 1.0), ("b", 9.0)).toDF("g", "x")
+    assert(Features.ksStatistic(disj, "x", "g", "a", "b")
+      .as[(Long, Long, Long)].collect().head._3 == 1000000L)
+  }
+
+  test("ksStatistic is layout-independent (range-partition topology)") {
+    val df = (1 to 500).map(i =>
+      (if (i % 2 == 0) "a" else "b", (i * 37 % 101).toDouble)).toDF("g", "x")
+    val base = Features.ksStatistic(df, "x", "g", "a", "b")
+      .as[(Long, Long, Long)].collect().head
+    val re = Features.ksStatistic(df.repartition(13), "x", "g", "a", "b")
+      .as[(Long, Long, Long)].collect().head
+    assert(base == re)
+  }
+
   test("liftTable: perfect score ranks positives first, cum_lift decays to 1") {
     // 100 rows, top-20 scores are the positives -> deciles 1-2 pure positive
     val df = (1 to 100).map(i => (i.toLong, (100 - i).toDouble, i <= 20))
