@@ -2918,6 +2918,36 @@ object Oracles {
         |    // (tot.na * tot.nb))::BIGINT AS ks_micros
         |FROM c CROSS JOIN tot GROUP BY tot.na, tot.nb""".stripMargin,
 
+    "q_feat_mw" ->
+      """WITH f AS (SELECT o_totalprice AS v, o_orderpriority AS g
+        |  FROM orders WHERE o_orderpriority IN ('1-URGENT', '5-LOW')),
+        |per AS (SELECT v,
+        |    count(CASE WHEN g = '1-URGENT' THEN 1 END) AS ca,
+        |    count(CASE WHEN g = '5-LOW' THEN 1 END) AS cb
+        |  FROM f GROUP BY 1),
+        |c AS (SELECT ca, cb,
+        |    sum(cb) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+        |      AND CURRENT ROW) AS cumb
+        |  FROM per),
+        |t AS (SELECT sum(ca) AS na, sum(cb) AS nb,
+        |    sum(ca::HUGEINT * (2 * (cumb - cb) + cb)) AS u2,
+        |    sum((ca + cb)::HUGEINT * (ca + cb) * (ca + cb) - (ca + cb))
+        |      AS ties
+        |  FROM c)
+        |SELECT na::BIGINT AS n_a, nb::BIGINT AS n_b, u2::BIGINT AS u2_a,
+        |  CASE WHEN na > 0 AND nb > 0 AND na + nb > 1 AND
+        |    (((na + nb)::DOUBLE + 1.0)
+        |      - ties::DOUBLE
+        |        / ((na + nb)::DOUBLE * ((na + nb)::DOUBLE - 1.0))) > 0.0
+        |  THEN
+        |    (u2::DOUBLE - na::DOUBLE * nb::DOUBLE)
+        |      / (2.0 * sqrt((na::DOUBLE * nb::DOUBLE / 12.0)
+        |        * (((na + nb)::DOUBLE + 1.0)
+        |          - ties::DOUBLE
+        |            / ((na + nb)::DOUBLE * ((na + nb)::DOUBLE - 1.0)))))
+        |  END AS z
+        |FROM t""".stripMargin,
+
     "q_w19_running_distinct" ->
       """WITH f AS (SELECT event_id, user_id, event_type, ts,
         |    CASE WHEN row_number() OVER (PARTITION BY user_id, event_type
@@ -3000,6 +3030,99 @@ object Oracles {
         |  END AS z_stat
         |FROM per2 p CROSS JOIN c
         |ORDER BY p.variant""".stripMargin,
+
+    "q_ea_survival" ->
+      """WITH RECURSIVE subj AS (SELECT user_id,
+        |    date_diff('day', min(ts)::DATE, max(ts)::DATE)::INT AS dur,
+        |    CASE WHEN max(ts)::DATE <=
+        |      (SELECT max(ts)::DATE - 7 FROM events) THEN 1 ELSE 0
+        |      END AS obs
+        |  FROM events GROUP BY 1),
+        |per AS (SELECT dur AS duration,
+        |    count(CASE WHEN obs = 1 THEN 1 END) AS d,
+        |    count(CASE WHEN obs = 0 THEN 1 END) AS c
+        |  FROM subj GROUP BY 1),
+        |o AS (SELECT duration, d, c,
+        |    sum(d + c) OVER (ORDER BY duration DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n,
+        |    row_number() OVER (ORDER BY duration) AS rn
+        |  FROM per),
+        |rec AS (
+        |  SELECT rn, duration, n, d, c,
+        |    (1000000 * (n - d)) // n AS s
+        |  FROM o WHERE rn = 1
+        |  UNION ALL
+        |  SELECT o.rn, o.duration, o.n, o.d, o.c,
+        |    (r.s * (o.n - o.d)) // o.n
+        |  FROM rec r JOIN o ON o.rn = r.rn + 1)
+        |SELECT duration, n::BIGINT AS n_risk, d::BIGINT AS n_events,
+        |  c::BIGINT AS n_censored, s::BIGINT AS survival_micros
+        |FROM rec ORDER BY duration""".stripMargin,
+
+    "q_feat_clf_report" ->
+      """WITH d AS (SELECT source, n_chars,
+        |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+        |  FROM documents),
+        |c AS (SELECT source,
+        |    count(CASE WHEN n_chars >= 300 AND y = 1 THEN 1 END) AS tp,
+        |    count(CASE WHEN n_chars >= 300 AND y = 0 THEN 1 END) AS fp,
+        |    count(CASE WHEN n_chars < 300 AND y = 1 THEN 1 END) AS fn,
+        |    count(CASE WHEN n_chars < 300 AND y = 0 THEN 1 END) AS tn
+        |  FROM d GROUP BY 1)
+        |SELECT source, tp, fp, fn, tn,
+        |  (CASE WHEN tp + fp > 0 THEN (tp * 1000000) // (tp + fp)
+        |    END)::BIGINT AS precision_micros,
+        |  (CASE WHEN tp + fn > 0 THEN (tp * 1000000) // (tp + fn)
+        |    END)::BIGINT AS recall_micros,
+        |  (CASE WHEN 2 * tp + fp + fn > 0 THEN
+        |    (2 * tp * 1000000) // (2 * tp + fp + fn)
+        |    END)::BIGINT AS f1_micros,
+        |  ((tp + tn) * 1000000 // (tp + fp + fn + tn))::BIGINT
+        |    AS accuracy_micros
+        |FROM c ORDER BY source""".stripMargin,
+
+    "q_stat_chi2" ->
+      """WITH cells AS (SELECT o_orderpriority AS a, o_orderstatus AS b,
+        |    count(*) AS o
+        |  FROM orders GROUP BY 1, 2),
+        |m AS (SELECT a, b, o,
+        |    sum(o) OVER (PARTITION BY a) AS ra,
+        |    sum(o) OVER (PARTITION BY b) AS cb,
+        |    sum(o) OVER () AS n
+        |  FROM cells),
+        |c AS (SELECT a, b, o, ra, cb, n,
+        |    (ra::HUGEINT * cb::HUGEINT * 1000000) // n::HUGEINT AS e
+        |  FROM m),
+        |d AS (SELECT a, b, n, e, o::HUGEINT * 1000000 - e AS diff FROM c),
+        |agg AS (SELECT max(n) AS n,
+        |    count(DISTINCT a) AS k, count(DISTINCT b) AS m,
+        |    sum(CASE WHEN e > 0 THEN (diff * diff) // e END) AS chi2
+        |  FROM d)
+        |SELECT n::BIGINT AS n,
+        |  ((k - 1) * (m - 1))::BIGINT AS dof,
+        |  chi2::BIGINT AS chi2_micros,
+        |  CASE WHEN least(k, m) > 1 THEN
+        |    sqrt((chi2::DOUBLE / 1000000.0)
+        |      / (n::DOUBLE * (least(k, m) - 1)::DOUBLE))
+        |  END AS cramers_v
+        |FROM agg""".stripMargin,
+
+    "q_stat_tvd" ->
+      """WITH f AS (SELECT lang AS c, source AS g FROM documents
+        |  WHERE source IN ('src0', 'src1')),
+        |per AS (SELECT c,
+        |    count(CASE WHEN g = 'src0' THEN 1 END) AS ca,
+        |    count(CASE WHEN g = 'src1' THEN 1 END) AS cb
+        |  FROM f GROUP BY 1),
+        |w AS (SELECT ca, cb, sum(ca) OVER () AS na, sum(cb) OVER () AS nb
+        |  FROM per)
+        |SELECT max(na)::BIGINT AS n_a, max(nb)::BIGINT AS n_b,
+        |  (CASE WHEN max(na) > 0 AND max(nb) > 0 THEN
+        |    (sum(abs(ca::HUGEINT * nb::HUGEINT - cb::HUGEINT * na::HUGEINT))
+        |      * 1000000)
+        |      // (2 * max(na)::HUGEINT * max(nb)::HUGEINT)
+        |  END)::BIGINT AS tvd_micros
+        |FROM w""".stripMargin,
 
     "q_stat_bootstrap" ->
       """WITH rep AS (SELECT unnest(range(32))::INT AS replicate),

@@ -2611,6 +2611,12 @@ object Queries {
     graft.features.Features.ksStatistic(t(s, dir, "orders"),
       "o_totalprice", "o_orderpriority", "1-URGENT", "5-LOW")
 
+  /** Exact Mann–Whitney rank-sum: do urgent orders stochastically
+    * dominate low-priority orders on value? Pairs with [[qFeatKs]]. */
+  def qFeatMw(s: SparkSession, dir: String): DataFrame =
+    graft.features.Features.mannWhitney(t(s, dir, "orders"),
+      "o_totalprice", "o_orderpriority", "1-URGENT", "5-LOW")
+
   /** Running distinct event-type count per user over time. */
   def qW19RunningDistinct(s: SparkSession, dir: String): DataFrame =
     Windows.runningDistinct(
@@ -2648,6 +2654,43 @@ object Queries {
     graft.ops.Stats.abReport(units, "variant", "converted", "A")
       .orderBy("variant")
   }
+
+  /** Kaplan–Meier user-lifetime curve: duration = days between a user's
+    * first and last event; a user is an observed churn iff their last
+    * event predates the corpus end by more than 7 days, else censored. */
+  def qEaSurvival(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val subj = ev.groupBy(col("user_id"))
+      .agg(to_date(min("ts")).as("__first"), to_date(max("ts")).as("__last"))
+      .crossJoin(broadcast(
+        ev.agg(date_sub(to_date(max("ts")), 7).as("__cut"))))
+      .select(datediff(col("__last"), col("__first")).as("dur"),
+        (col("__last") <= col("__cut")).cast("int").as("obs"))
+    graft.ops.EventAnalytics.kaplanMeier(subj, "dur", "obs")
+      .orderBy("duration")
+  }
+
+  /** Per-source classification report: "length >= 300 predicts English"
+    * as a deterministic stand-in model — confusion cells + fixed-point
+    * precision/recall/F1/accuracy at the operating threshold. */
+  def qFeatClfReport(s: SparkSession, dir: String): DataFrame =
+    graft.features.Features.classificationReport(
+        t(s, dir, "documents")
+          .withColumn("is_en", (col("lang") === "en").cast("int")),
+        "n_chars", "is_en", 300.0, Seq("source"))
+      .orderBy("source")
+
+  /** Chi-square independence of order priority vs order status — the
+    * categorical association/drift gate, fixed-point micro-units. */
+  def qStatChi2(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Stats.chiSquareIndependence(t(s, dir, "orders"),
+      "o_orderpriority", "o_orderstatus")
+
+  /** Total-variation distance between the language distributions of two
+    * document sources — exact categorical drift in micro-units. */
+  def qStatTvd(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Stats.tvDistance(t(s, dir, "documents"),
+      "lang", "source", "src0", "src1")
 
   /** Poisson(1) bootstrap of mean order value: 32 deterministic
     * replicates via the portable md5 gate. */
@@ -2881,9 +2924,14 @@ object Queries {
     "q_graph_triangles" -> (qGraphTriangles _),
     "q_feat_rfm" -> (qFeatRfm _),
     "q_ab_report" -> (qAbReport _),
+    "q_stat_chi2" -> (qStatChi2 _),
+    "q_feat_clf_report" -> (qFeatClfReport _),
+    "q_ea_survival" -> (qEaSurvival _),
+    "q_stat_tvd" -> (qStatTvd _),
     "q_ea_attribution" -> (qEaAttribution _),
     "q_w19_running_distinct" -> (qW19RunningDistinct _),
     "q_feat_ks" -> (qFeatKs _),
+    "q_feat_mw" -> (qFeatMw _),
     "q_ts_backtest" -> (qTsBacktest _),
     "q_stat_bootstrap" -> (qStatBootstrap _),
     "q_graph_pagerank" -> (qGraphPagerank _),

@@ -250,6 +250,43 @@ object Features {
       .drop("__s2")
   }
 
+  /** Per-group binary classification report at a fixed decision
+    * threshold: confusion counts plus fixed-point quality metrics —
+    * `precision = tp/(tp+fp)`, `recall = tp/(tp+fn)`,
+    * `f1 = 2tp/(2tp+fp+fn)` (the direct form — ONE truncating division,
+    * not a quotient of two already-truncated quotients),
+    * `accuracy = (tp+tn)/n`, all in micro-units with null (not a
+    * divide-by-zero) when a denominator is empty. Complements
+    * [[aucByGroup]] (threshold-free ranking quality) with the
+    * thresholded operating point a deployed model actually runs at.
+    *
+    * Scale: ONE group-keyed aggregate with map-side combine — every
+    * metric is arithmetic over the four counts; no window, no join. */
+  def classificationReport(df: DataFrame, scoreCol: String, labelCol: String,
+                           threshold: Double,
+                           groupCols: Seq[String]): DataFrame = {
+    require(groupCols.nonEmpty,
+      "groupCols must be non-empty (global report: add a literal group)")
+    val pred = col(scoreCol) >= lit(threshold)
+    val truth = col(labelCol).cast("boolean")
+    df.groupBy(groupCols.map(col): _*)
+      .agg(count(when(pred && truth, 1)).as("tp"),
+        count(when(pred && !truth, 1)).as("fp"),
+        count(when(!pred && truth, 1)).as("fn"),
+        count(when(!pred && !truth, 1)).as("tn"))
+      .withColumn("precision_micros",
+        when(col("tp") + col("fp") > 0,
+          expr("(tp * 1000000L) div (tp + fp)")))
+      .withColumn("recall_micros",
+        when(col("tp") + col("fn") > 0,
+          expr("(tp * 1000000L) div (tp + fn)")))
+      .withColumn("f1_micros",
+        when(lit(2L) * col("tp") + col("fp") + col("fn") > 0,
+          expr("(2L * tp * 1000000L) div (2L * tp + fp + fn)")))
+      .withColumn("accuracy_micros",
+        expr("((tp + tn) * 1000000L) div (tp + fp + fn + tn)"))
+  }
+
   /** Explicit-vocabulary one-hot encoding: one 0/1 column per listed
     * value (`<prefix><sanitized value>`), unknown/null categories encode
     * as all-zeros — the deterministic, schema-stable alternative to
@@ -644,6 +681,26 @@ object Features {
     * aggregate. No single-partition window over the data. */
   def ksStatistic(df: DataFrame, valueCol: String, groupCol: String,
                   aLabel: String, bLabel: String): DataFrame = {
+    val dec38 = "decimal(38,0)"
+    twoSampleCdf(df, valueCol, groupCol, aLabel, bLabel)
+      .withColumn("__gap", abs(
+        col("__cuma").cast(dec38) * col("__nb").cast(dec38) -
+          col("__cumb").cast(dec38) * col("__na").cast(dec38)))
+      .agg(max("__na").as("n_a"), max("__nb").as("n_b"),
+        expr(s"(max(__gap) * 1000000L) div " +
+          s"(max(CAST(__na AS $dec38)) * max(CAST(__nb AS $dec38)))")
+          .as("ks_micros"))
+  }
+
+  /** Shared two-sample scaffold of [[ksStatistic]] / [[mannWhitney]]:
+    * one row per DISTINCT observed value with per-cohort counts
+    * `(__ca, __cb)`, global value-ordered cumulative counts
+    * `(__cuma, __cumb)`, and cohort totals `(__na, __nb)` — built with
+    * the distributed prefix-sum topology (range partition by value,
+    * LOCAL cumulative windows, broadcast per-partition offsets), so no
+    * window ever sees a single global partition. */
+  private def twoSampleCdf(df: DataFrame, valueCol: String, groupCol: String,
+                           aLabel: String, bLabel: String): DataFrame = {
     val nParts = df.sparkSession.sessionState.conf.numShufflePartitions
     val v = df
       .where(col(groupCol).isin(aLabel, bLabel))
@@ -670,17 +727,52 @@ object Features {
         .select("__part", "__oa", "__ob", "__na", "__nb"))
     val local = Window.partitionBy("__part").orderBy("__v")
       .rowsBetween(Window.unboundedPreceding, 0)
-    val dec38 = "decimal(38,0)"
     ranged.join(offsets, Seq("__part"))
       .withColumn("__cuma", sum("__ca").over(local) + col("__oa"))
       .withColumn("__cumb", sum("__cb").over(local) + col("__ob"))
-      .withColumn("__gap", abs(
-        col("__cuma").cast(dec38) * col("__nb").cast(dec38) -
-          col("__cumb").cast(dec38) * col("__na").cast(dec38)))
+  }
+
+  /** Exact Mann–Whitney U (Wilcoxon rank-sum) two-sample test — the
+    * nonparametric location-shift gate that pairs with [[ksStatistic]]
+    * (KS detects any shape difference, MW detects stochastic dominance).
+    * One row `(n_a, n_b, u2_a, z)`: `u2_a = 2·U_a` (doubled so
+    * half-credit ties stay integral) accumulated per distinct value as
+    * `Σ_v c_a(v)·(2·cumB(v⁻) + c_b(v))` over exact counts, and the
+    * tie-corrected normal approximation
+    * `z = (2U − n_a·n_b) / (2·√(n_a·n_b/12·((n+1) − Σ(t³−t)/(n(n−1)))))`
+    * as one fixed double expression over exact integers (IEEE ops +
+    * correctly-rounded sqrt → bit-replayable); null z for degenerate
+    * inputs (an empty cohort, or every observation tied).
+    *
+    * Scale: identical topology to [[ksStatistic]] — value-distinct
+    * aggregate, range-partition prefix sums, scalar rollup. */
+  def mannWhitney(df: DataFrame, valueCol: String, groupCol: String,
+                  aLabel: String, bLabel: String): DataFrame = {
+    val dec38 = "decimal(38,0)"
+    twoSampleCdf(df, valueCol, groupCol, aLabel, bLabel)
+      .withColumn("__term", expr(
+        s"CAST(__ca AS $dec38) * (2 * CAST(__cumb - __cb AS $dec38) + __cb)"))
+      .withColumn("__t", expr(s"CAST(__ca + __cb AS $dec38)"))
       .agg(max("__na").as("n_a"), max("__nb").as("n_b"),
-        expr(s"(max(__gap) * 1000000L) div " +
-          s"(max(CAST(__na AS $dec38)) * max(CAST(__nb AS $dec38)))")
-          .as("ks_micros"))
+        sum("__term").as("__u2"),
+        sum(expr("__t * __t * __t - __t")).as("__ties"))
+      .select(col("n_a"), col("n_b"),
+        col("__u2").cast("long").as("u2_a"),
+        // the tie-corrected variance bracket is checked EXPLICITLY (> 0)
+        // rather than letting an all-tied sample divide by zero — IEEE
+        // inf/NaN handling differs across engines, a CASE does not
+        expr("""CASE WHEN n_a > 0 AND n_b > 0 AND n_a + n_b > 1 AND
+          ((CAST(n_a + n_b AS DOUBLE) + 1.0)
+            - CAST(__ties AS DOUBLE)
+              / (CAST(n_a + n_b AS DOUBLE)
+                * (CAST(n_a + n_b AS DOUBLE) - 1.0))) > 0.0 THEN
+          (CAST(__u2 AS DOUBLE) - CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))
+            / (2.0 * sqrt((CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 12.0)
+              * ((CAST(n_a + n_b AS DOUBLE) + 1.0)
+                - CAST(__ties AS DOUBLE)
+                  / (CAST(n_a + n_b AS DOUBLE)
+                    * (CAST(n_a + n_b AS DOUBLE) - 1.0)))))
+          END""").as("z"))
   }
 
   /** Pearson correlation for every unordered pair of `cols`, computed in

@@ -130,6 +130,49 @@ object EventAnalytics {
           .as("mape_micros"))
   }
 
+  /** Kaplan–Meier survival table over per-subject `(duration, observed)`
+    * rows — the churn/retention curve with right-censoring done
+    * correctly (a subject still alive at the observation end must NOT
+    * count as churned; dropping censored subjects biases survival down).
+    * One row per distinct duration:
+    * `(duration, n_risk, n_events, n_censored, survival_micros)` with
+    * the product-limit estimate in fixed-point micro-units —
+    * `S(t) = S(t⁻) · (n_t − d_t) div n_t`, each step one truncating
+    * integral division over exact counts (BigInt intermediate, no
+    * overflow), so the curve is deterministic under any layout and
+    * replayable by a SQL engine as a recursive CTE.
+    *
+    * Scale: ONE duration-keyed aggregate of the subject frame (map-side
+    * combine → one row per distinct duration); the cumulative product is
+    * inherently sequential, so it runs on the DRIVER over the
+    * duration-dimension — bounded by the observation window in days
+    * (same bounded-driver-state contract as
+    * [[graft.ops.Filters.unimaxAllocation]]'s k-group greedy), never by
+    * data size. Null durations are excluded. */
+  def kaplanMeier(subjects: DataFrame, durationCol: String,
+                  observedCol: String): DataFrame = {
+    val spark = subjects.sparkSession
+    import spark.implicits._
+    val obs = col(observedCol).cast("boolean")
+    val perDay = subjects
+      .where(col(durationCol).isNotNull)
+      .groupBy(col(durationCol).cast("int").as("duration"))
+      .agg(count(when(obs, 1)).as("d"), count(when(!obs, 1)).as("c"))
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    var atRisk = perDay.map(t => t._2 + t._3).sum
+    var s = 1000000L
+    val rows = perDay.map { case (t, d, c) =>
+      val n = atRisk
+      s = (BigInt(s) * (n - d) / n).toLong
+      atRisk -= (d + c)
+      (t, n, d, c, s)
+    }
+    rows.toSeq
+      .toDF("duration", "n_risk", "n_events", "n_censored", "survival_micros")
+  }
+
   /** Multi-touch attribution: for every entity that CONVERTS (first
     * event of `conversionType`), credit the touches that preceded the
     * conversion under three standard models — first-touch, last-touch,

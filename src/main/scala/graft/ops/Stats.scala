@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Experiment analysis and resampling statistics (extension beyond the
@@ -108,6 +109,84 @@ object Stats {
       .agg(sum("__w").as("n_eff"),
         (sum(col("__w") * col("__v")).cast("double") /
           sum("__w").cast("double")).as("wmean"))
+  }
+
+  /** Chi-square test of independence between two categorical columns —
+    * the CATEGORICAL drift/association gate (PSI bins numerics, KS is
+    * numeric-exact; this covers category × category). One summary row
+    * `(n, dof, chi2_micros, cramers_v)`.
+    *
+    * Fixed-point contract: expected counts are micro-units
+    * `e_micros = (rowTotal·colTotal·10⁶) div n` and each cell contributes
+    * `((o·10⁶ − e_micros)²) div e_micros` — exact longs/decimals with one
+    * truncating division per factor, deterministic under any layout and
+    * replayable by any SQL engine (no floating sums). Magnitudes stay
+    * inside DECIMAL(38,0) up to ~10¹³-row inputs. Cells whose truncated
+    * expectation is zero (rowTotal·colTotal < n/10⁶) are skipped — at
+    * that point the chi-square approximation is meaningless anyway.
+    * `cramers_v = sqrt((chi2/10⁶)/(n·min(k−1,m−1)))` as an IEEE double
+    * (sqrt is correctly rounded); null for degenerate 1×m tables.
+    *
+    * Scale: ONE data-sized shuffle (the (a,b) contingency groupBy,
+    * map-side combined to k·m cells); the marginal totals are windows
+    * OVER THE AGGREGATE (dimension-sized, same pattern as
+    * [[EventAnalytics.transitionMatrix]]), and the result is a scalar
+    * aggregate. Nulls count as their own category on both axes. */
+  def chiSquareIndependence(df: DataFrame, aCol: String,
+                            bCol: String): DataFrame = {
+    val cells = df.groupBy(col(aCol).as("__a"), col(bCol).as("__b"))
+      .agg(count(lit(1)).as("__o"))
+      .withColumn("__ra", sum("__o").over(Window.partitionBy("__a")))
+      .withColumn("__cb", sum("__o").over(Window.partitionBy("__b")))
+      .withColumn("__n", sum("__o").over(Window.partitionBy()))
+      .withColumn("__e", expr(
+        "(CAST(__ra AS decimal(38,0)) * CAST(__cb AS decimal(38,0)) * 1000000) div CAST(__n AS decimal(38,0))"))
+      .withColumn("__d", expr("CAST(__o AS decimal(38,0)) * 1000000 - __e"))
+      .withColumn("__cell",
+        when(col("__e") > 0, expr("(__d * __d) div __e")))
+    cells.agg(
+        max("__n").as("n"),
+        count_distinct(col("__a")).as("__k"),
+        count_distinct(col("__b")).as("__m"),
+        sum("__cell").cast("long").as("chi2_micros"))
+      .select(col("n"),
+        ((col("__k") - 1) * (col("__m") - 1)).as("dof"),
+        col("chi2_micros"),
+        when(least(col("__k"), col("__m")) > 1,
+          sqrt((col("chi2_micros").cast("double") / lit(1e6)) /
+            (col("n").cast("double") *
+              (least(col("__k"), col("__m")) - lit(1L)).cast("double"))))
+          .as("cramers_v"))
+  }
+
+  /** Total-variation distance between the categorical distributions of
+    * two cohorts: `TVD = ½ Σ_c |p_a(c) − p_b(c)|` — the exact, bounded
+    * [0,1] categorical drift metric (1 = disjoint supports). One row
+    * `(n_a, n_b, tvd_micros)`, with
+    * `tvd_micros = (Σ_c |c_a·n_b − c_b·n_a| · 10⁶) div (2·n_a·n_b)` —
+    * the cross-product form keeps every intermediate an exact integer
+    * (DECIMAL(38,0), good to ~10¹⁵-row cohorts); only the single final
+    * division truncates.
+    *
+    * Scale: one category-keyed groupBy of the filtered frame (map-side
+    * combine → one row per category), cohort totals as a window over the
+    * aggregate, scalar max/sum at the end. No sort anywhere. */
+  def tvDistance(df: DataFrame, catCol: String, groupCol: String,
+                 aLabel: String, bLabel: String): DataFrame = {
+    val per = df.where(col(groupCol).isin(aLabel, bLabel))
+      .groupBy(col(catCol).as("__c"))
+      .agg(count(when(col(groupCol) === aLabel, 1)).as("__ca"),
+        count(when(col(groupCol) === bLabel, 1)).as("__cb"))
+      .withColumn("__na", sum("__ca").over(Window.partitionBy()))
+      .withColumn("__nb", sum("__cb").over(Window.partitionBy()))
+    per.agg(max("__na").as("n_a"), max("__nb").as("n_b"),
+        sum(expr("abs(CAST(__ca AS decimal(38,0)) * CAST(__nb AS decimal(38,0)) - CAST(__cb AS decimal(38,0)) * CAST(__na AS decimal(38,0)))"))
+          .as("__s"))
+      .select(col("n_a"), col("n_b"),
+        // an absent cohort label -> null distance, not a divide-by-zero
+        when(col("n_a") > 0 && col("n_b") > 0,
+          expr("CAST((__s * 1000000) div (2 * CAST(n_a AS decimal(38,0)) * CAST(n_b AS decimal(38,0))) AS bigint)"))
+          .as("tvd_micros"))
   }
 
   /** Percentile CI over a replicate table: nearest-rank lo/hi quantiles

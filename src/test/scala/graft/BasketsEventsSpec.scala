@@ -140,4 +140,27 @@ class BasketsEventsSpec extends AnyFunSuite {
       ("x", "y", 2L, 666666L, 666666L, 999999L),  // lift = (666666·3) div 2
       ("y", "x", 2L, 666666L, 1000000L, 1000000L))) // conf = 2e6 div 2
   }
+
+  test("kaplanMeier: hand product-limit, censor-only days, tie day") {
+    val subj = Seq((1, 1), (2, 1), (3, 0)).toDF("dur", "obs")
+    val got = EventAnalytics.kaplanMeier(subj, "dur", "obs")
+      .orderBy("duration")
+      .as[(Int, Long, Long, Long, Long)].collect().toSeq
+    // S(1) = 2/3, S(2) = 2/3 * 1/2 = 1/3; the censored day-3 subject
+    // leaves the curve flat (and must NOT count as a churn)
+    assert(got == Seq((1, 3L, 1L, 0L, 666666L), (2, 2L, 1L, 0L, 333333L),
+      (3, 1L, 0L, 1L, 333333L)))
+    // all-censored cohort: survival never drops
+    val cens = Seq((5, 0), (7, 0)).toDF("dur", "obs")
+    assert(EventAnalytics.kaplanMeier(cens, "dur", "obs")
+      .orderBy("duration")
+      .as[(Int, Long, Long, Long, Long)].collect().toSeq ==
+      Seq((5, 2L, 0L, 1L, 1000000L), (7, 1L, 0L, 1L, 1000000L)))
+    // tie day with mixed event/censor; final event takes S to 0
+    val tie = Seq((1, 1), (1, 1), (1, 0), (2, 1)).toDF("dur", "obs")
+    assert(EventAnalytics.kaplanMeier(tie, "dur", "obs")
+      .orderBy("duration")
+      .as[(Int, Long, Long, Long, Long)].collect().toSeq ==
+      Seq((1, 4L, 2L, 1L, 500000L), (2, 1L, 1L, 0L, 0L)))
+  }
 }

@@ -193,6 +193,43 @@ class FeaturesSpec extends AnyFunSuite {
       .as[(Long, Long, Long)].collect().head._3 == 1000000L)
   }
 
+  test("mannWhitney: hand U with and without ties, degenerate all-tied") {
+    // disjoint: every b above every a -> U_a = 0
+    val df = Seq(("a", 1.0), ("a", 2.0), ("b", 3.0), ("b", 4.0)).toDF("g", "x")
+    val got = Features.mannWhitney(df, "x", "g", "a", "b")
+      .as[(Long, Long, Long, Option[Double])].collect().head
+    assert((got._1, got._2, got._3) == ((2L, 2L, 0L)))
+    val z0 = (0.0 - 2.0 * 2.0) /
+      (2.0 * math.sqrt((2.0 * 2.0 / 12.0) * ((4.0 + 1.0) - 0.0)))
+    assert(math.abs(got._4.get - z0) < 1e-12)
+    // one tie pair counts half: a={1,2} b={2,3} -> 2U_a = 1
+    val tied = Seq(("a", 1.0), ("a", 2.0), ("b", 2.0), ("b", 3.0)).toDF("g", "x")
+    val gt = Features.mannWhitney(tied, "x", "g", "a", "b")
+      .as[(Long, Long, Long, Option[Double])].collect().head
+    assert((gt._1, gt._2, gt._3) == ((2L, 2L, 1L)))
+    val zt = (1.0 - 4.0) /
+      (2.0 * math.sqrt((4.0 / 12.0) * (5.0 - 6.0 / (4.0 * 3.0))))
+    assert(math.abs(gt._4.get - zt) < 1e-12)
+    // every observation tied: zero variance -> null z, U still half-credit
+    val allTied = Seq(("a", 5.0), ("b", 5.0), ("b", 5.0)).toDF("g", "x")
+    val ga = Features.mannWhitney(allTied, "x", "g", "a", "b")
+      .as[(Long, Long, Long, Option[Double])].collect().head
+    assert(ga == ((1L, 2L, 2L, None)))
+  }
+
+  test("mannWhitney is layout-independent and antisymmetric") {
+    val df = (1 to 400).map(i =>
+      (if (i % 2 == 0) "a" else "b", (i * 37 % 101).toDouble)).toDF("g", "x")
+    val ab = Features.mannWhitney(df, "x", "g", "a", "b")
+      .as[(Long, Long, Long, Option[Double])].collect().head
+    val re = Features.mannWhitney(df.repartition(13), "x", "g", "a", "b")
+      .as[(Long, Long, Long, Option[Double])].collect().head
+    assert(ab == re)
+    val ba = Features.mannWhitney(df, "x", "g", "b", "a")
+      .as[(Long, Long, Long, Option[Double])].collect().head
+    assert(ab._3 + ba._3 == 2L * ab._1 * ab._2) // U_a + U_b = n_a·n_b
+  }
+
   test("ksStatistic is layout-independent (range-partition topology)") {
     val df = (1 to 500).map(i =>
       (if (i % 2 == 0) "a" else "b", (i * 37 % 101).toDouble)).toDF("g", "x")
@@ -201,6 +238,24 @@ class FeaturesSpec extends AnyFunSuite {
     val re = Features.ksStatistic(df.repartition(13), "x", "g", "a", "b")
       .as[(Long, Long, Long)].collect().head
     assert(base == re)
+  }
+
+  test("classificationReport: hand confusion cells, degenerate groups") {
+    val df = Seq(
+      ("g1", 0.9, 1), ("g1", 0.8, 0), ("g1", 0.2, 1), ("g1", 0.1, 0),
+      ("g2", 0.9, 1), ("g2", 0.8, 1),
+      ("g3", 0.1, 1)
+    ).toDF("g", "score", "y")
+    val got = Features.classificationReport(df, "score", "y", 0.5, Seq("g"))
+      .orderBy("g")
+      .as[(String, Long, Long, Long, Long, Option[Long], Option[Long],
+        Option[Long], Long)].collect().toSeq
+    assert(got(0) == (("g1", 1L, 1L, 1L, 1L, Some(500000L), Some(500000L),
+      Some(500000L), 500000L)))
+    assert(got(1) == (("g2", 2L, 0L, 0L, 0L, Some(1000000L), Some(1000000L),
+      Some(1000000L), 1000000L)))
+    // no predicted positives: precision undefined, recall/f1/accuracy 0
+    assert(got(2) == (("g3", 0L, 0L, 1L, 0L, None, Some(0L), Some(0L), 0L)))
   }
 
   test("liftTable: perfect score ranks positives first, cum_lift decays to 1") {

@@ -61,4 +61,45 @@ class StatsSpec extends AnyFunSuite {
       .as[(Double, Double, Double)].collect().head
     assert(got == ((5.5, 1.0, 10.0)))
   }
+
+  test("chiSquareIndependence: hand 2x2, independent table, degenerate axis") {
+    // 2x2 with every cell |o-e| = 5, e = 15: each cell contributes
+    // floor(25e12 / 15e6) = 1666666 micros; chi2 = 4*25/15 = 6.667
+    val rows =
+      Seq.fill(10)(("x", "p")) ++ Seq.fill(20)(("x", "q")) ++
+      Seq.fill(20)(("y", "p")) ++ Seq.fill(10)(("y", "q"))
+    val df = rows.toDF("a", "b")
+    val got = Stats.chiSquareIndependence(df, "a", "b")
+      .as[(Long, Long, Long, Option[Double])].collect().head
+    assert((got._1, got._2, got._3) == ((60L, 1L, 6666664L)))
+    assert(math.abs(got._4.get - math.sqrt(6.666664 / 60.0)) < 1e-12)
+    // layout-independent (fixed-point arithmetic, no floating sums)
+    val re = Stats.chiSquareIndependence(df.repartition(7), "a", "b")
+      .as[(Long, Long, Long, Option[Double])].collect().head
+    assert(got == re)
+    // exact independence: every observed equals expected -> 0
+    val ind = Seq(("x", "p"), ("x", "q"), ("y", "p"), ("y", "q")).toDF("a", "b")
+    val gi = Stats.chiSquareIndependence(ind, "a", "b")
+      .as[(Long, Long, Long, Option[Double])].collect().head
+    assert(gi == ((4L, 1L, 0L, Some(0.0))))
+    // one-category axis: dof 0, null V
+    val deg = Seq(("x", "p"), ("x", "q")).toDF("a", "b")
+    val gd = Stats.chiSquareIndependence(deg, "a", "b")
+      .as[(Long, Long, Long, Option[Double])].collect().head
+    assert(gd == ((2L, 0L, 0L, None)))
+  }
+
+  test("tvDistance: hand value, identical and disjoint cohorts") {
+    val df = (Seq.fill(3)(("u", "A")) ++ Seq(("v", "A")) ++
+      Seq(("u", "B")) ++ Seq.fill(3)(("v", "B"))).toDF("cat", "g")
+    val got = Stats.tvDistance(df, "cat", "g", "A", "B")
+      .as[(Long, Long, Long)].collect().head
+    assert(got == ((4L, 4L, 500000L)))   // |.75-.25| -> TVD = 0.5
+    val same = Seq(("u", "A"), ("v", "A"), ("u", "B"), ("v", "B")).toDF("cat", "g")
+    assert(Stats.tvDistance(same, "cat", "g", "A", "B")
+      .as[(Long, Long, Long)].collect().head._3 == 0L)
+    val disj = Seq(("u", "A"), ("v", "B")).toDF("cat", "g")
+    assert(Stats.tvDistance(disj, "cat", "g", "A", "B")
+      .as[(Long, Long, Long)].collect().head._3 == 1000000L)
+  }
 }
