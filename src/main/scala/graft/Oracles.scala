@@ -3124,6 +3124,87 @@ object Oracles {
         |  END)::BIGINT AS tvd_micros
         |FROM w""".stripMargin,
 
+    "q_ab_cuped" ->
+      """WITH units AS (SELECT o_custkey,
+        |    sum(CASE WHEN o_orderdate < TIMESTAMP '1998-01-01'
+        |      THEN o_totalprice::DECIMAL(18,2)
+        |      ELSE 0::DECIMAL(18,2) END) AS pre_spend,
+        |    sum(CASE WHEN o_orderdate >= TIMESTAMP '1998-01-01'
+        |      THEN o_totalprice::DECIMAL(18,2)
+        |      ELSE 0::DECIMAL(18,2) END) AS post_spend
+        |  FROM orders GROUP BY 1),
+        |v AS (SELECT CASE WHEN
+        |    ('0x' || substr(md5(concat_ws('|', o_custkey, 'cuped')), 1, 15))
+        |      ::UBIGINT % 2 = 0 THEN 'A' ELSE 'B' END AS variant,
+        |    (pre_spend * 100)::HUGEINT AS x,
+        |    (post_spend * 100)::HUGEINT AS y
+        |  FROM units),
+        |per AS (SELECT variant, count(*) AS n_units, sum(x) AS sx,
+        |    sum(y) AS sy, sum(x*y) AS sxy, sum(x*x) AS sxx
+        |  FROM v GROUP BY 1),
+        |g AS (SELECT sum(n_units)::HUGEINT AS n, sum(sx) AS gx,
+        |    sum(sy) AS gy, sum(sxy) AS gxy, sum(sxx) AS gxx FROM per),
+        |g2 AS (SELECT n, gx, n*gxx - gx*gx AS varx,
+        |    n*gxy - gx*gy AS cov FROM g),
+        |g3 AS (SELECT n, (gx * 10000) // n AS gmx,
+        |    CASE WHEN varx > 0 THEN
+        |      CASE WHEN cov >= 0 THEN (cov * 1000000) // varx
+        |        ELSE -(((-cov) * 1000000) // varx) END
+        |    END AS theta FROM g2),
+        |adj AS (SELECT p.variant, p.n_units,
+        |    (p.sy * 10000) // p.n_units::HUGEINT AS mean_m, g3.theta,
+        |    (p.sx * 10000) // p.n_units::HUGEINT - g3.gmx AS dx
+        |  FROM per p CROSS JOIN g3),
+        |adj2 AS (SELECT variant, n_units, mean_m, theta,
+        |    CASE WHEN theta IS NULL THEN mean_m
+        |      ELSE mean_m - (CASE WHEN theta * dx >= 0
+        |        THEN (theta * dx) // 1000000
+        |        ELSE -(((-(theta * dx))) // 1000000) END)
+        |    END AS adj_m
+        |  FROM adj),
+        |c AS (SELECT adj_m AS ctrl FROM adj2 WHERE variant = 'A')
+        |SELECT a.variant, a.n_units, a.mean_m::BIGINT AS mean_micros,
+        |  a.adj_m::BIGINT AS adj_mean_micros, a.theta::BIGINT AS theta_micros,
+        |  (CASE WHEN a.variant = 'A' THEN NULL
+        |    ELSE a.adj_m - c.ctrl END)::BIGINT AS adj_delta_micros
+        |FROM adj2 a CROSS JOIN c ORDER BY a.variant""".stripMargin,
+
+    "q_stat_bh" ->
+      """WITH hyp AS (SELECT DISTINCT event_type,
+        |    (ts::DATE)::VARCHAR AS day FROM events),
+        |p AS (SELECT event_type, day,
+        |    (('0x' || substr(md5(concat_ws('|', event_type, day, 'pv')),
+        |      1, 15))::UBIGINT % 1000000)::BIGINT AS p_micros
+        |  FROM hyp),
+        |r AS (SELECT event_type, day, p_micros,
+        |    row_number() OVER (ORDER BY p_micros, event_type, day) AS rk,
+        |    count(*) OVER () AS m
+        |  FROM p),
+        |t2 AS (SELECT *, least(1000000,
+        |    (p_micros::HUGEINT * m) // rk::HUGEINT) AS term FROM r),
+        |t3 AS (SELECT *, min(term) OVER (ORDER BY rk DESC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS padj
+        |  FROM t2),
+        |k AS (SELECT coalesce(max(CASE WHEN p_micros::HUGEINT * m
+        |      <= rk::HUGEINT * 50000 THEN rk END), 0) AS kstar FROM t3)
+        |SELECT t3.event_type, t3.day, t3.p_micros,
+        |  t3.rk::BIGINT AS p_rank, t3.padj::BIGINT AS padj_micros,
+        |  t3.rk <= k.kstar AS is_discovery
+        |FROM t3 CROSS JOIN k ORDER BY t3.rk""".stripMargin,
+
+    "q_stat_gini" ->
+      """WITH per AS (SELECT o_custkey,
+        |    (sum(o_totalprice::DECIMAL(18,2)) * 100)::HUGEINT AS v
+        |  FROM orders GROUP BY 1),
+        |r AS (SELECT v, row_number() OVER (ORDER BY v) AS rn
+        |  FROM per WHERE v >= 0),
+        |a AS (SELECT count(*)::HUGEINT AS n, sum(v) AS t,
+        |    sum(v * rn::HUGEINT) AS rs FROM r)
+        |SELECT n::BIGINT AS n, t::BIGINT AS total_cents,
+        |  (CASE WHEN n > 0 AND t > 0 THEN
+        |    ((2*rs - (n+1)*t) * 1000000) // (n*t) END)::BIGINT AS gini_micros
+        |FROM a""".stripMargin,
+
     "q_stat_bootstrap" ->
       """WITH rep AS (SELECT unnest(range(32))::INT AS replicate),
         |x AS (SELECT o_orderkey, o_totalprice::DECIMAL(18,2) AS v

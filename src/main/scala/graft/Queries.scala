@@ -2699,6 +2699,55 @@ object Queries {
         "o_totalprice", Seq("o_orderkey"), nReplicates = 32)
       .orderBy("replicate")
 
+  /** CUPED variance-reduced A/B readout: per-customer post-1998 spend
+    * adjusted by pre-1998 spend as the covariate, deterministic md5
+    * variant split, control = A. */
+  def qAbCuped(s: SparkSession, dir: String): DataFrame = {
+    val cut = lit("1998-01-01").cast("timestamp")
+    val units = t(s, dir, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(
+        sum(when(col("o_orderdate") < cut,
+            col("o_totalprice").cast("decimal(18,2)"))
+          .otherwise(lit(0).cast("decimal(18,2)"))).as("pre_spend"),
+        sum(when(col("o_orderdate") >= cut,
+            col("o_totalprice").cast("decimal(18,2)"))
+          .otherwise(lit(0).cast("decimal(18,2)"))).as("post_spend"))
+      .withColumn("variant",
+        when(conv(substring(md5(concat_ws("|", col("o_custkey"),
+          lit("cuped"))), 1, 15), 16, 10).cast("long") % 2 === 0, "A")
+          .otherwise("B"))
+    graft.ops.Stats.cupedReport(units, "variant", "pre_spend", "post_spend",
+        "A")
+      .orderBy("variant")
+  }
+
+  /** Benjamini–Hochberg FDR gate at q = 5% over an A/A placebo family:
+    * one hypothesis per (event_type, day), p-value = the portable md5
+    * uniform of the key (under H0 p IS uniform — this is the null
+    * calibration run an experimentation platform executes before
+    * trusting its gate). */
+  def qStatBh(s: SparkSession, dir: String): DataFrame = {
+    val hyp = t(s, dir, "events")
+      .select(col("event_type"), to_date(col("ts")).cast("string").as("day"))
+      .distinct()
+      .withColumn("p_micros",
+        conv(substring(md5(concat_ws("|", col("event_type"), col("day"),
+          lit("pv"))), 1, 15), 16, 10).cast("long") % 1000000L)
+    graft.ops.Stats.bhDiscoveries(hyp, "p_micros",
+        Seq("event_type", "day"), qMicros = 50000L)
+      .orderBy("p_rank")
+  }
+
+  /** Gini concentration of per-customer lifetime spend — the revenue
+    * inequality / whale-dominance readout. */
+  def qStatGini(s: SparkSession, dir: String): DataFrame = {
+    val spend = t(s, dir, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("spend"))
+    graft.ops.Stats.giniCoefficient(spend, "spend")
+  }
+
   /** RFM segmentation over the order facts: per-customer recency /
     * frequency / monetary with exact quintile scores (1 = best). */
   def qFeatRfm(s: SparkSession, dir: String): DataFrame =
@@ -2924,6 +2973,9 @@ object Queries {
     "q_graph_triangles" -> (qGraphTriangles _),
     "q_feat_rfm" -> (qFeatRfm _),
     "q_ab_report" -> (qAbReport _),
+    "q_ab_cuped" -> (qAbCuped _),
+    "q_stat_bh" -> (qStatBh _),
+    "q_stat_gini" -> (qStatGini _),
     "q_stat_chi2" -> (qStatChi2 _),
     "q_feat_clf_report" -> (qFeatClfReport _),
     "q_ea_survival" -> (qEaSurvival _),

@@ -189,6 +189,194 @@ object Stats {
           .as("tvd_micros"))
   }
 
+  /** Sign-decomposed truncating division in SQL: `sign(a)·(|a| div b)`.
+    * Spark's `div` truncates toward zero while DuckDB's `//` floors —
+    * they agree ONLY on non-negative operands, so every fixed-point
+    * division of a possibly-negative quantity goes through this form
+    * (both engines replay it identically). `b` must be positive. */
+  private def signedDiv(a: String, b: String): String =
+    s"CASE WHEN ($a) >= 0 THEN ($a) div ($b) ELSE -((-($a)) div ($b)) END"
+
+  /** CUPED variance-reduced A/B readout (Deng et al., WSDM'13): per
+    * variant the raw post-period mean and the covariate-adjusted mean
+    * `mean(y) − θ·(mean_v(x) − mean(x))` with the pooled
+    * `θ = Cov(x,y)/Var(x)`, everything in fixed-point micro-currency —
+    * θ itself is `(10⁶·(n·Σxy − Σx·Σy)) div (n·Σx² − (Σx)²)` over exact
+    * cent-scaled DECIMAL(38,0) sums (sign-decomposed division, see
+    * [[signedDiv]]), so the whole readout is integer-exact, layout-
+    * independent, and replayable by any SQL engine. Output: one row per
+    * variant `(variant, n_units, mean_micros, adj_mean_micros,
+    * theta_micros, adj_delta_micros)` — delta vs control on the ADJUSTED
+    * means, null for the control row and for degenerate Var(x)=0.
+    *
+    * Scale: ONE unit-keyed aggregate for the moment sums (map-side
+    * combine → one global row + k variant rows, computed in the same
+    * pass via a grouping on variant); the 1-row global moments and the
+    * control row ride back as broadcasts. No window, no driver math. */
+  def cupedReport(units: DataFrame, variantCol: String, preCol: String,
+                  postCol: String, controlVariant: String): DataFrame = {
+    val d0 = "decimal(38,0)"
+    val xc = expr(s"CAST(CAST($preCol AS decimal(18,2)) * 100 AS $d0)")
+    val yc = expr(s"CAST(CAST($postCol AS decimal(18,2)) * 100 AS $d0)")
+    val base = units.select(col(variantCol).as("variant"),
+      xc.as("__x"), yc.as("__y"))
+    // k variant rows; feeds the output rows, the global-moment rollup,
+    // and the control filter — pin it once (CLAUDE.md invariant 7)
+    val per = base.groupBy("variant")
+      .agg(count(lit(1)).as("n_units"),
+        sum("__x").as("__sx"), sum("__y").as("__sy"),
+        sum(expr("__x * __y")).as("__sxy"),
+        sum(expr("__x * __x")).as("__sxx"))
+      .localCheckpoint()
+    val glob = broadcast(per.agg(
+        sum("n_units").cast(d0).as("__n"), sum("__sx").as("__gx"),
+        sum("__sy").as("__gy"), sum("__sxy").as("__gxy"),
+        sum("__sxx").as("__gxx"))
+      .withColumn("__varx", expr("__n * __gxx - __gx * __gx"))
+      .withColumn("theta_micros", expr("CASE WHEN __varx > 0 THEN " +
+        signedDiv("(__n * __gxy - __gx * __gy) * 1000000", "__varx") +
+        " END").cast("long"))
+      .withColumn("__gmx", expr(s"(__gx * 10000) div __n"))
+      .select("__n", "__gmx", "theta_micros"))
+    val adj = per.crossJoin(glob)
+      // cent sums are non-negative: plain div below; the mean DIFFERENCE
+      // and the theta product are signed -> signedDiv
+      .withColumn("mean_micros",
+        expr(s"(__sy * 10000) div CAST(n_units AS $d0)").cast("long"))
+      .withColumn("__dx",
+        expr(s"(__sx * 10000) div CAST(n_units AS $d0) - __gmx"))
+      .withColumn("adj_mean_micros", expr("CASE WHEN theta_micros IS NULL " +
+        "THEN mean_micros ELSE mean_micros - " +
+        signedDiv(s"CAST(theta_micros AS $d0) * __dx", "1000000") +
+        " END").cast("long"))
+      .localCheckpoint()
+    val ctrl = broadcast(adj.where(col("variant") === controlVariant)
+      .select(col("adj_mean_micros").as("__ctrl_adj")))
+    adj.crossJoin(ctrl)
+      .select(col("variant"), col("n_units"), col("mean_micros"),
+        col("adj_mean_micros"), col("theta_micros"),
+        when(col("variant") === controlVariant, lit(null).cast("long"))
+          .otherwise(col("adj_mean_micros") - col("__ctrl_adj"))
+          .as("adj_delta_micros"))
+  }
+
+  /** Benjamini–Hochberg FDR gate over a hypothesis family: ranks the
+    * micro-unit p-values ascending (unique `keyCols` tie-break), finds
+    * the largest rank `k*` with `p_(i)·m ≤ i·q` — EXACT integer
+    * cross-multiplication, no rational rounding — and marks the first
+    * `k*` hypotheses as discoveries. Also emits the standard BH-adjusted
+    * p-value `padj = min_{j≥i} (p_(j)·m) div j` (capped at 10⁶) via a
+    * reverse running min. Output: one row per hypothesis
+    * `(keyCols…, p_micros, p_rank, padj_micros, is_discovery)`.
+    *
+    * Scale: the family table is metric-dimension-sized, but the plan
+    * never assumes it — ranking uses the range-partition topology (ONE
+    * range exchange, partition-LOCAL windows, broadcast per-partition
+    * offsets for rank / count-above and a broadcast per-partition suffix
+    * min for padj); the `k*` cut is a 1-row aggregate broadcast back. */
+  def bhDiscoveries(df: DataFrame, pMicrosCol: String, keyCols: Seq[String],
+                    qMicros: Long): DataFrame = {
+    require(keyCols.nonEmpty, "keyCols must be non-empty")
+    require(qMicros > 0 && qMicros < 1000000L, "qMicros in (0, 1e6)")
+    val d0 = "decimal(38,0)"
+    val nParts = df.sparkSession.sessionState.conf.numShufflePartitions
+    val sortExprs = col("__p").asc +: keyCols.map(col(_).asc)
+    val ranged = df
+      .select(col(pMicrosCol).cast("long").as("__p") +: keyCols.map(col): _*)
+      .repartitionByRange(nParts, sortExprs: _*)
+      .sortWithinPartitions(sortExprs: _*)
+      .withColumn("__part", spark_partition_id())
+      .localCheckpoint()
+    val offsets = broadcast(ranged.groupBy("__part")
+      .agg(count(lit(1)).as("__pc"))
+      .withColumn("__offset", coalesce(
+        sum("__pc").over(Window.orderBy("__part")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("__m", sum("__pc").over(Window.partitionBy()))
+      .select("__part", "__offset", "__m"))
+    val local = Window.partitionBy("__part").orderBy(sortExprs: _*)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val ranked = ranged.join(offsets, Seq("__part"))
+      .withColumn("__rk", sum(lit(1L)).over(local) + col("__offset"))
+      .withColumn("__term", least(lit(1000000L),
+        expr(s"(CAST(__p AS $d0) * __m) div CAST(__rk AS $d0)")
+          .cast("long")))
+      .localCheckpoint()
+    // suffix min of __term: partition-local reverse min + broadcast min
+    // of every LATER partition's total min
+    val partMins = broadcast(ranked.groupBy("__part")
+      .agg(min("__term").as("__tmin"))
+      .withColumn("__later", min("__tmin").over(
+        Window.orderBy(col("__part").desc)
+          .rowsBetween(Window.unboundedPreceding, -1)))
+      .select("__part", "__later"))
+    val revLocal = Window.partitionBy("__part").orderBy(col("__rk").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val withAdj = ranked.join(partMins, Seq("__part"))
+      .withColumn("padj_micros",
+        least(min("__term").over(revLocal), coalesce(col("__later"),
+          lit(Long.MaxValue))).cast("long"))
+    // k* = max rank whose hypothesis passes p·m <= rank·q
+    val kStar = broadcast(withAdj
+      .agg(coalesce(max(when(
+          expr(s"CAST(__p AS $d0) * __m <= CAST(__rk AS $d0) * $qMicros"),
+          col("__rk"))), lit(0L)).as("__kstar")))
+    withAdj.crossJoin(kStar)
+      .select(keyCols.map(col) ++ Seq(col("__p").as("p_micros"),
+        col("__rk").as("p_rank"), col("padj_micros"),
+        (col("__rk") <= col("__kstar")).as("is_discovery")): _*)
+  }
+
+  /** Gini concentration coefficient of a non-negative value column —
+    * "how unequal is the spend / token-count / document-length
+    * distribution" — exactly, WITHOUT a global sort of the data. The
+    * value-distinct aggregate collapses the corpus to one row per
+    * distinct value (map-side combine), the range-partition prefix-sum
+    * topology orders the value dimension, and the tied-block rank-sum
+    * identity `Σ_block i = c·prev + c(c+1)/2` keeps every term integral:
+    * `G = (2·Σ x·ranksum(x) − (n+1)·Σx·c) / (n·Σx·c)` in cent-scaled
+    * DECIMAL(38,0), one truncating micro-unit division at the end.
+    * Output: one row `(n, total_cents, gini_micros)`; null gini for
+    * empty input or an all-zero total.
+    *
+    * Scale: same contract as [[graft.features.Features.ksStatistic]] —
+    * two exchanges over the value-DISTINCT table, partition-local
+    * windows, #partitions-row broadcast offsets, scalar rollup. */
+  def giniCoefficient(df: DataFrame, valueCol: String): DataFrame = {
+    val d0 = "decimal(38,0)"
+    val nParts = df.sparkSession.sessionState.conf.numShufflePartitions
+    val v = df.select(
+        expr(s"CAST(CAST($valueCol AS decimal(18,2)) * 100 AS $d0)")
+          .as("__v"))
+      .where(col("__v") >= 0)
+      .groupBy("__v").agg(count(lit(1)).cast(d0).as("__c"))
+    val ranged = v.repartitionByRange(nParts, col("__v"))
+      .sortWithinPartitions(col("__v"))
+      .withColumn("__part", spark_partition_id())
+      .localCheckpoint()
+    val offsets = broadcast(ranged.groupBy("__part")
+      .agg(sum("__c").as("__pc"))
+      .withColumn("__offset", coalesce(
+        sum("__pc").over(Window.orderBy("__part")
+          .rowsBetween(Window.unboundedPreceding, -1)),
+        lit(java.math.BigDecimal.ZERO).cast(d0)))
+      .select("__part", "__offset"))
+    val local = Window.partitionBy("__part").orderBy("__v")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    ranged.join(offsets, Seq("__part"))
+      .withColumn("__prev", sum("__c").over(local) + col("__offset")
+        - col("__c"))
+      .withColumn("__ranksum",
+        expr("__c * __prev + (__c * (__c + 1)) div 2"))
+      .agg(sum("__c").as("__n"), sum(expr("__v * __c")).as("__t"),
+        sum(expr("__v * __ranksum")).as("__rs"))
+      .select(coalesce(col("__n"), lit(0)).cast("long").as("n"),
+        coalesce(col("__t"), lit(0)).cast("long").as("total_cents"),
+        expr("CASE WHEN __n > 0 AND __t > 0 THEN " +
+          "((2 * __rs - (__n + 1) * __t) * 1000000) div (__n * __t) " +
+          "END").cast("long").as("gini_micros"))
+  }
+
   /** Percentile CI over a replicate table: nearest-rank lo/hi quantiles
     * of `wmean` plus their mean — a 1-row summary of
     * [[bootstrapReplicates]] (the sort runs over R rows, not data). */

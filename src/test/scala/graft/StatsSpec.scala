@@ -102,4 +102,103 @@ class StatsSpec extends AnyFunSuite {
     assert(Stats.tvDistance(disj, "cat", "g", "A", "B")
       .as[(Long, Long, Long)].collect().head._3 == 1000000L)
   }
+  test("cupedReport: hand theta, adjusted means flip the naive delta") {
+    // A: pre {10,20} post {20,40}; B: pre {15,25} post {25,50}
+    val units = Seq(
+      ("A", 10.0, 20.0), ("A", 20.0, 40.0),
+      ("B", 15.0, 25.0), ("B", 25.0, 50.0)
+    ).toDF("variant", "pre", "post")
+    val got = Stats.cupedReport(units, "variant", "pre", "post", "A")
+      .orderBy("variant")
+      .as[(String, Long, Long, Long, Option[Long], Option[Long])]
+      .collect().toSeq
+    // theta = (4*26.25e6 - 7000*13500) / (4*13.5e6 - 7000^2) = 2.1
+    // gmean(x) = 17.5e6; A dx = -2.5e6, B dx = +2.5e6
+    // adjA = 30e6 + 2.1*2.5e6 = 35.25e6; adjB = 37.5e6 - 5.25e6 = 32.25e6
+    assert(got(0) == (("A", 2L, 30000000L, 35250000L, Some(2100000L), None)))
+    assert(got(1) ==
+      (("B", 2L, 37500000L, 32250000L, Some(2100000L), Some(-3000000L))))
+    // degenerate Var(x) = 0: theta null, adjusted = raw mean
+    val flat = Seq(("A", 5.0, 10.0), ("B", 5.0, 30.0)).toDF("variant", "pre", "post")
+    val gf = Stats.cupedReport(flat, "variant", "pre", "post", "A")
+      .orderBy("variant")
+      .as[(String, Long, Long, Long, Option[Long], Option[Long])]
+      .collect().toSeq
+    assert(gf(0) == (("A", 1L, 10000000L, 10000000L, None, None)))
+    assert(gf(1) == (("B", 1L, 30000000L, 30000000L, None, Some(20000000L))))
+  }
+
+  test("cupedReport is layout-independent") {
+    val units = (1 to 300).map(i => (if (i % 2 == 0) "A" else "B",
+      (i * 37 % 101).toDouble, (i * 53 % 211).toDouble))
+      .toDF("variant", "pre", "post")
+    val a = Stats.cupedReport(units, "variant", "pre", "post", "A")
+      .orderBy("variant")
+      .as[(String, Long, Long, Long, Option[Long], Option[Long])]
+      .collect().toSeq
+    val b = Stats.cupedReport(units.repartition(13), "variant", "pre", "post", "A")
+      .orderBy("variant")
+      .as[(String, Long, Long, Long, Option[Long], Option[Long])]
+      .collect().toSeq
+    assert(a == b)
+  }
+
+  test("bhDiscoveries: textbook k*, adjusted p, none-pass family") {
+    // p = .01 .02 .03 .50 at q=.05, m=4: all of the first three pass
+    val hyp = Seq(("h1", 10000L), ("h2", 20000L), ("h3", 30000L),
+      ("h4", 500000L)).toDF("h", "p")
+    val got = Stats.bhDiscoveries(hyp, "p", Seq("h"), 50000L)
+      .orderBy("p_rank")
+      .as[(String, Long, Long, Long, Boolean)].collect().toSeq
+    assert(got == Seq(
+      ("h1", 10000L, 1L, 40000L, true),
+      ("h2", 20000L, 2L, 40000L, true),
+      ("h3", 30000L, 3L, 40000L, true),
+      ("h4", 500000L, 4L, 500000L, false)))
+    // nothing passes -> k* = 0; rank-1 term caps at 1e6 and the
+    // suffix min pulls rank 2's smaller term forward
+    val none = Seq(("h1", 500000L), ("h2", 600000L)).toDF("h", "p")
+    assert(Stats.bhDiscoveries(none, "p", Seq("h"), 50000L)
+      .orderBy("p_rank")
+      .as[(String, Long, Long, Long, Boolean)].collect().toSeq == Seq(
+      ("h1", 500000L, 1L, 600000L, false),
+      ("h2", 600000L, 2L, 600000L, false)))
+  }
+
+  test("bhDiscoveries is layout-independent (range-rank topology)") {
+    val hyp = (1 to 500).map(i => (s"h$i", (i * 37 % 997).toLong * 1000L))
+      .toDF("h", "p")
+    val a = Stats.bhDiscoveries(hyp, "p", Seq("h"), 50000L)
+      .orderBy("p_rank")
+      .as[(String, Long, Long, Long, Boolean)].collect().toSeq
+    val b = Stats.bhDiscoveries(hyp.repartition(17), "p", Seq("h"), 50000L)
+      .orderBy("p_rank")
+      .as[(String, Long, Long, Long, Boolean)].collect().toSeq
+    assert(a == b)
+    // padj is monotone non-decreasing in rank order
+    assert(a.map(_._4).sliding(2).forall(w => w.head <= w.last))
+  }
+
+  test("giniCoefficient: equality 0, one-holder (n-1)/n, tie-immune") {
+    val eq = Seq(10.0, 10.0, 10.0, 10.0).toDF("v")
+    assert(Stats.giniCoefficient(eq, "v")
+      .as[(Long, Long, Option[Long])].collect().head ==
+      ((4L, 4000L, Some(0L))))
+    val one = Seq(0.0, 0.0, 0.0, 10.0).toDF("v")
+    assert(Stats.giniCoefficient(one, "v")
+      .as[(Long, Long, Option[Long])].collect().head ==
+      ((4L, 1000L, Some(750000L))))
+    // layout-independence with heavy ties
+    val big = (1 to 1000).map(i => (i % 7).toDouble).toDF("v")
+    val a = Stats.giniCoefficient(big, "v")
+      .as[(Long, Long, Option[Long])].collect().head
+    val b = Stats.giniCoefficient(big.repartition(13), "v")
+      .as[(Long, Long, Option[Long])].collect().head
+    assert(a == b)
+    // empty input -> zero counts, null gini
+    val empty = Seq.empty[Double].toDF("v")
+    assert(Stats.giniCoefficient(empty, "v")
+      .as[(Long, Long, Option[Long])].collect().head ==
+      ((0L, 0L, None)))
+  }
 }
