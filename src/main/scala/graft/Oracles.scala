@@ -3205,6 +3205,67 @@ object Oracles {
         |    ((2*rs - (n+1)*t) * 1000000) // (n*t) END)::BIGINT AS gini_micros
         |FROM a""".stripMargin,
 
+    "q_clf_isotonic" ->
+      """WITH b AS (SELECT (n_chars // 100)::BIGINT AS bin,
+        |    count(*) AS n, count(CASE WHEN lang = 'en' THEN 1 END) AS pos
+        |  FROM documents WHERE n_chars IS NOT NULL GROUP BY 1),
+        |idx AS (SELECT bin, n, pos, row_number() OVER (ORDER BY bin) AS i,
+        |    sum(n) OVER (ORDER BY bin) AS cw,
+        |    sum(pos) OVER (ORDER BY bin) AS cs
+        |  FROM b),
+        |-- window [j..k] pooled mean as an exact fraction
+        |f AS (SELECT j.i AS j, k.i AS k,
+        |    (k.cs - j.cs + j.pos)::HUGEINT AS num,
+        |    (k.cw - j.cw + j.n)::HUGEINT AS den
+        |  FROM idx j JOIN idx k ON j.i <= k.i),
+        |-- minimax identity: iso(i) = max_{j<=i} min_{k>=i} mean[j..k];
+        |-- the 1e15-scaled key is injective on distinct fractions at
+        |-- these denominators, and (num*1e15 // den) // 1e9 ==
+        |-- num*1e6 // den exactly (nested floor-division identity)
+        |tri AS (SELECT m.i AS i, f.j,
+        |    (f.num * 1000000000000000) // f.den AS key
+        |  FROM f JOIN idx m ON f.j <= m.i AND m.i <= f.k),
+        |inn AS (SELECT i, j, min(key) AS mn FROM tri GROUP BY 1, 2),
+        |iso AS (SELECT i, max(mn) AS mx FROM inn GROUP BY 1)
+        |SELECT idx.bin, idx.n::BIGINT AS n, idx.pos::BIGINT AS pos,
+        |  ((idx.pos::HUGEINT * 1000000) // idx.n::HUGEINT)::BIGINT
+        |    AS rate_micros,
+        |  (iso.mx // 1000000000)::BIGINT AS iso_micros
+        |FROM idx JOIN iso ON idx.i = iso.i ORDER BY idx.bin""".stripMargin,
+
+    "q_stat_did" ->
+      """WITH o AS (SELECT
+        |    ('0x' || substr(md5(concat_ws('|', o_custkey, 'did')), 1, 15))
+        |      ::UBIGINT % 2 = 0 AS t,
+        |    o_orderdate >= TIMESTAMP '1998-01-01' AS p,
+        |    (o_totalprice::DECIMAL(18,2) * 100)::HUGEINT AS cents
+        |  FROM orders),
+        |a AS (SELECT
+        |    count(CASE WHEN t AND NOT p THEN 1 END) AS n_treat_pre,
+        |    count(CASE WHEN t AND p THEN 1 END) AS n_treat_post,
+        |    count(CASE WHEN NOT t AND NOT p THEN 1 END) AS n_ctrl_pre,
+        |    count(CASE WHEN NOT t AND p THEN 1 END) AS n_ctrl_post,
+        |    sum(CASE WHEN t AND NOT p THEN cents END) AS s_t0,
+        |    sum(CASE WHEN t AND p THEN cents END) AS s_t1,
+        |    sum(CASE WHEN NOT t AND NOT p THEN cents END) AS s_c0,
+        |    sum(CASE WHEN NOT t AND p THEN cents END) AS s_c1
+        |  FROM o),
+        |m AS (SELECT n_treat_pre, n_treat_post, n_ctrl_pre, n_ctrl_post,
+        |    (CASE WHEN n_treat_pre > 0 THEN
+        |      (s_t0 * 10000) // n_treat_pre::HUGEINT END)::BIGINT AS m_t0,
+        |    (CASE WHEN n_treat_post > 0 THEN
+        |      (s_t1 * 10000) // n_treat_post::HUGEINT END)::BIGINT AS m_t1,
+        |    (CASE WHEN n_ctrl_pre > 0 THEN
+        |      (s_c0 * 10000) // n_ctrl_pre::HUGEINT END)::BIGINT AS m_c0,
+        |    (CASE WHEN n_ctrl_post > 0 THEN
+        |      (s_c1 * 10000) // n_ctrl_post::HUGEINT END)::BIGINT AS m_c1
+        |  FROM a)
+        |SELECT n_treat_pre, n_treat_post, n_ctrl_pre, n_ctrl_post,
+        |  m_t0 AS mean_treat_pre_micros, m_t1 AS mean_treat_post_micros,
+        |  m_c0 AS mean_ctrl_pre_micros, m_c1 AS mean_ctrl_post_micros,
+        |  (m_t1 - m_t0 - (m_c1 - m_c0))::BIGINT AS did_micros
+        |FROM m""".stripMargin,
+
     "q_stat_bootstrap" ->
       """WITH rep AS (SELECT unnest(range(32))::INT AS replicate),
         |x AS (SELECT o_orderkey, o_totalprice::DECIMAL(18,2) AS v

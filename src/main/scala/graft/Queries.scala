@@ -2739,6 +2739,30 @@ object Queries {
       .orderBy("p_rank")
   }
 
+  /** Isotonic (PAVA) calibration of "document length predicts English":
+    * bins of 100 chars, monotone-calibrated P(en | length bin). */
+  def qClfIsotonic(s: SparkSession, dir: String): DataFrame = {
+    val binned = t(s, dir, "documents")
+      .where(col("n_chars").isNotNull)
+      .groupBy(expr("CAST(n_chars div 100 AS long)").as("bin"))
+      .agg(count(lit(1)).as("n"),
+        count(when(col("lang") === "en", 1)).as("pos"))
+    graft.ops.Stats.isotonicCalibration(binned, "bin", "n", "pos")
+      .orderBy("bin")
+  }
+
+  /** Difference-in-differences on order values: deterministic md5
+    * customer split as the quasi-treatment, 1998 as the policy cut. */
+  def qStatDid(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Stats.diffInDiff(
+      t(s, dir, "orders")
+        .withColumn("treat",
+          conv(substring(md5(concat_ws("|", col("o_custkey"), lit("did"))),
+            1, 15), 16, 10).cast("long") % 2 === 0)
+        .withColumn("post", col("o_orderdate") >=
+          lit("1998-01-01").cast("timestamp")),
+      "treat", "post", "o_totalprice")
+
   /** Gini concentration of per-customer lifetime spend — the revenue
     * inequality / whale-dominance readout. */
   def qStatGini(s: SparkSession, dir: String): DataFrame = {
@@ -2976,6 +3000,8 @@ object Queries {
     "q_ab_cuped" -> (qAbCuped _),
     "q_stat_bh" -> (qStatBh _),
     "q_stat_gini" -> (qStatGini _),
+    "q_stat_did" -> (qStatDid _),
+    "q_clf_isotonic" -> (qClfIsotonic _),
     "q_stat_chi2" -> (qStatChi2 _),
     "q_feat_clf_report" -> (qFeatClfReport _),
     "q_ea_survival" -> (qEaSurvival _),

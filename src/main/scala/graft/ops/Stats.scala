@@ -327,6 +327,94 @@ object Stats {
         (col("__rk") <= col("__kstar")).as("is_discovery")): _*)
   }
 
+  /** Isotonic (PAVA) calibration over a binned reliability table
+    * `(binCol ascending, wCol = bin size, posCol = bin positives)` — the
+    * monotone-calibrated probability per bin, the fit that turns a raw
+    * classifier score into a trustworthy curation threshold. One row per
+    * input bin: `(bin, n, pos, rate_micros, iso_micros)` with
+    * `iso_micros` non-decreasing in bin order. Pool-adjacent-violators
+    * runs with EXACT BigInt cross-multiplied mean comparisons and the
+    * pooled rate is `(Σpos·10⁶) div (Σw)` — one truncating division per
+    * block, so the fit is deterministic and replayable by a SQL engine
+    * through the minimax identity
+    * `iso(i) = max_{j≤i} min_{k≥i} mean[j..k]` (exact for rationals).
+    *
+    * Scale: ONE bin-keyed aggregate produces the table (callers bin the
+    * corpus first — e.g. [[graft.text.Classifier.calibrationTable]]);
+    * PAVA folds on the DRIVER over the BIN dimension (≤ a few hundred
+    * rows — the [[EventAnalytics.kaplanMeier]] bounded-driver-state
+    * contract), never over data. */
+  def isotonicCalibration(bins: DataFrame, binCol: String, wCol: String,
+                          posCol: String): DataFrame = {
+    val spark = bins.sparkSession
+    import spark.implicits._
+    val rows = bins
+      .select(col(binCol).cast("long"), col(wCol).cast("long"),
+        col(posCol).cast("long"))
+      .where(col(wCol) > 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    final case class Block(s: BigInt, w: BigInt,
+                           members: List[(Long, Long, Long)])
+    val stack = scala.collection.mutable.ArrayBuffer.empty[Block]
+    for ((b, w, p) <- rows) {
+      var cur = Block(BigInt(p), BigInt(w), List((b, w, p)))
+      // violation: previous block mean STRICTLY above the current —
+      // exact cross-multiplied comparison, no rational rounding
+      while (stack.nonEmpty &&
+          stack.last.s * cur.w > cur.s * stack.last.w) {
+        val prev = stack.remove(stack.length - 1)
+        cur = Block(prev.s + cur.s, prev.w + cur.w, prev.members ::: cur.members)
+      }
+      stack += cur
+    }
+    val out = stack.toList.flatMap { blk =>
+      val iso = (blk.s * 1000000 / blk.w).toLong
+      blk.members.map { case (b, w, p) =>
+        (b, w, p, (BigInt(p) * 1000000 / w).toLong, iso)
+      }
+    }
+    out.toDF("bin", "n", "pos", "rate_micros", "iso_micros")
+  }
+
+  /** Difference-in-differences readout — the quasi-experimental estimate
+    * when randomization isn't available: `(post_T − pre_T) −
+    * (post_C − pre_C)` over per-cell truncated fixed-point means
+    * (micro-currency from cent-exact DECIMAL sums; subtraction AFTER
+    * each non-negative division keeps Spark/DuckDB agreement). One row:
+    * the four cell counts, the four cell means, and `did_micros` (null
+    * if any cell is empty).
+    *
+    * Scale: ONE conditional scalar aggregate — eight map-side-combined
+    * accumulators, no shuffle beyond the 1-row rollup, no window. */
+  def diffInDiff(df: DataFrame, treatCol: String, postCol: String,
+                 valueCol: String): DataFrame = {
+    val d0 = "decimal(38,0)"
+    val t = col(treatCol).cast("boolean")
+    val p = col(postCol).cast("boolean")
+    val cents = expr(s"CAST(CAST($valueCol AS decimal(18,2)) * 100 AS $d0)")
+    def cell(name: String, cond: Column): Seq[(String, Column)] = Seq(
+      s"n_$name" -> count(when(cond, 1)),
+      s"__s_$name" -> sum(when(cond, cents)))
+    val cells = cell("treat_pre", t && !p) ++ cell("treat_post", t && p) ++
+      cell("ctrl_pre", !t && !p) ++ cell("ctrl_post", !t && p)
+    val agged = df.agg(cells.head._2.as(cells.head._1),
+      cells.tail.map { case (n, c) => c.as(n) }: _*)
+    def mean(name: String): Column =
+      when(col(s"n_$name") > 0,
+        expr(s"(__s_$name * 10000) div CAST(n_$name AS $d0)"))
+        .cast("long").as(s"mean_${name}_micros")
+    agged.select(
+      col("n_treat_pre"), col("n_treat_post"),
+      col("n_ctrl_pre"), col("n_ctrl_post"),
+      mean("treat_pre"), mean("treat_post"),
+      mean("ctrl_pre"), mean("ctrl_post"))
+      .withColumn("did_micros",
+        (col("mean_treat_post_micros") - col("mean_treat_pre_micros")
+          - (col("mean_ctrl_post_micros") - col("mean_ctrl_pre_micros")))
+          .cast("long"))
+  }
+
   /** Gini concentration coefficient of a non-negative value column —
     * "how unequal is the spend / token-count / document-length
     * distribution" — exactly, WITHOUT a global sort of the data. The

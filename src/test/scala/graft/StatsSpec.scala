@@ -201,4 +201,54 @@ class StatsSpec extends AnyFunSuite {
       .as[(Long, Long, Option[Long])].collect().head ==
       ((0L, 0L, None)))
   }
+
+  test("isotonicCalibration: hand PAVA pools, monotone input unchanged") {
+    // rates 1.0, 0, 0.5 -> first two pool to 0.5; third stays (no strict
+    // violation against an equal neighbor)
+    val bins = Seq((1L, 2L, 2L), (2L, 2L, 0L), (3L, 2L, 1L))
+      .toDF("bin", "n", "pos")
+    val got = Stats.isotonicCalibration(bins, "bin", "n", "pos")
+      .orderBy("bin")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 2L, 2L, 1000000L, 500000L),
+      (2L, 2L, 0L, 0L, 500000L), (3L, 2L, 1L, 500000L, 500000L)))
+    assert(got.map(_._5).sliding(2).forall(w => w.head <= w.last))
+    // already-isotonic input is a fixed point
+    val mono = Seq((1L, 4L, 0L), (2L, 4L, 2L), (3L, 4L, 4L))
+      .toDF("bin", "n", "pos")
+    assert(Stats.isotonicCalibration(mono, "bin", "n", "pos")
+      .orderBy("bin")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq ==
+      Seq((1L, 4L, 0L, 0L, 0L), (2L, 4L, 2L, 500000L, 500000L),
+        (3L, 4L, 4L, 1000000L, 1000000L)))
+    // weighted pool: (w=1, rate 1.0) vs (w=3, rate 0) -> 1/4
+    val wtd = Seq((1L, 1L, 1L), (2L, 3L, 0L)).toDF("bin", "n", "pos")
+    assert(Stats.isotonicCalibration(wtd, "bin", "n", "pos")
+      .orderBy("bin")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq ==
+      Seq((1L, 1L, 1L, 1000000L, 250000L), (2L, 3L, 0L, 0L, 250000L)))
+    // zero-weight bins are dropped, not divided by
+    val zw = Seq((1L, 0L, 0L), (2L, 2L, 1L)).toDF("bin", "n", "pos")
+    assert(Stats.isotonicCalibration(zw, "bin", "n", "pos")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq ==
+      Seq((2L, 2L, 1L, 500000L, 500000L)))
+  }
+
+  test("diffInDiff: hand cells, empty cell yields null estimate") {
+    val df = Seq(
+      (true, false, 10.0), (true, false, 20.0), (true, true, 30.0),
+      (false, false, 10.0), (false, true, 15.0)
+    ).toDF("treat", "post", "v")
+    val got = Stats.diffInDiff(df, "treat", "post", "v")
+      .as[(Long, Long, Long, Long, Option[Long], Option[Long],
+        Option[Long], Option[Long], Option[Long])].collect().head
+    assert(got == ((2L, 1L, 1L, 1L, Some(15000000L), Some(30000000L),
+      Some(10000000L), Some(15000000L), Some(10000000L))))
+    val sparse = Seq((true, false, 10.0), (true, true, 30.0),
+      (false, false, 10.0)).toDF("treat", "post", "v")
+    val gs = Stats.diffInDiff(sparse, "treat", "post", "v")
+      .as[(Long, Long, Long, Long, Option[Long], Option[Long],
+        Option[Long], Option[Long], Option[Long])].collect().head
+    assert(gs._4 == 0L && gs._8.isEmpty && gs._9.isEmpty)
+  }
 }
