@@ -2918,6 +2918,31 @@ object Oracles {
         |    // (tot.na * tot.nb))::BIGINT AS ks_micros
         |FROM c CROSS JOIN tot GROUP BY tot.na, tot.nb""".stripMargin,
 
+    "q_feat_cvm" ->
+      """WITH f AS (SELECT o_totalprice AS v, o_orderpriority AS g
+        |  FROM orders WHERE o_orderpriority IN ('1-URGENT', '5-LOW')),
+        |per AS (SELECT v,
+        |    count(CASE WHEN g = '1-URGENT' THEN 1 END) AS ca,
+        |    count(CASE WHEN g = '5-LOW' THEN 1 END) AS cb
+        |  FROM f GROUP BY 1),
+        |tot AS (SELECT sum(ca)::HUGEINT AS na, sum(cb)::HUGEINT AS nb
+        |  FROM per),
+        |c AS (SELECT ca, cb,
+        |    sum(ca) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+        |      AND CURRENT ROW) AS cuma,
+        |    sum(cb) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+        |      AND CURRENT ROW) AS cumb
+        |  FROM per)
+        |SELECT tot.na::BIGINT AS n_a, tot.nb::BIGINT AS n_b,
+        |  (CASE WHEN tot.na > 0 AND tot.nb > 0 THEN
+        |    (sum((ca + cb)::HUGEINT
+        |        * (cuma::HUGEINT * tot.nb - cumb::HUGEINT * tot.na)
+        |        * (cuma::HUGEINT * tot.nb - cumb::HUGEINT * tot.na))
+        |      * 1000000)
+        |      // (tot.na * tot.nb * (tot.na + tot.nb) * (tot.na + tot.nb))
+        |  END)::BIGINT AS cvm_micros
+        |FROM c CROSS JOIN tot GROUP BY tot.na, tot.nb""".stripMargin,
+
     "q_feat_mw" ->
       """WITH f AS (SELECT o_totalprice AS v, o_orderpriority AS g
         |  FROM orders WHERE o_orderpriority IN ('1-URGENT', '5-LOW')),

@@ -2617,6 +2617,13 @@ object Queries {
     graft.features.Features.mannWhitney(t(s, dir, "orders"),
       "o_totalprice", "o_orderpriority", "1-URGENT", "5-LOW")
 
+  /** Exact Cramér–von Mises: the integrated squared CDF gap between
+    * urgent and low-priority order values. Completes the two-sample
+    * family with [[qFeatKs]] (sup gap) and [[qFeatMw]] (dominance). */
+  def qFeatCvm(s: SparkSession, dir: String): DataFrame =
+    graft.features.Features.cramerVonMises(t(s, dir, "orders"),
+      "o_totalprice", "o_orderpriority", "1-URGENT", "5-LOW")
+
   /** Running distinct event-type count per user over time. */
   def qW19RunningDistinct(s: SparkSession, dir: String): DataFrame =
     Windows.runningDistinct(
@@ -3010,6 +3017,7 @@ object Queries {
     "q_w19_running_distinct" -> (qW19RunningDistinct _),
     "q_feat_ks" -> (qFeatKs _),
     "q_feat_mw" -> (qFeatMw _),
+    "q_feat_cvm" -> (qFeatCvm _),
     "q_ts_backtest" -> (qTsBacktest _),
     "q_stat_bootstrap" -> (qStatBootstrap _),
     "q_graph_pagerank" -> (qGraphPagerank _),

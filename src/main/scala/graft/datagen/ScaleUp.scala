@@ -35,8 +35,21 @@ object ScaleUp {
   private val Offset = 10000000L
 
   /** df ∪ (factor−1) key-shifted replicas; `rep` column left for payload
-    * perturbation, dropped by the caller. */
+    * perturbation, dropped by the caller. Fails fast if any base key
+    * already reaches the replica offset — scaling an ALREADY-SCALED
+    * corpus (e.g. sf1 → sf10) collides replica key spaces: (rep₁=3,
+    * rep₂=0) and (rep₁=0, rep₂=3) map to the SAME id, which silently
+    * merges users/baskets/docs and quadratically distorts every
+    * join-shaped entry (measured as a 70 GB shuffle spill, r10). Always
+    * scale from the driver's base sf0.1 with a larger factor. */
   private def replicate(df: DataFrame, factor: Int, keyCols: Seq[String]): DataFrame = {
+    val maxExpr = if (keyCols.size == 1) max(col(keyCols.head))
+      else greatest(keyCols.map(k => max(col(k))): _*)
+    val maxKey = df.agg(maxExpr.cast("long")).head().getLong(0)
+    require(maxKey < Offset && maxKey + (factor - 1).toLong * Offset > 0,
+      s"base keys reach $maxKey >= replica offset $Offset — this input is " +
+        "already a scaled corpus; regenerate from the base sf with a " +
+        "larger factor instead of re-scaling")
     val exploded = df.withColumn("rep",
       explode(sequence(lit(0), lit(factor - 1))))
     keyCols.foldLeft(exploded)((d, k) =>

@@ -692,6 +692,37 @@ object Features {
           .as("ks_micros"))
   }
 
+  /** Exact two-sample Cramér–von Mises statistic — the INTEGRATED
+    * squared CDF gap, the drift test that catches diffuse body shifts a
+    * sup-gap (KS) test under-weights:
+    * `T = Σ_v (c_a+c_b)·(cum_a·n_b − cum_b·n_a)² / (n_a·n_b·(n_a+n_b)²)`
+    * over every distinct pooled value, emitted as one row
+    * `(n_a, n_b, cvm_micros)`. Every term is an exact DECIMAL(38,0)
+    * integer — the squared cross-product gap bounds exactness to
+    * cohorts of ~3·10⁸ rows (gap² ≤ 10³⁵); beyond that use
+    * [[ksStatistic]]/[[mannWhitney]], whose first-power gaps are exact
+    * to 10¹⁹. One truncating micro-unit division at the end.
+    *
+    * Scale: identical topology to [[ksStatistic]] — value-distinct
+    * aggregate, range-partition prefix sums, scalar rollup. */
+  def cramerVonMises(df: DataFrame, valueCol: String, groupCol: String,
+                     aLabel: String, bLabel: String): DataFrame = {
+    val dec38 = "decimal(38,0)"
+    twoSampleCdf(df, valueCol, groupCol, aLabel, bLabel)
+      .withColumn("__gap",
+        col("__cuma").cast(dec38) * col("__nb").cast(dec38) -
+          col("__cumb").cast(dec38) * col("__na").cast(dec38))
+      .withColumn("__term",
+        expr(s"CAST(__ca + __cb AS $dec38) * __gap * __gap"))
+      .agg(max("__na").as("n_a"), max("__nb").as("n_b"),
+        sum("__term").as("__u"))
+      .select(col("n_a"), col("n_b"),
+        when(col("n_a") > 0 && col("n_b") > 0,
+          expr(s"(__u * 1000000L) div (CAST(n_a AS $dec38) * n_b * " +
+            s"CAST(n_a + n_b AS $dec38) * (n_a + n_b))"))
+          .cast("long").as("cvm_micros"))
+  }
+
   /** Shared two-sample scaffold of [[ksStatistic]] / [[mannWhitney]]:
     * one row per DISTINCT observed value with per-cohort counts
     * `(__ca, __cb)`, global value-ordered cumulative counts

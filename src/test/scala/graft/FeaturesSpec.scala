@@ -530,4 +530,27 @@ class FeaturesSpec extends AnyFunSuite {
       .select("id").as[Long].collect().toSet
     assert(a != other) // salt changes the kept set
   }
+  test("cramerVonMises: hand integrated gap, identical zero, ties") {
+    // disjoint a={1,2} b={3,4}: gaps 2,4,2,0 -> U = 4+16+4 = 24,
+    // T = 24e6 div (2*2*4*4) = 375000
+    val df = Seq(("a", 1.0), ("a", 2.0), ("b", 3.0), ("b", 4.0)).toDF("g", "x")
+    assert(Features.cramerVonMises(df, "x", "g", "a", "b")
+      .as[(Long, Long, Long)].collect().head == ((2L, 2L, 375000L)))
+    // identical cohorts: every gap zero
+    val same = Seq(("a", 1.0), ("a", 2.0), ("b", 1.0), ("b", 2.0)).toDF("g", "x")
+    assert(Features.cramerVonMises(same, "x", "g", "a", "b")
+      .as[(Long, Long, Long)].collect().head == ((2L, 2L, 0L)))
+    // tie value pools both cohorts' weight: a={1,2} b={2,3} -> U = 12
+    val tied = Seq(("a", 1.0), ("a", 2.0), ("b", 2.0), ("b", 3.0)).toDF("g", "x")
+    assert(Features.cramerVonMises(tied, "x", "g", "a", "b")
+      .as[(Long, Long, Long)].collect().head == ((2L, 2L, 187500L)))
+    // layout-independence (range-partition prefix-sum topology)
+    val big = (1 to 400).map(i =>
+      (if (i % 2 == 0) "a" else "b", (i * 37 % 101).toDouble)).toDF("g", "x")
+    val p = Features.cramerVonMises(big, "x", "g", "a", "b")
+      .as[(Long, Long, Long)].collect().head
+    val q = Features.cramerVonMises(big.repartition(13), "x", "g", "a", "b")
+      .as[(Long, Long, Long)].collect().head
+    assert(p == q)
+  }
 }
