@@ -2943,6 +2943,59 @@ object Oracles {
         |  END)::BIGINT AS cvm_micros
         |FROM c CROSS JOIN tot GROUP BY tot.na, tot.nb""".stripMargin,
 
+    "q_feat_drift_battery" ->
+      """WITH d AS (SELECT source, lang, n_chars,
+        |    length(text) - length(replace(text, ' ', '')) AS n_spaces
+        |  FROM documents WHERE source IN ('src0', 'src1')),
+        |pc AS (SELECT n_chars AS v,
+        |    count(CASE WHEN source = 'src0' THEN 1 END) AS ca,
+        |    count(CASE WHEN source = 'src1' THEN 1 END) AS cb
+        |  FROM d GROUP BY 1),
+        |tc AS (SELECT sum(ca) AS na, sum(cb) AS nb FROM pc),
+        |cc AS (SELECT
+        |    sum(ca) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+        |      AND CURRENT ROW) AS cuma,
+        |    sum(cb) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+        |      AND CURRENT ROW) AS cumb
+        |  FROM pc),
+        |r1 AS (SELECT 'n_chars' AS feature, 'ks' AS kind,
+        |    tc.na::BIGINT AS n_ref, tc.nb::BIGINT AS n_cur,
+        |    ((max(abs(cuma * tc.nb - cumb * tc.na)) * 1000000)
+        |      // (tc.na * tc.nb))::BIGINT AS stat_micros
+        |  FROM cc CROSS JOIN tc GROUP BY tc.na, tc.nb),
+        |ps AS (SELECT n_spaces AS v,
+        |    count(CASE WHEN source = 'src0' THEN 1 END) AS ca,
+        |    count(CASE WHEN source = 'src1' THEN 1 END) AS cb
+        |  FROM d GROUP BY 1),
+        |ts AS (SELECT sum(ca) AS na, sum(cb) AS nb FROM ps),
+        |cs AS (SELECT
+        |    sum(ca) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+        |      AND CURRENT ROW) AS cuma,
+        |    sum(cb) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+        |      AND CURRENT ROW) AS cumb
+        |  FROM ps),
+        |r2 AS (SELECT 'n_spaces' AS feature, 'ks' AS kind,
+        |    ts.na::BIGINT, ts.nb::BIGINT,
+        |    ((max(abs(cuma * ts.nb - cumb * ts.na)) * 1000000)
+        |      // (ts.na * ts.nb))::BIGINT
+        |  FROM cs CROSS JOIN ts GROUP BY ts.na, ts.nb),
+        |pl AS (SELECT lang AS c,
+        |    count(CASE WHEN source = 'src0' THEN 1 END) AS ca,
+        |    count(CASE WHEN source = 'src1' THEN 1 END) AS cb
+        |  FROM d GROUP BY 1),
+        |wl AS (SELECT ca, cb, sum(ca) OVER () AS na, sum(cb) OVER () AS nb
+        |  FROM pl),
+        |r3 AS (SELECT 'lang' AS feature, 'tvd' AS kind,
+        |    max(na)::BIGINT, max(nb)::BIGINT,
+        |    (CASE WHEN max(na) > 0 AND max(nb) > 0 THEN
+        |      (sum(abs(ca::HUGEINT * nb::HUGEINT - cb::HUGEINT * na::HUGEINT))
+        |        * 1000000)
+        |        // (2 * max(na)::HUGEINT * max(nb)::HUGEINT)
+        |    END)::BIGINT
+        |  FROM wl)
+        |SELECT * FROM r1 UNION ALL SELECT * FROM r2 UNION ALL
+        |SELECT * FROM r3 ORDER BY feature""".stripMargin,
+
     "q_feat_mw" ->
       """WITH f AS (SELECT o_totalprice AS v, o_orderpriority AS g
         |  FROM orders WHERE o_orderpriority IN ('1-URGENT', '5-LOW')),

@@ -2624,6 +2624,19 @@ object Queries {
     graft.features.Features.cramerVonMises(t(s, dir, "orders"),
       "o_totalprice", "o_orderpriority", "1-URGENT", "5-LOW")
 
+  /** Drift battery between two document sources: exact KS on n_chars
+    * and the space-count proxy, exact TVD on lang — one micro-unit
+    * monitoring table from one config-driven call. */
+  def qFeatDriftBattery(s: SparkSession, dir: String): DataFrame =
+    graft.features.Features.driftBattery(
+        t(s, dir, "documents")
+          .withColumn("n_spaces",
+            length(col("text")) - length(regexp_replace(col("text"), " ", ""))),
+        "source", "src0", "src1",
+        numericCols = Seq("n_chars", "n_spaces"),
+        categoricalCols = Seq("lang"))
+      .orderBy("feature")
+
   /** Running distinct event-type count per user over time. */
   def qW19RunningDistinct(s: SparkSession, dir: String): DataFrame =
     Windows.runningDistinct(
@@ -3018,6 +3031,7 @@ object Queries {
     "q_feat_ks" -> (qFeatKs _),
     "q_feat_mw" -> (qFeatMw _),
     "q_feat_cvm" -> (qFeatCvm _),
+    "q_feat_drift_battery" -> (qFeatDriftBattery _),
     "q_ts_backtest" -> (qTsBacktest _),
     "q_stat_bootstrap" -> (qStatBootstrap _),
     "q_graph_pagerank" -> (qGraphPagerank _),

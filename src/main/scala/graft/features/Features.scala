@@ -692,6 +692,40 @@ object Features {
           .as("ks_micros"))
   }
 
+  /** Config-driven drift battery — the one-call reference-vs-current
+    * monitoring table a feature store runs per refresh: exact KS for
+    * every numeric column, exact total-variation distance for every
+    * categorical column, between the `refLabel` and `curLabel` cohorts
+    * of `groupCol`. One row per feature:
+    * `(feature, kind, n_ref, n_cur, stat_micros)` with `kind` "ks" or
+    * "tvd" — both stats live in micro-units on the same [0, 1e6] scale,
+    * so one threshold policy gates the whole table.
+    *
+    * Scale: one column-pruned pass per feature (each stat's
+    * value-distinct aggregate reads exactly one column + the group
+    * column from the columnar scan); the union is k one-row frames.
+    * Mirrors the reference's config-driven aggregate pattern
+    * (notebooks/utils.py config_agg) applied to monitoring. */
+  def driftBattery(df: DataFrame, groupCol: String, refLabel: String,
+                   curLabel: String, numericCols: Seq[String],
+                   categoricalCols: Seq[String]): DataFrame = {
+    require(numericCols.nonEmpty || categoricalCols.nonEmpty,
+      "at least one feature column required")
+    val rows =
+      numericCols.map { c =>
+        ksStatistic(df, c, groupCol, refLabel, curLabel)
+          .select(lit(c).as("feature"), lit("ks").as("kind"),
+            col("n_a").as("n_ref"), col("n_b").as("n_cur"),
+            col("ks_micros").as("stat_micros"))
+      } ++ categoricalCols.map { c =>
+        graft.ops.Stats.tvDistance(df, c, groupCol, refLabel, curLabel)
+          .select(lit(c).as("feature"), lit("tvd").as("kind"),
+            col("n_a").as("n_ref"), col("n_b").as("n_cur"),
+            col("tvd_micros").as("stat_micros"))
+      }
+    rows.reduce(_ unionByName _)
+  }
+
   /** Exact two-sample Cramér–von Mises statistic — the INTEGRATED
     * squared CDF gap, the drift test that catches diffuse body shifts a
     * sup-gap (KS) test under-weights:

@@ -553,4 +553,22 @@ class FeaturesSpec extends AnyFunSuite {
       .as[(Long, Long, Long)].collect().head
     assert(p == q)
   }
+  test("driftBattery: one row per feature, disjoint max, identical zero") {
+    val df = Seq(
+      ("r", 1.0, "u"), ("r", 2.0, "v"),
+      ("c", 3.0, "w"), ("c", 4.0, "x")
+    ).toDF("g", "num", "cat")
+    val got = Features.driftBattery(df, "g", "r", "c",
+        numericCols = Seq("num"), categoricalCols = Seq("cat"))
+      .orderBy("feature")
+      .as[(String, String, Long, Long, Long)].collect().toSeq
+    // disjoint supports: KS and TVD both saturate at 1e6
+    assert(got == Seq(("cat", "tvd", 2L, 2L, 1000000L),
+      ("num", "ks", 2L, 2L, 1000000L)))
+    val same = Seq(("r", 1.0, "u"), ("c", 1.0, "u")).toDF("g", "num", "cat")
+    assert(Features.driftBattery(same, "g", "r", "c", Seq("num"), Seq("cat"))
+      .orderBy("feature")
+      .as[(String, String, Long, Long, Long)].collect().toSeq ==
+      Seq(("cat", "tvd", 1L, 1L, 0L), ("num", "ks", 1L, 1L, 0L)))
+  }
 }
