@@ -2996,6 +2996,58 @@ object Oracles {
         |SELECT * FROM r1 UNION ALL SELECT * FROM r2 UNION ALL
         |SELECT * FROM r3 ORDER BY feature""".stripMargin,
 
+    "q_feat_robust_stats" ->
+      """WITH per AS (SELECT (o_totalprice::DECIMAL(18,2) * 100)::HUGEINT
+        |      AS v, count(*) AS c
+        |  FROM orders WHERE o_totalprice IS NOT NULL GROUP BY 1),
+        |w AS (SELECT v, c,
+        |    sum(c) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+        |      AND CURRENT ROW) AS cum,
+        |    sum(c) OVER () AS n
+        |  FROM per),
+        |q AS (SELECT max(n) AS n,
+        |    min(CASE WHEN cum >= (25 * n + 99) // 100 THEN v END) AS q1,
+        |    min(CASE WHEN cum >= (50 * n + 99) // 100 THEN v END) AS med,
+        |    min(CASE WHEN cum >= (75 * n + 99) // 100 THEN v END) AS q3
+        |  FROM w)
+        |SELECT q.n::BIGINT AS n, q.q1::BIGINT AS q1_cents,
+        |  q.med::BIGINT AS median_cents, q.q3::BIGINT AS q3_cents,
+        |  (q.q3 - q.q1)::BIGINT AS iqr_cents,
+        |  (SELECT coalesce(sum(c), 0) FROM per
+        |    WHERE 2 * v < 2 * q.q1 - 3 * (q.q3 - q.q1))::BIGINT
+        |    AS n_low_outliers,
+        |  (SELECT coalesce(sum(c), 0) FROM per
+        |    WHERE 2 * v > 2 * q.q3 + 3 * (q.q3 - q.q1))::BIGINT
+        |    AS n_high_outliers
+        |FROM q""".stripMargin,
+
+    "q_j11_join_health" ->
+      """WITH f AS (SELECT l_orderkey AS k, count(*) AS fc
+        |  FROM lineitem GROUP BY 1),
+        |d AS (SELECT o_orderkey AS k, count(*) AS dc
+        |  FROM orders WHERE o_orderstatus = 'F' GROUP BY 1),
+        |j AS (SELECT coalesce(f.k, d.k) AS k, f.fc, d.dc, f.k AS fk
+        |  FROM f FULL OUTER JOIN d ON f.k = d.k)
+        |SELECT
+        |  (SELECT count(*) FROM lineitem)::BIGINT AS n_fact,
+        |  sum(coalesce(dc, 0))::BIGINT AS n_dim,
+        |  sum(CASE WHEN fk IS NULL AND dc IS NULL
+        |    THEN coalesce(fc, 0) ELSE 0 END)::BIGINT AS n_fact_null_key,
+        |  count(CASE WHEN k IS NOT NULL AND dc > 1 THEN 1 END)::BIGINT
+        |    AS n_dim_dup_keys,
+        |  coalesce(sum(CASE WHEN dc IS NULL AND fk IS NOT NULL THEN fc END),
+        |    0)::BIGINT AS n_orphan_fact,
+        |  coalesce(max(CASE WHEN dc IS NOT NULL THEN fc END), 0)::BIGINT
+        |    AS max_fanout,
+        |  (CASE WHEN count(CASE WHEN dc IS NOT NULL AND fc IS NOT NULL
+        |      THEN 1 END) > 0 THEN
+        |    (sum(CASE WHEN dc IS NOT NULL THEN coalesce(fc, 0) END)
+        |      * 1000000)
+        |      // count(CASE WHEN dc IS NOT NULL AND fc IS NOT NULL THEN 1
+        |        END)
+        |  END)::BIGINT AS avg_fanout_micros
+        |FROM j""".stripMargin,
+
     "q_feat_mw" ->
       """WITH f AS (SELECT o_totalprice AS v, o_orderpriority AS g
         |  FROM orders WHERE o_orderpriority IN ('1-URGENT', '5-LOW')),

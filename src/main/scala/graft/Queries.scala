@@ -2637,6 +2637,19 @@ object Queries {
         categoricalCols = Seq("lang"))
       .orderBy("feature")
 
+  /** Exact robust-statistics block over order values: nearest-rank
+    * quartiles, IQR, and Tukey-fence outlier counts in exact cents. */
+  def qFeatRobustStats(s: SparkSession, dir: String): DataFrame =
+    graft.features.Features.robustStats(t(s, dir, "orders"), "o_totalprice")
+
+  /** Join-key health between the lineitem facts and the FINISHED-order
+    * dim slice: orphan lineitems (non-F orders), per-order fanout. */
+  def qJ11JoinHealth(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Joins.joinHealth(
+      t(s, dir, "lineitem"),
+      t(s, dir, "orders").where(col("o_orderstatus") === "F"),
+      "l_orderkey", "o_orderkey")
+
   /** Running distinct event-type count per user over time. */
   def qW19RunningDistinct(s: SparkSession, dir: String): DataFrame =
     Windows.runningDistinct(
@@ -3032,6 +3045,8 @@ object Queries {
     "q_feat_mw" -> (qFeatMw _),
     "q_feat_cvm" -> (qFeatCvm _),
     "q_feat_drift_battery" -> (qFeatDriftBattery _),
+    "q_feat_robust_stats" -> (qFeatRobustStats _),
+    "q_j11_join_health" -> (qJ11JoinHealth _),
     "q_ts_backtest" -> (qTsBacktest _),
     "q_stat_bootstrap" -> (qStatBootstrap _),
     "q_graph_pagerank" -> (qGraphPagerank _),

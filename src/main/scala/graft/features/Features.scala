@@ -692,6 +692,61 @@ object Features {
           .as("ks_micros"))
   }
 
+  /** Exact robust statistics — nearest-rank quartiles, IQR, and Tukey
+    * 1.5·IQR outlier-fence counts, all in exact cents WITHOUT a global
+    * sort: value-distinct counts → the range-partition prefix-sum
+    * topology → quartile `q_p = min v : cum(v) ≥ ⌈p·n/100⌉` as one
+    * conditional aggregate, fences compared doubled
+    * (`2v < 2·q1 − 3·IQR`) so 1.5×IQR never leaves the integers. One
+    * row: `(n, q1_cents, median_cents, q3_cents, iqr_cents,
+    * n_low_outliers, n_high_outliers)` — the winsorize/robust-scale
+    * parameter block a feature pipeline computes before clipping.
+    *
+    * Scale: same contract as [[ksStatistic]]/[[graft.ops.Stats.giniCoefficient]]
+    * — two exchanges over the value-DISTINCT table (pinned once, it
+    * feeds both the quartile and the fence subtrees), 1-row quartile
+    * broadcast, scalar rollups. */
+  def robustStats(df: DataFrame, valueCol: String): DataFrame = {
+    val d0 = "decimal(38,0)"
+    val nParts = df.sparkSession.sessionState.conf.numShufflePartitions
+    val v = df.select(
+        expr(s"CAST(CAST($valueCol AS decimal(18,2)) * 100 AS $d0)").as("__v"))
+      .where(col("__v").isNotNull)
+      .groupBy("__v").agg(count(lit(1)).as("__c"))
+    val ranged = v.repartitionByRange(nParts, col("__v"))
+      .sortWithinPartitions(col("__v"))
+      .withColumn("__part", spark_partition_id())
+      .localCheckpoint()
+    val offsets = broadcast(ranged.groupBy("__part")
+      .agg(sum("__c").as("__pc"))
+      .withColumn("__offset", coalesce(
+        sum("__pc").over(Window.orderBy("__part")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("__n", sum("__pc").over(Window.partitionBy()))
+      .select("__part", "__offset", "__n"))
+    val local = Window.partitionBy("__part").orderBy("__v")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val cum = ranged.join(offsets, Seq("__part"))
+      .withColumn("__cum", sum("__c").over(local) + col("__offset"))
+    def q(p: Int): Column =
+      min(when(expr(s"__cum >= ($p * __n + 99) div 100"), col("__v")))
+        .cast("long")
+    val quarts = broadcast(cum.agg(max("__n").as("n"), q(25).as("q1_cents"),
+      q(50).as("median_cents"), q(75).as("q3_cents")))
+    ranged.crossJoin(quarts)
+      .groupBy("n", "q1_cents", "median_cents", "q3_cents")
+      .agg(
+        coalesce(sum(when(
+          expr("2 * __v < 2 * q1_cents - 3 * (q3_cents - q1_cents)"),
+          col("__c"))), lit(0)).cast("long").as("n_low_outliers"),
+        coalesce(sum(when(
+          expr("2 * __v > 2 * q3_cents + 3 * (q3_cents - q1_cents)"),
+          col("__c"))), lit(0)).cast("long").as("n_high_outliers"))
+      .select(col("n"), col("q1_cents"), col("median_cents"),
+        col("q3_cents"), (col("q3_cents") - col("q1_cents")).as("iqr_cents"),
+        col("n_low_outliers"), col("n_high_outliers"))
+  }
+
   /** Config-driven drift battery — the one-call reference-vs-current
     * monitoring table a feature store runs per refresh: exact KS for
     * every numeric column, exact total-variation distance for every

@@ -328,4 +328,51 @@ object Joins {
           floor(greatest(col(lLoCol), col(rLoCol)) / binWidth).cast("long"))
       .drop("__bin")
   }
+
+  /** Join-key health report — the diagnostic to read BEFORE shipping a
+    * fact⋈dim join at scale: one row
+    * `(n_fact, n_dim, n_fact_null_key, n_dim_dup_keys, n_orphan_fact,
+    * max_fanout, avg_fanout_micros)` where orphans are fact rows whose
+    * key has no dim match, dup keys are dim keys appearing more than
+    * once (a silent row-multiplier), and fanout is fact rows per
+    * MATCHED dim key — `max_fanout` spots the skewed key that will
+    * stall one reducer, `avg_fanout_micros` sizes the join output.
+    *
+    * Scale: one key-keyed aggregate per side (map-side combine → two
+    * key-dimension tables), one outer join between the AGGREGATES
+    * (dim-sized both sides), one scalar rollup. The fact table is
+    * scanned once, only the key column read. */
+  def joinHealth(fact: DataFrame, dim: DataFrame, factKey: String,
+                 dimKey: String): DataFrame = {
+    val f = fact.groupBy(col(factKey).as("__k"))
+      .agg(count(lit(1)).as("__fc"))
+    val d = dim.groupBy(col(dimKey).as("__k"))
+      .agg(count(lit(1)).as("__dc"))
+    f.join(d, Seq("__k"), "full_outer")
+      .agg(
+        sum(when(col("__k").isNotNull, coalesce(col("__fc"), lit(0L)))
+          .otherwise(lit(0L))).as("__fact_keyed"),
+        sum(when(col("__k").isNull, coalesce(col("__fc"), lit(0L)))
+          .otherwise(lit(0L))).as("n_fact_null_key"),
+        sum(coalesce(col("__dc"), lit(0L))).as("n_dim"),
+        count(when(col("__k").isNotNull && col("__dc") > 1, 1))
+          .as("n_dim_dup_keys"),
+        sum(when(col("__dc").isNull && col("__k").isNotNull, col("__fc")))
+          .as("__orph"),
+        max(when(col("__dc").isNotNull, col("__fc"))).as("__maxf"),
+        sum(when(col("__dc").isNotNull, coalesce(col("__fc"), lit(0L))))
+          .as("__matched"),
+        count(when(col("__dc").isNotNull && col("__fc").isNotNull, 1))
+          .as("__mkeys"))
+      .select(
+        (col("__fact_keyed") + col("n_fact_null_key")).as("n_fact"),
+        col("n_dim"),
+        col("n_fact_null_key"),
+        col("n_dim_dup_keys"),
+        coalesce(col("__orph"), lit(0L)).as("n_orphan_fact"),
+        coalesce(col("__maxf"), lit(0L)).as("max_fanout"),
+        when(col("__mkeys") > 0,
+          expr("(__matched * 1000000L) div __mkeys"))
+          .cast("long").as("avg_fanout_micros"))
+  }
 }

@@ -571,4 +571,21 @@ class FeaturesSpec extends AnyFunSuite {
       .as[(String, String, Long, Long, Long)].collect().toSeq ==
       Seq(("cat", "tvd", 1L, 1L, 0L), ("num", "ks", 1L, 1L, 0L)))
   }
+  test("robustStats: hand quartiles, Tukey fences, outlier counts") {
+    val clean = (1 to 10).map(_.toDouble).toDF("v")
+    val got = Features.robustStats(clean, "v")
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect().head
+    // n=10: k25=3 -> 300, k50=5 -> 500, k75=8 -> 800 cents
+    assert(got == ((10L, 300L, 500L, 800L, 500L, 0L, 0L)))
+    val outl = ((1 to 10).map(_.toDouble) :+ 100.0).toDF("v")
+    val go = Features.robustStats(outl, "v")
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect().head
+    // n=11: k25=3 -> 300, k50=6 -> 600, k75=9 -> 900; high fence
+    // 2v > 1800 + 1800 catches only the planted 100.00
+    assert(go == ((11L, 300L, 600L, 900L, 600L, 0L, 1L)))
+    // layout-independent
+    val re = Features.robustStats(outl.repartition(7), "v")
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect().head
+    assert(go == re)
+  }
 }

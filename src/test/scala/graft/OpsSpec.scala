@@ -656,4 +656,20 @@ class OpsSpec extends AnyFunSuite {
       Seq((2L, 0.0, 10.0)).toDF("rid", "r_lo", "r_hi"), "r_lo", "r_hi", 5.0)
     assert(inverted.count() == 0)
   }
+  test("joinHealth: hand nulls, orphans, dup keys, fanout") {
+    val fact = Seq(Some(1L), Some(1L), Some(1L), Some(2L), Some(3L), None)
+      .toDF("fk")
+    val dim = Seq(1L, 2L, 2L, 4L).toDF("dk")
+    val got = Joins.joinHealth(fact, dim, "fk", "dk")
+      .as[(Long, Long, Long, Long, Long, Long, Option[Long])]
+      .collect().head
+    // 6 fact rows (1 null key), 4 dim rows, dim key 2 duplicated, fact
+    // key 3 orphaned, matched fanout 3+1 rows over 2 keys -> avg 2e6
+    assert(got == ((6L, 4L, 1L, 1L, 1L, 3L, Some(2000000L))))
+    // clean 1:1 join: all zeros, fanout exactly 1
+    val f2 = Seq(1L, 2L).toDF("fk"); val d2 = Seq(1L, 2L).toDF("dk")
+    assert(Joins.joinHealth(f2, d2, "fk", "dk")
+      .as[(Long, Long, Long, Long, Long, Long, Option[Long])]
+      .collect().head == ((2L, 2L, 0L, 0L, 0L, 1L, Some(1000000L))))
+  }
 }
