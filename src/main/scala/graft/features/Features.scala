@@ -820,13 +820,36 @@ object Features {
     * LOCAL cumulative windows, broadcast per-partition offsets), so no
     * window ever sees a single global partition. */
   private def twoSampleCdf(df: DataFrame, valueCol: String, groupCol: String,
-                           aLabel: String, bLabel: String): DataFrame = {
-    val nParts = df.sparkSession.sessionState.conf.numShufflePartitions
-    val v = df
+                           aLabel: String, bLabel: String): DataFrame =
+    cdfFromCounts(df
       .where(col(groupCol).isin(aLabel, bLabel))
       .groupBy(col(valueCol).as("__v"))
       .agg(count(when(col(groupCol) === aLabel, 1)).as("__ca"),
-        count(when(col(groupCol) === bLabel, 1)).as("__cb"))
+        count(when(col(groupCol) === bLabel, 1)).as("__cb")))
+
+  /** Exact KS from a PRE-AGGREGATED two-cohort count table
+    * `(valueCol, aCountCol, bCountCol)` — the entry point for
+    * incremental/streaming monitoring, where the accumulated
+    * distribution lives as per-value counts in a store and re-reading
+    * raw history per trigger is exactly the cost to avoid. Same output
+    * and topology as [[ksStatistic]]. */
+  def ksFromCounts(counts: DataFrame, valueCol: String,
+                   aCountCol: String, bCountCol: String): DataFrame = {
+    val dec38 = "decimal(38,0)"
+    cdfFromCounts(counts.select(col(valueCol).as("__v"),
+        coalesce(col(aCountCol), lit(0L)).cast("long").as("__ca"),
+        coalesce(col(bCountCol), lit(0L)).cast("long").as("__cb")))
+      .withColumn("__gap", abs(
+        col("__cuma").cast(dec38) * col("__nb").cast(dec38) -
+          col("__cumb").cast(dec38) * col("__na").cast(dec38)))
+      .agg(max("__na").as("n_a"), max("__nb").as("n_b"),
+        expr(s"(max(__gap) * 1000000L) div " +
+          s"(max(CAST(__na AS $dec38)) * max(CAST(__nb AS $dec38)))")
+          .as("ks_micros"))
+  }
+
+  private def cdfFromCounts(v: DataFrame): DataFrame = {
+    val nParts = v.sparkSession.sessionState.conf.numShufflePartitions
     // one materialization of the sampled range partitioning feeds both
     // the offsets and the cumsum subtrees (CLAUDE.md invariant 7)
     val ranged = v.repartitionByRange(nParts, col("__v"))

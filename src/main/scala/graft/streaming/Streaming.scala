@@ -162,6 +162,46 @@ object Streaming {
       }), lit(0.0), _ + _) * 1e6 + 0.5) / 1e6).as("psi"))
   }
 
+  /** Incremental EXACT-KS drift gate — the continuous form of
+    * [[graft.features.Features.ksStatistic]]: each micro-batch
+    * DELTA-MERGES the arriving values' per-value counts into
+    * `countsTable` (sum-merge, never a PK replace — replacement would
+    * reset the accumulated distribution to the last batch, CLAUDE.md
+    * invariant 10d), then emits the exact KS between the ACCUMULATED
+    * stream distribution and the static `refCounts (value, ref_count)`
+    * through [[graft.features.Features.ksFromCounts]], handing the
+    * 1-row `(n_a, n_b, ks_micros)` report to `onReport` per trigger.
+    *
+    * Scale: per trigger the stream pays one batch-sized aggregate plus
+    * a value-dimension merge + prefix-sum — raw history is NEVER
+    * re-read; the state is the value-distinct count table. */
+  def incrementalKsGate(stream: DataFrame, valueCol: String,
+                        refCounts: DataFrame,
+                        store: TableStore, countsTable: String,
+                        checkpoint: String,
+                        onReport: DataFrame => Unit): StreamingQuery =
+    stream.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val bc = batch.groupBy(col(valueCol).cast("double").as("value"))
+          .agg(count(lit(1)).as("cur_count"))
+        val merged =
+          if (store.exists(countsTable))
+            store.read(countsTable).unionByName(bc)
+              .groupBy("value").agg(sum("cur_count").as("cur_count"))
+          else bc
+        store.overwrite(countsTable, merged)
+        val acc = store.read(countsTable)
+        val joined = refCounts
+          .select(col("value"), col("ref_count"))
+          .join(acc, Seq("value"), "full_outer")
+        onReport(graft.features.Features.ksFromCounts(
+          joined, "value", "ref_count", "cur_count"))
+      }
+      .start()
+
   /** Continuous feature refresh: each micro-batch upserts into the store by
     * PK — replay-idempotent, like the reference's scheduled MERGE jobs. */
   def streamIntoStore(agg: DataFrame, store: TableStore, table: String,

@@ -551,4 +551,39 @@ class StreamingMultimodalSpec extends AnyFunSuite {
       info(1).getInt(5) == 1102 && info(1).getLong(6) == 99L)
     assert(!info(2).getBoolean(1) && info(2).isNullAt(2))
   }
+  test("incremental KS gate: delta-merged state matches the batch statistic") {
+    val dir = Files.createTempDirectory("graft_ks_stream").toString
+    val ckpt = Files.createTempDirectory("graft_ks_ckpt").toString
+    val storeDir = Files.createTempDirectory("graft_ks_store").toString
+    // three files -> three micro-batches under maxFilesPerTrigger=1
+    val vals = (1 to 300).map(i => (i * 37 % 101).toDouble)
+    vals.grouped(100).zipWithIndex.foreach { case (chunk, i) =>
+      chunk.toDF("value").coalesce(1)
+        .write.mode("overwrite").parquet(s"$dir/part$i")
+    }
+    val refRaw = (1 to 200).map(i => (i * 53 % 97).toDouble)
+    val refCounts = refRaw.toDF("value")
+      .groupBy("value").agg(count(lit(1)).as("ref_count"))
+    val store = new TableStore(spark, storeDir)
+    val reports = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Long, Long)]
+    val src = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType.fromDDL("value DOUBLE"))
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$dir/part*")
+    val q = Streaming.incrementalKsGate(src, "value", refCounts, store,
+      "ks_counts", ckpt,
+      r => reports += r.as[(Long, Long, Long)].collect().head)
+    try q.processAllAvailable() finally q.stop()
+    assert(reports.size == 3)
+    // accumulated counts grow monotonically across triggers
+    assert(reports.map(_._2).sliding(2).forall(w => w.head < w.last))
+    // the final gate report IS the batch statistic over ref + full stream
+    val batchDf = refRaw.map(("a", _)).toDF("g", "value")
+      .unionByName(vals.map(("b", _)).toDF("g", "value"))
+    val want = graft.features.Features.ksStatistic(
+        batchDf, "value", "g", "a", "b")
+      .as[(Long, Long, Long)].collect().head
+    assert(reports.last == want)
+  }
 }
