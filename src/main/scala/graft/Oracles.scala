@@ -3021,6 +3021,31 @@ object Oracles {
         |    AS n_high_outliers
         |FROM q""".stripMargin,
 
+    "q_feat_mad" ->
+      """WITH per AS (SELECT (o_totalprice::DECIMAL(18,2) * 100)::HUGEINT
+        |      AS v, count(*) AS c
+        |  FROM orders WHERE o_totalprice IS NOT NULL GROUP BY 1),
+        |w AS (SELECT v, c,
+        |    sum(c) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+        |      AND CURRENT ROW) AS cum,
+        |    sum(c) OVER () AS n
+        |  FROM per),
+        |q AS (SELECT max(n) AS n,
+        |    min(CASE WHEN cum >= (50 * n + 99) // 100 THEN v END) AS med
+        |  FROM w),
+        |dev AS (SELECT abs(per.v - q.med) AS v, sum(per.c) AS c
+        |  FROM per CROSS JOIN q GROUP BY 1),
+        |w2 AS (SELECT v, c,
+        |    sum(c) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+        |      AND CURRENT ROW) AS cum,
+        |    sum(c) OVER () AS n
+        |  FROM dev),
+        |q2 AS (SELECT min(CASE WHEN cum >= (50 * n + 99) // 100 THEN v END)
+        |    AS mad FROM w2)
+        |SELECT q.n::BIGINT AS n, q.med::BIGINT AS median_cents,
+        |  q2.mad::BIGINT AS mad_cents
+        |FROM q CROSS JOIN q2""".stripMargin,
+
     "q_j11_join_health" ->
       """WITH f AS (SELECT l_orderkey AS k, count(*) AS fc
         |  FROM lineitem GROUP BY 1),

@@ -2642,6 +2642,11 @@ object Queries {
   def qFeatRobustStats(s: SparkSession, dir: String): DataFrame =
     graft.features.Features.robustStats(t(s, dir, "orders"), "o_totalprice")
 
+  /** Exact MAD of order values — the outlier-immune scale parameter
+    * paired with [[qFeatRobustStats]]. */
+  def qFeatMad(s: SparkSession, dir: String): DataFrame =
+    graft.features.Features.madStats(t(s, dir, "orders"), "o_totalprice")
+
   /** Join-key health between the lineitem facts and the FINISHED-order
     * dim slice: orphan lineitems (non-F orders), per-order fanout. */
   def qJ11JoinHealth(s: SparkSession, dir: String): DataFrame =
@@ -3046,6 +3051,7 @@ object Queries {
     "q_feat_cvm" -> (qFeatCvm _),
     "q_feat_drift_battery" -> (qFeatDriftBattery _),
     "q_feat_robust_stats" -> (qFeatRobustStats _),
+    "q_feat_mad" -> (qFeatMad _),
     "q_j11_join_health" -> (qJ11JoinHealth _),
     "q_ts_backtest" -> (qTsBacktest _),
     "q_stat_bootstrap" -> (qStatBootstrap _),

@@ -747,6 +747,57 @@ object Features {
         col("n_low_outliers"), col("n_high_outliers"))
   }
 
+  /** Exact median absolute deviation — the robust scale parameter
+    * `MAD = median(|x − median(x)|)` in exact cents, the outlier-immune
+    * companion to [[robustStats]] (a z-score built on mean/std moves
+    * with the outliers it is meant to flag; `(x − med) / MAD` does
+    * not). One row `(n, median_cents, mad_cents)`.
+    *
+    * Scale: two value-distinct prefix-sum passes — the second runs over
+    * the DEVIATION-distinct table derived from the first's count table
+    * (never the raw data again) with the 1-row median broadcast; both
+    * passes share the [[ksStatistic]] topology contract. */
+  def madStats(df: DataFrame, valueCol: String): DataFrame = {
+    val d0 = "decimal(38,0)"
+    val counts = df.select(
+        expr(s"CAST(CAST($valueCol AS decimal(18,2)) * 100 AS $d0)").as("__v"))
+      .where(col("__v").isNotNull)
+      .groupBy("__v").agg(count(lit(1)).as("__c"))
+      .localCheckpoint()
+    val med1 = broadcast(medianOfCounts(counts)
+      .select(col("n"), col("med").as("median_cents")))
+    val devs = counts.crossJoin(med1)
+      .groupBy(expr("abs(__v - median_cents)").as("__v"))
+      .agg(sum("__c").as("__c"))
+    medianOfCounts(devs).select(col("med").as("mad_cents"))
+      .crossJoin(med1)
+      .select(col("n"), col("median_cents"), col("mad_cents"))
+  }
+
+  /** Nearest-rank median of a `(__v, __c)` count table via the
+    * range-partition prefix-sum topology — 1 row `(n, med)`. */
+  private def medianOfCounts(counts: DataFrame): DataFrame = {
+    val nParts = counts.sparkSession.sessionState.conf.numShufflePartitions
+    val ranged = counts.repartitionByRange(nParts, col("__v"))
+      .sortWithinPartitions(col("__v"))
+      .withColumn("__part", spark_partition_id())
+      .localCheckpoint()
+    val offsets = broadcast(ranged.groupBy("__part")
+      .agg(sum("__c").as("__pc"))
+      .withColumn("__offset", coalesce(
+        sum("__pc").over(Window.orderBy("__part")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("__n", sum("__pc").over(Window.partitionBy()))
+      .select("__part", "__offset", "__n"))
+    val local = Window.partitionBy("__part").orderBy("__v")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    ranged.join(offsets, Seq("__part"))
+      .withColumn("__cum", sum("__c").over(local) + col("__offset"))
+      .agg(max("__n").cast("long").as("n"),
+        min(when(expr("__cum >= (50 * __n + 99) div 100"), col("__v")))
+          .cast("long").as("med"))
+  }
+
   /** Config-driven drift battery — the one-call reference-vs-current
     * monitoring table a feature store runs per refresh: exact KS for
     * every numeric column, exact total-variation distance for every

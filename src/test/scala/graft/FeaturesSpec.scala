@@ -588,4 +588,19 @@ class FeaturesSpec extends AnyFunSuite {
       .as[(Long, Long, Long, Long, Long, Long, Long)].collect().head
     assert(go == re)
   }
+  test("madStats: hand median/MAD, outlier immunity, layout-independent") {
+    val got = Features.madStats((1 to 5).map(_.toDouble).toDF("v"), "v")
+      .as[(Long, Long, Long)].collect().head
+    // median 3.00, deviations {2,1,0,1,2} -> MAD 1.00
+    assert(got == ((5L, 300L, 100L)))
+    // one wild outlier moves neither statistic
+    val go = Features.madStats(Seq(1.0, 2.0, 3.0, 4.0, 10000.0).toDF("v"), "v")
+      .as[(Long, Long, Long)].collect().head
+    assert(go == ((5L, 300L, 100L)))
+    val big = (1 to 1000).map(i => (i % 13).toDouble).toDF("v")
+    val a = Features.madStats(big, "v").as[(Long, Long, Long)].collect().head
+    val b = Features.madStats(big.repartition(11), "v")
+      .as[(Long, Long, Long)].collect().head
+    assert(a == b)
+  }
 }
