@@ -3421,6 +3421,31 @@ object Oracles {
         |  (m_t1 - m_t0 - (m_c1 - m_c0))::BIGINT AS did_micros
         |FROM m""".stripMargin,
 
+    "q_stat_lorenz" ->
+      """WITH per AS (SELECT o_custkey,
+        |    (sum(o_totalprice::DECIMAL(18,2)) * 100)::HUGEINT AS v
+        |  FROM orders GROUP BY 1),
+        |f AS (SELECT v, count(*)::HUGEINT AS c FROM per
+        |  WHERE v >= 0 GROUP BY 1),
+        |w AS (SELECT v, c,
+        |    sum(c) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+        |      AND CURRENT ROW) AS cum,
+        |    sum(v * c) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+        |      AND CURRENT ROW) AS cumw,
+        |    sum(c) OVER () AS n, sum(v * c) OVER () AS t
+        |  FROM f),
+        |d AS (SELECT unnest(range(1, 11))::INT AS decile)
+        |SELECT d.decile,
+        |  ((d.decile * w.n + 9) // 10)::BIGINT AS n_cum,
+        |  (CASE WHEN w.t > 0 THEN
+        |    ((w.cumw - (w.cum - (d.decile * w.n + 9) // 10) * w.v)
+        |      * 1000000) // w.t
+        |  END)::BIGINT AS wealth_share_micros
+        |FROM d JOIN w
+        |  ON w.cum >= (d.decile * w.n + 9) // 10
+        |  AND w.cum - w.c < (d.decile * w.n + 9) // 10
+        |ORDER BY d.decile""".stripMargin,
+
     "q_stat_bootstrap" ->
       """WITH rep AS (SELECT unnest(range(32))::INT AS replicate),
         |x AS (SELECT o_orderkey, o_totalprice::DECIMAL(18,2) AS v

@@ -2810,6 +2810,15 @@ object Queries {
     graft.ops.Stats.giniCoefficient(spend, "spend")
   }
 
+  /** Exact Lorenz curve of per-customer lifetime spend — the plottable
+    * companion to [[qStatGini]]. */
+  def qStatLorenz(s: SparkSession, dir: String): DataFrame = {
+    val spend = t(s, dir, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("spend"))
+    graft.ops.Stats.lorenzCurve(spend, "spend").orderBy("decile")
+  }
+
   /** RFM segmentation over the order facts: per-customer recency /
     * frequency / monetary with exact quintile scores (1 = best). */
   def qFeatRfm(s: SparkSession, dir: String): DataFrame =
@@ -3038,6 +3047,7 @@ object Queries {
     "q_ab_cuped" -> (qAbCuped _),
     "q_stat_bh" -> (qStatBh _),
     "q_stat_gini" -> (qStatGini _),
+    "q_stat_lorenz" -> (qStatLorenz _),
     "q_stat_did" -> (qStatDid _),
     "q_clf_isotonic" -> (qClfIsotonic _),
     "q_stat_chi2" -> (qStatChi2 _),

@@ -465,6 +465,60 @@ object Stats {
           "END").cast("long").as("gini_micros"))
   }
 
+  /** Exact Lorenz curve table — the plottable companion to
+    * [[giniCoefficient]]: for each decile `d`, the exact share of total
+    * value held by the poorest `⌈d·n/10⌉` rows. Boundary deciles that
+    * land inside a tied-value block subtract the excess exactly
+    * (`wealth_d = cumw − (cum − k_d)·v` — every tied row carries the
+    * same v, so the partial block is exact integer arithmetic). Output:
+    * 10 rows `(decile, n_cum, wealth_share_micros)`, non-decreasing and
+    * convex; a one-holder distribution reads 0 until the holder's
+    * decile, perfect equality reads `k_d/n`.
+    *
+    * Scale: the [[giniCoefficient]] topology — value-distinct aggregate,
+    * range-partition prefix sums (count AND wealth), then a 10-row
+    * broadcast decile dim joined on the boundary condition; one row
+    * matches per decile. */
+  def lorenzCurve(df: DataFrame, valueCol: String): DataFrame = {
+    val d0 = "decimal(38,0)"
+    val nParts = df.sparkSession.sessionState.conf.numShufflePartitions
+    val v = df.select(
+        expr(s"CAST(CAST($valueCol AS decimal(18,2)) * 100 AS $d0)")
+          .as("__v"))
+      .where(col("__v") >= 0)
+      .groupBy("__v").agg(count(lit(1)).cast(d0).as("__c"))
+    val ranged = v.repartitionByRange(nParts, col("__v"))
+      .sortWithinPartitions(col("__v"))
+      .withColumn("__part", spark_partition_id())
+      .localCheckpoint()
+    val offsets = broadcast(ranged.groupBy("__part")
+      .agg(sum("__c").as("__pc"), sum(expr("__v * __c")).as("__pw"))
+      .withColumn("__oc", coalesce(
+        sum("__pc").over(Window.orderBy("__part")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0).cast(d0)))
+      .withColumn("__ow", coalesce(
+        sum("__pw").over(Window.orderBy("__part")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0).cast(d0)))
+      .withColumn("__n", sum("__pc").over(Window.partitionBy()))
+      .withColumn("__t", sum("__pw").over(Window.partitionBy()))
+      .select("__part", "__oc", "__ow", "__n", "__t"))
+    val local = Window.partitionBy("__part").orderBy("__v")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val cum = ranged.join(offsets, Seq("__part"))
+      .withColumn("__cum", sum("__c").over(local) + col("__oc"))
+      .withColumn("__cumw", sum(expr("__v * __c")).over(local) + col("__ow"))
+    val deciles = broadcast(
+      df.sparkSession.range(1, 11).select(col("id").cast("int").as("decile")))
+    cum.join(deciles,
+        expr("__cum >= (decile * __n + 9) div 10 AND " +
+          "__cum - __c < (decile * __n + 9) div 10"))
+      .select(col("decile"),
+        expr("CAST((decile * __n + 9) div 10 AS bigint)").as("n_cum"),
+        expr("CASE WHEN __t > 0 THEN CAST(((__cumw - " +
+          "(__cum - (decile * __n + 9) div 10) * __v) * 1000000) div __t " +
+          "AS bigint) END").as("wealth_share_micros"))
+  }
+
   /** Percentile CI over a replicate table: nearest-rank lo/hi quantiles
     * of `wmean` plus their mean — a 1-row summary of
     * [[bootstrapReplicates]] (the sort runs over R rows, not data). */

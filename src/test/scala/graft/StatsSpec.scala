@@ -251,4 +251,28 @@ class StatsSpec extends AnyFunSuite {
         Option[Long], Option[Long], Option[Long])].collect().head
     assert(gs._4 == 0L && gs._8.isEmpty && gs._9.isEmpty)
   }
+  test("lorenzCurve: equality line, one-holder corner, tie-exact boundaries") {
+    val eq = Seq(10.0, 10.0, 10.0, 10.0).toDF("v")
+    val got = Stats.lorenzCurve(eq, "v").orderBy("decile")
+      .as[(Int, Long, Option[Long])].collect().toSeq
+    // equality: share_d = k_d / n exactly, with k_d = ceil(4d/10)
+    val ks = (1 to 10).map(d => (4L * d + 9) / 10)
+    assert(got == (1 to 10).map(d =>
+      (d, ks(d - 1), Some(ks(d - 1) * 250000L))))
+    // one holder: zero share until the holder's rank enters at k_d = 4
+    val one = Seq(0.0, 0.0, 0.0, 10.0).toDF("v")
+    val go = Stats.lorenzCurve(one, "v").orderBy("decile")
+      .as[(Int, Long, Option[Long])].collect().toSeq
+    assert(go.map(_._3.get) ==
+      Seq(0L, 0L, 0L, 0L, 0L, 0L, 0L, 1000000L, 1000000L, 1000000L))
+    // curve is non-decreasing and layout-independent
+    val big = (1 to 500).map(i => (i % 23).toDouble).toDF("v")
+    val a = Stats.lorenzCurve(big, "v").orderBy("decile")
+      .as[(Int, Long, Option[Long])].collect().toSeq
+    val b = Stats.lorenzCurve(big.repartition(9), "v").orderBy("decile")
+      .as[(Int, Long, Option[Long])].collect().toSeq
+    assert(a == b)
+    assert(a.map(_._3.get).sliding(2).forall(w => w.head <= w.last))
+    assert(a.last._3.get == 1000000L)
+  }
 }
