@@ -222,4 +222,39 @@ class StatsPropertySpec extends AnyFunSuite {
       }
     }
   }
+  test("robustStats and madStats match brute-force sorted references") {
+    for (_ <- 1 to 5) {
+      val xs = sample(3 + rnd.nextInt(60), 14).map(_.toDouble)
+      val cents = xs.map(x => (x * 100).round).sorted
+      val n = cents.size
+      def rank(p: Int) = cents((p * n + 99) / 100 - 1)
+      val (q1, med, q3) = (rank(25), rank(50), rank(75))
+      val lo = cents.count(v => 2 * v < 2 * q1 - 3 * (q3 - q1))
+      val hi = cents.count(v => 2 * v > 2 * q3 + 3 * (q3 - q1))
+      assert(graft.features.Features.robustStats(xs.toDF("v"), "v")
+        .as[(Long, Long, Long, Long, Long, Long, Long)].collect().head ==
+        ((n.toLong, q1, med, q3, q3 - q1, lo.toLong, hi.toLong)))
+      val devs = cents.map(v => (v - med).abs).sorted
+      val mad = devs((50 * n + 99) / 100 - 1)
+      assert(graft.features.Features.madStats(xs.toDF("v"), "v")
+        .as[(Long, Long, Long)].collect().head == ((n.toLong, med, mad)))
+    }
+  }
+
+  test("lorenzCurve matches brute-force sorted cumulative shares") {
+    for (_ <- 1 to 5) {
+      val xs = sample(3 + rnd.nextInt(60), 9).map(_.toDouble)
+      val cents = xs.map(x => BigInt((x * 100).round)).sorted
+      val n = cents.size
+      val t = cents.sum
+      val got = Stats.lorenzCurve(xs.toDF("v"), "v").orderBy("decile")
+        .as[(Int, Long, Option[Long])].collect().toSeq
+      val want = (1 to 10).map { d =>
+        val k = (d * n + 9) / 10
+        val w = cents.take(k).sum
+        (d, k.toLong, if (t > 0) Some((w * 1000000 / t).toLong) else None)
+      }
+      assert(got == want)
+    }
+  }
 }
