@@ -46,9 +46,26 @@ object Bench {
     def selected(name: String): Boolean =
       only.forall(_.exists(_.findFirstIn(name).isDefined))
 
-    val queryTimes = SparkEntry.queries.toSeq.sortBy(_._1)
+    val catalog = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => selected(name) }
-      .map { case (name, fn) =>
+
+    // Untimed warmup sweep over the whole selected catalog BEFORE any
+    // timing. Best-of-2 alone does not warm an entry: C2/codegen
+    // compilation of a topology's hot methods runs in BACKGROUND threads,
+    // so two back-to-back executions of the alphabetically-first entry of
+    // a family both run largely interpreted (r8–r10: q_dsir_resample
+    // anchored ~4.5 s while its warm sibling q_dsir_score ran 0.2–0.3 s on
+    // the same scan/bucket/broadcast shape). A full untimed pass puts ~the
+    // whole sweep's wall-clock between an entry's warmup and its timed
+    // runs, so anchors measure plan cost, not JIT. SPARK_GRAFT_WARMUP=0
+    // skips it for quick targeted iteration.
+    val warmup = sys.env.getOrElse("SPARK_GRAFT_WARMUP", "1") != "0"
+    if (warmup) catalog.foreach { case (_, fn) =>
+      try fn(spark, sfDir).count()
+      catch { case _: Throwable => () } // timed run reports the failure
+    }
+
+    val queryTimes = catalog.map { case (name, fn) =>
         name -> time(fn(spark, sfDir).count())
       }
 
@@ -64,7 +81,7 @@ object Bench {
         .map { case (k, df) => k -> df.cache() }
     else Map.empty[String, org.apache.spark.sql.DataFrame]
     sources.values.foreach(_.count())
-    val pipelineTimes = Seq(
+    val pipelineTimesSrc = Seq(
       "pipe_transactions" -> (() => graft.pipelines.Pipelines.transactions(sources("transacciones"))),
       "pipe_credit_risk" -> (() => graft.pipelines.Pipelines.creditRisk(sources("buro_credito"))),
       "pipe_payment_behavior" -> (() => graft.pipelines.Pipelines.paymentBehavior(sources("pagos"))),
@@ -72,6 +89,10 @@ object Bench {
       "pipe_demographic" -> (() => graft.pipelines.Pipelines.demographic(
         sources("clientes"), "2023-01-01", graft.datagen.BankingDataGen.AnchorMonth)),
     ).filter { case (name, _) => selected(name) }
+    if (warmup) pipelineTimesSrc.foreach { case (_, mk) =>
+      try mk().count() catch { case _: Throwable => () }
+    }
+    val pipelineTimes = pipelineTimesSrc
       .map { case (name, mk) => name -> time(mk().count()) }
 
     val results = (queryTimes ++ pipelineTimes).sortBy(-_._2)

@@ -1063,6 +1063,45 @@ object Oracles {
         |FROM aug a LEFT JOIN cl ON cl.id = a.doc_id
         |ORDER BY a.doc_id""".stripMargin,
 
+    // LSH chain end-to-end: brute-force exact pairs → CC (recursive CTE) →
+    // keep-best window. The Spark side generates candidates by banding and
+    // verifies them exactly; the replay can brute-force because at oracle
+    // scale all-pairs is feasible — equality rests on banding recall being
+    // complete on THIS corpus (every true ≥0.5 pair sits at exact
+    // Jaccard ≥ 0.8; TextSimSpec pins LSH-verified ≡ prefix-exact pairs).
+    "q_dedup_lsh_clusters" ->
+      """WITH RECURSIVE aug AS (
+        |  SELECT * FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 20000, text || ' graftmarker', lang, source, n_chars
+        |  FROM documents WHERE doc_id < 50),
+        |  p AS (SELECT doc_id AS id,
+        |    list_distinct(list_transform(
+        |      range(1, greatest(len(regexp_split_to_array(
+        |        regexp_replace(lower(trim(text)), '[^a-z0-9áéíóúñü ]', '', 'g'),
+        |        '\s+')) - 2, 1) + 1),
+        |      i -> array_to_string(list_slice(regexp_split_to_array(
+        |        regexp_replace(lower(trim(text)), '[^a-z0-9áéíóúñü ]', '', 'g'),
+        |        '\s+'), i, i + 2), ' '))) AS grams
+        |    FROM aug),
+        |  pair AS (SELECT a.id AS id_a, b.id AS id_b
+        |    FROM p a JOIN p b ON a.id < b.id
+        |    WHERE floor(len(list_intersect(a.grams, b.grams))::DOUBLE
+        |      / (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))::DOUBLE)
+        |      * 10000 + 0.5) / 10000 >= 0.5),
+        |  edges AS (SELECT id_a AS src, id_b AS dst FROM pair
+        |    UNION SELECT id_b, id_a FROM pair),
+        |  reach(id, label) AS (
+        |    SELECT DISTINCT src, src FROM edges
+        |    UNION
+        |    SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.id),
+        |  cl AS (SELECT id, min(label) AS cluster_id FROM reach GROUP BY id)
+        |SELECT a.doc_id, coalesce(cl.cluster_id, a.doc_id) AS cluster_id,
+        |  (row_number() OVER (PARTITION BY coalesce(cl.cluster_id, a.doc_id)
+        |     ORDER BY a.n_chars DESC, a.doc_id) = 1) AS kept
+        |FROM aug a LEFT JOIN cl ON cl.id = a.doc_id
+        |ORDER BY a.doc_id""".stripMargin,
+
     // DSIR importance score replay: same tokenizer as the dedup family,
     // unigrams++bigrams with multiplicity, the portable md5-prefix bucket
     // gate (Dsir.bucketOf), densified add-1-smoothed bucket counts, and

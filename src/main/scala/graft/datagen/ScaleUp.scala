@@ -45,11 +45,18 @@ object ScaleUp {
   private def replicate(df: DataFrame, factor: Int, keyCols: Seq[String]): DataFrame = {
     val maxExpr = if (keyCols.size == 1) max(col(keyCols.head))
       else greatest(keyCols.map(k => max(col(k))): _*)
-    val maxKey = df.agg(maxExpr.cast("long")).head().getLong(0)
-    require(maxKey < Offset && maxKey + (factor - 1).toLong * Offset > 0,
+    val maxRow = df.agg(maxExpr.cast("long")).head()
+    require(!maxRow.isNullAt(0),
+      s"empty input frame (max over ${keyCols.mkString(",")} is NULL) — " +
+        "nothing to replicate; check the source directory")
+    val maxKey = maxRow.getLong(0)
+    require(maxKey < Offset,
       s"base keys reach $maxKey >= replica offset $Offset — this input is " +
         "already a scaled corpus; regenerate from the base sf with a " +
         "larger factor instead of re-scaling")
+    require(maxKey + (factor - 1).toLong * Offset > 0,
+      s"factor=$factor overflows Long key space at offset $Offset — use a " +
+        "smaller factor")
     val exploded = df.withColumn("rep",
       explode(sequence(lit(0), lit(factor - 1))))
     keyCols.foldLeft(exploded)((d, k) =>

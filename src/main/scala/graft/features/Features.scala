@@ -284,7 +284,8 @@ object Features {
         when(lit(2L) * col("tp") + col("fp") + col("fn") > 0,
           expr("(2L * tp * 1000000L) div (2L * tp + fp + fn)")))
       .withColumn("accuracy_micros",
-        expr("((tp + tn) * 1000000L) div (tp + fp + fn + tn)"))
+        when(col("tp") + col("fp") + col("fn") + col("tn") > 0,
+          expr("((tp + tn) * 1000000L) div (tp + fp + fn + tn)")))
   }
 
   /** Explicit-vocabulary one-hot encoding: one 0/1 column per listed
@@ -873,7 +874,7 @@ object Features {
   private def twoSampleCdf(df: DataFrame, valueCol: String, groupCol: String,
                            aLabel: String, bLabel: String): DataFrame =
     cdfFromCounts(df
-      .where(col(groupCol).isin(aLabel, bLabel))
+      .where(col(groupCol).isin(aLabel, bLabel) && col(valueCol).isNotNull)
       .groupBy(col(valueCol).as("__v"))
       .agg(count(when(col(groupCol) === aLabel, 1)).as("__ca"),
         count(when(col(groupCol) === bLabel, 1)).as("__cb")))

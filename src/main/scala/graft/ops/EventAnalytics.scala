@@ -179,9 +179,12 @@ object EventAnalytics {
     * and linear — and roll the credits up per channel (`typeCol`).
     * Credits are exact integer micro-units; the linear model hands each
     * touch `10⁶ div n` and distributes the remainder one micro-unit at a
-    * time to the EARLIEST touches, so every converting entity
-    * contributes exactly 10⁶ per model (totals reconcile to
-    * `10⁶ · n_converters` by construction).
+    * time to the EARLIEST touches, so every converting entity WITH at
+    * least one qualifying touch (a non-conversion event strictly before
+    * its conversion) contributes exactly 10⁶ per model — totals
+    * reconcile to `10⁶ · n_converters_with_touches`; zero-touch
+    * converters (conversion is their first event) have nothing to
+    * credit and contribute no rows.
     *
     * Scale: one entity-keyed aggregate for the conversion times, one
     * entity-keyed join + the standard per-entity window pair (ordered

@@ -144,10 +144,15 @@ object Stats {
       .withColumn("__d", expr("CAST(__o AS decimal(38,0)) * 1000000 - __e"))
       .withColumn("__cell",
         when(col("__e") > 0, expr("(__d * __d) div __e")))
+    // count_distinct excludes NULL, but the contingency cells treat NULL
+    // as its own category — fold a null-indicator back in so dof and
+    // cramers_v see the same category count chi2_micros summed over
     cells.agg(
         max("__n").as("n"),
-        count_distinct(col("__a")).as("__k"),
-        count_distinct(col("__b")).as("__m"),
+        (count_distinct(col("__a")) +
+          max(when(col("__a").isNull, 1L).otherwise(0L))).as("__k"),
+        (count_distinct(col("__b")) +
+          max(when(col("__b").isNull, 1L).otherwise(0L))).as("__m"),
         sum("__cell").cast("long").as("chi2_micros"))
       .select(col("n"),
         ((col("__k") - 1) * (col("__m") - 1)).as("dof"),

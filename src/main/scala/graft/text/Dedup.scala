@@ -260,6 +260,68 @@ object Dedup {
       .dropDuplicates("id_a", "id_b")
   }
 
+  /** LSH-candidate generation + EXACT verification composed — the
+    * production pair source at corpus scale: banding proposes, a coarse
+    * signature-agreement gate discards obvious non-pairs cheaply, and the
+    * native sorted-merge intersection verifies the survivors with the
+    * exact n-gram Jaccard (same gram semantics and 4-dp fixed-point
+    * rounding as [[ngramJaccardPairs]], so the two topologies agree
+    * bit-for-bit on the pairs both emit). This is the shape SCALE.md
+    * prescribes for 100 TB: exact all-pairs Jaccard is inherently
+    * quadratic on gram-saturated corpora (r9/r10 weak-flag analysis) and
+    * must only ever run on LSH candidate sets — this function IS that
+    * composition as one call.
+    *
+    * Recall is the banding probability `1 − (1 − j^r)^b` (r = rows/band,
+    * b = bands): ≈ 0.9998 at j = 0.8, ~1 above 0.85, sliding below 90%
+    * under j ≈ 0.6 — the standard LSH trade the caller tunes with
+    * `bands`. `candidateEst` only gates candidates CHEAPLY before the
+    * array fetch and must sit well below `threshold` (an est two sigma
+    * under the true j still passes); it cannot create recall, only save
+    * verify work.
+    *
+    * Scale: signature + gram hashes come from ONE kernel pass (`__gh`
+    * feeds both minhash and the verifier); candidates carry scalars
+    * through the band shuffle; gram arrays are fetched by id for
+    * surviving candidates only (pre-aliased repartition → one reused
+    * Exchange, as in [[ngramJaccardPairs]]). */
+  def minhashVerifiedPairs(df: DataFrame, textCol: String, idCol: String,
+                           numHashes: Int = 64, bands: Int = 16,
+                           n: Int = 3, threshold: Double = 0.5,
+                           candidateEst: Double = 0.35): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    val rowsPerBand = numHashes / bands
+    val prepped = df
+      .withColumn("__tokens", tokensCol(col(textCol)))
+      .select(col(idCol).as("__id"),
+        call_function("graft_ngram_hashes", col("__tokens"), lit(n)).as("__gh"))
+    val bd = prepped
+      .withColumn("__sig",
+        call_function("graft_minhash_long", col("__gh"), lit(numHashes)))
+      .select(col("__id"), col("__sig"),
+        explode(bandKeys(col("__sig"), bands, rowsPerBand)).as("__band"))
+      .select(col("__id"), col("__sig"), col("__band.band"), col("__band.key"))
+      .repartition(col("band"), col("key"))
+    val a = bd.select(col("band"), col("key"),
+      col("__id").as("id_a"), col("__sig").as("sig_a"))
+    val b = bd.select(col("band"), col("key"),
+      col("__id").as("id_b"), col("__sig").as("sig_b"))
+    val cand = a.join(b.hint("shuffle_hash"), Seq("band", "key"))
+      .where(col("id_a") < col("id_b"))
+      .where(estJaccard(numHashes) >= candidateEst)
+      .select("id_a", "id_b").distinct()
+    val arrays = prepped.repartition(col("__id"))
+    val ga = arrays.select(col("__id").as("id_a"), col("__gh").as("g_a"))
+    val gb = arrays.select(col("__id").as("id_b"), col("__gh").as("g_b"))
+    cand.join(ga.hint("shuffle_hash"), Seq("id_a"))
+      .join(gb.hint("shuffle_hash"), Seq("id_b"))
+      .withColumn("jaccard",
+        floor(call_function("graft_jaccard_sorted", col("g_a"), col("g_b")) * 10000.0 + 0.5)
+          / 10000.0)
+      .where(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
   // ----------------------------------------------------- decontamination
 
   /** Benchmark DECONTAMINATION: flag corpus documents sharing at least

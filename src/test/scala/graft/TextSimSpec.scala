@@ -32,6 +32,62 @@ class TextSimSpec extends AnyFunSuite {
     assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  // Shared staged corpus for the lsh-chain differential tests: real
+  // sf0.001 documents ∪ the planted near-dup clones (the q_dedup_*
+  // augmentation) — this corpus also carries NATURAL near-dup pairs
+  // (measured: 42 pairs, all at exact Jaccard ≥ 0.8), so the tests pin
+  // recall on real structure, not just the planted offsets.
+  private def lshChainCorpus = {
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    d.unionByName(
+      d.where(col("doc_id") < 50)
+        .withColumn("doc_id", col("doc_id") + 20000)
+        .withColumn("text", concat(col("text"), lit(" graftmarker"))))
+  }
+
+  test("lsh chain pairs: LSH-candidate + exact verify ≡ prefix-filter exact all-pairs on the staged corpus") {
+    // The corpus-level fact the q_dedup_lsh_clusters oracle rests on:
+    // banding recall is complete for THIS corpus's true ≥0.5 pairs (all
+    // sit at exact Jaccard ≥ 0.8, where 16-band recall ≈ 0.9998/pair) and
+    // the exact verifier agrees bit-for-bit with the prefix-filter
+    // topology. A regression (hash change, band change, corpus regen)
+    // must fail THIS spec, not the driver's correctness gate.
+    val aug = lshChainCorpus
+    val lsh = Dedup.minhashVerifiedPairs(aug, "text", "doc_id",
+        numHashes = 64, bands = 16, n = 3, threshold = 0.5)
+      .select("id_a", "id_b", "jaccard")
+      .as[(Long, Long, Double)].collect().toSet
+    val exact = Dedup.ngramJaccardPairs(aug, "text", "doc_id",
+        n = 3, threshold = 0.5)
+      .select("id_a", "id_b", "jaccard")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(lsh == exact,
+      s"lshOnly=${(lsh -- exact).take(5)} exactOnly=${(exact -- lsh).take(5)}")
+    assert(exact.size >= 90, s"corpus lost its pair structure: ${exact.size}")
+  }
+
+  test("lsh chain end-to-end ≡ exact-pair chain: components and keep-best agree on every doc") {
+    val aug = lshChainCorpus
+    def chain(pairs: org.apache.spark.sql.DataFrame) =
+      Dedup.keepBestPerCluster(aug.select("doc_id", "n_chars"),
+          Dedup.duplicateClusters(pairs), "doc_id", "n_chars")
+        .select("doc_id", "cluster_id", "kept")
+        .as[(Long, Long, Boolean)].collect().sortBy(_._1)
+    val viaLsh = chain(Dedup.minhashVerifiedPairs(aug, "text", "doc_id",
+      numHashes = 64, bands = 16, n = 3, threshold = 0.5))
+    val viaExact = chain(Dedup.ngramJaccardPairs(aug, "text", "doc_id",
+      n = 3, threshold = 0.5))
+    assert(viaLsh.sameElements(viaExact))
+    // planted clones never survive: the clone carries its original's
+    // stale n_chars, so the (score DESC, id ASC) tie-break prefers a
+    // smaller-id cluster member
+    val byId = viaLsh.map(r => r._1 -> r).toMap
+    (0L until 50L).foreach { i =>
+      assert(!byId(i + 20000)._3, s"clone ${i + 20000} survived")
+      assert(byId(i + 20000)._2 <= i, s"clone ${i + 20000} not clustered with ≤ $i")
+    }
+  }
+
   test("minhashLsh drops near-duplicates, keeps distinct docs") {
     val out = Dedup.minhashLsh(docs, "text", "doc_id", threshold = 0.5)
       .select("doc_id").as[Long].collect().sorted
