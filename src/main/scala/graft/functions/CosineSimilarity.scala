@@ -126,6 +126,12 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_char_entropy", exprs => CharEntropy(exprs(0)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_dsir_buckets", exprs => DsirBuckets(exprs(0), exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_token_buckets", exprs => TokenBuckets(exprs(0), exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_repetition_stats", exprs => RepetitionStats(exprs(0), exprs(1), exprs(2)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_deflate_len", exprs => DeflateLen(exprs(0)), "built-in")
   }
 
@@ -133,6 +139,16 @@ object GraftFunctions {
   def graftCosine(spark: SparkSession, a: Column, b: Column): Column = {
     register(spark)
     org.apache.spark.sql.functions.call_function("graft_cosine", a, b)
+  }
+
+  /** Registry-free Column over the [[GraftTokens]] tokenizer kernel —
+    * usable from pure Column-builder helpers that have no SparkSession at
+    * hand (the expression is injected directly, no function lookup). */
+  def tokens(text: Column, keepAccents: Boolean, dropEmpty: Boolean): Column = {
+    import org.apache.spark.sql.graft.ColumnShim
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    ColumnShim.column(GraftTokens(ColumnShim.expression(text),
+      Literal(keepAccents), Literal(dropEmpty)))
   }
 }
 

@@ -33,7 +33,7 @@ import org.apache.spark.sql.functions._
 object BigramLM {
 
   private def toksCol(text: Column): Column =
-    filter(Dedup.tokensCol(text), t => t =!= "")
+    Dedup.tokensNeCol(text)
 
   /** Map-only `(keepCols…, bg, b)` transition stream: bg = "a b" joined
     * key, b = the successor token (backoff key). Docs with < 2 tokens

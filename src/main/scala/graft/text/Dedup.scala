@@ -150,7 +150,24 @@ object Dedup {
       i => norm.substr(i, lit(k))))
   }
 
-  private[text] def tokensCol(text: Column, keepAccents: Boolean = true): Column = {
+  /** The graft latin tokenizer — the [[graft.functions.GraftTokens]]
+    * native kernel (one static-call expression, codegen-cache-stable
+    * across plan rebuilds; the Column chain it replaced re-janino-compiled
+    * per DataFrame construction — see the kernel doc). Semantics are
+    * bit-identical to [[tokensColReference]]; TextSimSpec pins the
+    * equivalence differentially. */
+  private[graft] def tokensCol(text: Column, keepAccents: Boolean = true): Column =
+    graft.functions.GraftFunctions.tokens(text, keepAccents, dropEmpty = false)
+
+  /** [[tokensCol]] with empty tokens dropped in the kernel — replaces the
+    * `filter(tokensCol(_), t ≠ "")` HOF of the feature-stream callers
+    * (Dsir/Classifier/UnigramLM/BigramLM/InvertedIndex). */
+  private[graft] def tokensNeCol(text: Column, keepAccents: Boolean = true): Column =
+    graft.functions.GraftFunctions.tokens(text, keepAccents, dropEmpty = true)
+
+  /** READABLE REFERENCE FORM of the tokenizer semantics (spec-pinned
+    * against the kernel; not used on any hot path). */
+  private[graft] def tokensColReference(text: Column, keepAccents: Boolean = true): Column = {
     val cls = if (keepAccents) "[^a-z0-9áéíóúñü ]" else "[^a-z0-9 ]"
     split(regexp_replace(lower(trim(text)), cls, ""), "\\s+")
   }

@@ -42,11 +42,14 @@ import org.apache.spark.sql.functions._
   */
 object Dsir {
 
-  /** Unigrams ++ bigrams from a MATERIALIZED token-array attribute,
-    * multiplicity preserved (DSIR counts occurrences, not distinct grams).
-    * `toks` must be a projection-barrier attribute (invariant: expensive
-    * array exprs referenced from HOF lambdas re-evaluate otherwise). */
-  private def gramsCol(toks: Column): Column =
+  /** READABLE REFERENCE FORM of the gram semantics (unigrams ++ bigrams
+    * from a MATERIALIZED token-array attribute, multiplicity preserved —
+    * DSIR counts occurrences, not distinct grams): the hot path is the
+    * [[graft.functions.DsirBuckets]] kernel; DsirSpec's differential test
+    * pins kernel ≡ this form + [[bucketOf]]. `toks` must be a
+    * projection-barrier attribute (invariant 6: expensive array exprs
+    * referenced from HOF lambdas re-evaluate otherwise). */
+  private[graft] def gramsCol(toks: Column): Column =
     concat(
       toks,
       when(size(toks) >= 2,
@@ -60,13 +63,20 @@ object Dsir {
     conv(substring(md5(gram), 1, 15), 16, 10).cast("long") % buckets
 
   /** Map-only `(idCol?, bucket)` stream of hashed grams. Null/empty/
-    * non-latin text yields zero grams (null-propagating tokenizer). */
+    * non-latin text yields zero grams (null-propagating tokenizer).
+    * Bucketing runs in the [[graft.functions.DsirBuckets]] native kernel
+    * (one array-in/array-out pass; same md5 gate bit-for-bit) — the
+    * readable Column form it replaced ([[gramsCol]] + [[bucketOf]] per
+    * exploded gram) cost ~4× the rest of the DSIR entries at sf0.1. */
   private def bucketStream(df: DataFrame, textCol: String,
-                           keepCols: Seq[String], buckets: Int): DataFrame =
+                           keepCols: Seq[String], buckets: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
     df.withColumn("__toks",
-        filter(Dedup.tokensCol(col(textCol)), t => t =!= ""))
-      .select(keepCols.map(col) :+ explode(gramsCol(col("__toks"))).as("__gram"): _*)
-      .select(keepCols.map(col) :+ bucketOf(col("__gram"), buckets).as("bucket"): _*)
+        Dedup.tokensNeCol(col(textCol)))
+      .select(keepCols.map(col) :+
+        explode(call_function("graft_dsir_buckets", col("__toks"),
+          lit(buckets))).as("bucket"): _*)
+  }
 
   /** Raw gram-occurrence counts per bucket, densified to ALL `buckets`
     * rows (zero-count buckets included — smoothing needs them). */
@@ -80,16 +90,44 @@ object Dsir {
 
   /** Per-bucket importance weights of `target` relative to `raw` (add-1
     * smoothed): integer `weight` decades + continuous `weight_log` (see
-    * class doc). Returns `buckets` rows `(bucket, weight, weight_log)`. */
+    * class doc). Returns `buckets` rows `(bucket, weight, weight_log)`.
+    * When the target IS a partition of `raw` prefer
+    * [[importanceWeightsByFlag]] — one gram pass instead of two. */
   def importanceWeights(target: DataFrame, raw: DataFrame, textCol: String,
                         buckets: Int): DataFrame = {
     require(buckets > 0, "buckets must be positive")
     val t = bucketCounts(target, textCol, buckets).withColumnRenamed("cnt", "tcnt")
     val r = bucketCounts(raw, textCol, buckets).withColumnRenamed("cnt", "rcnt")
-    val joined = t.join(r, Seq("bucket"))
-    // totals of the SMOOTHED distributions: Σ_b (cnt_b + 1) = N + B — kept
-    // IN the plan (broadcast 1-row agg crossed back) so the fit is a single
-    // job with no driver action.
+    weightsFromCounts(t.join(r, Seq("bucket")), buckets)
+  }
+
+  /** [[importanceWeights]] for the common case where the target corpus is
+    * a PARTITION of the raw corpus (`targetFlag` over `raw`'s own rows —
+    * "score everything against the English/wiki-like slice"): the gram
+    * stream is hashed ONCE, carrying the flag, and both distributions fall
+    * out of one conditional aggregate. Identical result to
+    * `importanceWeights(raw.where(targetFlag), raw, …)` by construction
+    * (spec-pinned); halves the dominant cost of the DSIR fit. */
+  def importanceWeightsByFlag(raw: DataFrame, targetFlag: Column,
+                              textCol: String, buckets: Int): DataFrame = {
+    require(buckets > 0, "buckets must be positive")
+    val counts = bucketStream(raw.withColumn("__tgt", targetFlag),
+        textCol, Seq("__tgt"), buckets)
+      .groupBy("bucket").agg(
+        count(when(col("__tgt"), 1)).as("tcnt"),
+        count(lit(1)).as("rcnt"))
+    val dense = raw.sparkSession.range(buckets).select(col("id").as("bucket"))
+      .join(counts, Seq("bucket"), "left")
+      .select(col("bucket"),
+        coalesce(col("tcnt"), lit(0L)).as("tcnt"),
+        coalesce(col("rcnt"), lit(0L)).as("rcnt"))
+    weightsFromCounts(dense, buckets)
+  }
+
+  /** Shared tail of the two fit forms: smoothed totals (broadcast 1-row
+    * agg crossed back — the fit stays a single job with no driver action)
+    * → integer decade weight + det-rounded continuous weight. */
+  private def weightsFromCounts(joined: DataFrame, buckets: Int): DataFrame = {
     val totals = joined.agg(
       (sum("tcnt") + lit(buckets.toLong)).as("__tt"),
       (sum("rcnt") + lit(buckets.toLong)).as("__rt"))

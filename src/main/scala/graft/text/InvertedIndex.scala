@@ -27,7 +27,7 @@ import org.apache.spark.sql.functions._
 object InvertedIndex {
 
   private def toks(text: Column): Column =
-    filter(Dedup.tokensCol(text), t => t =!= "")
+    Dedup.tokensNeCol(text)
 
   /** Flat postings (see class doc). */
   def postings(df: DataFrame, textCol: String, idCol: String): DataFrame = {

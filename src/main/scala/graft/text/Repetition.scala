@@ -210,9 +210,38 @@ object Repetition {
   /** Adds `top_<topN>gram_char_frac` (fraction of normalized-doc characters
     * covered by the highest-coverage topN-gram) and
     * `dup_<dupN>gram_char_frac` (fraction of dupN-gram characters occurring
-    * in grams seen more than once). Docs too short for a gram get 0.0. */
+    * in grams seen more than once). Docs too short for a gram get 0.0.
+    *
+    * MAP-ONLY since r11: the metric is per-document local, so the whole
+    * computation runs in the [[graft.functions.RepetitionStats]] kernel —
+    * one struct per row, referenced 4× behind a projection barrier, no
+    * explode (whose inferred `size > 0` filter re-evaluated the gram
+    * builder per row — invariant 6; measured 28 s → map-only at sf0.1) and
+    * no gram shuffle (which aggregated only within each doc anyway).
+    * [[withNgramRepetitionShuffle]] keeps the old topology as the
+    * differential-spec reference. */
   def withNgramRepetition(df: DataFrame, textCol: String, idCol: String,
                           topN: Int = 2, dupN: Int = 3): DataFrame = {
+    require(topN >= 1 && dupN >= 1, "gram sizes must be >= 1")
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    val st = call_function("graft_repetition_stats",
+      Dedup.tokensCol(col(textCol)), lit(topN), lit(dupN))
+    df.withColumn("__rep", st)
+      .withColumn(s"top_${topN}gram_char_frac",
+        coalesce(detRound4(col("__rep.top_cover")
+          / greatest(col("__rep.nchars"), lit(1)).cast("double")), lit(0.0)))
+      .withColumn(s"dup_${dupN}gram_char_frac",
+        coalesce(detRound4(col("__rep.dup_chars")
+          / greatest(col("__rep.tot_chars"), lit(1)).cast("double")), lit(0.0)))
+      .drop("__rep")
+  }
+
+  /** Pre-r11 tagged-explode topology of [[withNgramRepetition]] — kept
+    * ONLY as the independent reference for the kernel's differential spec
+    * (RepetitionSpec asserts row-identical output on real docs). */
+  private[graft] def withNgramRepetitionShuffle(
+      df: DataFrame, textCol: String, idCol: String,
+      topN: Int = 2, dupN: Int = 3): DataFrame = {
     require(topN >= 1 && dupN >= 1, "gram sizes must be >= 1")
     // Stage tokens behind a projection barrier (referenced 3×: nchars + two
     // gram builders), then the tagged gram union (referenced by explode).

@@ -32,7 +32,7 @@ object UnigramLM {
 
   /** Normalized non-empty tokens (same normalization as the dedup kit). */
   private def toks(text: Column): Column =
-    filter(Dedup.tokensCol(text), t => t =!= "")
+    Dedup.tokensNeCol(text)
 
   /** `(token, cnt)` corpus frequencies. */
   def unigramCounts(df: DataFrame, textCol: String): DataFrame =

@@ -60,12 +60,55 @@ class DsirSpec extends AnyFunSuite {
     }.toMap
   }
 
+  test("DsirBuckets kernel ≡ the readable Column form (gramsCol + bucketOf), multiplicity and order-insensitive") {
+    graft.functions.GraftFunctions.register(spark)
+    val toks = filter(graft.text.Dedup.tokensCol(col("text")), t => t =!= "")
+    val viaKernel = docs.withColumn("__toks", toks)
+      .select(col("doc_id"),
+        explode(call_function("graft_dsir_buckets", col("__toks"), lit(B)))
+          .as("bucket"))
+      .groupBy("doc_id", "bucket").count()
+      .as[(Long, Long, Long)].collect().toSet
+    val viaColumns = docs.withColumn("__toks", toks)
+      .select(col("doc_id"), explode(Dsir.gramsCol(col("__toks"))).as("__gram"))
+      .select(col("doc_id"), Dsir.bucketOf(col("__gram"), B).as("bucket"))
+      .groupBy("doc_id", "bucket").count()
+      .as[(Long, Long, Long)].collect().toSet
+    assert(viaKernel == viaColumns)
+    assert(viaKernel.nonEmpty)
+    // unigram variant ≡ bucketOf over exploded tokens
+    val uniKernel = docs.withColumn("__toks", toks)
+      .select(col("doc_id"),
+        explode(call_function("graft_token_buckets", col("__toks"), lit(B)))
+          .as("bucket"))
+      .groupBy("doc_id", "bucket").count()
+      .as[(Long, Long, Long)].collect().toSet
+    val uniColumns = docs.withColumn("__toks", toks)
+      .select(col("doc_id"), explode(col("__toks")).as("__tok"))
+      .select(col("doc_id"), Dsir.bucketOf(col("__tok"), B).as("bucket"))
+      .groupBy("doc_id", "bucket").count()
+      .as[(Long, Long, Long)].collect().toSet
+    assert(uniKernel == uniColumns)
+  }
+
   test("importance weights match the independent md5/decade replay on every bucket") {
     val target = docs.where(col("lang") === "en")
     val got = Dsir.importanceWeights(target, docs, "text", B)
       .select("bucket", "weight").as[(Long, Int)].collect().toMap
     assert(got.keySet == (0L until B).toSet)   // densified: ALL buckets
     assert(got == replayWeights())
+  }
+
+  test("importanceWeightsByFlag (single-pass) ≡ importanceWeights on the partitioned target, both scales") {
+    val twoPass = Dsir.importanceWeights(
+        docs.where(col("lang") === "en"), docs, "text", B)
+      .select("bucket", "weight", "weight_log")
+      .as[(Long, Int, Double)].collect().toSet
+    val onePass = Dsir.importanceWeightsByFlag(
+        docs, col("lang") === "en", "text", B)
+      .select("bucket", "weight", "weight_log")
+      .as[(Long, Int, Double)].collect().toSet
+    assert(onePass == twoPass)
   }
 
   test("per-doc scores are the exact integer sums of replayed bucket weights") {

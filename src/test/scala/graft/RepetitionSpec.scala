@@ -67,6 +67,19 @@ class RepetitionSpec extends AnyFunSuite {
       run(Repetition.scrubAdjacentRepeatsHof))
   }
 
+  test("RepetitionStats kernel ≡ the tagged-explode shuffle reference on real sf0.001 docs") {
+    val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    def run(fn: (org.apache.spark.sql.DataFrame, String, String, Int, Int) => org.apache.spark.sql.DataFrame) =
+      fn(real, "text", "doc_id", 2, 3)
+        .select("doc_id", "top_2gram_char_frac", "dup_3gram_char_frac")
+        .as[(Long, Double, Double)].collect().sortBy(_._1).toSeq
+    val kernel = run(Repetition.withNgramRepetition)
+    val shuffle = run(Repetition.withNgramRepetitionShuffle)
+    assert(kernel == shuffle)
+    assert(kernel.nonEmpty && kernel.exists(_._2 > 0))
+  }
+
   test("duplicate-word fractions match hand computation") {
     val m = metrics()
     // doc 1: words [ab,ab,ab,cd] → (4-2)/4 = 0.5; chars (8-4)/8 = 0.5

@@ -18,6 +18,32 @@ class TextSimSpec extends AnyFunSuite {
     (5L, "el rapido zorro marron salta sobre el perro perezoso y corre lejos"))
     .toDF("doc_id", "text")
 
+  test("GraftTokens kernel ≡ the Column reference chain on edge-case inputs") {
+    // trim is ASCII-space-only SQL trim; split keeps trailing empties
+    // (empty text → [""]); lowercase is SQL lower; accents class differs
+    // by keepAccents — all four knobs exercised per variant.
+    val edge = Seq(
+      "  Mixed CASE  with   gaps  ", "", "   ", "t",
+      "punct!@# marks?? stay-out 123", "acentos áÉíÓúñü aquí",
+      "中文 mixed latin words", "tab\tand\nnewline separated",
+      "a  b   c").toDF("text")
+    for (ka <- Seq(true, false); de <- Seq(true, false)) {
+      val kernel = edge.select(
+        array_join(graft.functions.GraftFunctions.tokens(col("text"), ka, de),
+          "").as("t")).as[String].collect().toSeq
+      val refToks = graft.text.Dedup.tokensColReference(col("text"), ka)
+      val refCol = if (de) filter(refToks, t => t =!= "") else refToks
+      val ref = edge.select(array_join(refCol, "").as("t"))
+        .as[String].collect().toSeq
+      assert(kernel == ref, s"keepAccents=$ka dropEmpty=$de")
+    }
+    // null text propagates
+    val n = Seq[(java.lang.Long, String)]((1L, null)).toDF("id", "text")
+      .select(graft.functions.GraftFunctions.tokens(col("text"), true, true).as("t"))
+      .collect()
+    assert(n.head.isNullAt(0))
+  }
+
   test("exact dedup keeps the lowest id per normalized text") {
     val out = Dedup.exact(docs, "text", "doc_id").select("doc_id").as[Long].collect().sorted
     assert(out.toSeq == Seq(1L, 3L, 4L, 5L))
