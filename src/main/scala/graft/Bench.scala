@@ -14,7 +14,12 @@ object Bench {
       Runtime.getRuntime.availableProcessors().toString)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      // shuffle partitions default to the core count; at the larger
+      // scale factors (sf1/sf10 scaling runs) override so a partition's
+      // shuffle-hash build side still fits executor memory — the same
+      // partitions-vs-memory sizing a 1000-executor cluster does
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus))
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

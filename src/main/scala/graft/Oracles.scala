@@ -188,6 +188,19 @@ object Oracles {
         |  ON e.user_id = m.user_id AND m.month_dt <= e.ts::DATE
         |ORDER BY event_id""".stripMargin,
 
+    // skewed PIT: two hot entities, unique (entity, day) history → ASOF
+    // replay is tie-unambiguous
+    "q_j3_pit_skew" ->
+      """WITH lft AS (SELECT event_id, user_id % 2 AS entity,
+        |    ts::DATE AS event_date FROM events),
+        |  rgt AS (SELECT user_id % 2 AS entity, ts::DATE AS day,
+        |    count(*)::BIGINT AS n_ev FROM events GROUP BY 1, 2)
+        |SELECT l.event_id, l.entity, l.event_date,
+        |       r.day AS asof_day, r.n_ev
+        |FROM lft l ASOF LEFT JOIN rgt r
+        |  ON l.entity = r.entity AND r.day <= l.event_date
+        |ORDER BY event_id""".stripMargin,
+
     "q_j4_anti_join" ->
       """SELECT c_custkey, c_name FROM customer
         |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
@@ -866,6 +879,19 @@ object Oracles {
         |    row_number() OVER (ORDER BY k, doc_id) - 1 AS r0 FROM r)
         |SELECT doc_id, (r0 % 8)::INT AS shard, (r0 // 8)::BIGINT AS shard_pos
         |FROM o ORDER BY doc_id""".stripMargin,
+
+    // JSONL round-trip: the sink must reproduce exactly the md5-order
+    // placement over the SOURCE rows plus the source content — any byte
+    // lost or reordered by the JSON encode/decode breaks the hash.
+    "q_pack_jsonl_roundtrip" ->
+      """WITH r AS (SELECT doc_id,
+        |    md5(doc_id::VARCHAR || '|42') AS k FROM documents),
+        |  o AS (SELECT doc_id,
+        |    row_number() OVER (ORDER BY k, doc_id) - 1 AS r0 FROM r)
+        |SELECT d.doc_id, (o.r0 % 8)::INT AS shard, (o.r0 // 8)::BIGINT AS shard_pos,
+        |  d.n_chars::BIGINT AS n_chars, d.text
+        |FROM o JOIN documents d USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
 
     "q_pack_chunks_bpe" ->
       s"""WITH words AS (

@@ -257,6 +257,32 @@ object Queries {
       .orderBy("event_id")
   }
 
+  /** J3 under DELIBERATE KEY SKEW — every event folded onto two hot
+    * entities (`user_id % 2`, ~half the corpus per key), as-of joined to
+    * the per-(entity, day) event-count history via the SKEW-SAFE
+    * time-sliced form ([[graft.ops.Joins.pointInTimeJoinSkewSafe]]):
+    * the union-tag window form would put each hot entity's whole
+    * timeline in ONE window task (windows cannot be AQE-skew-split);
+    * the sliced form bounds every task by the range partitioner's
+    * balancing and carries the as-of state across slices with a
+    * dimension-sized prefix-max. Oracle = DuckDB ASOF LEFT JOIN replay
+    * ((entity, day) is unique on the right, so the match is
+    * tie-unambiguous). */
+  def qJ3PitSkew(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val left = ev.select(col("event_id"),
+      pmod(col("user_id"), lit(2L)).as("entity"),
+      col("ts").cast("date").as("event_date"))
+    val right = ev.select(pmod(col("user_id"), lit(2L)).as("entity"),
+        col("ts").cast("date").as("day"))
+      .groupBy("entity", "day").agg(count(lit(1)).as("n_ev"))
+    Joins.pointInTimeJoinSkewSafe(left, right, Seq("entity"),
+        "event_date", "day")
+      .select(col("event_id"), col("entity"), col("event_date"),
+        col("day").as("asof_day"), col("n_ev"))
+      .orderBy("event_id")
+  }
+
   /** J6 — agg-join-back, done as `agg.over(partitionBy(keys))` (one shuffle
     * instead of groupBy + re-join; `aggregation.py:147-156`). */
   def qJ6AggOver(s: SparkSession, dir: String): DataFrame =
@@ -793,6 +819,30 @@ object Queries {
         t(s, dir, "documents").select("doc_id"), "doc_id", nShards = 8)
       .select("doc_id", "shard", "shard_pos")
       .orderBy("doc_id")
+
+  /** JSONL shard sink ROUND-TRIP: export documents through
+    * [[graft.text.Packing.exportJsonlShards]] (md5-order placement,
+    * shard-partitioned JSONL layout), read the layout back with
+    * [[graft.text.Packing.readJsonlShards]], and emit placement +
+    * CONTENT — so the sink itself (write → files → re-read) sits on the
+    * oracle path instead of being spec-only (r10 verdict gap #2). The
+    * oracle replays the q_pack_shards md5 rank arithmetic and joins the
+    * source text: equality proves the export lost nothing (ids, shard,
+    * in-shard position, characters) through the JSON encode/decode. */
+  def qPackJsonlRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val out = "/tmp/graft_jsonl_roundtrip/" +
+      dir.replaceAll("[^a-zA-Z0-9]", "_")
+    text.Packing.exportJsonlShards(
+      t(s, dir, "documents").select("doc_id", "n_chars", "text"),
+      "doc_id", nShards = 8, out)
+    text.Packing.readJsonlShards(s, out)
+      .select(col("doc_id").cast("long").as("doc_id"),
+        col("shard").cast("int").as("shard"),
+        col("shard_pos").cast("long").as("shard_pos"),
+        col("n_chars").cast("long").as("n_chars"),
+        col("text"))
+      .orderBy("doc_id")
+  }
 
   /** Chunk manifest ([[graft.text.Packing.chunkManifest]]): the inverse
     * packing map — per (chunk, doc) token spans, the loss-mask metadata a
@@ -2915,6 +2965,7 @@ object Queries {
     "q_j1_scaffold" -> (qJ1Scaffold _),
     "q_j2_equi_join" -> (qJ2EquiJoin _),
     "q_j3_pit_join" -> (qJ3PitJoin _),
+    "q_j3_pit_skew" -> (qJ3PitSkew _),
     "q_j4_anti_join" -> (qJ4AntiJoin _),
     "q_j7_outer_compare" -> (qJ7OuterCompare _),
     "q_j8_union_by_name" -> (qJ8UnionByName _),
@@ -2969,6 +3020,7 @@ object Queries {
     "q_text_decontaminate" -> (qTextDecontaminate _),
     "q_pack_chunks" -> (qPackChunks _),
     "q_pack_shards" -> (qPackShards _),
+    "q_pack_jsonl_roundtrip" -> (qPackJsonlRoundtrip _),
     "q_pack_chunks_bpe" -> (qPackChunksBpe _),
     "q_pack_length_buckets" -> (qPackLengthBuckets _),
     "q_pack_manifest" -> (qPackManifest _),

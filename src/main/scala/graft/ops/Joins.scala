@@ -114,6 +114,89 @@ object Joins {
       payloadCols.filterNot(left.columns.contains).map(c => col(s"__asof.$c").as(c)): _*)
   }
 
+  /** J3 (SKEW-SAFE shape) — [[pointInTimeJoin]] for HOT entities: the
+    * union-tag form puts each key's entire timeline in ONE window task
+    * (a window partition cannot be split — AQE skew handling applies to
+    * joins, not windows), so one entity with 10⁹ history rows
+    * single-tasks at 100 TB. This form applies the two-phase grouped
+    * prefix pattern ([[graft.text.Packing]]'s construction) to
+    * `last(ignoreNulls)`:
+    *
+    *  1. range-partition the tagged union by the FULL window order
+    *     `(keys…, t, src, payload)` — a hot key's timeline lands split
+    *     across consecutive time-slice partitions, each bounded by the
+    *     range partitioner's balancing, then pin ONE materialization
+    *     (`localCheckpoint` — the sampled boundaries feed two subtrees,
+    *     invariant 7);
+    *  2. per (key, slice): a LOCAL running `last(payload)` window — task
+    *     size is the slice, never the key;
+    *  3. per (key, slice): the slice's greatest right row as a
+    *     `max(struct(t, src, payload))` aggregate, prefix-maxed over
+    *     earlier slices of the same key (a #slices-per-key-sized window)
+    *     and broadcast back as each slice's carry-in;
+    *  4. `asof = coalesce(local last, carry-in)` — equal to the global
+    *     running last because the range order IS the window order.
+    *
+    * Output contract identical to [[pointInTimeJoin]] (OpsSpec pins
+    * row-equality on skewed frames); cost is two bounded shuffles + a
+    * dimension-sized carry table instead of one unbounded window task. */
+  def pointInTimeJoinSkewSafe(left: DataFrame, right: DataFrame,
+                              keys: Seq[String], leftTime: String,
+                              rightTime: String,
+                              partitions: Int = 0): DataFrame = {
+    val payloadCols = right.columns.filterNot(c => keys.contains(c) || c == rightTime).toSeq
+    val rTagged = right.select(
+      keys.map(col) ++ Seq(
+        col(rightTime).as("__t"), lit(0).as("__src"),
+        struct((col(rightTime).as(rightTime) +: payloadCols.map(col)): _*).as("__payload"),
+        lit(null).cast("long").as("__rowid")) ++
+      left.columns.filterNot(keys.contains).map(c =>
+        lit(null).cast(left.schema(c).dataType).as(c)): _*)
+    val lTagged = left.select(
+      keys.map(col) ++ Seq(
+        col(leftTime).as("__t"), lit(1).as("__src"),
+        lit(null).cast(rTagged.schema("__payload").dataType).as("__payload"),
+        monotonically_increasing_id().as("__rowid")) ++
+      left.columns.filterNot(keys.contains).map(col): _*)
+    val nParts = if (partitions > 0) partitions
+      else left.sparkSession.sessionState.conf.numShufflePartitions
+    val orderCols = keys.map(col) ++ Seq(col("__t"), col("__src"), col("__payload"))
+    val ranged = rTagged.unionByName(lTagged)
+      .repartitionByRange(nParts, orderCols: _*)
+      .withColumn("__slice", spark_partition_id())
+      .localCheckpoint()
+    val localW = Window
+      .partitionBy((keys.map(col) :+ col("__slice")): _*)
+      .orderBy(col("__t"), col("__src"), col("__payload"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val local = ranged.withColumn("__asof_local",
+      last(col("__payload"), ignoreNulls = true).over(localW))
+    // per-(key, slice) greatest right row; prefix-max over EARLIER slices
+    // of the same key = the carry-in. Struct max is lexicographic over
+    // (t, src, payload) — exactly the window order restricted to right
+    // rows, so the carry is the right row the global window would see.
+    val bounds = ranged
+      .groupBy((col("__slice") +: keys.map(col)): _*)
+      .agg(max(when(col("__payload").isNotNull,
+        struct(col("__t"), col("__src"), col("__payload")))).as("__lastr"))
+    val carryW = Window.partitionBy(keys.map(col): _*).orderBy(col("__slice"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carry = bounds
+      .withColumn("__carry", max(col("__lastr")).over(carryW))
+      .select((col("__slice") +: keys.map(col)) :+
+        col("__carry.__payload").as("__carry_payload"): _*)
+    val merged = local
+      .join(broadcast(carry), keys :+ "__slice", "left")
+      .withColumn("__asof", coalesce(col("__asof_local"), col("__carry_payload")))
+      .where(col("__src") === 1)
+    val rightTimeOut = if (left.columns.contains(rightTime)) rightTime + "_right" else rightTime
+    merged.select(
+      keys.map(col) ++
+      left.columns.filterNot(keys.contains).map(col) ++
+      Seq(col(s"__asof.$rightTime").as(rightTimeOut)) ++
+      payloadCols.filterNot(left.columns.contains).map(c => col(s"__asof.$c").as(c)): _*)
+  }
+
   /** J11 (extension) — NEAREST-event join: for each left row, the right
     * row whose time is CLOSEST to the left time within `tolerance` —
     * backward or forward — where [[pointInTimeJoin]] only looks back

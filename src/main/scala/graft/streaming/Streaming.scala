@@ -184,16 +184,35 @@ object Streaming {
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val bc = batch.groupBy(col(valueCol).cast("double").as("value"))
-          .agg(count(lit(1)).as("cur_count"))
-        val merged =
-          if (store.exists(countsTable))
-            store.read(countsTable).unionByName(bc)
-              .groupBy("value").agg(sum("cur_count").as("cur_count"))
-          else bc
-        store.overwrite(countsTable, merged)
-        val acc = store.read(countsTable)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // EXACTLY-ONCE under foreachBatch's at-least-once contract: a
+        // crash between the counts commit and the checkpoint's offset
+        // commit REPLAYS this batch on restart, and a sum-merge applied
+        // twice double-counts the distribution (the delta-merge is the
+        // one non-idempotent write in the store layer — upserts dedup by
+        // PK, this must dedup by BATCH). The applied batch id rides ON
+        // the counts rows, so it commits atomically with the merge
+        // (TableStore.overwrite's commit point is the single meta-pointer
+        // write); a replayed batch id short-circuits to report-only.
+        // Spec: StreamingMultimodalSpec "kill-and-restart" (r11).
+        val alreadyApplied = store.exists(countsTable) && {
+          val r = store.read(countsTable).agg(max("applied_batch")).head()
+          !r.isNullAt(0) && r.getLong(0) >= batchId
+        }
+        if (!alreadyApplied) {
+          val bc = batch.groupBy(col(valueCol).cast("double").as("value"))
+            .agg(count(lit(1)).as("cur_count"))
+          val merged =
+            if (store.exists(countsTable))
+              store.read(countsTable).select("value", "cur_count")
+                .unionByName(bc)
+                .groupBy("value").agg(sum("cur_count").as("cur_count"))
+            else bc
+          store.overwrite(countsTable,
+            merged.withColumn("applied_batch", lit(batchId)),
+            mergeSchema = true)
+        }
+        val acc = store.read(countsTable).select("value", "cur_count")
         val joined = refCounts
           .select(col("value"), col("ref_count"))
           .join(acc, Seq("value"), "full_outer")

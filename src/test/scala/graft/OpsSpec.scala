@@ -319,6 +319,55 @@ class OpsSpec extends AnyFunSuite {
     assert(m((3, "2024-05-01")).isEmpty)       // key with no history
   }
 
+  test("skew-safe PIT join ≡ union-tag form on a one-hot-entity frame, and the hot key spans multiple slices") {
+    // ONE entity owns ~all of the history — the case where the union-tag
+    // window single-tasks (a window partition cannot be split). The
+    // time-sliced form must (a) return identical rows, (b) actually split
+    // the hot key across range slices.
+    val n = 20000
+    val right = (1 to n).map(i => (1L, i, i * 10.0))
+      .toDF("k", "rt", "feat")
+    val left = ((1 to 500).map(i => (1L, i * 37 % n + 1)) :+ ((2L, 5)))
+      .toDF("k", "lt").withColumn("lval", $"k" * 100)
+    val fast = Joins.pointInTimeJoin(left, right, Seq("k"), "lt", "rt")
+      .select("k", "lt", "lval", "rt", "feat")
+      .collect().map(_.toSeq).sortBy(_.toString).toSeq
+    val sliced = Joins.pointInTimeJoinSkewSafe(left, right, Seq("k"), "lt", "rt",
+        partitions = 8)
+      .select("k", "lt", "lval", "rt", "feat")
+      .collect().map(_.toSeq).sortBy(_.toString).toSeq
+    assert(sliced == fast)
+    // key 2 has no history → null match must survive the slice carry
+    assert(sliced.exists(r => r.head == 2L && r(3) == null))
+    // the hot key's rows really landed in >1 range slice (the whole point)
+    val slices = right.select(lit(1L).as("k"), $"rt".as("__t"))
+      .repartitionByRange(8, $"k", $"__t")
+      .select(org.apache.spark.sql.functions.spark_partition_id().as("p"))
+      .distinct().count()
+    assert(slices > 1, "range partitioner failed to split the hot key")
+  }
+
+  test("skew-safe PIT join property: random keys/times/dups match the union-tag form") {
+    // duplicate left rows and equal-(k, rt) right rows included — the
+    // union-tag form preserves left multiplicity and resolves right ties
+    // to the greatest payload; the sliced form must agree row-for-row.
+    // (pointInTimeJoinNaive is NOT the reference here: its row_number
+    // window collapses duplicate left rows by construction.)
+    val rnd = new scala.util.Random(7)
+    val left = Seq.fill(300)((rnd.nextInt(5).toLong, rnd.nextInt(50)))
+      .toDF("k", "lt").withColumn("lval", $"k" + 1)
+    val right = Seq.fill(200)((rnd.nextInt(5).toLong, rnd.nextInt(50), rnd.nextInt(9).toDouble))
+      .toDF("k", "rt", "feat")
+    val unionTag = Joins.pointInTimeJoin(left, right, Seq("k"), "lt", "rt")
+      .select("k", "lt", "lval", "rt", "feat")
+      .collect().map(_.toSeq).sortBy(_.toString).toSeq
+    val sliced = Joins.pointInTimeJoinSkewSafe(left, right, Seq("k"), "lt", "rt",
+        partitions = 6)
+      .select("k", "lt", "lval", "rt", "feat")
+      .collect().map(_.toSeq).sortBy(_.toString).toSeq
+    assert(sliced == unionTag)
+  }
+
   test("PIT join differential at generated-data scale (500 customers × 24 months)") {
     // left: per-customer transaction months; right: payment snapshots —
     // union-tag rewrite must equal the naive theta form on real-shaped data

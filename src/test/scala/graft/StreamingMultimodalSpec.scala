@@ -586,4 +586,73 @@ class StreamingMultimodalSpec extends AnyFunSuite {
       .as[(Long, Long, Long)].collect().head
     assert(reports.last == want)
   }
+
+  test("incremental KS gate: kill mid-stream, restart from checkpoint, dirty-replay a committed batch — exactly-once state") {
+    val dir = Files.createTempDirectory("graft_ksr_stream").toString
+    val ckpt = Files.createTempDirectory("graft_ksr_ckpt").toString
+    val store = new TableStore(spark,
+      Files.createTempDirectory("graft_ksr_store").toString)
+    val vals = (1 to 300).map(i => (i * 37 % 101).toDouble)
+    vals.grouped(100).zipWithIndex.foreach { case (chunk, i) =>
+      chunk.toDF("value").coalesce(1)
+        .write.mode("overwrite").parquet(s"$dir/part$i")
+    }
+    val refCounts = (1 to 200).map(i => (i * 53 % 97).toDouble).toDF("value")
+      .groupBy("value").agg(count(lit(1)).as("ref_count"))
+    def src = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType.fromDDL("value DOUBLE"))
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$dir/part*")
+    def run(): Int = {
+      var n = 0
+      val q = Streaming.incrementalKsGate(src, "value", refCounts, store,
+        "ksr_counts", ckpt, _ => n += 1)
+      try q.processAllAvailable() finally q.stop()
+      n
+    }
+    def storedTotal(): Long = store.read("ksr_counts")
+      .agg(sum("cur_count")).head().getLong(0)
+
+    // phase 1: CRASH mid-stream, at the worst possible point — batch 1's
+    // counts merge has COMMITTED to the store but its checkpoint offset
+    // commit never happens (the injected throw fires after the merge,
+    // inside the same foreachBatch). This is exactly the at-least-once
+    // window a production failure exposes.
+    var seen = 0
+    val q1 = Streaming.incrementalKsGate(src, "value", refCounts, store,
+      "ksr_counts", ckpt, { _ =>
+        seen += 1
+        if (seen == 2) sys.error("injected crash after batch-1 commit")
+      })
+    intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q1.awaitTermination(120000)
+    }
+    val afterCrash = storedTotal()
+    assert(afterCrash == 200L, s"afterCrash=$afterCrash") // batches 0+1 merged
+
+    // phase 2: restart from the checkpoint — batch 1 is REPLAYED (its
+    // offset never committed); the applied_batch guard must skip the
+    // double-merge, then batch 2 drains exactly once.
+    run()
+    assert(storedTotal() == 300L,
+      "replayed batch double-merged the accumulated distribution")
+
+    // phase 4: fresh data after recovery still merges exactly once, and
+    // the gate report equals the batch statistic over everything seen
+    val extra = (1 to 50).map(i => (i * 11 % 89).toDouble)
+    extra.toDF("value").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/part9")
+    val reports = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+    val q4 = Streaming.incrementalKsGate(src, "value", refCounts, store,
+      "ksr_counts", ckpt, r => reports += r.as[(Long, Long, Long)].collect().head)
+    try q4.processAllAvailable() finally q4.stop()
+    assert(storedTotal() == 350L)
+    val refRaw = (1 to 200).map(i => (i * 53 % 97).toDouble)
+    val batchDf = refRaw.map(("a", _)).toDF("g", "value")
+      .unionByName((vals ++ extra).map(("b", _)).toDF("g", "value"))
+    val want = graft.features.Features.ksStatistic(
+        batchDf, "value", "g", "a", "b")
+      .as[(Long, Long, Long)].collect().head
+    assert(reports.last == want)
+  }
 }
