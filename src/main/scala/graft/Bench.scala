@@ -43,11 +43,21 @@ object Bench {
     def time(fn: => Long): Double = {
       def once(): Double = {
         val t0 = System.nanoTime()
-        try fn catch { case e: Throwable =>
+        // NonFatal only: an OOM/StackOverflow leaves the JVM corrupted —
+        // swallowing it would silently distort every later measurement
+        // (r11 advice); let fatal errors abort the bench run.
+        try fn catch { case scala.util.control.NonFatal(e) =>
           System.err.println(s"[bench] failed: ${e.getMessage}"); -1L }
         (System.nanoTime() - t0) / 1e9
       }
-      math.min(once(), once())
+      val a = once(); val b = once()
+      // Variance guard (r11 verdict #8): this box swings ~4× under load
+      // (q_j10_salted_join observed 3.7–28 s across runs). When the two
+      // runs disagree >2×, the slow one was load/GC, not the plan — take
+      // a third and report the per-entry MIN of all three.
+      if (math.min(a, b) > 0 && math.max(a, b) > 2 * math.min(a, b))
+        math.min(math.min(a, b), once())
+      else math.min(a, b)
     }
     // HONEST materialization: executing the entry's own optimized plan
     // (`toRdd`) forces every output column. A bare `.count()` lets
@@ -83,7 +93,7 @@ object Bench {
     val warmup = sys.env.getOrElse("SPARK_GRAFT_WARMUP", "1") != "0"
     if (warmup) catalog.foreach { case (_, fn) =>
       try materialize(fn(spark, sfDir))
-      catch { case _: Throwable => () } // timed run reports the failure
+      catch { case scala.util.control.NonFatal(_) => () } // timed run reports the failure
     }
 
     val queryTimes = catalog.map { case (name, fn) =>
@@ -111,7 +121,7 @@ object Bench {
         sources("clientes"), "2023-01-01", graft.datagen.BankingDataGen.AnchorMonth)),
     ).filter { case (name, _) => selected(name) }
     if (warmup) pipelineTimesSrc.foreach { case (_, mk) =>
-      try materialize(mk()) catch { case _: Throwable => () }
+      try materialize(mk()) catch { case scala.util.control.NonFatal(_) => () }
     }
     val pipelineTimes = pipelineTimesSrc
       .map { case (name, mk) => name -> time(materialize(mk())) }

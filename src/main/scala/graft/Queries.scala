@@ -832,10 +832,9 @@ object Queries {
   def qPackJsonlRoundtrip(s: SparkSession, dir: String): DataFrame = {
     val out = "/tmp/graft_jsonl_roundtrip/" +
       dir.replaceAll("[^a-zA-Z0-9]", "_")
-    text.Packing.exportJsonlShards(
-      t(s, dir, "documents").select("doc_id", "n_chars", "text"),
-      "doc_id", nShards = 8, out)
-    text.Packing.readJsonlShards(s, out)
+    val src = t(s, dir, "documents").select("doc_id", "n_chars", "text")
+    text.Packing.exportJsonlShards(src, "doc_id", nShards = 8, out)
+    text.Packing.readJsonlShards(s, out, src.schema)
       .select(col("doc_id").cast("long").as("doc_id"),
         col("shard").cast("int").as("shard"),
         col("shard_pos").cast("long").as("shard_pos"),

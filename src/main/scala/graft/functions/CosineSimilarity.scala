@@ -133,6 +133,12 @@ object GraftFunctions {
       "graft_repetition_stats", exprs => RepetitionStats(exprs(0), exprs(1), exprs(2)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_deflate_len", exprs => DeflateLen(exprs(0)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_bootstrap_weights",
+      exprs => BootstrapWeights(exprs(0), exprs(1), exprs(2)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_cms_buckets",
+      exprs => CmsBuckets(exprs(0), exprs(1), exprs(2)), "built-in")
   }
 
   /** Column-API face (usable after [[register]]). */

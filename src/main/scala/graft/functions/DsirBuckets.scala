@@ -75,16 +75,31 @@ object DsirBuckets {
     (v >>> 4) % buckets
   }
 
+  /** Non-null token bytes, in order. The kernels are registered
+    * session-wide (`graft_dsir_buckets` / `graft_token_buckets`), so
+    * arbitrary SQL can hand them arrays with null elements — those are
+    * SKIPPED (treated as absent; neighbours become bigram-adjacent),
+    * matching what `filter(arr, x -> x IS NOT NULL)` upstream would
+    * produce, instead of crashing with a raw NPE (r11 advice). */
+  private def nonNullBytes(tokens: ArrayData): Array[Array[Byte]] = {
+    val total = tokens.numElements()
+    val buf = new java.util.ArrayList[Array[Byte]](total)
+    var i = 0
+    while (i < total) {
+      if (!tokens.isNullAt(i)) buf.add(tokens.getUTF8String(i).getBytes)
+      i += 1
+    }
+    buf.toArray(new Array[Array[Byte]](buf.size))
+  }
+
   def compute(tokens: ArrayData, buckets: Int): ArrayData = {
-    val n = tokens.numElements()
+    val bytes = nonNullBytes(tokens)
+    val n = bytes.length
     val out = new Array[Long](if (n >= 2) 2 * n - 1 else n)
     if (n == 0) return new GenericArrayData(out)
     val d = md.get()
-    val bytes = new Array[Array[Byte]](n)
-    var i = 0
-    while (i < n) { bytes(i) = tokens.getUTF8String(i).getBytes; i += 1 }
     var k = 0
-    i = 0
+    var i = 0
     while (i < n) {
       d.reset()
       d.update(bytes(i))
@@ -103,13 +118,14 @@ object DsirBuckets {
 
   /** Unigram-only variant (the NB classifier's feature gate). */
   def computeUnigrams(tokens: ArrayData, buckets: Int): ArrayData = {
-    val n = tokens.numElements()
+    val bytes = nonNullBytes(tokens)
+    val n = bytes.length
     val out = new Array[Long](n)
     val d = md.get()
     var i = 0
     while (i < n) {
       d.reset()
-      d.update(tokens.getUTF8String(i).getBytes)
+      d.update(bytes(i))
       out(i) = bucket60(d.digest(), buckets)
       i += 1
     }

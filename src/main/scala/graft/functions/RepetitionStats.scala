@@ -101,15 +101,25 @@ object RepetitionStats {
   }
 
   def compute(tokens: ArrayData, topN: Int, dupN: Int): InternalRow = {
-    val n = tokens.numElements()
+    val total = tokens.numElements()
+    // Null elements are skipped (session-registered SQL function — a
+    // null-element array must degrade like filter(x -> x IS NOT NULL)
+    // upstream, not NPE; r11 advice).
+    var n = 0
+    var j = 0
+    while (j < total) { if (!tokens.isNullAt(j)) n += 1; j += 1 }
     val hashes = new Array[Long](n)
     val lenPrefix = new Array[Long](n + 1)
     var i = 0
-    while (i < n) {
-      val t = tokens.getUTF8String(i)
-      hashes(i) = XXH64.hashUTF8String(t, 42L)
-      lenPrefix(i + 1) = lenPrefix(i) + t.numChars()
-      i += 1
+    j = 0
+    while (j < total) {
+      if (!tokens.isNullAt(j)) {
+        val t = tokens.getUTF8String(j)
+        hashes(i) = XXH64.hashUTF8String(t, 42L)
+        lenPrefix(i + 1) = lenPrefix(i) + t.numChars()
+        i += 1
+      }
+      j += 1
     }
     val nchars = if (n == 0) 0L else lenPrefix(n) + (n - 1)
     val (_, _, topCover) = gramStats(hashes, lenPrefix, topN)

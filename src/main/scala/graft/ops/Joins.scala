@@ -21,6 +21,12 @@ import org.apache.spark.sql.functions._
   */
 object Joins {
 
+  /** Row-count bound above which [[pointInTimeJoinSkewSafe]]'s per-slice
+    * carry table is too large to broadcast (≈ tens of MB of (key, slice,
+    * payload) rows) and the carry join falls back to a shuffled left
+    * join on the same (keys…, __slice) layout. */
+  private[graft] val CarryBroadcastMaxRows = 1000000L
+
   /** J1 — scaffold join: entity × month-scaffold, kept where scaffold date ≥
     * entity start date (`fs_cus_demographic.py:108-113`). The scaffold is a
     * few hundred rows → Catalyst broadcasts it (BroadcastNestedLoopJoin);
@@ -148,15 +154,13 @@ object Joins {
     val rTagged = right.select(
       keys.map(col) ++ Seq(
         col(rightTime).as("__t"), lit(0).as("__src"),
-        struct((col(rightTime).as(rightTime) +: payloadCols.map(col)): _*).as("__payload"),
-        lit(null).cast("long").as("__rowid")) ++
+        struct((col(rightTime).as(rightTime) +: payloadCols.map(col)): _*).as("__payload")) ++
       left.columns.filterNot(keys.contains).map(c =>
         lit(null).cast(left.schema(c).dataType).as(c)): _*)
     val lTagged = left.select(
       keys.map(col) ++ Seq(
         col(leftTime).as("__t"), lit(1).as("__src"),
-        lit(null).cast(rTagged.schema("__payload").dataType).as("__payload"),
-        monotonically_increasing_id().as("__rowid")) ++
+        lit(null).cast(rTagged.schema("__payload").dataType).as("__payload")) ++
       left.columns.filterNot(keys.contains).map(col): _*)
     val nParts = if (partitions > 0) partitions
       else left.sparkSession.sessionState.conf.numShufflePartitions
@@ -185,8 +189,20 @@ object Joins {
       .withColumn("__carry", max(col("__lastr")).over(carryW))
       .select((col("__slice") +: keys.map(col)) :+
         col("__carry.__payload").as("__carry_payload"): _*)
+    // The carry has one row per (key, slice) PRESENT in a slice — it is
+    // "dimension-sized" only while the key domain is small (each key
+    // appearing in ≥1 slice means ~#distinct-keys rows when cardinality
+    // is high). Broadcasting an unbounded-cardinality carry would OOM
+    // the driver (r11 advice), so gate the hint on a measured row count:
+    // `ranged` is already localCheckpoint-pinned, making the probe one
+    // cheap aggregate over materialized partitions. Past the bound, fall
+    // back to a shuffled left join on (keys…, __slice) — both sides hash
+    // to the same layout, and correctness never depended on the hint.
+    val carryRows = bounds.count()
+    val carryJoinable =
+      if (carryRows <= Joins.CarryBroadcastMaxRows) broadcast(carry) else carry
     val merged = local
-      .join(broadcast(carry), keys :+ "__slice", "left")
+      .join(carryJoinable, keys :+ "__slice", "left")
       .withColumn("__asof", coalesce(col("__asof_local"), col("__carry_payload")))
       .where(col("__src") === 1)
     val rightTimeOut = if (left.columns.contains(rightTime)) rightTime + "_right" else rightTime

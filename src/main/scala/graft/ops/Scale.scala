@@ -100,6 +100,24 @@ object Scale {
                         targetBytes: Long = 128L << 20): DataFrame =
     df.repartition(math.max(1, (totalBytes / targetBytes).toInt))
 
+  /** Spread a CPU-bound stage (native digest kernels: bootstrap weights,
+    * CMS buckets, minhash) across the cores when — and ONLY when — the
+    * input scan is too small to feed them: a single small parquet file
+    * plans as 1-2 input partitions, which runs the whole per-row kernel
+    * loop on one core (measured r12: q_stat_bootstrap spent ~3 s of 3.1 s
+    * single-threaded behind a 2.6 MB scan). At real scale the scan
+    * already carries thousands of partitions and the extra exchange
+    * would be pure cost, so the gate reads the optimizer's size estimate
+    * (`optimizedPlan.stats` — a pure optimizer pass, ~ms; never
+    * `.rdd.getNumPartitions`, which physical-plans and codegens a second
+    * copy of the query per call). */
+  def spreadSmallScan(df: DataFrame, perCoreBytes: Long = 16L << 20): DataFrame = {
+    val para = df.sparkSession.sparkContext.defaultParallelism
+    val small = df.queryExecution.optimizedPlan.stats.sizeInBytes <
+      BigInt(para.toLong * perCoreBytes)
+    if (small) df.repartition(para) else df
+  }
+
   /** Morton (Z-order) value: interleaves the low `bits` bits of each of
     * the given non-negative integral columns (column i contributes bit b
     * to output position `b·k + i`, k = #columns). Sorting / range-

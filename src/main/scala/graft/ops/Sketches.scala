@@ -66,12 +66,24 @@ object Sketches {
     // propagate null into a null bucket the estimate join could never
     // match, which would return 0 for an item the sketch had counted —
     // an undercount, the one thing CMS must never do
-    df.where(col(itemCol).isNotNull)
-      .select(col(itemCol).cast("string").as("__x"),
-        explode(sequence(lit(0), lit(depth - 1))).as("d"))
-      .select(col("d"), substring(
-        md5(concat(col("d").cast("string"), lit("|"), col("__x"))),
-        1, hexChars).as("bucket"))
+    // All `depth` bucket ids per item in ONE native kernel call
+    // (CmsBuckets — bit-identical to the Column chain the oracle
+    // replays; the probe side in [[cmsEstimate]] keeps the Column form,
+    // and the two must agree for any estimate to bound an exact count,
+    // which the spec + q_sketch_cms oracle pin). spreadSmallScan: the
+    // digest loop is CPU-bound and a small single-file scan would run
+    // it on 1-2 cores (same fix as bootstrapReplicates, r12).
+    // posexplode_OUTER keeps InferFiltersFromGenerate from planting a
+    // size() probe that re-runs the kernel (CLAUDE.md invariant 6);
+    // the array is always length `depth`, so outer ≡ inner.
+    import org.apache.spark.sql.graft.ColumnShim
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    val buckets = ColumnShim.column(graft.functions.CmsBuckets(
+      ColumnShim.expression(col("__x")), Literal(depth), Literal(hexChars)))
+    Scale.spreadSmallScan(
+        df.where(col(itemCol).isNotNull)
+          .select(col(itemCol).cast("string").as("__x")))
+      .select(posexplode_outer(buckets).as(Seq("d", "bucket")))
       .groupBy("d", "bucket").agg(count(lit(1)).as("cnt"))
   }
 

@@ -96,6 +96,47 @@ object Stats {
                           salt: Int = 42): DataFrame = {
     require(keyCols.nonEmpty, "keyCols must be non-empty")
     require(nReplicates >= 2, "need nReplicates >= 2")
+    import org.apache.spark.sql.graft.ColumnShim
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    // All R weights per row in ONE native kernel call (BootstrapWeights):
+    // the Column form evaluated concat_ws+md5+substring+conv+when per
+    // EXPLODED row (R× per input row — 9.7 s honest at sf0.1, r11's
+    // slowest entry). The '|' pre-join matches concat_ws('|', keys…,
+    // replicate, salt) exactly for non-null keys (keyCols are the row's
+    // resampling identity and must be non-null — duplicates or nulls
+    // would draw correlated weights). posexplode_OUTER, not posexplode:
+    // the weights array is always length R so outer ≡ inner, but the
+    // outer form keeps InferFiltersFromGenerate from planting a
+    // size(__ws) > 0 filter that would re-run the kernel per row
+    // (CLAUDE.md invariant 6).
+    val ws = ColumnShim.column(graft.functions.BootstrapWeights(
+      ColumnShim.expression(col("__key")),
+      Literal(nReplicates), Literal(salt.toString)))
+    // The kernel is CPU-bound (R md5 digests per row) behind a scan that
+    // may be a single small parquet file → 1-2 input partitions running
+    // the whole digest loop on one core (measured: 3 s of the entry's
+    // 3.1 s at sf0.1 was single-threaded kernel time). Spread ONLY when
+    // the scan is starved — at real scale the input already carries
+    // thousands of partitions and the extra exchange would be pure cost.
+    val spread = Scale.spreadSmallScan(
+      df.select(col(valueCol).cast("decimal(18,2)").as("__v"),
+        concat_ws("|", keyCols.map(col): _*).as("__key")))
+    spread.select(col("__v"), ws.as("__ws"))
+      .select(col("__v"),
+        posexplode_outer(col("__ws")).as(Seq("replicate", "__w")))
+      .groupBy("replicate")
+      .agg(sum("__w").as("n_eff"),
+        (sum(col("__w") * col("__v")).cast("double") /
+          sum("__w").cast("double")).as("wmean"))
+  }
+
+  /** Pure-Column reference form of [[bootstrapReplicates]] — retained as
+    * the differential-test twin of the [[graft.functions.BootstrapWeights]]
+    * kernel (spec asserts row-identical output) and as the portable
+    * documentation of the md5 gate the DuckDB oracle replays. */
+  private[graft] def bootstrapReplicatesColumnForm(
+      df: DataFrame, valueCol: String, keyCols: Seq[String],
+      nReplicates: Int = 32, salt: Int = 42): DataFrame = {
     val u = u9(keyCols.map(col) ++ Seq(col("replicate")), lit(salt.toString))
     val w = PoissonCum9.zipWithIndex.foldRight(lit(PoissonCum9.size): Column) {
       case ((thr, k), rest) => when(u < thr, k).otherwise(rest)

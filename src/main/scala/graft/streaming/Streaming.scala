@@ -195,21 +195,46 @@ object Streaming {
         // (TableStore.overwrite's commit point is the single meta-pointer
         // write); a replayed batch id short-circuits to report-only.
         // Spec: StreamingMultimodalSpec "kill-and-restart" (r11).
-        val alreadyApplied = store.exists(countsTable) && {
-          val r = store.read(countsTable).agg(max("applied_batch")).head()
-          !r.isNullAt(0) && r.getLong(0) >= batchId
+        // The replay guard is keyed by (checkpoint, batchId) — batchIds
+        // restart from 0 under a FRESH checkpoint dir, so a bare
+        // `applied_batch >= batchId` check against a table accumulated
+        // under an older checkpoint would silently DROP every new batch
+        // (r11 advice: data loss, no error). A checkpoint mismatch is a
+        // contract violation either way (continue = double-count the
+        // history, skip = drop data) → fail fast with the remediation.
+        // Legacy tables written before the guard columns existed are
+        // schema-checked, not blindly read (AnalysisException otherwise).
+        val existing = if (store.exists(countsTable))
+          Some(store.read(countsTable)) else None
+        existing.filter(_.columns.contains("applied_ckpt")).foreach { t =>
+          val ck = t.agg(max("applied_ckpt")).head()
+          if (!ck.isNullAt(0) && ck.getString(0) != checkpoint)
+            throw new IllegalStateException(
+              s"counts table '$countsTable' was accumulated under " +
+                s"checkpoint '${ck.getString(0)}' but this query runs " +
+                s"under '$checkpoint' — batchIds are only monotonic " +
+                "within one checkpoint, so the replay guard cannot " +
+                "distinguish replays from new data. Resume with the " +
+                "original checkpoint dir, or start a fresh counts table.")
         }
+        val alreadyApplied = existing
+          .filter(_.columns.contains("applied_batch"))
+          .exists { t =>
+            val r = t.agg(max("applied_batch")).head()
+            !r.isNullAt(0) && r.getLong(0) >= batchId
+          }
         if (!alreadyApplied) {
           val bc = batch.groupBy(col(valueCol).cast("double").as("value"))
             .agg(count(lit(1)).as("cur_count"))
-          val merged =
-            if (store.exists(countsTable))
-              store.read(countsTable).select("value", "cur_count")
-                .unionByName(bc)
-                .groupBy("value").agg(sum("cur_count").as("cur_count"))
-            else bc
+          val merged = existing match {
+            case Some(t) => t.select("value", "cur_count")
+              .unionByName(bc)
+              .groupBy("value").agg(sum("cur_count").as("cur_count"))
+            case None => bc
+          }
           store.overwrite(countsTable,
-            merged.withColumn("applied_batch", lit(batchId)),
+            merged.withColumn("applied_batch", lit(batchId))
+              .withColumn("applied_ckpt", lit(checkpoint)),
             mergeSchema = true)
         }
         val acc = store.read(countsTable).select("value", "cur_count")

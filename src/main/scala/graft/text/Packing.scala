@@ -137,10 +137,26 @@ object Packing {
   /** Read a [[exportJsonlShards]] layout back: the `shard=N` partition
     * directories come back as the `shard` column; `shard_pos` restores
     * the in-shard order (JSON round-trips long/string/bool exactly;
-    * reading is partition-pruned when a `shard` predicate is pushed). */
+    * reading is partition-pruned when a `shard` predicate is pushed).
+    *
+    * `dataSchema` is the schema of the frame that was exported (the
+    * writer appends `shard_pos`; `shard` is the partition directory) —
+    * an EXPLICIT schema, never inference: `spark.read.json` inference
+    * full-scans the layout before the first real read (a second pass
+    * over the corpus at 100 TB) and types by VALUE, so an all-numeric
+    * text column would come back as a number (`'0123'` → `123`) and a
+    * column that is null in the sampled files (JSON write drops null
+    * fields) would vanish or corrupt the round-trip (r11 advice). */
   def readJsonlShards(spark: org.apache.spark.sql.SparkSession,
-                      dir: String): DataFrame =
-    spark.read.json(dir)
+                      dir: String,
+                      dataSchema: org.apache.spark.sql.types.StructType): DataFrame = {
+    import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructType}
+    val full = StructType(
+      dataSchema.fields.filterNot(f =>
+        f.name == "shard" || f.name == "shard_pos") ++
+        Seq(StructField("shard_pos", LongType), StructField("shard", IntegerType)))
+    spark.read.schema(full).json(dir)
+  }
 
   /** Chunk MANIFEST — the inverse map of [[chunkAssignments]] a training
     * loader actually consumes: one row per (chunk, document) pair with the

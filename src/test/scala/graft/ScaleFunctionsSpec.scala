@@ -220,6 +220,46 @@ class ScaleFunctionsSpec extends AnyFunSuite {
     }
   }
 
+  test("token kernels skip null array elements instead of NPE-ing") {
+    // Session-registered SQL functions can be handed arrays with null
+    // elements from arbitrary SQL; the contract is "nulls are absent"
+    // (≡ filter(x -> x IS NOT NULL) upstream), never a raw NPE.
+    GraftFunctions.register(spark)
+    val df = Seq((1L, Seq(Some("a"), None, Some("b"), Some("a")))).toDF("id", "toks")
+    val clean = df.select(expr("filter(toks, x -> x IS NOT NULL)").as("toks"))
+    for (fn <- Seq("graft_dsir_buckets(toks, 64)", "graft_token_buckets(toks, 64)")) {
+      val withNulls = df.select(expr(fn)).first().getSeq[Long](0)
+      val filtered = clean.select(expr(fn)).first().getSeq[Long](0)
+      assert(withNulls == filtered, fn)
+    }
+    val repWithNulls = df.select(expr("graft_repetition_stats(toks, 3, 2)")).first()
+    val repFiltered = clean.select(expr("graft_repetition_stats(toks, 3, 2)")).first()
+    assert(repWithNulls == repFiltered)
+  }
+
+  test("graft_bootstrap_weights: R Poisson weights, ≡ the portable md5 gate") {
+    GraftFunctions.register(spark)
+    val df = Seq(("k1"), ("k2"), ("k3")).toDF("k")
+    val got = df.select(col("k"),
+      expr("graft_bootstrap_weights(k, 4, '42')").as("ws")).collect()
+    got.foreach { r =>
+      val ws = r.getSeq[Int](1)
+      assert(ws.length == 4)
+      // replay one weight through the Column chain the oracle uses
+      val k = r.getString(0)
+      val replay = spark.range(1).select(
+        (conv(substring(md5(lit(s"$k|0|42")), 1, 15), 16, 10)
+          .cast("long") % 1000000000L).as("u")).first().getLong(0)
+      val cum = Seq(367879441L, 735758882L, 919698602L, 981011843L,
+        996340153L, 999405815L, 999916758L, 999989750L)
+      val expect = cum.indexWhere(replay < _) match {
+        case -1 => 8
+        case i => i
+      }
+      assert(ws.head == expect, s"key=$k u=$replay")
+    }
+  }
+
   test("GraftExtensions injects the function at session build") {
     // extension wiring resolves the same descriptor the registry path uses
     val (ident, info, builder) = GraftFunctions.cosineDescriptor

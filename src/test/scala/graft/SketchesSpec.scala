@@ -168,6 +168,24 @@ class SketchesSpec extends AnyFunSuite {
     }
   }
 
+  test("CmsBuckets kernel ≡ the portable Column md5 hex-prefix chain") {
+    // cmsCells (kernel) and cmsEstimate's probe side (Column form) must
+    // hash identically or every estimate silently breaks its lower bound.
+    graft.functions.GraftFunctions.register(spark)
+    val items = Seq("a", "xyz", "0123", "ümlaut", "").toDF("item")
+    for ((depth, hex) <- Seq((4, 2), (3, 6))) {
+      val rows = items.select(col("item"),
+        expr(s"graft_cms_buckets(item, $depth, $hex)").as("native"),
+        array((0 until depth).map(d => substring(
+          md5(concat(lit(d.toString), lit("|"), col("item"))),
+          1, hex)): _*).as("column")).collect()
+      rows.foreach { r =>
+        assert(r.getSeq[String](1) == r.getSeq[String](2),
+          s"item=${r.getString(0)} depth=$depth hex=$hex")
+      }
+    }
+  }
+
   test("cms plan: partial cell aggregation before the exchange, broadcast probe") {
     val items = Seq.tabulate(200)(i => "k" + (i % 11)).toDF("item")
     val cells = Sketches.cmsCells(items, "item")

@@ -55,6 +55,24 @@ class StatsSpec extends AnyFunSuite {
     assert(a.forall { case (_, _, m) => m > lo && m < hi })
   }
 
+  test("bootstrapReplicates: native kernel ≡ Column md5-gate form") {
+    // The BootstrapWeights kernel must be bit-identical to the portable
+    // concat_ws|md5|conv chain the DuckDB oracle replays — including on
+    // multi-column keys (the '|' pre-join) and non-default R/salt.
+    val df = (1L to 300L)
+      .map(i => (i, s"g${i % 7}", (i % 41).toDouble + 0.25))
+      .toDF("id", "grp", "x")
+    for ((reps, salt) <- Seq((8, 42), (5, 7))) {
+      val kernel = Stats.bootstrapReplicates(df, "x", Seq("id", "grp"),
+          nReplicates = reps, salt = salt)
+        .orderBy("replicate").as[(Int, Long, Double)].collect().toSeq
+      val column = Stats.bootstrapReplicatesColumnForm(df, "x", Seq("id", "grp"),
+          nReplicates = reps, salt = salt)
+        .orderBy("replicate").as[(Int, Long, Double)].collect().toSeq
+      assert(kernel == column)
+    }
+  }
+
   test("bootstrapCI: nearest-rank bounds over a hand replicate table") {
     val reps = (1 to 10).map(i => (i, 100L, i.toDouble)).toDF("replicate", "n_eff", "wmean")
     val got = Stats.bootstrapCI(reps, level = 0.9)

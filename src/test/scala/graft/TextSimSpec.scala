@@ -357,7 +357,7 @@ class TextSimSpec extends AnyFunSuite {
     val dir = java.nio.file.Files.createTempDirectory("graft_jsonl").toString
     val d = (1L to 40L).map(i => (i, s"body $i")).toDF("doc_id", "text")
     Packing.exportJsonlShards(d, "doc_id", nShards = 4, outDir = dir)
-    val back = Packing.readJsonlShards(spark, dir)
+    val back = Packing.readJsonlShards(spark, dir, d.schema)
     // placement round-trips exactly
     val expect = Packing.shardAssignments(d, "doc_id", nShards = 4)
       .select("doc_id", "shard", "shard_pos")
