@@ -107,8 +107,14 @@ object Bench {
     // purely from uncached datagen recomputation)
     val pipelineNames = Seq("pipe_transactions", "pipe_credit_risk",
       "pipe_payment_behavior", "pipe_holding_products", "pipe_demographic")
+    // SPARK_GRAFT_BANK_N scales the generated banking corpus (default =
+    // the reference's 10k×24m shape) so the five pipelines can be put on
+    // the same scaling table as the query entries (r11 verdict #7:
+    // pipe_* had only ever been measured at reference scale).
+    val bankN = sys.env.get("SPARK_GRAFT_BANK_N").map(_.toInt)
+      .getOrElse(graft.datagen.BankingDataGen.DefaultCustomers)
     val sources = if (pipelineNames.exists(selected))
-      graft.datagen.BankingDataGen.all(spark)
+      graft.datagen.BankingDataGen.all(spark, bankN)
         .map { case (k, df) => k -> df.cache() }
     else Map.empty[String, org.apache.spark.sql.DataFrame]
     sources.values.foreach(_.count())

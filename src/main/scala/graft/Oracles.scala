@@ -734,6 +734,40 @@ object Oracles {
         |FROM j WHERE c >= 0.8
         |ORDER BY id_a, id_b""".stripMargin,
 
+    // production winnow-candidate path, projected to planted quote→source
+    // recovery: brute-force containment on the quote/source slice — the
+    // lossy candidate stage must recover every pair (winnowing guarantee)
+    // and the exact verifier must agree with the brute-force value
+    "q_dedup_containment_lsh" ->
+      """WITH q AS (
+        |  SELECT doc_id + 30000 AS id_a, doc_id AS id_b,
+        |    array_to_string(list_slice(
+        |      regexp_split_to_array(text, '\s+'), 1, 12), ' ') AS qtext,
+        |    text AS stext
+        |  FROM documents WHERE doc_id < 50),
+        |  p AS (SELECT id_a, id_b,
+        |    list_distinct(list_transform(
+        |      range(1, greatest(len(regexp_split_to_array(
+        |        regexp_replace(lower(trim(qtext)), '[^a-z0-9áéíóúñü ]', '', 'g'),
+        |        '\s+')) - 2, 1) + 1),
+        |      i -> array_to_string(list_slice(regexp_split_to_array(
+        |        regexp_replace(lower(trim(qtext)), '[^a-z0-9áéíóúñü ]', '', 'g'),
+        |        '\s+'), i, i + 2), ' '))) AS ga,
+        |    list_distinct(list_transform(
+        |      range(1, greatest(len(regexp_split_to_array(
+        |        regexp_replace(lower(trim(stext)), '[^a-z0-9áéíóúñü ]', '', 'g'),
+        |        '\s+')) - 2, 1) + 1),
+        |      i -> array_to_string(list_slice(regexp_split_to_array(
+        |        regexp_replace(lower(trim(stext)), '[^a-z0-9áéíóúñü ]', '', 'g'),
+        |        '\s+'), i, i + 2), ' '))) AS gb
+        |    FROM q)
+        |SELECT id_a, id_b,
+        |  floor(len(list_intersect(ga, gb))::DOUBLE / len(ga) * 10000 + 0.5)
+        |    / 10000 AS containment
+        |FROM p
+        |WHERE len(list_intersect(ga, gb))::DOUBLE / len(ga) >= 0.8
+        |ORDER BY id_a""".stripMargin,
+
     // incremental probe replay: ordered batch(quote)→corpus brute force —
     // the persisted-index path must recover exactly the one-shot slice
     "q_dedup_inc_containment" ->

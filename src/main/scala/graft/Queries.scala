@@ -741,6 +741,29 @@ object Queries {
       .orderBy("id_a", "id_b")
   }
 
+  /** PRODUCTION containment path ([[graft.text.Dedup.containmentVerifiedPairs]]):
+    * winnowed-fingerprint candidates + exact verification over the same
+    * documents ∪ planted-quotes corpus as [[qDedupContainment]],
+    * projected to planted recovery (quote doc_id+30000 → its source).
+    * Every quote is 12 raw words ≥ w + n − 1 = 10, so the winnowing
+    * guarantee makes recovery DETERMINISTIC (one shared fingerprint per
+    * quote/source pair survives any w-window of the shared run), and the
+    * exact verifier pins containment at exactly 1.0 (quote grams ⊆
+    * source grams). Oracle replays the brute-force quote→source slice —
+    * a miss by the lossy candidate stage shows as a row-count mismatch. */
+  def qDedupContainmentLsh(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val quotes = d.where(col("doc_id") < 50)
+      .withColumn("doc_id", col("doc_id") + 30000)
+      .withColumn("text",
+        concat_ws(" ", slice(split(col("text"), "\\s+"), 1, 12)))
+    Dedup.containmentVerifiedPairs(d.unionByName(quotes), "text", "doc_id",
+        n = 3, w = 8, threshold = 0.8)
+      .where(col("id_a") === col("id_b") + 30000)
+      .select("id_a", "id_b", "containment")
+      .orderBy("id_a")
+  }
+
   /** STAGED near-dup pair list at candidate threshold 0.4, memoized per
     * (session, sf dir) and pinned with `localCheckpoint` — the production
     * topology for the pair-CONSUMER entries (curve, clusters, keep-best):
@@ -3004,6 +3027,7 @@ object Queries {
     "q_dedup_simhash_pairs" -> (qDedupSimhashPairs _),
     "q_dedup_ngram_jaccard" -> (qDedupNgramJaccard _),
     "q_dedup_containment" -> (qDedupContainment _),
+    "q_dedup_containment_lsh" -> (qDedupContainmentLsh _),
     "q_dedup_inc_containment" -> (qDedupIncContainment _),
     "q_text_contam_spans" -> (qTextContamSpans _),
     "q_dedup_threshold_curve" -> (qDedupThresholdCurve _),

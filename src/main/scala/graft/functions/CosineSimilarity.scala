@@ -139,6 +139,9 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_cms_buckets",
       exprs => CmsBuckets(exprs(0), exprs(1), exprs(2)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_winnow_hashes",
+      exprs => WinnowHashes(exprs(0), exprs(1), exprs(2)), "built-in")
   }
 
   /** Column-API face (usable after [[register]]). */

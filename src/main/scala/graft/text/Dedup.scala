@@ -893,6 +893,102 @@ object Dedup {
       .select("id_a", "id_b", "containment")
   }
 
+  /** PRODUCTION containment-pair path: WINNOWED-fingerprint candidates →
+    * exact sorted-merge verification — the asymmetric mirror of
+    * [[minhashVerifiedPairs]] (banding proposes, the kernel verifies),
+    * replacing [[containmentPairs]]' recall-complete prefix filter whose
+    * candidate volume is data-bound ~quadratic on gram-saturated corpora
+    * (r9/r10 analysis; the exact form stays as the verifier-grade
+    * reference).
+    *
+    * Candidates: each doc posts its [[graft.functions.WinnowHashes]]
+    * fingerprints (~`2/(w+1)` of its grams); two docs are candidates iff
+    * they share a fingerprint whose document frequency is ≤ `dfCap`.
+    * Recall contract: any contiguous shared run of ≥ `w + n − 1` tokens
+    * shares a fingerprint (the winnowing guarantee) — quotation/subset
+    * containment, the workload this op exists for, is exactly that case;
+    * scattered overlap is probabilistic in the shared mass (the same
+    * trade [[minhashVerifiedPairs]] makes via banding). The df cap bounds
+    * bucket occupancy BY CONSTRUCTION (CLAUDE.md invariant 9: candidate
+    * joins must not let hot keys go quadratic): a fingerprint shared by
+    * more than the cap docs is boilerplate — dropping it loses only
+    * pairs whose EVERY shared window is that common.
+    *
+    * The cap is ADAPTIVE, not a constant: on a gram-saturated corpus
+    * every fingerprint's df grows linearly with corpus size (measured at
+    * sf1: 50k docs → only 14,437 distinct fingerprints over 533k
+    * postings; a flat cap of 4096 admitted 247M candidate pairs), so any
+    * fixed cutoff is either too lossy small or quadratic-at-scale big.
+    * Instead the df histogram (one tiny aggregate over the vocab-sized
+    * dfTab, collected — this is an AQE-style runtime statistics decision,
+    * not data on the driver) picks the LARGEST df whose cumulative
+    * candidate volume `Σ df²·keys` fits `max(candidateBudgetPerPosting ×
+    * postings, 2M)` — candidate volume is thereby O(postings) = linear in
+    * corpus size by construction, and small corpora (where even full
+    * recall is cheap) keep every fingerprint. `dfCap` remains the hard
+    * ceiling above which a fingerprint is boilerplate regardless of
+    * budget headroom.
+    *
+    * Verification is identical to [[containmentPairs]]: exact
+    * `|A∩B| / |A|` via the native sorted-intersect on the full gram
+    * arrays of surviving candidates, gated unrounded, 4-dp fixed-point
+    * presented. Scale: postings carry (fingerprint, id, sz) scalars
+    * through ONE fingerprint-keyed shuffle (pre-aliased repartition →
+    * reused Exchange); gram arrays are fetched by id for survivors
+    * only. */
+  def containmentVerifiedPairs(df: DataFrame, textCol: String, idCol: String,
+                               n: Int = 3, w: Int = 8,
+                               threshold: Double = 0.8,
+                               dfCap: Long = 4096,
+                               candidateBudgetPerPosting: Long = 8): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    val prepped = df
+      .withColumn("__tokens", tokensCol(col(textCol)))
+      .select(col(idCol).as("__id"),
+        call_function("graft_ngram_hashes", col("__tokens"), lit(n)).as("__gh"),
+        call_function("graft_winnow_hashes", col("__tokens"), lit(n), lit(w)).as("__fp"))
+    val fps = prepped
+      .select(col("__id"), size(col("__gh")).as("__sz"),
+        explode(col("__fp")).as("__key"))
+    val dfTab = fps.groupBy("__key").agg(count(lit(1)).as("__df"))
+    // Adaptive cap from the df histogram (rows = distinct df VALUES —
+    // O(√postings), trivially collectable); see Scaladoc.
+    val hist = dfTab.groupBy("__df").agg(count(lit(1)).as("__k"))
+      .orderBy("__df").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val postings = hist.iterator.map { case (d, k) => d * k }.sum
+    val budget = math.max(candidateBudgetPerPosting * postings, 2000000L)
+    var cum = 0L
+    var effCap = if (hist.nonEmpty) hist.head._1 else 1L // rarest df always posts
+    hist.foreach { case (d, k) =>
+      cum += d * d * k
+      if (cum <= budget && d <= dfCap) effCap = math.max(effCap, d)
+    }
+    val keep = fps.join(dfTab.where(col("__df") <= math.min(effCap, dfCap)), Seq("__key"))
+      .select(col("__key"), col("__id"), col("__sz"))
+      // pre-shuffle before aliasing → one reused Exchange (see minhashLsh)
+      .repartition(col("__key"))
+    val a = keep.select(col("__key"), col("__id").as("id_a"), col("__sz").as("sz_a"))
+    val b = keep.select(col("__key"), col("__id").as("id_b"), col("__sz").as("sz_b"))
+    val cand = a.join(b.hint("shuffle_hash"), Seq("__key"))
+      .where(col("id_a") =!= col("id_b") &&
+        // containment admits one size filter: |A∩B| ≤ |B| ⟹ |B| ≥ t·|A|
+        col("sz_b") >= col("sz_a") * threshold - 1e-9)
+      .select("id_a", "id_b").distinct()
+    val arrays = prepped.select(col("__id"), col("__gh")).repartition(col("__id"))
+    val ga = arrays.select(col("__id").as("id_a"), col("__gh").as("g_a"))
+    val gb = arrays.select(col("__id").as("id_b"), col("__gh").as("g_b"))
+    // unrounded gate + 4-dp presentation — identical to containmentPairs
+    cand.join(ga.hint("shuffle_hash"), Seq("id_a"))
+      .join(gb.hint("shuffle_hash"), Seq("id_b"))
+      .withColumn("__c",
+        call_function("graft_sorted_intersect", col("g_a"), col("g_b"))
+          .cast("double") / size(col("g_a")))
+      .where(col("__c") >= threshold)
+      .withColumn("containment", floor(col("__c") * 10000.0 + 0.5) / 10000.0)
+      .select("id_a", "id_b", "containment")
+  }
+
   /** Seed the persisted CONTAINMENT index for
     * [[containmentIncremental]]: three corpus-derived tables —
     * `postingsTable (gram, id, sz)` (PK (gram, id); the inverted index,

@@ -481,6 +481,67 @@ class TextSimSpec extends AnyFunSuite {
     assert(got == Seq((2L, 1L, 1.0))) // quote→page only; page→quote is ~0.26
   }
 
+  test("winnow kernel: fingerprints ⊆ gram set; shared run guarantees a shared fingerprint") {
+    graft.functions.GraftFunctions.register(spark)
+    val page = (1 to 40).map(i => "word" + i).mkString(" ")
+    val quote = (1 to 12).map(i => "word" + i).mkString(" ")
+    val d = Seq((1L, page), (2L, quote)).toDF("doc_id", "text")
+      .withColumn("toks", split(col("text"), " "))
+      .select(col("doc_id"),
+        expr("graft_ngram_hashes(toks, 3)").as("gh"),
+        expr("graft_winnow_hashes(toks, 3, 8)").as("fp"))
+    val rows = d.collect().map(r =>
+      r.getLong(0) -> (r.getSeq[Long](1).toSet, r.getSeq[Long](2).toSeq)).toMap
+    // fingerprints are positional gram hashes → members of the distinct set
+    rows.values.foreach { case (gset, fp) =>
+      assert(fp.nonEmpty && fp.toSet.subsetOf(gset))
+      assert(fp == fp.sorted && fp.distinct == fp)
+    }
+    // shared contiguous run of 12 ≥ w + n − 1 = 10 tokens → shared fingerprint
+    assert((rows(1L)._2.toSet & rows(2L)._2.toSet).nonEmpty)
+    // density: ~2/(w+1) of grams, far below the full set for a 40-token page
+    assert(rows(1L)._2.size < rows(1L)._1.size / 2)
+  }
+
+  test("containmentVerifiedPairs: quote recovered with exact value; dfCap drops boilerplate buckets") {
+    val page = (1 to 40).map(i => "word" + i).mkString(" ")
+    val quote = (1 to 12).map(i => "word" + i).mkString(" ")
+    val d = Seq((1L, page), (2L, quote),
+      (3L, "unrelated content about entirely different things altogether today"))
+      .toDF("doc_id", "text")
+    val got = Dedup.containmentVerifiedPairs(d, "text", "doc_id",
+        n = 3, w = 8, threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got == Seq((2L, 1L, 1.0))) // same answer as the exact path
+    // dfCap = 1 drops every shared fingerprint bucket → no candidates at all
+    val capped = Dedup.containmentVerifiedPairs(d, "text", "doc_id",
+        n = 3, w = 8, threshold = 0.8, dfCap = 1)
+      .count()
+    assert(capped == 0)
+  }
+
+  test("containmentVerifiedPairs ⊆ exact pairs; contiguous-run pairs all recovered (random corpora)") {
+    val rnd = new scala.util.Random(11)
+    // random pages + planted contiguous quotes (≥ 10 tokens each)
+    val pages = (1L to 25L).map { i =>
+      (i, Seq.fill(20 + rnd.nextInt(20))("tok" + rnd.nextInt(40)).mkString(" "))
+    }
+    val quotes = pages.take(8).map { case (i, s) =>
+      (i + 100L, s.split(" ").take(10 + rnd.nextInt(5)).mkString(" "))
+    }
+    val df = (pages ++ quotes).toDF("doc_id", "text")
+    val exact = Dedup.containmentPairs(df, "text", "doc_id", n = 3, threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lossy = Dedup.containmentVerifiedPairs(df, "text", "doc_id",
+        n = 3, w = 8, threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lossy.subsetOf(exact)) // verification is exact — no false pairs
+    // every planted contiguous quote→source pair is guaranteed recovered
+    quotes.foreach { case (qid, _) =>
+      assert(lossy.contains((qid, qid - 100L)), s"quote $qid missed")
+    }
+  }
+
   test("containment prefix filtering is recall-complete vs brute force (random corpora)") {
     val rnd = new scala.util.Random(7)
     val docs = (1L to 40L).map { i =>
