@@ -91,12 +91,17 @@ object Bench {
     // runs, so anchors measure plan cost, not JIT. SPARK_GRAFT_WARMUP=0
     // skips it for quick targeted iteration.
     val warmup = sys.env.getOrElse("SPARK_GRAFT_WARMUP", "1") != "0"
-    if (warmup) catalog.foreach { case (_, fn) =>
+    if (warmup) catalog.foreach { case (name, fn) =>
+      // failures here must be ATTRIBUTABLE (r12: an ENOSPC spill during a
+      // silent warmup catch cost a diagnosis round-trip) — name them, but
+      // keep going; the timed run reports the entry's real status
       try materialize(fn(spark, sfDir))
-      catch { case scala.util.control.NonFatal(_) => () } // timed run reports the failure
+      catch { case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[bench] warmup failed: $name: ${e.getMessage}") }
     }
 
     val queryTimes = catalog.map { case (name, fn) =>
+        System.err.println(s"[bench] timing: $name")
         name -> time(materialize(fn(spark, sfDir)))
       }
 

@@ -27,6 +27,16 @@ import org.apache.spark.sql.functions._
   *    are distinct vectors, no degenerate distance ties in the ANN entries.
   *  - `events`: ids/users shifted; timestamps kept (10× event density over
   *    the same window, the realistic growth mode).
+  *  - `customer.c_name` / `supplier.s_name`: regenerated from the SHIFTED
+  *    key with the base generator's own `Customer#%09d` format (identity
+  *    on rep 0). Leaving replicas with identical names makes every
+  *    name-keyed equi-join a factor×factor cross-product per name — a
+  *    property of the degenerate corpus, not of any plan: measured r12,
+  *    q_er_fuzzy_join's payload re-attach join emitted ~10⁴× the base
+  *    output at sf10 and ENOSPC'd an 80 GB sort spill. A real 100×
+  *    corpus has ~100× distinct entities. Keys stay 9 digits up to
+  *    factor 100 (max 99·10⁷ + base); beyond that %09d widens and the
+  *    fixed-width name format breaks — keep factor ≤ 100.
   *
   * Usage: `runMain graft.datagen.ScaleUp /root/testdata/sf0.1 /tmp/testdata/sf1 10`
   */
@@ -88,8 +98,12 @@ object ScaleUp {
     write(read("region"), "region")
     write(read("nation"), "nation")
 
-    write(replicate(read("customer"), factor, Seq("c_custkey")).drop("rep"), "customer")
-    write(replicate(read("supplier"), factor, Seq("s_suppkey")).drop("rep"), "supplier")
+    write(replicate(read("customer"), factor, Seq("c_custkey"))
+      .withColumn("c_name", format_string("Customer#%09d", col("c_custkey")))
+      .drop("rep"), "customer")
+    write(replicate(read("supplier"), factor, Seq("s_suppkey"))
+      .withColumn("s_name", format_string("Supplier#%09d", col("s_suppkey")))
+      .drop("rep"), "supplier")
     write(replicate(read("part"), factor, Seq("p_partkey")).drop("rep"), "part")
     write(replicate(read("orders"), factor, Seq("o_orderkey", "o_custkey"))
       .drop("rep"), "orders")

@@ -152,8 +152,18 @@ object Graph {
       .where(col("dx") < col("dy") ||
         (col("dx") === col("dy") && col("x") < col("y")))
       .select(col("src"), col("x"), col("y"))
+    // Close wedges with a SHUFFLE_HASH join, never sort-merge: the wedge
+    // stream is the ~25×-bigger side (Σ C(outdeg,2) vs E edges), and SMJ
+    // would SORT it — writing a second on-disk copy (sorter spill files
+    // on top of the shuffle files) and tipping local disk at scale
+    // (measured r12 sf10: the wedge sort spilled ~60 GB over the ~30 GB
+    // shuffle and ENOSPC'd an 80 GB disk; hash-building the edge side
+    // streams wedges through unsorted). Per-partition build = E/shuffle
+    // partitions — size partitions so that fits executor memory, the
+    // same knob every hash join at 100 TB needs.
     val tris = wedges.join(
-      oriented.select(col("src").as("x"), col("dst").as("y")), Seq("x", "y"))
+      oriented.select(col("src").as("x"), col("dst").as("y")).hint("shuffle_hash"),
+      Seq("x", "y"))
     // credit all three corners in ONE pass via explode — a 3-way
     // unionAll would re-run the whole wedge+closing enumeration per
     // branch (measured: 3× the SMJ chain in the sf0.01 plan)

@@ -81,7 +81,15 @@ object Fuzzy {
     * keys (deletion-variant hashes, or rarity-ranked gram prefixes) —
     * never all-pairs; the quadratic Levenshtein verify runs once per
     * distinct candidate STRING pair, and payload rows re-attach by two
-    * equi-joins at the end. */
+    * equi-joins at the end.
+    *
+    * CAVEAT (measured r12): that re-attach is an equi-join on the string,
+    * so the OUTPUT scales with the key's duplication product — a corpus
+    * where each name appears k× on BOTH sides emits k² rows per matched
+    * string pair regardless of how candidates were blocked (a scaled
+    * corpus with replica-duplicated names hit ~10⁴× base output and an
+    * 80 GB ENOSPC spill at sf10). Deduplicate or pre-aggregate payloads
+    * before fuzzy-joining on a heavily duplicated key. */
   def fuzzyJoinBlocked(left: DataFrame, leftCol: String,
                        right: DataFrame, rightCol: String,
                        maxDist: Int, q: Int = 3,
