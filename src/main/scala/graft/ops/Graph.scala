@@ -91,8 +91,14 @@ object Graph {
     var ranks = nodes.withColumn("r", lit(baseMicros))
     var i = 0
     while (i < iters) {
+      // shuffle_hash on the RANKS side (node-dimension): SMJ would re-sort
+      // the full edge list EVERY round — the edges are loop-invariant but
+      // a sort node above their scan is not reusable across rounds;
+      // hash-building the dim-sized ranks streams the edges unsorted
+      // (same reasoning as the triangleStats closing join, r12).
       val inflow = degEdges
-        .join(ranks.withColumnRenamed("node", "src"), Seq("src"))
+        .join(ranks.withColumnRenamed("node", "src").hint("shuffle_hash"),
+          Seq("src"))
         .select(col("dst").as("node"), expr("r div outdeg").as("contrib"))
         .groupBy("node").agg(sum("contrib").as("inflow"))
       ranks = nodes.join(inflow, Seq("node"), "left")
