@@ -89,8 +89,13 @@ object Dedup {
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
+      // shuffle_hash on the node-dim labels side: SMJ would re-sort the
+      // loop-invariant edge list EVERY round (the sort above the edges
+      // scan is not reusable across rounds) — same fix as the r12
+      // PageRank/triangle joins in ops/Graph.scala.
       val viaNeighbors = edges.join(labels.withColumnsRenamed(
-          Map("id" -> "dst", "label" -> "nlabel")), Seq("dst"))
+          Map("id" -> "dst", "label" -> "nlabel")).hint("shuffle_hash"),
+        Seq("dst"))
         .groupBy(col("src").as("id")).agg(min("nlabel").as("nmin"))
       val stepped = labels.join(viaNeighbors, Seq("id"), "left")
         .select(col("id"), least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))

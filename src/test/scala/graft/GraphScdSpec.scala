@@ -140,4 +140,45 @@ class GraphScdSpec extends AnyFunSuite {
       .as[(String, Long, Long)].collect().toSet
     assert(got == Set(("a", 2L, 1L), ("b", 1L, 1L), ("c", 0L, 1L)))
   }
+
+  /** Final-plan hash-join count, AQE-aware (the Scale.countExchanges walk). */
+  private def shuffledHashJoins(df: org.apache.spark.sql.DataFrame): Int = {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def walk(p: SparkPlan): Int = {
+      val self = p match {
+        case _: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => 1
+        case _ => 0
+      }
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case s: QueryStageExec => Seq(s.plan)
+        case other => other.children
+      }
+      self + kids.map(walk).sum
+    }
+    walk(df.queryExecution.executedPlan)
+  }
+
+  test("graph iterative/closing joins stay shuffle_hash, never sort-merge " +
+      "(the r12 wedge-sort ENOSPC regression guard)") {
+    // disable size-based broadcast so the hinted join shape is what the
+    // tiny test frames would otherwise hide behind a BroadcastHashJoin
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val saved = spark.conf.get(key)
+    spark.conf.set(key, "-1")
+    try {
+      val edges = Seq(("a", "b"), ("b", "c"), ("a", "c"), ("c", "d"))
+        .toDF("u", "v")
+      val tri = Graph.triangleStats(edges)
+      tri.collect() // finalize AQE before counting (invariant 8)
+      assert(shuffledHashJoins(tri) >= 1,
+        tri.queryExecution.executedPlan.toString)
+      val pr = Graph.pageRankMicros(
+        edges.select(col("u").as("src"), col("v").as("dst")), iters = 2)
+      pr.collect()
+      assert(shuffledHashJoins(pr) >= 1,
+        pr.queryExecution.executedPlan.toString)
+    } finally spark.conf.set(key, saved)
+  }
 }
