@@ -39,7 +39,14 @@ object Scale {
       pmod(xxhash64(left.columns.map(col): _*), lit(saltFactor)).cast("int"))
     val saltedRight = right.withColumn("__salt",
       explode(array((0 until saltFactor).map(lit): _*)))
-    saltedLeft.join(saltedRight, keys :+ "__salt", how).drop("__salt")
+    // shuffle_hash on the replicated small side (invariant 12): SMJ would
+    // SORT the big salted fact stream — the side salting exists to
+    // protect; hash-building the small side (salting's own contract says
+    // it is replicable, so per-partition build = small·saltFactor/parts)
+    // streams the fact unsorted. Spark supports build-right SHJ for all
+    // the left-shaped joins this method admits.
+    saltedLeft.join(saltedRight.hint("shuffle_hash"), keys :+ "__salt", how)
+      .drop("__salt")
   }
 
   /** Per-key aggregation with two-phase salting: partial aggregate on
