@@ -46,8 +46,10 @@ object Bench {
         // NonFatal only: an OOM/StackOverflow leaves the JVM corrupted —
         // swallowing it would silently distort every later measurement
         // (r11 advice); let fatal errors abort the bench run.
+        // e.toString, not getMessage: NPE and friends carry a null message
+        // and an unattributable "failed: null" costs a diagnosis round-trip
         try fn catch { case scala.util.control.NonFatal(e) =>
-          System.err.println(s"[bench] failed: ${e.getMessage}"); -1L }
+          System.err.println(s"[bench] failed: $e"); -1L }
         (System.nanoTime() - t0) / 1e9
       }
       val a = once(); val b = once()
@@ -97,7 +99,7 @@ object Bench {
       // keep going; the timed run reports the entry's real status
       try materialize(fn(spark, sfDir))
       catch { case scala.util.control.NonFatal(e) =>
-        System.err.println(s"[bench] warmup failed: $name: ${e.getMessage}") }
+        System.err.println(s"[bench] warmup failed: $name: $e") }
     }
 
     val queryTimes = catalog.map { case (name, fn) =>

@@ -77,6 +77,16 @@ object ScaleUp {
     val srcDir = args(0)
     val outDir = args(1)
     val factor = if (args.length > 2) args(2).toInt else 10
+    // Fixed-width name contract (see Scaladoc): shifted keys must stay
+    // ≤ 999,999,999 or Customer#%09d/Supplier#%09d widens to 10 digits and
+    // every fixed-width consumer (q_er_fuzzy_join's substr-built dirty
+    // names become edit distance 2) silently returns EMPTY bench results
+    // instead of failing. 100 × 10⁷ is the largest shift that keeps 9
+    // digits over the base sf0.1 key range.
+    require(factor >= 1 && factor <= 100,
+      s"factor=$factor outside [1, 100] — keys past 999,999,999 widen the " +
+        "%09d name format and break fixed-width name consumers; scale in " +
+        "one pass from the base sf0.1 with factor <= 100")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors().toString)
     val spark = SparkSession.builder()

@@ -141,8 +141,9 @@ class GraphScdSpec extends AnyFunSuite {
     assert(got == Set(("a", 2L, 1L), ("b", 1L, 1L), ("c", 0L, 1L)))
   }
 
-  /** Final-plan hash-join count, AQE-aware (the Scale.countExchanges walk). */
-  private def shuffledHashJoins(df: org.apache.spark.sql.DataFrame): Int = {
+  /** AQE-aware hash-join count over an executed plan (the
+    * Scale.countExchanges walk). */
+  private def shjInPlan(plan: org.apache.spark.sql.execution.SparkPlan): Int = {
     import org.apache.spark.sql.execution.SparkPlan
     import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
     def walk(p: SparkPlan): Int = {
@@ -157,8 +158,11 @@ class GraphScdSpec extends AnyFunSuite {
       }
       self + kids.map(walk).sum
     }
-    walk(df.queryExecution.executedPlan)
+    walk(plan)
   }
+
+  private def shuffledHashJoins(df: org.apache.spark.sql.DataFrame): Int =
+    shjInPlan(df.queryExecution.executedPlan)
 
   test("graph iterative/closing joins stay shuffle_hash, never sort-merge " +
       "(the r12 wedge-sort ENOSPC regression guard)") {
@@ -172,13 +176,64 @@ class GraphScdSpec extends AnyFunSuite {
         .toDF("u", "v")
       val tri = Graph.triangleStats(edges)
       tri.collect() // finalize AQE before counting (invariant 8)
-      assert(shuffledHashJoins(tri) >= 1,
+      // EXACT count = hinted-join count (r12 advice): ">= 1" would let a
+      // PARTIAL fallback pass — e.g. one hinted join regressing to SMJ
+      // while another stays SHJ. triangleStats hints exactly the one
+      // wedge-closing join (the wedge self-join and the degree attach are
+      // node/edge-dimension SMJs by design, inside/off checkpoints).
+      assert(shuffledHashJoins(tri) == 1,
         tri.queryExecution.executedPlan.toString)
+      // pageRankMicros hints one ranks⋈edges join PER ROUND; iters=2 with
+      // no intermediate checkpoint → exactly 2 SHJs in the final plan.
       val pr = Graph.pageRankMicros(
         edges.select(col("u").as("src"), col("v").as("dst")), iters = 2)
       pr.collect()
-      assert(shuffledHashJoins(pr) >= 1,
+      assert(shuffledHashJoins(pr) == 2,
         pr.queryExecution.executedPlan.toString)
     } finally spark.conf.set(key, saved)
+  }
+
+  test("CC label propagation keeps its per-round edge join shuffle_hash " +
+      "(one SHJ per round; rounds are checkpointed, so capture via listener)") {
+    // duplicateClusters localCheckpoints every round: the RETURNED frame's
+    // plan has no joins at all, so the guard must observe the executed
+    // plan of each round's eager checkpoint action. Each round runs
+    // exactly one hinted edges⋈labels join (the stepped checkpoint); the
+    // pointer-jump and changed-count joins are node-dimension and
+    // unhinted by design.
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val saved = spark.conf.get(key)
+    spark.conf.set(key, "-1")
+    val shjTotal = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit =
+        shjTotal.addAndGet(shjInPlan(qe.executedPlan))
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L), (21L, 22L))
+        .toDF("id_a", "id_b")
+      val (labels, rounds) =
+        graft.text.Dedup.duplicateClustersWithRounds(pairs)
+      labels.collect()
+      // listener callbacks post asynchronously — poll to drain, then
+      // assert EQUALITY (a fallback round contributes 0, an extra
+      // unexpected hash join contributes >rounds; both must fail)
+      val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+      while (shjTotal.get() < rounds && System.nanoTime() < deadline)
+        Thread.sleep(50)
+      Thread.sleep(200) // settle: catch over-counts that arrive late
+      assert(shjTotal.get() == rounds,
+        s"expected one ShuffledHashJoin per label-prop round ($rounds), " +
+          s"saw ${shjTotal.get()}")
+    } finally {
+      spark.listenerManager.unregister(listener)
+      spark.conf.set(key, saved)
+    }
   }
 }
