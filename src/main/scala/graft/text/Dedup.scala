@@ -744,6 +744,48 @@ object Dedup {
 
   // ----------------------------------------------------- n-gram jaccard
 
+  /** Fail-fast candidate-volume guard for the EXACT all-pairs generators
+    * ([[ngramJaccardPairs]], [[containmentPairs]]): predict the worst-case
+    * candidate volume `Σ df²` from the gram document-frequency table (the
+    * upper bound on every gram-keyed bucket self-join — the quantity that
+    * went quadratic in the r9 hash-order measurement) and THROW when it
+    * exceeds `maxCandidatesPerPosting × Σ df`. The budget is per-posting,
+    * i.e. scale-FREE: a corpus 10× bigger earns a 10× larger absolute
+    * budget, so linear-scaling corpora never trip while gram-saturated
+    * ones (where Σdf²/postings grows with corpus size — measured on the
+    * synthetic docs: 2.1 at sf0.01, 10.7 at sf0.1, ~10× per decade) fail
+    * BEFORE shuffling instead of thrashing disk at scale (the r10 sf10
+    * attempt spilled 70 GB before being cut).
+    *
+    * The prediction is conservative for [[ngramJaccardPairs]] (prefix
+    * filtering joins only each doc's rarest grams, a small subset of the
+    * postings Σ df² counts) — a corpus that trips the guard may still be
+    * feasible; raise `maxCandidatesPerPosting` to override, or set it
+    * ≤ 0 to disable the check entirely. The guard costs one extra
+    * aggregation job over the gram stream (wordcount-shaped, collected as
+    * ONE row — an AQE-style runtime-statistics decision, not data on the
+    * driver). */
+  private def guardCandidateVolume(dfTab: DataFrame, perPosting: Long,
+                                   caller: String): Unit = {
+    if (perPosting <= 0) return
+    val row = dfTab.agg(
+      sum(col("__df")).cast("double").as("postings"),
+      // df² through DOUBLE: the guard needs magnitude, not exactness, and
+      // long df² overflows (ANSI-errors) past df ≈ 3·10⁹
+      sum(col("__df").cast("double") * col("__df")).as("sum_df2")).head()
+    if (row.isNullAt(0)) return // empty corpus — nothing to guard
+    val postings = row.getDouble(0)
+    val sumDf2 = row.getDouble(1)
+    require(sumDf2 <= perPosting.toDouble * postings,
+      f"$caller: predicted candidate volume Σdf² = $sumDf2%.3g exceeds " +
+        f"$perPosting × postings ($postings%.3g) — this corpus is gram-" +
+        "saturated and the exact all-pairs join would go quadratic at " +
+        "scale. Use the banded production paths (minhashVerifiedPairs / " +
+        "containmentVerifiedPairs, linear by construction) and keep the " +
+        "exact form for verifier-grade spot checks; to proceed anyway, " +
+        "raise maxCandidatesPerPosting (or set it <= 0 to disable).")
+  }
+
   /** ALL pairs with exact n-gram Jaccard ≥ `threshold` — candidate
     * generation by PREFIX FILTERING (Bayardo/Ma/Srikant, "Scaling Up All
     * Pairs Similarity Search", WWW'07; Chaudhuri et al. SSJoin): under ONE
@@ -771,9 +813,18 @@ object Dedup {
     * repartition on id → ONE reused array Exchange for both sides). Gram
     * arrays are never replicated through the prefix explode. Returns
     * (id_a, id_b, jaccard).
+    *
+    * GUARDRAIL: even rare-first prefixes stay data-bound ~quadratic on
+    * gram-SATURATED corpora (closed vocabulary at growing size — the
+    * r9/r10 measurements). [[guardCandidateVolume]] fails fast before any
+    * shuffle when predicted Σdf² exceeds `maxCandidatesPerPosting ×
+    * postings`, pointing at [[minhashVerifiedPairs]] (the banded
+    * production primary); this op's role at scale is verifier-grade spot
+    * checks on bounded slices. Raise the budget (or ≤ 0) to override.
     */
   def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
-                        n: Int = 3, threshold: Double = 0.5): DataFrame = {
+                        n: Int = 3, threshold: Double = 0.5,
+                        maxCandidatesPerPosting: Long = 64): DataFrame = {
     graft.functions.GraftFunctions.register(df.sparkSession)
     val prepped = df
       .withColumn("__tokens", tokensCol(col(textCol)))
@@ -785,6 +836,7 @@ object Dedup {
       .select(col("__id"), size(col("__gh")).as("__sz"),
         explode(col("__gh")).as("__key"))
     val dfTab = grams.groupBy("__key").agg(count(lit(1)).as("__df"))
+    guardCandidateVolume(dfTab, maxCandidatesPerPosting, "ngramJaccardPairs")
     // the 1e-9 slack keeps exact-boundary sizes on the safe side of
     // ceil when threshold·sz overshoots its decimal value in binary
     // (e.g. 0.55·20 = 11.000000000000002 would ceil to 12 and shave
@@ -850,9 +902,17 @@ object Dedup {
     * grams) — both shuffle once on the gram key; verification joins gram
     * arrays for surviving candidates only. A hot gram inflates only the
     * postings it actually matches (bounded by the rare-first prefix
-    * choice), never an all-pairs product. */
+    * choice), never an all-pairs product.
+    *
+    * GUARDRAIL: the index side posts ALL grams, so on gram-saturated
+    * corpora candidate volume is data-bound ~quadratic regardless of the
+    * prefix choice (r9/r10). [[guardCandidateVolume]] fails fast before
+    * any shuffle when predicted Σdf² exceeds `maxCandidatesPerPosting ×
+    * postings`, pointing at [[containmentVerifiedPairs]] (the winnowed
+    * production primary). Raise the budget (or ≤ 0) to override. */
   def containmentPairs(df: DataFrame, textCol: String, idCol: String,
-                       n: Int = 3, threshold: Double = 0.8): DataFrame = {
+                       n: Int = 3, threshold: Double = 0.8,
+                       maxCandidatesPerPosting: Long = 64): DataFrame = {
     graft.functions.GraftFunctions.register(df.sparkSession)
     val prepped = df
       .withColumn("__tokens", tokensCol(col(textCol)))
@@ -862,6 +922,7 @@ object Dedup {
       .select(col("__id"), size(col("__gh")).as("__sz"),
         explode(col("__gh")).as("__key"))
     val dfTab = grams.groupBy("__key").agg(count(lit(1)).as("__df"))
+    guardCandidateVolume(dfTab, maxCandidatesPerPosting, "containmentPairs")
     // 1e-9 slack: binary overshoot of t·sz must not ceil past the exact
     // decimal value and shave an element off the safe prefix
     val prefixLen = greatest(

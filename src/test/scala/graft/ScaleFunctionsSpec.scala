@@ -303,4 +303,78 @@ class ScaleFunctionsSpec extends AnyFunSuite {
     // every query got k candidates despite the bounded probe set
     assert(ivf2Full.groupBy(_._1).forall(_._2.length == 3))
   }
+
+  // ---- winnowing kernel properties (ScalaCheck over random streams) ----
+  //
+  // The kernel is a production dependency of the banded containment path
+  // (Dedup.containmentVerifiedPairs): its two load-bearing contracts —
+  // the SIGMOD'03 contiguous-run guarantee and the ~2/(w+1) posting
+  // density that prices the whole topology — get adversarial random
+  // coverage here, not just the example-based cases in TextSimSpec.
+
+  private def winnow(tokens: Seq[String], n: Int, w: Int): Set[Long] = {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.unsafe.types.UTF8String
+    graft.functions.WinnowHashes
+      .compute(new GenericArrayData(
+        tokens.map(t => UTF8String.fromString(t)).toArray[Any]), n, w)
+      .toLongArray().toSet
+  }
+
+  test("winnow property: every contiguous shared run >= w+n-1 tokens " +
+      "yields a shared fingerprint (planted-run forAll)") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    // large vocab → effectively collision-free gram hashes
+    val tok = Gen.choose(0, 999999).map(i => s"tk$i")
+    val gen = for {
+      n <- Gen.choose(2, 4)
+      w <- Gen.choose(3, 12)
+      run <- Gen.listOfN(w + n - 1, tok) // exactly the guarantee threshold
+      preA <- Gen.listOfN(25, tok); postA <- Gen.listOfN(25, tok)
+      preB <- Gen.listOfN(25, tok); postB <- Gen.listOfN(25, tok)
+      cutA <- Gen.choose(0, 25); cutB <- Gen.choose(0, 25)
+    } yield (n, w,
+      preA.take(cutA) ++ run ++ postA.take(25 - cutA),
+      preB.take(cutB) ++ run ++ postB.take(25 - cutB))
+    val prop = Prop.forAll(gen) { case (n, w, a, b) =>
+      (winnow(a, n, w) intersect winnow(b, n, w)).nonEmpty
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(200), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("winnow property: posting density sits in the 2/(w+1) band and " +
+      "short docs always emit exactly one fingerprint") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val tok = Gen.choose(0, 999999).map(i => s"tk$i")
+    val density = Prop.forAll(for {
+      w <- Gen.choose(4, 16)
+      toks <- Gen.listOfN(600, tok) // long stream → concentration
+    } yield (w, toks)) { case (w, toks) =>
+      val grams = toks.length - 3 + 1
+      val d = winnow(toks, 3, w).size.toDouble / grams
+      val expect = 2.0 / (w + 1)
+      // generous ±50% band: the 2/(w+1) figure is the random-hash
+      // expectation; a 600-token stream concentrates well inside this
+      d > expect * 0.5 && d < expect * 1.5
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(100), density)
+    assert(res.passed, res.status.toString)
+    // short docs (fewer than w grams, even fewer than n tokens): exactly
+    // ONE fingerprint — never empty for a non-empty token array
+    val short = Prop.forAll(for {
+      n <- Gen.choose(2, 4); w <- Gen.choose(4, 12)
+      k <- Gen.choose(1, w + 1)
+      toks <- Gen.listOfN(k, tok)
+    } yield (n, w, toks)) { case (n, w, toks) =>
+      val fp = winnow(toks, n, w)
+      val grams = math.max(toks.length - n + 1, 1)
+      if (grams <= w) fp.size == 1 else fp.nonEmpty
+    }
+    val res2 = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(200), short)
+    assert(res2.passed, res2.status.toString)
+  }
 }

@@ -563,6 +563,33 @@ class TextSimSpec extends AnyFunSuite {
     }
   }
 
+  test("exact all-pairs generators fail fast on gram-saturated corpora " +
+      "(Σdf² candidate budget); override proceeds") {
+    // 12 identical docs: every gram's df = 12, so Σdf²/postings = 12 —
+    // above a budget of 4, the quadratic-corpus signature in miniature
+    val txt = (1 to 20).map(i => "word" + i).mkString(" ")
+    val d = (1L to 12L).map(i => (i, txt)).toDF("doc_id", "text")
+    for (run <- Seq(
+        () => Dedup.ngramJaccardPairs(d, "text", "doc_id",
+          maxCandidatesPerPosting = 4),
+        () => Dedup.containmentPairs(d, "text", "doc_id",
+          maxCandidatesPerPosting = 4))) {
+      val e = intercept[IllegalArgumentException](run())
+      assert(e.getMessage.contains("candidate volume") &&
+        e.getMessage.contains("VerifiedPairs"), e.getMessage)
+    }
+    // the guard fires at FRAME-BUILD time, before any candidate shuffle —
+    // intercept above proves it (no .collect() was reached)
+    // override: budget <= 0 disables; the exact result is still produced
+    val pairs = Dedup.ngramJaccardPairs(d, "text", "doc_id",
+      maxCandidatesPerPosting = 0)
+    assert(pairs.count() == 12L * 11 / 2) // identical docs: all pairs, J = 1
+    // default budget (64) clears a healthy corpus (distinct docs, df ≈ 1)
+    val healthy = (1L to 10L).map(i =>
+      (i, (1 to 15).map(j => s"t${i}_$j").mkString(" "))).toDF("doc_id", "text")
+    assert(Dedup.ngramJaccardPairs(healthy, "text", "doc_id").count() == 0)
+  }
+
   test("containmentIncremental over a seeded store equals the one-shot batch→corpus slice") {
     val corpus = Seq(
       (1L, (1 to 40).map(i => "word" + i).mkString(" ")),
