@@ -217,6 +217,44 @@ class StoreSpec extends AnyFunSuite {
     assert(store.currentVersion("oc") == 2 && store.read("oc").count() == 2)
   }
 
+  test("crash consistency: a snapshot dir without the _meta.json commit is " +
+      "invisible, CAS-retryable, and reclaimed by the next write/compact") {
+    // The commit point is the single _meta.json pointer write (TableStore
+    // Scaladoc): a writer killed AFTER writeSnapshot but BEFORE writeMeta
+    // leaves an orphan v=N dir. Simulate the kill by writing the snapshot
+    // dir directly, never touching the meta.
+    val root = Files.createTempDirectory("graft_store_crash")
+    val store = new TableStore(spark, root.toString)
+    store.overwrite("cc", Seq((1, "a")).toDF("pk", "v"), primaryKeys = Seq("pk"))
+    store.overwrite("cc", Seq((2, "b")).toDF("pk", "v")) // committed v1
+    Seq((99, "ORPHAN")).toDF("pk", "v").write
+      .parquet(root.resolve("cc").resolve("v=2").toString) // killed writer
+    // invisible to every reader surface: version pointer, read(), exists
+    assert(store.currentVersion("cc") == 1)
+    assert(store.exists("cc"))
+    assert(store.read("cc").as[(Int, String)].collect().toSeq == Seq((2, "b")))
+    // the killed writer's RETRY composes with optimistic CAS: meta was
+    // never touched, so expectedVersion = the version it read still
+    // matches; the retry claims v=2, clobbering the orphan files —
+    // the orphan's rows must never surface
+    store.overwrite("cc", Seq((3, "c")).toDF("pk", "v"),
+      expectedVersion = Some(1))
+    assert(store.currentVersion("cc") == 2)
+    assert(store.read("cc").as[(Int, String)].collect().toSeq == Seq((3, "c")))
+    // a fresh orphan above the new current is reclaimed by compact, which
+    // writes over the orphan slot and prunes history — afterwards the
+    // table dir holds ONLY the retained committed snapshot
+    Seq((98, "ORPHAN2")).toDF("pk", "v").write
+      .parquet(root.resolve("cc").resolve("v=3").toString)
+    store.compact("cc", n = 1, retain = 1)
+    assert(store.currentVersion("cc") == 3)
+    assert(store.read("cc").as[(Int, String)].collect().toSeq == Seq((3, "c")))
+    import scala.jdk.CollectionConverters._
+    val dirs = Files.list(root.resolve("cc")).iterator().asScala
+      .map(_.getFileName.toString).filter(_.startsWith("v=")).toSet
+    assert(dirs == Set("v=3"), s"leftover snapshot dirs: $dirs")
+  }
+
   test("replaceWhere rewrites only the matching slice") {
     val store = freshStore()
     store.overwrite("r", Seq((1, "2024-01", 1.0), (2, "2024-02", 2.0))
