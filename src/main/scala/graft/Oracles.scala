@@ -734,6 +734,46 @@ object Oracles {
         |FROM j WHERE c >= 0.8
         |ORDER BY id_a, id_b""".stripMargin,
 
+    // recall report at the deterministic 0.9 thresholds: the oracle
+    // replays the EXACT pair counts brute-force and asserts full recovery
+    // (n_banded = n_hit = n_exact, recall 10000) — see qDedupRecallReport
+    // Scaladoc for why recovery is deterministic in this regime; the
+    // probabilistic region is measured by datagen.RecallMeasure, not
+    // oracle-asserted
+    "q_dedup_recall_report" ->
+      """WITH aug AS (
+        |  SELECT * FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 20000, text || ' graftmarker', lang, source, n_chars
+        |  FROM documents WHERE doc_id < 50
+        |  UNION ALL
+        |  SELECT doc_id + 30000,
+        |    array_to_string(list_slice(
+        |      regexp_split_to_array(text, '\s+'), 1, 12), ' '),
+        |    lang, source, n_chars
+        |  FROM documents WHERE doc_id < 50),
+        |  p AS (SELECT doc_id AS id,
+        |    list_distinct(list_transform(
+        |      range(1, greatest(len(regexp_split_to_array(
+        |        regexp_replace(lower(trim(text)), '[^a-z0-9áéíóúñü ]', '', 'g'),
+        |        '\s+')) - 2, 1) + 1),
+        |      i -> array_to_string(list_slice(regexp_split_to_array(
+        |        regexp_replace(lower(trim(text)), '[^a-z0-9áéíóúñü ]', '', 'g'),
+        |        '\s+'), i, i + 2), ' '))) AS grams
+        |    FROM aug),
+        |  jx AS (SELECT count(*)::BIGINT AS n FROM p a JOIN p b ON a.id < b.id
+        |    WHERE floor(len(list_intersect(a.grams, b.grams))::DOUBLE
+        |      / (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))::DOUBLE)
+        |      * 10000 + 0.5) / 10000 >= 0.9),
+        |  cx AS (SELECT count(*)::BIGINT AS n FROM p a JOIN p b ON a.id <> b.id
+        |    WHERE len(list_intersect(a.grams, b.grams))::DOUBLE
+        |      / len(a.grams) >= 0.9)
+        |SELECT 'containment_winnow' AS method, n AS n_exact, n AS n_banded,
+        |  n AS n_hit, 10000::BIGINT AS recall_x10000 FROM cx
+        |UNION ALL
+        |SELECT 'minhash_banding', n, n, n, 10000::BIGINT FROM jx
+        |ORDER BY method""".stripMargin,
+
     // production winnow-candidate path, projected to planted quote→source
     // recovery: brute-force containment on the quote/source slice — the
     // lossy candidate stage must recover every pair (winnowing guarantee)

@@ -764,6 +764,30 @@ object Queries {
       .orderBy("id_a")
   }
 
+  /** Banded-generator RECALL REPORT ([[graft.text.Dedup.recallReport]])
+    * over documents ∪ marker near-dups (+20000) ∪ contiguous quotes
+    * (+30000), at thresholds 0.9/0.9 — the DETERMINISTIC recall regime:
+    * every jaccard-0.9 pair hits a shared minhash band with miss
+    * probability (1−0.9⁴)¹⁶ ≈ 4·10⁻⁸ per pair (verified empirically at
+    * both oracle SFs), and the high-containment pairs of this corpus all
+    * share a contiguous run ≥ w+n−1 tokens (quotes by construction,
+    * clone/organic pairs as whole-document runs), where the winnowing
+    * guarantee applies. The oracle therefore replays only the EXACT pair
+    * counts (brute force) and asserts full recovery; the probabilistic
+    * moderate-threshold region is MEASURED, not oracle-asserted, by
+    * `datagen.RecallMeasure` at sf1 (BASELINE.md recall table). */
+  def qDedupRecallReport(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val quotes = d.where(col("doc_id") < 50)
+      .withColumn("doc_id", col("doc_id") + 30000)
+      .withColumn("text",
+        concat_ws(" ", slice(split(col("text"), "\\s+"), 1, 12)))
+    Dedup.recallReport(docsWithNearDups(s, dir).unionByName(quotes),
+        "text", "doc_id", n = 3,
+        jaccardThreshold = 0.9, containThreshold = 0.9)
+      .orderBy("method")
+  }
+
   /** STAGED near-dup pair list at candidate threshold 0.4, memoized per
     * (session, sf dir) and pinned with `localCheckpoint` — the production
     * topology for the pair-CONSUMER entries (curve, clusters, keep-best):
@@ -3028,6 +3052,7 @@ object Queries {
     "q_dedup_ngram_jaccard" -> (qDedupNgramJaccard _),
     "q_dedup_containment" -> (qDedupContainment _),
     "q_dedup_containment_lsh" -> (qDedupContainmentLsh _),
+    "q_dedup_recall_report" -> (qDedupRecallReport _),
     "q_dedup_inc_containment" -> (qDedupIncContainment _),
     "q_text_contam_spans" -> (qTextContamSpans _),
     "q_dedup_threshold_curve" -> (qDedupThresholdCurve _),

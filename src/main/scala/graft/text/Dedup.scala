@@ -978,7 +978,15 @@ object Dedup {
     * bucket occupancy BY CONSTRUCTION (CLAUDE.md invariant 9: candidate
     * joins must not let hot keys go quadratic): a fingerprint shared by
     * more than the cap docs is boilerplate — dropping it loses only
-    * pairs whose EVERY shared window is that common.
+    * pairs whose EVERY shared window is that common. MEASURED at sf1
+    * (`datagen.RecallMeasure`, BASELINE.md r13 recall table): the cap
+    * costs ~4% of planted contiguous quotes on the closed-vocabulary
+    * corpus — each missed quote's single fingerprint is shared by
+    * 238–757 docs — so the guarantee is "deterministic MODULO the df
+    * cap"; scattered sub-guarantee chunks recall 0.935, organic pairs
+    * 0.988. Recall-complete fallbacks when that matters:
+    * [[containmentPairs]] (budget-guarded) or the persisted
+    * [[containmentIncremental]] index.
     *
     * The cap is ADAPTIVE, not a constant: on a gram-saturated corpus
     * every fingerprint's df grows linearly with corpus size (measured at
@@ -1053,6 +1061,54 @@ object Dedup {
       .where(col("__c") >= threshold)
       .withColumn("containment", floor(col("__c") * 10000.0 + 0.5) / 10000.0)
       .select("id_a", "id_b", "containment")
+  }
+
+  /** MEASURED recall of the two banded production candidate generators
+    * against their exact recall-complete references — the number an
+    * adopter of the "banded primary" story asks for, as data instead of
+    * an analytic claim. One row per method:
+    * `(method, n_exact, n_banded, n_hit, recall_x10000)` where
+    *  - `minhash_banding`: [[minhashVerifiedPairs]] vs
+    *    [[ngramJaccardPairs]] at `jaccardThreshold`,
+    *  - `containment_winnow`: [[containmentVerifiedPairs]] vs
+    *    [[containmentPairs]] at `containThreshold`.
+    * Both banded paths verify with the IDENTICAL exact rounded gate as
+    * their references, so banded ⊆ exact and recall = n_hit / n_exact
+    * (`n_banded > n_hit` would expose a gate divergence — kept visible).
+    * `recall_x10000` is integer fixed point (non-negative operands,
+    * plain div; empty exact set reports 10000 — nothing to miss).
+    *
+    * Scale: this HARNESS runs the exact references by design — it is the
+    * verifier-grade measurement leg, subject to the same
+    * [[guardCandidateVolume]] budget (pass `maxCandidatesPerPosting ≤ 0`
+    * for a deliberate corpus-scale measurement run on a sampled slice);
+    * the tally itself is one pair-keyed aggregation over the two pair
+    * sets. */
+  def recallReport(df: DataFrame, textCol: String, idCol: String,
+                   n: Int = 3, jaccardThreshold: Double = 0.9,
+                   containThreshold: Double = 0.9,
+                   numHashes: Int = 64, bands: Int = 16, w: Int = 8,
+                   maxCandidatesPerPosting: Long = 64): DataFrame = {
+    def tally(method: String, exact: DataFrame, bandedPairs: DataFrame): DataFrame =
+      exact.select(col("id_a"), col("id_b"), lit(1L).as("__w"))
+        .unionByName(bandedPairs.select(col("id_a"), col("id_b"), lit(2L).as("__w")))
+        .groupBy("id_a", "id_b").agg(sum("__w").as("__s"))
+        .agg(count(when(col("__s") =!= 2, 1)).as("n_exact"),
+          count(when(col("__s") =!= 1, 1)).as("n_banded"),
+          count(when(col("__s") === 3, 1)).as("n_hit"))
+        .select(lit(method).as("method"), col("n_exact"), col("n_banded"),
+          col("n_hit"),
+          when(col("n_exact") === 0, lit(10000L))
+            .otherwise(expr("(n_hit * 10000) div n_exact")).as("recall_x10000"))
+    tally("containment_winnow",
+      containmentPairs(df, textCol, idCol, n, containThreshold,
+        maxCandidatesPerPosting),
+      containmentVerifiedPairs(df, textCol, idCol, n, w, containThreshold))
+      .unionByName(tally("minhash_banding",
+        ngramJaccardPairs(df, textCol, idCol, n, jaccardThreshold,
+          maxCandidatesPerPosting),
+        minhashVerifiedPairs(df, textCol, idCol, numHashes, bands, n,
+          jaccardThreshold)))
   }
 
   /** Seed the persisted CONTAINMENT index for

@@ -563,6 +563,41 @@ class TextSimSpec extends AnyFunSuite {
     }
   }
 
+  test("recallReport: counts match a brute-force tally; deterministic " +
+      "regime reports full recall; banded never exceeds exact") {
+    val rnd = new scala.util.Random(23)
+    // 20 random pages (>= 14 tokens — whole-doc runs clear the winnowing
+    // guarantee) + 6 exact clones: the j=1 / c=1 deterministic regime
+    val pages = (1L to 20L).map { i =>
+      (i, Seq.fill(14 + rnd.nextInt(12))("tok" + rnd.nextInt(40)).mkString(" "))
+    }
+    val clones = pages.take(6).map { case (i, s) => (i + 100L, s) }
+    val df = (pages ++ clones).toDF("doc_id", "text")
+    val rep = Dedup.recallReport(df, "text", "doc_id",
+        jaccardThreshold = 0.9, containThreshold = 0.9)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // brute-force truth over 3-gram sets
+    def grams(s: String): Set[String] =
+      s.split(" ").toSeq.sliding(3).map(_.mkString(" ")).toSet
+    val gs = (pages ++ clones).map { case (i, s) => i -> grams(s) }.toMap
+    val ids = (pages ++ clones).map(_._1)
+    val nJ = (for {
+      a <- ids; b <- ids if a < b
+      j = (gs(a) & gs(b)).size.toDouble / (gs(a) | gs(b)).size
+      if math.floor(j * 10000 + 0.5) / 10000 >= 0.9
+    } yield 1).size.toLong
+    val nC = (for {
+      a <- ids; b <- ids if a != b
+      if (gs(a) & gs(b)).size.toDouble / gs(a).size >= 0.9
+    } yield 1).size.toLong
+    assert(nJ >= 6 && nC >= 12) // the planted clones are in both truths
+    assert(rep("minhash_banding") == ((nJ, nJ, nJ, 10000L)))
+    assert(rep("containment_winnow") == ((nC, nC, nC, 10000L)))
+    // banded ⊆ exact by the shared verify gate: n_banded == n_hit always
+    rep.values.foreach { case (_, nb, nh, _) => assert(nb == nh) }
+  }
+
   test("exact all-pairs generators fail fast on gram-saturated corpora " +
       "(Σdf² candidate budget); override proceeds") {
     // 12 identical docs: every gram's df = 12, so Σdf²/postings = 12 —
