@@ -1,0 +1,117 @@
+package graft.datagen
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.store.TableStore
+import graft.streaming.Streaming
+
+/** Per-trigger SCALE ANCHOR for the two stateful streaming paths whose
+  * batch mirrors are benched but whose streaming forms never were (r12
+  * verdict item #4): the foreachBatch CONTAINMENT ingest gate (the
+  * quote-of-corpus dedup gate of StreamingMultimodalSpec, at corpus
+  * batch volumes) and the INCREMENTAL-KS drift gate
+  * ([[graft.streaming.Streaming.incrementalKsGate]]).
+  *
+  * Method: the sf corpus is staged as `batches` parquet files with
+  * staggered mtimes; a file stream with `maxFilesPerTrigger = 1` drives
+  * one trigger per file under `Trigger.AvailableNow`; per-trigger cost is
+  * read from the query's own progress log (`triggerExecution` duration +
+  * input rows — the number a capacity plan needs: can the gate keep up
+  * with the arrival rate at this batch size). The CURVE across triggers
+  * is the point: the containment gate re-seeds its persisted gram index
+  * per batch, so its per-trigger cost reflects the accumulated corpus
+  * (snapshot-store rewrite of the vocab-sized df table + bucketed
+  * postings upsert), while the KS gate's per-trigger cost must stay
+  * batch-bounded + value-dimension-bounded (values are pre-binned to one
+  * decimal — the telemetry shape; raw doubles would make the counts
+  * table corpus-sized).
+  *
+  * Usage: `runMain graft.datagen.StreamAnchor /tmp/testdata/sf1 /tmp/stream_anchor_sf1.json`
+  */
+object StreamAnchor {
+
+  /** Write `df` as `batches` single-file parquet slices with strictly
+    * increasing mtimes so the file source triggers them in order. */
+  private def stage(df: DataFrame, keyCol: String, batches: Int,
+                    dir: String): Unit = {
+    (0 until batches).foreach { i =>
+      df.where(pmod(col(keyCol), lit(batches)) === i)
+        .coalesce(1).write.mode("append").parquet(dir)
+      val cutoff = System.currentTimeMillis() - (batches - i).toLong * 60000
+      Files.list(Paths.get(dir)).forEach { p =>
+        if (Files.getLastModifiedTime(p).toMillis > cutoff)
+          Files.setLastModifiedTime(p,
+            java.nio.file.attribute.FileTime.fromMillis(cutoff))
+      }
+    }
+  }
+
+  private def progressJson(q: org.apache.spark.sql.streaming.StreamingQuery): String =
+    q.recentProgress.filter(_.numInputRows > 0).map { p =>
+      s"""{"batch":${p.batchId},"rows":${p.numInputRows},""" +
+        s""""trigger_ms":${p.durationMs.get("triggerExecution")}}"""
+    }.mkString("[", ",", "]")
+
+  def main(args: Array[String]): Unit = {
+    val srcDir = args(0)
+    val outPath = if (args.length > 1) args(1) else "/tmp/graft_stream_anchor.json"
+    val batches = if (args.length > 2) args(2).toInt else 5
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      Runtime.getRuntime.availableProcessors().toString)
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val work = Files.createTempDirectory("graft_stream_anchor").toString
+
+    // ---- containment ingest gate at corpus batch volumes
+    val docs = spark.read.parquet(s"$srcDir/documents.parquet")
+      .select("doc_id", "text")
+    val docDir = s"$work/docs"
+    stage(docs, "doc_id", batches, docDir)
+    val store = new TableStore(spark, s"$work/store")
+    // the production gate: append-only index seeding + replay-guarded
+    // clean appends — per-trigger cost must stay BATCH-bounded (the r13
+    // before-number, upsert re-seeding, grew with the accumulated index:
+    // 32–48 s per 10k-doc trigger; bench/stream_anchor_sf1_upsert_r13.json)
+    val qc = Streaming.containmentIngestGate(
+      spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1).parquet(docDir),
+      "text", "doc_id", store, "cpost", "cdf", "cgrams", "clean",
+      s"$work/cp_containment", threshold = 0.8)
+    qc.awaitTermination()
+    val containmentJson = progressJson(qc)
+
+    // ---- incremental-KS drift gate at corpus batch volumes
+    val events = spark.read.parquet(s"$srcDir/events.parquet")
+      .select(col("event_id"),
+        (floor(col("value") * 10 + 0.5) / 10).as("v"))
+    val evDir = s"$work/events"
+    stage(events, "event_id", batches, evDir)
+    val refCounts = events.groupBy(col("v").as("value"))
+      .agg(count(lit(1)).as("ref_count")).localCheckpoint()
+    var lastReportRows = 0L
+    val qk = Streaming.incrementalKsGate(
+      spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1).parquet(evDir),
+      "v", refCounts, store, "ks_counts", s"$work/cp_ks",
+      report => { lastReportRows = report.count() })
+    qk.awaitTermination()
+    val ksJson = progressJson(qk)
+
+    val json = s"""{"containment_gate":$containmentJson,""" +
+      s""""ks_gate":$ksJson,"batches":$batches,""" +
+      s""""ks_report_rows":$lastReportRows,"sf_dir":"$srcDir"}"""
+    Files.write(Paths.get(outPath),
+      json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    println(json)
+    spark.stop()
+  }
+}

@@ -1123,11 +1123,28 @@ object Dedup {
     * by summing (see below — PK replace would void the rare-first scale
     * contract). Seed each document once; re-seeding the same documents
     * inflates df, which skews only the prefix ORDER (performance), never
-    * recall or results. */
+    * recall or results.
+    *
+    * `appendOnly = true` switches postings/grams to FILE-LEVEL appends
+    * ([[graft.store.TableStore.appendFiles]]) — O(batch) written per
+    * seed instead of a corpus-sized snapshot rewrite, the per-trigger
+    * economics a streaming ingest needs (measured r13: index-sized →
+    * batch-sized per trigger at sf1). The trade: appends do not dedup,
+    * so an at-least-once REPLAY duplicates the batch's postings and gram
+    * arrays. [[containmentIncremental]] is duplicate-tolerant by
+    * construction (candidates distinct on (probe_id, id); the verify
+    * slice dedups gram rows per id), and df inflation is the documented
+    * performance-only skew — so replayed seeds degrade nothing but a few
+    * bytes; exactly-once consumers guard replays upstream (see
+    * [[graft.streaming.Streaming.containmentIngestGate]]). */
   def seedGramIndex(store: graft.store.TableStore, postingsTable: String,
                     dfTable: String, gramsTable: String,
                     corpus: DataFrame, textCol: String, idCol: String,
-                    n: Int = 3, buckets: Int = 0): Unit = {
+                    n: Int = 3, buckets: Int = 0,
+                    appendOnly: Boolean = false): Unit = {
+    require(!(appendOnly && buckets > 0),
+      "appendOnly seeding needs plain snapshots (buckets = 0): bucketed " +
+        "layouts carry catalog file metadata that file appends would skew")
     graft.functions.GraftFunctions.register(corpus.sparkSession)
     val prepped = corpus
       .withColumn("__tokens", tokensCol(col(textCol)))
@@ -1137,8 +1154,10 @@ object Dedup {
     val postings = prepped
       .select(explode(col("grams")).as("gram"), col("id"), col("sz"))
     def put(table: String, rows: DataFrame, pks: Seq[String]): Unit =
-      if (store.exists(table)) store.upsert(table, rows, pks)
-      else store.overwrite(table, rows, primaryKeys = pks, buckets = buckets)
+      if (!store.exists(table))
+        store.overwrite(table, rows, primaryKeys = pks, buckets = buckets)
+      else if (appendOnly) store.appendFiles(table, rows)
+      else store.upsert(table, rows, pks)
     put(postingsTable, postings, Seq("gram", "id"))
     // df must DELTA-MERGE (sum), never PK-replace: an upsert would reset a
     // corpus-wide gram's df to its count in the latest batch, hot grams
@@ -1212,9 +1231,14 @@ object Dedup {
       .where(col("sz") >= col("__sz") * threshold - 1e-9)
       .select(col("probe_id"), col("id"))
       .dropDuplicates("probe_id", "id")
-    // unrounded gate, rounded presentation — see [[containmentPairs]]
+    // unrounded gate, rounded presentation — see [[containmentPairs]].
+    // dropDuplicates AFTER the candidate join (collision-sized, never a
+    // corpus shuffle): under append-only seeding an at-least-once replay
+    // can leave duplicate gram rows per id — duplicates are bit-identical
+    // (same doc, same grams), so keeping any one is deterministic
     gramsStore.select(col("id"), col("grams"))
       .join(broadcast(cand), Seq("id"))
+      .dropDuplicates("probe_id", "id")
       .join(broadcast(prepped), Seq("probe_id"))
       .withColumn("__c",
         call_function("graft_sorted_intersect", col("__gh"), col("grams"))

@@ -217,6 +217,33 @@ class StoreSpec extends AnyFunSuite {
     assert(store.currentVersion("oc") == 2 && store.read("oc").count() == 2)
   }
 
+  test("appendFiles: O(batch) file append — rows accumulate, time travel " +
+      "keeps the pre-append version, layout/schema contracts enforced") {
+    val store = freshStore()
+    store.overwrite("af", Seq((1, "a"), (2, "b")).toDF("pk", "v"),
+      primaryKeys = Seq("pk"))
+    store.appendFiles("af", Seq((3, "c")).toDF("pk", "v"))
+    assert(store.currentVersion("af") == 1)
+    assert(store.read("af").orderBy("pk").as[(Int, String)].collect().toSeq ==
+      Seq((1, "a"), (2, "b"), (3, "c")))
+    // hardlinked previous version still time-travels independently
+    assert(store.readVersion("af", 0).count() == 2)
+    // appends do NOT dedup — the documented caller-owns-PKs contract
+    store.appendFiles("af", Seq((3, "c")).toDF("pk", "v"))
+    assert(store.read("af").where($"pk" === 3).count() == 2)
+    // column order is normalized to the stored schema
+    store.appendFiles("af", Seq(("d", 4)).toDF("v", "pk"))
+    assert(store.read("af").where($"pk" === 4).as[(Int, String)]
+      .collect().toSeq == Seq((4, "d")))
+    // exact-schema and plain-layout contracts fail fast
+    intercept[IllegalArgumentException](
+      store.appendFiles("af", Seq((5, "e", 1.0)).toDF("pk", "v", "extra")))
+    store.overwrite("bk", Seq((1, "a")).toDF("pk", "v"),
+      primaryKeys = Seq("pk"), buckets = 4)
+    intercept[IllegalArgumentException](
+      store.appendFiles("bk", Seq((2, "b")).toDF("pk", "v")))
+  }
+
   test("crash consistency: a snapshot dir without the _meta.json commit is " +
       "invisible, CAS-retryable, and reclaimed by the next write/compact") {
     // The commit point is the single _meta.json pointer write (TableStore

@@ -367,6 +367,51 @@ class StreamingMultimodalSpec extends AnyFunSuite {
     assert(clean == Seq(1L, 2L, 4L)) // the quote (3) was gated out
   }
 
+  test("containmentIngestGate (production op): quote gated out, survivors " +
+      "indexed append-only, replayed seeds leave results unchanged") {
+    import graft.text.Dedup
+    val pages = Seq(
+      (1L, (1 to 40).map(i => "word" + i).mkString(" ")),
+      (2L, "a separate page about completely unrelated topics and things"))
+      .toDF("doc_id", "text")
+    val arrivals = Seq(
+      (3L, (1 to 12).map(i => "word" + i).mkString(" ")), // quote of doc 1
+      (4L, "genuinely novel content never seen in any earlier page today"))
+      .toDF("doc_id", "text")
+    val dir = Files.createTempDirectory("graft_cg2").toString
+    pages.coalesce(1).write.mode("append").parquet(dir)
+    val old = java.nio.file.attribute.FileTime.fromMillis(
+      System.currentTimeMillis() - 120000)
+    java.nio.file.Files.list(java.nio.file.Paths.get(dir)).forEach(p =>
+      java.nio.file.Files.setLastModifiedTime(p, old))
+    arrivals.coalesce(1).write.mode("append").parquet(dir)
+    val store = new TableStore(spark,
+      Files.createTempDirectory("graft_cg2_st").toString)
+    val q = Streaming.containmentIngestGate(
+      spark.readStream.schema(pages.schema)
+        .option("maxFilesPerTrigger", 1).parquet(dir),
+      "text", "doc_id", store, "cpost", "cdf", "cgrams", "clean",
+      Files.createTempDirectory("graft_cg2_cp").toString, threshold = 0.8)
+    q.awaitTermination(120000)
+    def cleanIds = store.read("clean").select("doc_id")
+      .as[Long].collect().sorted.toSeq
+    assert(cleanIds == Seq(1L, 2L, 4L)) // the quote (3) was gated out
+    // clean rows carry the replay guard atomically with the append
+    assert(store.read("clean").columns.contains("applied_batch"))
+    // a replayed (at-least-once) index seed appends DUPLICATE postings and
+    // gram rows; the probe must be duplicate-tolerant: same verdicts, no
+    // duplicate pairs
+    Dedup.seedGramIndex(store, "cpost", "cdf", "cgrams",
+      pages, "text", "doc_id", appendOnly = true)
+    assert(store.read("cgrams").where($"id" === 1L).count() == 2) // dup rows exist
+    val probe = Dedup.containmentIncremental(store, "cpost", "cdf", "cgrams",
+        Seq((5L, (1 to 12).map(i => "word" + i).mkString(" ")))
+          .toDF("doc_id", "text"),
+        "text", "doc_id", threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(probe == Seq((5L, 1L, 1.0))) // one pair, exactly once
+  }
+
   // ---- multimodal plumbing ----
 
   private lazy val assets = Multimodal.toAssets(
