@@ -53,6 +53,10 @@ object RecallMeasure {
     // single high-df fingerprint of ~4% of planted quotes; see BASELINE.md
     // recall table for the budget→recall curve)
     val budget = if (args.length > 2) args(2).toLong else 8L
+    // 4th arg "fallback" turns on the short-probe rescue
+    // (containmentVerifiedPairs keepRarestFallback) — measures how much
+    // of the df-cap recall loss the rescue buys back
+    val fallback = args.length > 3 && args(3) == "fallback"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors().toString)
     val spark = SparkSession.builder()
@@ -92,7 +96,8 @@ object RecallMeasure {
     val exactC = Dedup.containmentPairs(aug, "text", "doc_id",
       n = 3, threshold = 0.8, maxCandidatesPerPosting = 0).localCheckpoint()
     val bandedC = Dedup.containmentVerifiedPairs(aug, "text", "doc_id",
-      n = 3, w = 8, threshold = 0.8, candidateBudgetPerPosting = budget)
+      n = 3, w = 8, threshold = 0.8, candidateBudgetPerPosting = budget,
+      keepRarestFallback = fallback)
       .select("id_a", "id_b").localCheckpoint()
     val cRows = bandTally(exactC, bandedC,
       e => e.withColumn("__cls",
@@ -115,7 +120,8 @@ object RecallMeasure {
         .mkString(s""""$tag":[""", ",", "]")
     val json = "{" + rowsJson("minhash_banding_by_jband", jRows) + "," +
       rowsJson("containment_winnow_by_class", cRows) +
-      s""","winnow_budget_per_posting":$budget,"sf_dir":"$srcDir"}"""
+      s""","winnow_budget_per_posting":$budget,"rarest_fallback":$fallback,""" +
+      s""""sf_dir":"$srcDir"}"""
     java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     println(json)

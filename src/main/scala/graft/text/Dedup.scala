@@ -984,8 +984,12 @@ object Dedup {
     * corpus — each missed quote's single fingerprint is shared by
     * 238–757 docs — so the guarantee is "deterministic MODULO the df
     * cap"; scattered sub-guarantee chunks recall 0.935, organic pairs
-    * 0.988. Recall-complete fallbacks when that matters:
-    * [[containmentPairs]] (budget-guarded) or the persisted
+    * 0.988. `keepRarestFallback = true` buys most of that 4% back: docs
+    * whose EVERY fingerprint is capped get their rarest fingerprint
+    * posted for all its holders, under a second same-size budget
+    * allocation (volume at most doubles, still O(postings); see the
+    * inline rescue comment). Recall-complete alternatives when exactness
+    * matters: [[containmentPairs]] (budget-guarded) or the persisted
     * [[containmentIncremental]] index.
     *
     * The cap is ADAPTIVE, not a constant: on a gram-saturated corpus
@@ -1014,7 +1018,9 @@ object Dedup {
                                n: Int = 3, w: Int = 8,
                                threshold: Double = 0.8,
                                dfCap: Long = 4096,
-                               candidateBudgetPerPosting: Long = 8): DataFrame = {
+                               candidateBudgetPerPosting: Long = 8,
+                               keepRarestFallback: Boolean = false,
+                               minCandidateBudget: Long = 2000000L): DataFrame = {
     graft.functions.GraftFunctions.register(df.sparkSession)
     val prepped = df
       .withColumn("__tokens", tokensCol(col(textCol)))
@@ -1031,15 +1037,50 @@ object Dedup {
       .orderBy("__df").collect()
       .map(r => (r.getLong(0), r.getLong(1)))
     val postings = hist.iterator.map { case (d, k) => d * k }.sum
-    val budget = math.max(candidateBudgetPerPosting * postings, 2000000L)
+    val budget = math.max(candidateBudgetPerPosting * postings, minCandidateBudget)
     var cum = 0L
     var effCap = if (hist.nonEmpty) hist.head._1 else 1L // rarest df always posts
     hist.foreach { case (d, k) =>
       cum += d * d * k
       if (cum <= budget && d <= dfCap) effCap = math.max(effCap, d)
     }
-    val keep = fps.join(dfTab.where(col("__df") <= math.min(effCap, dfCap)), Seq("__key"))
+    val capped = math.min(effCap, dfCap)
+    val keepBase = fps.join(dfTab.where(col("__df") <= capped), Seq("__key"))
       .select(col("__key"), col("__id"), col("__sz"))
+    // SHORT-PROBE RESCUE (r13, opt-in — closes the measured 4% quote loss
+    // of the BASELINE.md r13 recall table): a doc whose EVERY fingerprint
+    // is above the cap becomes invisible — at sf1, 12-token quotes whose
+    // single fingerprint is a common opening (df 238–757) lost their
+    // sources. The fallback rescues each such doc's RAREST fingerprint by
+    // posting it for ALL its holders (both bucket sides must post, or the
+    // quote still misses its source). Volume stays bounded BY
+    // CONSTRUCTION: rescued fingerprints get a SECOND budget allocation
+    // of the same size via the same ascending-df histogram cut (so the
+    // fallback at most doubles candidate volume — still O(postings)),
+    // and dfCap remains the hard ceiling. Deterministic: per-doc min is
+    // (df, key)-lexicographic; the cut is a pure function of the
+    // histogram.
+    val keep = (if (!keepRarestFallback) keepBase else {
+      val rescuedF = fps.join(dfTab, Seq("__key"))
+        .groupBy("__id")
+        .agg(min(struct(col("__df"), col("__key"))).as("__m"))
+        .where(col("__m.__df") > capped && col("__m.__df") <= dfCap)
+        .select(col("__m.__key").as("__key"), col("__m.__df").as("__df"))
+        .distinct()
+      val rHist = rescuedF.groupBy("__df").agg(count(lit(1)).as("__k"))
+        .orderBy("__df").collect().map(r => (r.getLong(0), r.getLong(1)))
+      var rcum = 0L
+      var rescueCap = 0L
+      rHist.foreach { case (d, k) =>
+        rcum += d * d * k
+        if (rcum <= budget) rescueCap = math.max(rescueCap, d)
+      }
+      val rescuedKeys = rescuedF.where(col("__df") <= rescueCap)
+        .select("__key") // vocab-bounded (≤ one per fully-capped doc)
+      keepBase.unionByName(
+        fps.join(broadcast(rescuedKeys), Seq("__key"))
+          .select(col("__key"), col("__id"), col("__sz")))
+    })
       // pre-shuffle before aliasing → one reused Exchange (see minhashLsh)
       .repartition(col("__key"))
     val a = keep.select(col("__key"), col("__id").as("id_a"), col("__sz").as("sz_a"))

@@ -542,6 +542,41 @@ class TextSimSpec extends AnyFunSuite {
     }
   }
 
+  test("containmentVerifiedPairs keepRarestFallback: fully-capped docs " +
+      "become visible again under a second bounded budget allocation") {
+    val rnd = new scala.util.Random(31)
+    // 12 IDENTICAL short docs: every fingerprint they have carries df=12,
+    // so with a budget that caps df=12 they are fully invisible; 20
+    // unique filler docs supply the df=1 mass that keeps effCap at 1
+    // budget arithmetic (perPosting = 1, floor = 1): the quote docs
+    // contribute k₂ ∈ [1, 3] fingerprints at df = 12, so cumulative df²
+    // mass k₁ + 144·k₂ always exceeds the budget k₁ + 12·k₂ → df = 12 is
+    // capped for ANY k₂; the rescue histogram is {12 → k₂} with mass
+    // 144·k₂ ≤ budget as long as filler fps k₁ ≥ 132·k₂ — 80 filler docs
+    // × 30 tokens yield k₁ ≈ 500 fingerprints, safely above even k₂ = 3
+    val quote = (1 to 12).map(i => "word" + i).mkString(" ")
+    val docs = (1L to 12L).map(i => (i, quote)) ++
+      (100L to 179L).map(i =>
+        (i, Seq.fill(30)("u" + i + "_" + rnd.nextInt(1000000)).mkString(" ")))
+    val df = docs.toDF("doc_id", "text")
+    def run(fallback: Boolean) =
+      Dedup.containmentVerifiedPairs(df, "text", "doc_id",
+          n = 3, w = 8, threshold = 0.8,
+          candidateBudgetPerPosting = 1, minCandidateBudget = 1,
+          keepRarestFallback = fallback)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(run(fallback = false).isEmpty) // capped → invisible
+    val rescued = run(fallback = true)
+    val expect = (for (a <- 1L to 12L; b <- 1L to 12L if a != b)
+      yield (a, b)).toSet
+    assert(rescued == expect) // every identical-doc pair back, both ways
+    // rescue output stays ⊆ the exact reference (shared verify gate)
+    val exact = Dedup.containmentPairs(df, "text", "doc_id",
+        n = 3, threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(rescued.subsetOf(exact))
+  }
+
   test("containment prefix filtering is recall-complete vs brute force (random corpora)") {
     val rnd = new scala.util.Random(7)
     val docs = (1L to 40L).map { i =>
