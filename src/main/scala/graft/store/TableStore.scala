@@ -160,6 +160,13 @@ final class TableStore(spark: SparkSession, root: String) {
     val v = m.version + 1
     val newDir = versionDir(table, v)
     val oldDir = versionDir(table, m.version)
+    // clobber any uncommitted v=N dir first — a crashed appendFiles
+    // leaves partial hardlinks (a retry's createLink would throw
+    // FileAlreadyExists), and a crashed OVERWRITE leaves orphan rows
+    // that mode("append") below would silently commit; every other
+    // writer gets this for free from mode("overwrite") (r13 review
+    // finding; see the StoreSpec crash-consistency test)
+    if (Files.exists(newDir)) deleteRecursively(newDir)
     Files.createDirectories(newDir)
     Files.list(oldDir).iterator().asScala
       .filter(f => Files.isRegularFile(f) && !f.getFileName.toString.startsWith("_"))

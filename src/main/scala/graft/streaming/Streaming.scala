@@ -287,19 +287,26 @@ object Streaming {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val existing = if (store.exists(cleanTable))
           Some(store.read(cleanTable)) else None
-        existing.filter(_.columns.contains("applied_ckpt")).foreach { t =>
-          val ck = t.agg(max("applied_ckpt")).head()
-          if (!ck.isNullAt(0) && ck.getString(0) != checkpoint)
+        // ONE combined guard aggregate (two separate actions would scan
+        // the accumulated clean table twice per trigger); the scan reads
+        // only the two narrow guard columns via parquet pruning. Legacy
+        // tables without the guard columns are schema-checked, not
+        // blindly aggregated (AnalysisException otherwise) — they then
+        // fail fast in appendFiles' exact-schema contract.
+        val guard = existing
+          .filter(t => t.columns.contains("applied_ckpt") &&
+            t.columns.contains("applied_batch"))
+          .map(t => t.agg(max("applied_ckpt"), max("applied_batch")).head())
+        guard.filter(!_.isNullAt(0)).foreach { g =>
+          if (g.getString(0) != checkpoint)
             throw new IllegalStateException(
               s"clean table '$cleanTable' was accumulated under " +
-                s"checkpoint '${ck.getString(0)}' but this query runs " +
+                s"checkpoint '${g.getString(0)}' but this query runs " +
                 s"under '$checkpoint' — resume with the original " +
                 "checkpoint dir, or start a fresh clean table.")
         }
-        val alreadyApplied = existing.exists { t =>
-          val r = t.agg(max("applied_batch")).head()
-          !r.isNullAt(0) && r.getLong(0) >= batchId
-        }
+        val alreadyApplied =
+          guard.exists(g => !g.isNullAt(1) && g.getLong(1) >= batchId)
         if (!alreadyApplied) {
           val kept =
             if (!store.exists(postingsTable)) batch

@@ -1069,8 +1069,13 @@ object Dedup {
         .distinct()
       val rHist = rescuedF.groupBy("__df").agg(count(lit(1)).as("__k"))
         .orderBy("__df").collect().map(r => (r.getLong(0), r.getLong(1)))
+      // the cheapest rescued df always posts (mirror of the main loop's
+      // "rarest df always posts" floor): otherwise a corpus whose
+      // cheapest rescue row alone exceeds the budget would silently
+      // rescue NOTHING while the caller believes the flag bought recall
+      // back; the floor's worst case is bounded by dfCap² candidates
       var rcum = 0L
-      var rescueCap = 0L
+      var rescueCap = if (rHist.nonEmpty) rHist.head._1 else 0L
       rHist.foreach { case (d, k) =>
         rcum += d * d * k
         if (rcum <= budget) rescueCap = math.max(rescueCap, d)
@@ -1224,7 +1229,11 @@ object Dedup {
     * already have"), where re-indexing the corpus per arriving batch is
     * exactly the cost to avoid. Returns `(probe_id, id, containment)`
     * ordered batch→corpus; batch-internal pairs are out of scope by
-    * construction (the batch only probes the store).
+    * construction (the batch only probes the store), and SELF-pairs
+    * (probe_id = corpus id — reachable when a replayed batch probes an
+    * index already holding its own docs) are excluded: a doc is
+    * vacuously contained in itself, and counting it would turn replays
+    * into silent data loss downstream.
     *
     * Topology (every corpus table streams MAP-ONLY, every shuffle batch-
     * or collision-sized): the batch signs once (pinned — prefix and
@@ -1235,12 +1244,17 @@ object Dedup {
     * missing all p prefix grams bounds `|A∩B| ≤ |A| − p`); the per-doc
     * prefix broadcast-probes the postings index (size-filtered on the
     * stored corpus sz); candidate ids broadcast-probe the gram-array
-    * table; the native sorted-merge kernel verifies exactly. */
+    * table; the native sorted-merge kernel verifies exactly. Batches
+    * above `broadcastMaxProbeDocs` switch every batch-derived side to
+    * shuffled hash joins — broadcasting collects to the driver first,
+    * and a corpus-sized batch's gram arrays blow driver limits (measured
+    * r13: ~1 GB over spark.driver.maxResultSize at 100k-doc triggers). */
   def containmentIncremental(store: graft.store.TableStore,
                              postingsTable: String, dfTable: String,
                              gramsTable: String,
                              batch: DataFrame, textCol: String, idCol: String,
-                             n: Int = 3, threshold: Double = 0.8): DataFrame = {
+                             n: Int = 3, threshold: Double = 0.8,
+                             broadcastMaxProbeDocs: Long = 65536): DataFrame = {
     graft.functions.GraftFunctions.register(batch.sparkSession)
     // the verify join is ROOTED at a store-read frame, whose session can
     // differ from the batch's (foreachBatch hands a CLONED session) — the
@@ -1252,24 +1266,44 @@ object Dedup {
       .select(col(idCol).cast("long").as("probe_id"),
         call_function("graft_ngram_hashes", col("__tokens"), lit(n)).as("__gh"))
       .localCheckpoint()
+    // MEASURED broadcast gate (the r12 carry-join pattern, found again at
+    // sf10 stream volumes): broadcasting a batch collects it to the
+    // driver first — a 100k-doc trigger's gram arrays are ~1 GB
+    // serialized and blew spark.driver.maxResultSize in the r13 sf10
+    // StreamAnchor run. Small batches keep the map-only broadcast-probe
+    // topology (corpus tables never shuffle); batches above the gate
+    // switch every batch-derived side to shuffled hash joins — the
+    // corpus postings/gram scans then shuffle once on their join keys,
+    // the right trade when the batch itself is corpus-sized. prepped is
+    // checkpointed, so the gate costs one cheap count.
+    val useBroadcast = prepped.count() <= broadcastMaxProbeDocs
+    def probeSide(df: DataFrame): DataFrame =
+      if (useBroadcast) broadcast(df) else df.hint("shuffle_hash")
     val probeGrams = prepped
       .select(col("probe_id"), size(col("__gh")).as("__sz"),
         explode(col("__gh")).as("gram"))
     val dfs = store.read(dfTable)
-      .join(broadcast(probeGrams.select("gram").distinct()), Seq("gram"))
+      .join(probeSide(probeGrams.select("gram").distinct()), Seq("gram"))
     val prefixLen = greatest(
       col("__sz") - ceil(lit(threshold) * col("__sz") - 1e-9).cast("int") + 1,
       lit(1))
     val rankW = Window.partitionBy(col("probe_id"))
       .orderBy(col("__df"), col("gram"))
-    val prefix = probeGrams.join(broadcast(dfs), Seq("gram"), "left")
+    val prefix = probeGrams.join(probeSide(dfs), Seq("gram"), "left")
       .withColumn("__df", coalesce(col("df"), lit(0L)))
       .withColumn("__rn", row_number().over(rankW))
       .where(col("__rn") <= prefixLen)
       .select(col("gram"), col("probe_id"), col("__sz"))
     val cand = store.read(postingsTable)
-      .join(broadcast(prefix), Seq("gram"))
+      .join(probeSide(prefix), Seq("gram"))
       .where(col("sz") >= col("__sz") * threshold - 1e-9)
+      // self-pairs excluded: a doc is vacuously contained in itself, and
+      // under at-least-once replay a batch CAN probe an index that
+      // already holds its own docs (crash between index seed and clean
+      // commit in containmentIngestGate) — without this exclusion every
+      // replayed survivor self-matched at 1.0 and was anti-joined out of
+      // the clean output forever (r13 review finding)
+      .where(col("probe_id") =!= col("id"))
       .select(col("probe_id"), col("id"))
       .dropDuplicates("probe_id", "id")
     // unrounded gate, rounded presentation — see [[containmentPairs]].
@@ -1278,9 +1312,9 @@ object Dedup {
     // can leave duplicate gram rows per id — duplicates are bit-identical
     // (same doc, same grams), so keeping any one is deterministic
     gramsStore.select(col("id"), col("grams"))
-      .join(broadcast(cand), Seq("id"))
+      .join(probeSide(cand), Seq("id"))
       .dropDuplicates("probe_id", "id")
-      .join(broadcast(prepped), Seq("probe_id"))
+      .join(probeSide(prepped), Seq("probe_id"))
       .withColumn("__c",
         call_function("graft_sorted_intersect", col("__gh"), col("grams"))
           .cast("double") / size(col("__gh")))

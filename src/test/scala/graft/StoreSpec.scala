@@ -244,6 +244,33 @@ class StoreSpec extends AnyFunSuite {
       store.appendFiles("bk", Seq((2, "b")).toDF("pk", "v")))
   }
 
+  test("appendFiles is crash-retryable and never absorbs an orphan dir") {
+    val root = Files.createTempDirectory("graft_store_afc")
+    val store = new TableStore(spark, root.toString)
+    store.overwrite("af", Seq((1, "a")).toDF("pk", "v"), primaryKeys = Seq("pk"))
+    // a crashed OVERWRITE's orphan at the next version: its phantom rows
+    // must NOT ride into the committed append (mode("append") into a
+    // dirty dir would keep them)
+    Seq((99, "ORPHAN")).toDF("pk", "v").write
+      .parquet(root.resolve("af").resolve("v=1").toString)
+    store.appendFiles("af", Seq((2, "b")).toDF("pk", "v"))
+    assert(store.read("af").orderBy("pk").as[(Int, String)].collect().toSeq ==
+      Seq((1, "a"), (2, "b")))
+    // a crashed APPENDFILES' partial hardlinks at the next version: the
+    // retry must not throw FileAlreadyExists on re-linking
+    import scala.jdk.CollectionConverters._
+    val v1 = root.resolve("af").resolve("v=1")
+    val v2 = root.resolve("af").resolve("v=2")
+    Files.createDirectories(v2)
+    Files.list(v1).iterator().asScala
+      .filter(f => Files.isRegularFile(f) && !f.getFileName.toString.startsWith("_"))
+      .take(1)
+      .foreach(f => Files.createLink(v2.resolve(f.getFileName.toString), f))
+    store.appendFiles("af", Seq((3, "c")).toDF("pk", "v")) // the retry
+    assert(store.read("af").orderBy("pk").as[(Int, String)].collect().toSeq ==
+      Seq((1, "a"), (2, "b"), (3, "c")))
+  }
+
   test("crash consistency: a snapshot dir without the _meta.json commit is " +
       "invisible, CAS-retryable, and reclaimed by the next write/compact") {
     // The commit point is the single _meta.json pointer write (TableStore

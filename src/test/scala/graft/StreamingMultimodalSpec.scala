@@ -412,6 +412,33 @@ class StreamingMultimodalSpec extends AnyFunSuite {
     assert(probe == Seq((5L, 1L, 1.0))) // one pair, exactly once
   }
 
+  test("containmentIngestGate: replay after a crashed index seed does not " +
+      "lose the batch (self-matches excluded)") {
+    // the crash window: a previous attempt seeded the batch into the
+    // index (appendFiles committed) but died before the clean commit —
+    // the replay probes an index that already holds the batch's own
+    // docs; without self-pair exclusion every survivor self-matches at
+    // containment 1.0 and is anti-joined out of the clean output forever
+    val pages = Seq(
+      (1L, (1 to 40).map(i => "word" + i).mkString(" ")),
+      (2L, "a separate page about completely unrelated topics and things"))
+      .toDF("doc_id", "text")
+    val dir = Files.createTempDirectory("graft_cg3").toString
+    pages.coalesce(1).write.mode("append").parquet(dir)
+    val store = new TableStore(spark,
+      Files.createTempDirectory("graft_cg3_st").toString)
+    graft.text.Dedup.seedGramIndex(store, "cpost", "cdf", "cgrams",
+      pages, "text", "doc_id") // the crashed attempt's surviving work
+    val q = Streaming.containmentIngestGate(
+      spark.readStream.schema(pages.schema)
+        .option("maxFilesPerTrigger", 1).parquet(dir),
+      "text", "doc_id", store, "cpost", "cdf", "cgrams", "clean",
+      Files.createTempDirectory("graft_cg3_cp").toString, threshold = 0.8)
+    q.awaitTermination(120000)
+    assert(store.read("clean").select("doc_id").as[Long].collect().sorted
+      .toSeq == Seq(1L, 2L))
+  }
+
   // ---- multimodal plumbing ----
 
   private lazy val assets = Multimodal.toAssets(
