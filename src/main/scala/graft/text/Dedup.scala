@@ -1254,7 +1254,8 @@ object Dedup {
                              gramsTable: String,
                              batch: DataFrame, textCol: String, idCol: String,
                              n: Int = 3, threshold: Double = 0.8,
-                             broadcastMaxProbeDocs: Long = 65536): DataFrame = {
+                             broadcastMaxProbeDocs: Long = 65536,
+                             maxProbeCandidatesPerPosting: Long = 64): DataFrame = {
     graft.functions.GraftFunctions.register(batch.sparkSession)
     // the verify join is ROOTED at a store-read frame, whose session can
     // differ from the batch's (foreachBatch hands a CLONED session) — the
@@ -1289,11 +1290,38 @@ object Dedup {
       lit(1))
     val rankW = Window.partitionBy(col("probe_id"))
       .orderBy(col("__df"), col("gram"))
-    val prefix = probeGrams.join(probeSide(dfs), Seq("gram"), "left")
+    val prefixAll = probeGrams.join(probeSide(dfs), Seq("gram"), "left")
       .withColumn("__df", coalesce(col("df"), lit(0L)))
       .withColumn("__rn", row_number().over(rankW))
       .where(col("__rn") <= prefixLen)
-      .select(col("gram"), col("probe_id"), col("__sz"))
+    // PROBE-SIDE candidate-volume guard (the guardCandidateVolume twin,
+    // found the hard way at sf10: a 100k-doc trigger against a 400k-doc
+    // saturated corpus predicted 2.34B candidates — ~200 per batch gram
+    // posting vs 17 at sf1 — and ENOSPC'd a >70 GB spill before this
+    // guard existed). The prediction is EXACT for the pre-dedup
+    // candidate stream: Σ df over the chosen prefix grams, one
+    // batch-sized aggregate; the budget is per batch gram posting, so
+    // it is scale-free in the batch and trips only when the CORPUS is
+    // gram-saturated enough that the recall-complete probe cannot stay
+    // linear (the r9/r10 data-bound term).
+    if (maxProbeCandidatesPerPosting > 0) {
+      val row = prefixAll
+        .agg(sum(col("__df")).cast("double").as("cand")).head()
+      if (!row.isNullAt(0)) {
+        val predicted = row.getDouble(0)
+        val postings = prepped
+          .agg(sum(size(col("__gh"))).cast("double")).head().getDouble(0)
+        require(predicted <= maxProbeCandidatesPerPosting * postings,
+          f"containmentIncremental: predicted probe candidate volume " +
+            f"$predicted%.3g exceeds $maxProbeCandidatesPerPosting × batch " +
+            f"postings ($postings%.3g) — the corpus is gram-saturated and " +
+            "the recall-complete probe would spill at scale. Shrink the " +
+            "batch (volume is linear in batch size), verify a bounded " +
+            "slice with containmentVerifiedPairs, or raise " +
+            "maxProbeCandidatesPerPosting (<= 0 disables).")
+      }
+    }
+    val prefix = prefixAll.select(col("gram"), col("probe_id"), col("__sz"))
     val cand = store.read(postingsTable)
       .join(probeSide(prefix), Seq("gram"))
       .where(col("sz") >= col("__sz") * threshold - 1e-9)

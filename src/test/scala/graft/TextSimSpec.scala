@@ -695,6 +695,29 @@ class TextSimSpec extends AnyFunSuite {
     assert(store.read("dfs").agg(max("df")).as[Long].head() == 2L)
   }
 
+  test("containmentIncremental probe guard fails fast on gram-saturated " +
+      "stores; override proceeds (the sf10 ENOSPC regression guard)") {
+    val txt = (1 to 20).map(i => "word" + i).mkString(" ")
+    val corpus = (1L to 12L).map(i => (i, txt)).toDF("doc_id", "text")
+    val batch = (100L to 105L).map(i => (i, txt)).toDF("doc_id", "text")
+    val store = new graft.store.TableStore(spark,
+      java.nio.file.Files.createTempDirectory("graft_probe_guard").toString)
+    Dedup.seedGramIndex(store, "p", "d", "g", corpus, "text", "doc_id")
+    // every prefix gram of the batch has corpus df 12 → predicted
+    // candidates ≈ 2.6 per batch posting: above a budget of 1
+    val e = intercept[IllegalArgumentException](
+      Dedup.containmentIncremental(store, "p", "d", "g", batch,
+        "text", "doc_id", maxProbeCandidatesPerPosting = 1))
+    assert(e.getMessage.contains("probe candidate volume"), e.getMessage)
+    // override (<= 0) and the 64 default both proceed; all 6×12
+    // batch→corpus containments found, self-pairs structurally absent
+    for (budget <- Seq(0L, 64L)) {
+      val got = Dedup.containmentIncremental(store, "p", "d", "g", batch,
+        "text", "doc_id", maxProbeCandidatesPerPosting = budget)
+      assert(got.count() == 72, s"budget $budget")
+    }
+  }
+
   test("containmentIncremental shuffles are batch-sized: exchange count is corpus-size-independent") {
     def seededProbe(nCorpusDocs: Int) = {
       val corpus = (1L to nCorpusDocs.toLong)
