@@ -57,6 +57,10 @@ object RecallMeasure {
     // (containmentVerifiedPairs keepRarestFallback) — measures how much
     // of the df-cap recall loss the rescue buys back
     val fallback = args.length > 3 && args(3) == "fallback"
+    // 5th arg: minhash band count (64 hashes fixed) — the recall knob the
+    // per-j-band table prices: r = 64/bands rows per band, recall
+    // 1 − (1 − j^r)^bands
+    val bands = if (args.length > 4) args(4).toInt else 16
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors().toString)
     val spark = SparkSession.builder()
@@ -85,7 +89,7 @@ object RecallMeasure {
     val exactJ = Dedup.ngramJaccardPairs(aug, "text", "doc_id",
       n = 3, threshold = 0.5, maxCandidatesPerPosting = 0).localCheckpoint()
     val bandedJ = Dedup.minhashVerifiedPairs(aug, "text", "doc_id",
-      numHashes = 64, bands = 16, n = 3, threshold = 0.5)
+      numHashes = 64, bands = bands, n = 3, threshold = 0.5)
       .select("id_a", "id_b").localCheckpoint()
     val jRows = bandTally(exactJ, bandedJ,
       e => e.withColumn("__cls",
@@ -121,7 +125,7 @@ object RecallMeasure {
     val json = "{" + rowsJson("minhash_banding_by_jband", jRows) + "," +
       rowsJson("containment_winnow_by_class", cRows) +
       s""","winnow_budget_per_posting":$budget,"rarest_fallback":$fallback,""" +
-      s""""sf_dir":"$srcDir"}"""
+      s""""minhash_bands":$bands,"sf_dir":"$srcDir"}"""
     java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     println(json)
