@@ -351,7 +351,7 @@ object Joins {
                      nSalts: Int = 8): DataFrame = {
     require(nSalts > 0, s"nSalts must be positive, got $nSalts")
     val saltedLeft = left.withColumn("__salt",
-      pmod(xxhash64(left.columns.map(col): _*), lit(nSalts)).cast("int"))
+      pmod(xxhash64(left.columns.toIndexedSeq.map(col): _*), lit(nSalts)).cast("int"))
     val replicatedRight = right.withColumn("__salt",
       explode(sequence(lit(0), lit(nSalts - 1))))
     // duplicate non-key columns: left wins (same contract as equiJoin)

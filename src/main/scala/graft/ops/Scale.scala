@@ -36,7 +36,7 @@ object Scale {
     // deterministic salt: hash of the full left row, not rand() — keeps
     // retries/speculative tasks consistent
     val saltedLeft = left.withColumn("__salt",
-      pmod(xxhash64(left.columns.map(col): _*), lit(saltFactor)).cast("int"))
+      pmod(xxhash64(left.columns.toIndexedSeq.map(col): _*), lit(saltFactor)).cast("int"))
     val saltedRight = right.withColumn("__salt",
       explode(array((0 until saltFactor).map(lit): _*)))
     // shuffle_hash on the replicated small side (invariant 12): SMJ would
@@ -57,7 +57,7 @@ object Scale {
   def saltedAgg(df: DataFrame, keys: Seq[String], saltFactor: Int,
                 partials: Seq[(String, Column)], finals: Seq[(String, Column)]): DataFrame = {
     val salted = df.withColumn("__salt",
-      pmod(xxhash64(df.columns.map(col): _*), lit(saltFactor)).cast("int"))
+      pmod(xxhash64(df.columns.toIndexedSeq.map(col): _*), lit(saltFactor)).cast("int"))
     val phase1 = salted.groupBy((keys :+ "__salt").map(col): _*)
       .agg(partials.head._2.as(partials.head._1),
         partials.tail.map { case (n, c) => c.as(n) }: _*)

@@ -138,7 +138,7 @@ object Scd {
 
     dim.where(!col("is_current"))
       .unionByName(curResolved)
-      .unionByName(newRows.select(dim.columns.map(col): _*))
+      .unionByName(newRows.select(dim.columns.toIndexedSeq.map(col): _*))
   }
 
   /** Point-in-time snapshot: the one version per key whose validity

@@ -577,7 +577,7 @@ object Similarity {
       .select("dim", "mean").collect()
       .map(r => (r.getInt(0), r.getDouble(1))).sortBy(_._1).map(_._2)
     require(dims.nonEmpty, "seed set must be non-empty")
-    val proto = array(dims.map(lit(_)): _*)
+    val proto = array(dims.toIndexedSeq.map(lit(_)): _*)
     val scored = df.withColumn("proto_sim",
       round(cosineFast(df.sparkSession)(col(vecCol).cast("array<double>"), proto), 6))
     graft.ops.Filters.topFractionByGroupExact(

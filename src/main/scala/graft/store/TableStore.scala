@@ -173,7 +173,7 @@ final class TableStore(spark: SparkSession, root: String) {
       .foreach(f => Files.createLink(newDir.resolve(f.getFileName.toString), f))
     // column order normalized to the stored schema; writer part-file names
     // are UUID-fresh, so they never collide with the linked files
-    df.select(m.schema.fieldNames.map(org.apache.spark.sql.functions.col): _*)
+    df.select(m.schema.fieldNames.toIndexedSeq.map(org.apache.spark.sql.functions.col): _*)
       .write.mode("append").parquet(newDir.toString)
     writeMeta(table, m.copy(version = v))
   }
@@ -337,7 +337,7 @@ final class TableStore(spark: SparkSession, root: String) {
       val unioned = current.unionByName(incoming, allowMissingColumns = true)
       val dataCols = unioned.columns.filterNot(c => c == "__src" || pks.contains(c))
       val w = Window.partitionBy(pks.map(col): _*)
-        .orderBy(col("__src").desc, xxhash64(dataCols.map(col): _*).desc)
+        .orderBy(col("__src").desc, xxhash64(dataCols.toIndexedSeq.map(col): _*).desc)
       unioned
         .withColumn("__rn", row_number().over(w))
         .where(col("__rn") === 1)

@@ -313,7 +313,7 @@ object Packing {
     require(window > 0 && step > 0 && step <= window,
       s"need 0 < step <= window, got window=$window step=$step")
     df.where(col(lengthCol) > 0)
-      .select(df.columns.map(col) :+
+      .select(df.columns.toIndexedSeq.map(col) :+
         posexplode(sequence(lit(0L), col(lengthCol).cast("long") - 1, lit(step.toLong)))
           .as(Seq("chunk_idx", "chunk_start")): _*)
       .withColumn("chunk_end", least(col("chunk_start") + window, col(lengthCol).cast("long")))
