@@ -103,13 +103,30 @@ object Oracles {
         |  CASE WHEN c_mktsegment IN ('MACHINERY') THEN 'unknown' ELSE c_mktsegment END AS c_mktsegment
         |FROM customer ORDER BY c_custkey""".stripMargin,
 
-    "q_f_textnorm" ->
-      """SELECT p_partkey,
-        |  regexp_replace(regexp_replace(regexp_replace(lower(trim(p_name)),
-        |    '[\[\]()* :.;<?/,''&-]', '_', 'g'), '_+', '_', 'g'), '^_+|_+$', '', 'g') AS name_norm,
-        |  lower(trim(p_brand || ' ' || p_type)) AS brand_type,
-        |  lpad(p_size::VARCHAR, 4, '0') AS size_pad
-        |FROM part ORDER BY p_partkey""".stripMargin,
+    "q_f_textnorm" -> {
+      // the full utils.py:344-368 accent fold replayed in DuckDB: lower →
+      // ligature replaces (æ→ae, œ→oe) → 1→1 translate — byte-identical
+      // to TextNorm.deaccent; phrases interpolated from Queries
+      // .AccentPhrases so query and oracle can never drift apart
+      val from = "áéíóúàèìòùäëïöüâêîôûãõñçøåāēīōūẽĩũ"
+      val to = "aeiouaeiouaeiouaeiouaoncoaaeioueiu"
+      val phraseCase = Queries.AccentPhrases.zipWithIndex.map { case (p, i) =>
+        s"WHEN $i THEN '${p.replace("'", "''")}'"
+      }.mkString("CASE p_partkey % 5 ", " ", " END")
+      def fold(e: String) =
+        s"translate(replace(replace(lower(trim($e)), 'æ', 'ae'), 'œ', 'oe'), '$from', '$to')"
+      def collapse(e: String) =
+        s"""regexp_replace(regexp_replace(regexp_replace($e,
+           |    '[\\[\\]()* :.;<?/,''&-]', '_', 'g'), '_+', '_', 'g'), '^_+|_+$$', '', 'g')""".stripMargin
+      s"""WITH ph AS (SELECT *, $phraseCase AS phrase FROM part)
+         |SELECT p_partkey,
+         |  ${collapse(fold("p_name"))} AS name_norm,
+         |  ${fold("p_brand || ' ' || p_type")} AS brand_type,
+         |  ${collapse(fold("phrase"))} AS accent_norm,
+         |  ${fold("phrase")} AS accent_soft,
+         |  lpad(p_size::VARCHAR, 4, '0') AS size_pad
+         |FROM ph ORDER BY p_partkey""".stripMargin
+    },
 
     "q_f7_casemap" ->
       """SELECT c_custkey,
@@ -841,6 +858,43 @@ object Oracles {
         |SELECT probe_id, id, floor(c * 10000 + 0.5) / 10000 AS containment
         |FROM j WHERE c >= 0.8
         |ORDER BY probe_id, id""".stripMargin,
+
+    // the banded incremental probe's planted diagonal: brute-force
+    // quote→source containment restricted to b.doc_id = a.id - 30000 —
+    // the winnowing guarantee (12 raw words ≥ w+n−1) makes banded
+    // recovery of exactly these pairs deterministic, so a candidate-stage
+    // miss is a row-count mismatch, not a tolerated loss
+    "q_dedup_inc_containment_banded" ->
+      """WITH q AS (
+        |  SELECT doc_id + 30000 AS id,
+        |    array_to_string(list_slice(
+        |      regexp_split_to_array(text, '\s+'), 1, 12), ' ') AS text
+        |  FROM documents WHERE doc_id < 50),
+        |  pq AS (SELECT id,
+        |    list_distinct(list_transform(
+        |      range(1, greatest(len(regexp_split_to_array(
+        |        regexp_replace(lower(trim(text)), '[^a-z0-9áéíóúñü ]', '', 'g'),
+        |        '\s+')) - 2, 1) + 1),
+        |      i -> array_to_string(list_slice(regexp_split_to_array(
+        |        regexp_replace(lower(trim(text)), '[^a-z0-9áéíóúñü ]', '', 'g'),
+        |        '\s+'), i, i + 2), ' '))) AS grams
+        |    FROM q),
+        |  pc AS (SELECT doc_id AS id,
+        |    list_distinct(list_transform(
+        |      range(1, greatest(len(regexp_split_to_array(
+        |        regexp_replace(lower(trim(text)), '[^a-z0-9áéíóúñü ]', '', 'g'),
+        |        '\s+')) - 2, 1) + 1),
+        |      i -> array_to_string(list_slice(regexp_split_to_array(
+        |        regexp_replace(lower(trim(text)), '[^a-z0-9áéíóúñü ]', '', 'g'),
+        |        '\s+'), i, i + 2), ' '))) AS grams
+        |    FROM documents),
+        |  j AS (SELECT a.id AS probe_id, b.id AS id,
+        |    len(list_intersect(a.grams, b.grams))::DOUBLE
+        |      / len(a.grams) AS c
+        |  FROM pq a JOIN pc b ON b.id = a.id - 30000)
+        |SELECT probe_id, id, floor(c * 10000 + 0.5) / 10000 AS containment
+        |FROM j WHERE c >= 0.8
+        |ORDER BY probe_id""".stripMargin,
 
     // thresholdCurve replay: same gram/jaccard CTE at candidate threshold
     // 0.4; band recovered from the fixed-point integer j4 (j4 div 1000),

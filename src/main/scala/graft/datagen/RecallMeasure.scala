@@ -61,6 +61,12 @@ object RecallMeasure {
     // per-j-band table prices: r = 64/bands rows per band, recall
     // 1 − (1 − j^r)^bands
     val bands = if (args.length > 4) args(4).toInt else 16
+    // 6th arg: winnowing window w — the containment recall knob (r13
+    // verdict #4): the guarantee threshold is a contiguous run of
+    // w + n − 1 tokens, so shrinking w below chunkLen − n + 1 converts
+    // the scattered-chunk class from probabilistic to guaranteed
+    // (modulo the df cap), at ~2/(w+1) fingerprint density (cost)
+    val winnowW = if (args.length > 5) args(5).toInt else 8
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors().toString)
     val spark = SparkSession.builder()
@@ -99,10 +105,15 @@ object RecallMeasure {
     // ---- winnowed containment recall per pair class (threshold 0.8)
     val exactC = Dedup.containmentPairs(aug, "text", "doc_id",
       n = 3, threshold = 0.8, maxCandidatesPerPosting = 0).localCheckpoint()
+    val t0 = System.nanoTime()
     val bandedC = Dedup.containmentVerifiedPairs(aug, "text", "doc_id",
-      n = 3, w = 8, threshold = 0.8, candidateBudgetPerPosting = budget,
+      n = 3, w = winnowW, threshold = 0.8, candidateBudgetPerPosting = budget,
       keepRarestFallback = fallback)
       .select("id_a", "id_b").localCheckpoint()
+    // the knob's COST side: wall-clock of the banded generator alone
+    // (localCheckpoint materializes it), so the w table prices
+    // recall AND the ~2/(w+1)-density posting volume it buys it with
+    val bandedMs = (System.nanoTime() - t0) / 1000000L
     val cRows = bandTally(exactC, bandedC,
       e => e.withColumn("__cls",
         when(col("id_a") >= 3000000L && col("id_a") < 10000000L, "planted_scattered")
@@ -125,7 +136,8 @@ object RecallMeasure {
     val json = "{" + rowsJson("minhash_banding_by_jband", jRows) + "," +
       rowsJson("containment_winnow_by_class", cRows) +
       s""","winnow_budget_per_posting":$budget,"rarest_fallback":$fallback,""" +
-      s""""minhash_bands":$bands,"sf_dir":"$srcDir"}"""
+      s""""minhash_bands":$bands,"winnow_w":$winnowW,""" +
+      s""""banded_containment_ms":$bandedMs,"sf_dir":"$srcDir"}"""
     java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     println(json)

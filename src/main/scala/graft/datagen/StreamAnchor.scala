@@ -29,7 +29,14 @@ import graft.streaming.Streaming
   * decimal — the telemetry shape; raw doubles would make the counts
   * table corpus-sized).
   *
-  * Usage: `runMain graft.datagen.StreamAnchor /tmp/testdata/sf1 /tmp/stream_anchor_sf1.json`
+  * Usage: `runMain graft.datagen.StreamAnchor <sfDir> <out.json> [batches]
+  * [legs: all|containment|ks] [gate: exact|banded]` — the legs selector
+  * exists because the sf10 campaign needs the KS gate measured on its own
+  * (r13: the containment leg's guard trip aborted the whole run before
+  * the KS leg started), and `banded` anchors the winnowed-fingerprint
+  * ingest gate (the r14 scale path for gram-saturated corpora, whose
+  * per-trigger cost must stay flat where the exact probe's guard
+  * correctly refuses).
   */
 object StreamAnchor {
 
@@ -59,6 +66,8 @@ object StreamAnchor {
     val srcDir = args(0)
     val outPath = if (args.length > 1) args(1) else "/tmp/graft_stream_anchor.json"
     val batches = if (args.length > 2) args(2).toInt else 5
+    val legs = if (args.length > 3) args(3) else "all"
+    val banded = args.length > 4 && args(4) == "banded"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors().toString)
     val spark = SparkSession.builder()
@@ -71,43 +80,49 @@ object StreamAnchor {
     spark.sparkContext.setLogLevel("WARN")
     val work = Files.createTempDirectory("graft_stream_anchor").toString
 
-    // ---- containment ingest gate at corpus batch volumes
-    val docs = spark.read.parquet(s"$srcDir/documents.parquet")
-      .select("doc_id", "text")
-    val docDir = s"$work/docs"
-    stage(docs, "doc_id", batches, docDir)
     val store = new TableStore(spark, s"$work/store")
-    // the production gate: append-only index seeding + replay-guarded
-    // clean appends — per-trigger cost must stay BATCH-bounded (the r13
-    // before-number, upsert re-seeding, grew with the accumulated index:
-    // 32–48 s per 10k-doc trigger; bench/stream_anchor_sf1_upsert_r13.json)
-    val qc = Streaming.containmentIngestGate(
-      spark.readStream.schema(docs.schema)
-        .option("maxFilesPerTrigger", 1).parquet(docDir),
-      "text", "doc_id", store, "cpost", "cdf", "cgrams", "clean",
-      s"$work/cp_containment", threshold = 0.8)
-    qc.awaitTermination()
-    val containmentJson = progressJson(qc)
+
+    // ---- containment ingest gate at corpus batch volumes
+    val containmentJson = if (legs == "all" || legs == "containment") {
+      val docs = spark.read.parquet(s"$srcDir/documents.parquet")
+        .select("doc_id", "text")
+      val docDir = s"$work/docs"
+      stage(docs, "doc_id", batches, docDir)
+      // the production gate: append-only index seeding + replay-guarded
+      // clean appends — per-trigger cost must stay BATCH-bounded (the r13
+      // before-number, upsert re-seeding, grew with the accumulated index:
+      // 32–48 s per 10k-doc trigger; bench/stream_anchor_sf1_upsert_r13.json)
+      val qc = Streaming.containmentIngestGate(
+        spark.readStream.schema(docs.schema)
+          .option("maxFilesPerTrigger", 1).parquet(docDir),
+        "text", "doc_id", store, "cpost", "cdf", "cgrams", "clean",
+        s"$work/cp_containment", threshold = 0.8, banded = banded)
+      qc.awaitTermination()
+      progressJson(qc)
+    } else "[]"
 
     // ---- incremental-KS drift gate at corpus batch volumes
-    val events = spark.read.parquet(s"$srcDir/events.parquet")
-      .select(col("event_id"),
-        (floor(col("value") * 10 + 0.5) / 10).as("v"))
-    val evDir = s"$work/events"
-    stage(events, "event_id", batches, evDir)
-    val refCounts = events.groupBy(col("v").as("value"))
-      .agg(count(lit(1)).as("ref_count")).localCheckpoint()
     var lastReportRows = 0L
-    val qk = Streaming.incrementalKsGate(
-      spark.readStream.schema(events.schema)
-        .option("maxFilesPerTrigger", 1).parquet(evDir),
-      "v", refCounts, store, "ks_counts", s"$work/cp_ks",
-      report => { lastReportRows = report.count() })
-    qk.awaitTermination()
-    val ksJson = progressJson(qk)
+    val ksJson = if (legs == "all" || legs == "ks") {
+      val events = spark.read.parquet(s"$srcDir/events.parquet")
+        .select(col("event_id"),
+          (floor(col("value") * 10 + 0.5) / 10).as("v"))
+      val evDir = s"$work/events"
+      stage(events, "event_id", batches, evDir)
+      val refCounts = events.groupBy(col("v").as("value"))
+        .agg(count(lit(1)).as("ref_count")).localCheckpoint()
+      val qk = Streaming.incrementalKsGate(
+        spark.readStream.schema(events.schema)
+          .option("maxFilesPerTrigger", 1).parquet(evDir),
+        "v", refCounts, store, "ks_counts", s"$work/cp_ks",
+        report => { lastReportRows = report.count() })
+      qk.awaitTermination()
+      progressJson(qk)
+    } else "[]"
 
     val json = s"""{"containment_gate":$containmentJson,""" +
-      s""""ks_gate":$ksJson,"batches":$batches,""" +
+      s""""ks_gate":$ksJson,"batches":$batches,"legs":"$legs",""" +
+      s""""banded":$banded,""" +
       s""""ks_report_rows":$lastReportRows,"sf_dir":"$srcDir"}"""
     Files.write(Paths.get(outPath),
       json.getBytes(java.nio.charset.StandardCharsets.UTF_8))

@@ -270,16 +270,37 @@ object Streaming {
     * batch short-circuits to a no-op BEFORE any write. A crash between
     * the index appends and the clean commit replays the index seeding —
     * postings/grams duplicates are tolerated by the probe (verify slice
-    * dedups per id) and df inflation is performance-only, so the clean
+    * dedups per id) and df inflation is performance-only — AND the
+    * replayed probe runs against an index already holding this batch's
+    * own docs: a SEED LOG (`<cleanTable>__seedlog`, committed BEFORE any
+    * index append) records which ids each (checkpoint, batch) seeded, and
+    * the replayed probe excludes exactly those corpus ids
+    * (`excludeCorpusIds`), so batch-internal containment pairs (a quote
+    * and its source arriving together, or two identical docs) keep their
+    * no-crash outcome on replay instead of anti-joining each other out —
+    * and a doc legitimately re-sent in a LATER batch still self-matches
+    * at 1.0 and is gated (r13 advice; both directions spec'd). The clean
     * output stays exactly-once while the index degrades by at most one
     * batch of duplicate bytes. A checkpoint mismatch fails fast (batchIds
-    * are only monotonic within one checkpoint). */
+    * are only monotonic within one checkpoint).
+    *
+    * `banded = true` switches index and probe to the WINNOWED-fingerprint
+    * forms ([[graft.text.Dedup.seedWinnowIndex]] /
+    * [[graft.text.Dedup.containmentIncrementalBanded]]):
+    * `postingsTable`/`dfTable` then hold fingerprint postings and
+    * fingerprint df. This is the gram-saturated-corpus scale path — the
+    * exact probe's candidate volume grows with corpus df and its guard
+    * refuses at sf10 volumes by design (BASELINE.md r13 addendum), while
+    * the banded probe's volume is batch-bounded by construction, at the
+    * winnowing recall contract (contiguous runs ≥ w+n−1 tokens,
+    * deterministic modulo the df cap). */
   def containmentIngestGate(arrivals: DataFrame, textCol: String,
                             idCol: String, store: TableStore,
                             postingsTable: String, dfTable: String,
                             gramsTable: String, cleanTable: String,
                             checkpoint: String, threshold: Double = 0.8,
-                            n: Int = 3): StreamingQuery =
+                            n: Int = 3, banded: Boolean = false,
+                            w: Int = 8, dfCap: Long = 4096): StreamingQuery =
     arrivals.writeStream
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", checkpoint)
@@ -308,22 +329,56 @@ object Streaming {
         val alreadyApplied =
           guard.exists(g => !g.isNullAt(1) && g.getLong(1) >= batchId)
         if (!alreadyApplied) {
+          val seedLog = cleanTable + "__seedlog"
+          // the ids a CRASHED earlier attempt of THIS batch already
+          // seeded — excluded from the probe's corpus side so the
+          // replayed survivor set equals the no-crash one (see Scaladoc)
+          val excl =
+            if (!store.exists(seedLog)) None
+            else Some(store.read(seedLog)
+              .where(col("applied_ckpt") === checkpoint &&
+                col("applied_batch") === batchId)
+              .select(col("id")))
           val kept =
             if (!store.exists(postingsTable)) batch
             else {
-              val contained = graft.text.Dedup.containmentIncremental(
-                  store, postingsTable, dfTable, gramsTable,
-                  batch, textCol, idCol, n = n, threshold = threshold)
+              val contained = (if (banded)
+                  graft.text.Dedup.containmentIncrementalBanded(
+                    store, postingsTable, dfTable, gramsTable,
+                    batch, textCol, idCol, n = n, w = w,
+                    threshold = threshold, dfCap = dfCap,
+                    excludeCorpusIds = excl)
+                else
+                  graft.text.Dedup.containmentIncremental(
+                    store, postingsTable, dfTable, gramsTable,
+                    batch, textCol, idCol, n = n, threshold = threshold,
+                    excludeCorpusIds = excl))
                 .select(col("probe_id").as(idCol)).distinct()
               batch.join(contained, Seq(idCol), "left_anti")
             }
-          // pin ONE evaluation: the index seed and the clean append must
-          // see the same survivor set (a nondeterministic-source batch
-          // re-planned twice could drift)
+          // pin ONE evaluation: the seed log, index seed, and clean
+          // append must see the same survivor set (a nondeterministic-
+          // source batch re-planned twice could drift) — and the probe
+          // must finish BEFORE the seed log commits below
           val keptP = kept.select(col(idCol), col(textCol)).localCheckpoint()
           if (!keptP.isEmpty) {
-            graft.text.Dedup.seedGramIndex(store, postingsTable, dfTable,
-              gramsTable, keptP, textCol, idCol, n = n, appendOnly = true)
+            // SEED LOG FIRST: commit "this batch seeded these ids"
+            // before any index append, so a crash anywhere after this
+            // point replays with the exclusion set already in place (a
+            // log write with no seed behind it is a harmless no-op
+            // exclusion — the corpus holds no such rows yet)
+            val logRows = keptP.select(col(idCol).cast("long").as("id"))
+              .withColumn("applied_batch", lit(batchId))
+              .withColumn("applied_ckpt", lit(checkpoint))
+            if (store.exists(seedLog)) store.appendFiles(seedLog, logRows)
+            else store.overwrite(seedLog, logRows, primaryKeys = Seq("id"))
+            if (banded)
+              graft.text.Dedup.seedWinnowIndex(store, postingsTable,
+                dfTable, gramsTable, keptP, textCol, idCol, n = n, w = w,
+                appendOnly = true)
+            else
+              graft.text.Dedup.seedGramIndex(store, postingsTable, dfTable,
+                gramsTable, keptP, textCol, idCol, n = n, appendOnly = true)
             val guarded = keptP
               .withColumn("applied_batch", lit(batchId))
               .withColumn("applied_ckpt", lit(checkpoint))

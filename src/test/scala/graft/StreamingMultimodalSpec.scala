@@ -413,30 +413,118 @@ class StreamingMultimodalSpec extends AnyFunSuite {
   }
 
   test("containmentIngestGate: replay after a crashed index seed does not " +
-      "lose the batch (self-matches excluded)") {
-    // the crash window: a previous attempt seeded the batch into the
-    // index (appendFiles committed) but died before the clean commit —
-    // the replay probes an index that already holds the batch's own
-    // docs; without self-pair exclusion every survivor self-matches at
-    // containment 1.0 and is anti-joined out of the clean output forever
+      "lose the batch — INCLUDING batch-internal contained pairs (r13 advice)") {
+    // the crash window: a previous attempt wrote the seed log AND seeded
+    // the batch into the index (both appendFiles committed) but died
+    // before the clean commit. The replayed probe runs against an index
+    // already holding the batch's own docs — the seed log scopes the
+    // exclusion to exactly those ids, so a quote AND ITS SOURCE arriving
+    // in the same batch keep their no-crash outcome (batch-internal
+    // pairs out of scope) instead of the quote anti-joining out forever
     val pages = Seq(
       (1L, (1 to 40).map(i => "word" + i).mkString(" ")),
-      (2L, "a separate page about completely unrelated topics and things"))
+      (2L, "a separate page about completely unrelated topics and things"),
+      (3L, (1 to 12).map(i => "word" + i).mkString(" "))) // quote of 1, SAME batch
       .toDF("doc_id", "text")
     val dir = Files.createTempDirectory("graft_cg3").toString
     pages.coalesce(1).write.mode("append").parquet(dir)
     val store = new TableStore(spark,
       Files.createTempDirectory("graft_cg3_st").toString)
+    val cp = Files.createTempDirectory("graft_cg3_cp").toString
+    // the crashed attempt's surviving work, in the gate's own order:
+    // seed log first (batchId 0 under this checkpoint), then the index
+    store.overwrite("clean__seedlog",
+      Seq(1L, 2L, 3L).toDF("id")
+        .withColumn("applied_batch", lit(0L))
+        .withColumn("applied_ckpt", lit(cp)),
+      primaryKeys = Seq("id"))
     graft.text.Dedup.seedGramIndex(store, "cpost", "cdf", "cgrams",
-      pages, "text", "doc_id") // the crashed attempt's surviving work
+      pages, "text", "doc_id")
     val q = Streaming.containmentIngestGate(
       spark.readStream.schema(pages.schema)
         .option("maxFilesPerTrigger", 1).parquet(dir),
       "text", "doc_id", store, "cpost", "cdf", "cgrams", "clean",
-      Files.createTempDirectory("graft_cg3_cp").toString, threshold = 0.8)
+      cp, threshold = 0.8)
+    q.awaitTermination(120000)
+    // all three survive — the no-crash outcome (3 probes nothing OUTSIDE
+    // its own batch); the pre-r14 blanket self-exclusion kept 1 and 2 but
+    // silently lost the quote 3 to its same-batch source on replay
+    assert(store.read("clean").select("doc_id").as[Long].collect().sorted
+      .toSeq == Seq(1L, 2L, 3L))
+  }
+
+  test("containmentIngestGate: a SAME-ID doc re-sent in a later batch is " +
+      "gated as a duplicate (no silent PK dup through appendFiles)") {
+    val pages = Seq(
+      (1L, (1 to 40).map(i => "word" + i).mkString(" ")),
+      (2L, "a separate page about completely unrelated topics and things"))
+      .toDF("doc_id", "text")
+    // batch 2 re-sends doc 1 verbatim (same id) plus a novel doc: the
+    // replay-scoped exclusion must NOT wave the duplicate through — it
+    // self-matches at containment 1.0 against the batch-0-seeded corpus
+    val resend = Seq(
+      (1L, (1 to 40).map(i => "word" + i).mkString(" ")),
+      (4L, "genuinely novel content never seen in any earlier page today"))
+      .toDF("doc_id", "text")
+    val dir = Files.createTempDirectory("graft_cg4").toString
+    pages.coalesce(1).write.mode("append").parquet(dir)
+    val old = java.nio.file.attribute.FileTime.fromMillis(
+      System.currentTimeMillis() - 120000)
+    java.nio.file.Files.list(java.nio.file.Paths.get(dir)).forEach(p =>
+      java.nio.file.Files.setLastModifiedTime(p, old))
+    resend.coalesce(1).write.mode("append").parquet(dir)
+    val store = new TableStore(spark,
+      Files.createTempDirectory("graft_cg4_st").toString)
+    val q = Streaming.containmentIngestGate(
+      spark.readStream.schema(pages.schema)
+        .option("maxFilesPerTrigger", 1).parquet(dir),
+      "text", "doc_id", store, "cpost", "cdf", "cgrams", "clean",
+      Files.createTempDirectory("graft_cg4_cp").toString, threshold = 0.8)
+    q.awaitTermination(120000)
+    val clean = store.read("clean").select("doc_id").as[Long].collect().sorted.toSeq
+    assert(clean == Seq(1L, 2L, 4L)) // id 1 exactly once — the resend was gated
+  }
+
+  test("containmentIngestGate banded = true: winnowed index, same gate " +
+      "semantics, fp-keyed tables") {
+    import graft.text.Dedup
+    val pages = Seq(
+      (1L, (1 to 40).map(i => "word" + i).mkString(" ")),
+      (2L, "a separate page about completely unrelated topics and things"))
+      .toDF("doc_id", "text")
+    val arrivals = Seq(
+      (3L, (1 to 12).map(i => "word" + i).mkString(" ")), // quote of doc 1
+      (4L, "genuinely novel content never seen in any earlier page today"))
+      .toDF("doc_id", "text")
+    val dir = Files.createTempDirectory("graft_cg5").toString
+    pages.coalesce(1).write.mode("append").parquet(dir)
+    val old = java.nio.file.attribute.FileTime.fromMillis(
+      System.currentTimeMillis() - 120000)
+    java.nio.file.Files.list(java.nio.file.Paths.get(dir)).forEach(p =>
+      java.nio.file.Files.setLastModifiedTime(p, old))
+    arrivals.coalesce(1).write.mode("append").parquet(dir)
+    val store = new TableStore(spark,
+      Files.createTempDirectory("graft_cg5_st").toString)
+    val q = Streaming.containmentIngestGate(
+      spark.readStream.schema(pages.schema)
+        .option("maxFilesPerTrigger", 1).parquet(dir),
+      "text", "doc_id", store, "fpost", "fdf", "cgrams", "clean",
+      Files.createTempDirectory("graft_cg5_cp").toString, threshold = 0.8,
+      banded = true)
     q.awaitTermination(120000)
     assert(store.read("clean").select("doc_id").as[Long].collect().sorted
-      .toSeq == Seq(1L, 2L))
+      .toSeq == Seq(1L, 2L, 4L)) // the quote (3) was gated out
+    // the index really is the winnowed one: fp-keyed postings + fp df
+    assert(store.read("fpost").columns.toSeq == Seq("fp", "id", "sz"))
+    assert(store.read("fdf").columns.sorted.toSeq == Seq("df", "fp"))
+    // and the banded probe answers a fresh quote exactly once
+    val probe = Dedup.containmentIncrementalBanded(store, "fpost", "fdf",
+        "cgrams",
+        Seq((5L, (1 to 12).map(i => "word" + i).mkString(" ")))
+          .toDF("doc_id", "text"),
+        "text", "doc_id", threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(probe == Seq((5L, 1L, 1.0)))
   }
 
   // ---- multimodal plumbing ----

@@ -718,6 +718,135 @@ class TextSimSpec extends AnyFunSuite {
     }
   }
 
+  test("containmentIncrementalBanded ⊆ exact probe; winnow-guaranteed " +
+      "quotes recovered; wrong-index probes fail fast on schema") {
+    val rnd = new scala.util.Random(41)
+    val corpus = (1L to 30L).map { i =>
+      (i, Seq.fill(20 + rnd.nextInt(10))("tok" + rnd.nextInt(60)).mkString(" "))
+    }.toDF("doc_id", "text")
+    // quotes: first 12 tokens of docs 1..5 (≥ w+n−1 = 10 → guaranteed
+    // shared fingerprint with the source), plus one novel doc
+    val batch = (1L to 5L).map { i =>
+      (i + 100L, corpus.where(col("doc_id") === i)
+        .select(concat_ws(" ", slice(split(col("text"), "\\s+"), 1, 12)))
+        .as[String].head())
+    }.toDF("doc_id", "text")
+      .unionByName(Seq((200L, "entirely novel content never seen before anywhere"))
+        .toDF("doc_id", "text"))
+    val store = new graft.store.TableStore(spark,
+      java.nio.file.Files.createTempDirectory("graft_inc_banded").toString)
+    Dedup.seedGramIndex(store, "postings", "dfs", "grams", corpus, "text", "doc_id")
+    Dedup.seedWinnowIndex(store, "fpost", "fdf", "grams2", corpus, "text", "doc_id")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val exact = rows(Dedup.containmentIncremental(store, "postings", "dfs",
+      "grams", batch, "text", "doc_id", threshold = 0.8))
+    val bandedP = rows(Dedup.containmentIncrementalBanded(store, "fpost", "fdf",
+      "grams2", batch, "text", "doc_id", threshold = 0.8))
+    // identical verify gate → banded is a subset of the recall-complete probe
+    assert(bandedP.subsetOf(exact), (bandedP -- exact).toString)
+    // the winnowing guarantee: every planted quote recovers its source at 1.0
+    (1L to 5L).foreach(i => assert(bandedP.contains((i + 100L, i, 1.0)), s"quote $i"))
+    assert(!bandedP.exists(_._1 == 200L))
+    // fp df DELTA-MERGES across seeds (invariant 10d, winnow index form)
+    val dfMax0 = store.read("fdf").agg(max("df")).as[Long].head()
+    Dedup.seedWinnowIndex(store, "fpost", "fdf", "grams2",
+      corpus.where(col("doc_id") === 1L), "text", "doc_id")
+    assert(store.read("fdf").agg(max("df")).as[Long].head() >= dfMax0 + 1)
+    // schema safety: the fp/gram key columns differ on purpose — probing
+    // a winnow index with the exact probe (or vice versa) fails at
+    // analysis instead of silently generating wrong candidates
+    intercept[org.apache.spark.sql.AnalysisException](
+      Dedup.containmentIncremental(store, "fpost", "fdf", "grams2",
+        batch, "text", "doc_id").collect())
+    intercept[org.apache.spark.sql.AnalysisException](
+      Dedup.containmentIncrementalBanded(store, "postings", "dfs", "grams",
+        batch, "text", "doc_id").collect())
+  }
+
+  test("guard override ergonomics: a probe-guard trip switches to the " +
+      "banded path at the same call site; raised budget gives identical pairs") {
+    // the documented escape hatches must actually compose (r13 verdict #6)
+    val txt = (1 to 20).map(i => "word" + i).mkString(" ")
+    val corpus = (1L to 12L).map(i => (i, txt)).toDF("doc_id", "text")
+    val batch = (100L to 105L).map(i => (i, txt)).toDF("doc_id", "text")
+    val store = new graft.store.TableStore(spark,
+      java.nio.file.Files.createTempDirectory("graft_ergo").toString)
+    Dedup.seedGramIndex(store, "p", "d", "g", corpus, "text", "doc_id")
+    Dedup.seedWinnowIndex(store, "fp", "fd", "g2", corpus, "text", "doc_id")
+    // 1. the gram-saturated corpus trips the recall-complete probe's guard
+    val e = intercept[IllegalArgumentException](
+      Dedup.containmentIncremental(store, "p", "d", "g", batch,
+        "text", "doc_id", maxProbeCandidatesPerPosting = 1))
+    assert(e.getMessage.contains("probe candidate volume"))
+    // 2. escape hatch A: the banded probe at the same call site — volume
+    // bounded by construction, every containment found (identical docs:
+    // whole-doc shared runs, fingerprints shared corpus-wide, df 12 ≤ cap)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val bandedP = rows(Dedup.containmentIncrementalBanded(store, "fp", "fd",
+      "g2", batch, "text", "doc_id"))
+    assert(bandedP.size == 72 && bandedP.forall(_._3 == 1.0))
+    // 3. escape hatch B: raised budget (here: disabled) on the exact probe
+    // — identical verified pairs on this under-budget-after-override corpus
+    val exact = rows(Dedup.containmentIncremental(store, "p", "d", "g",
+      batch, "text", "doc_id", maxProbeCandidatesPerPosting = 0))
+    assert(exact == bandedP)
+  }
+
+  test("containmentIncremental excludeCorpusIds: replay-scoped exclusion, " +
+      "not a blanket self-pair filter (r13 advice)") {
+    val corpus = Seq(
+      (1L, (1 to 40).map(i => "word" + i).mkString(" ")),
+      (2L, "some other page on a completely different unrelated topic"))
+      .toDF("doc_id", "text")
+    val store = new graft.store.TableStore(spark,
+      java.nio.file.Files.createTempDirectory("graft_excl").toString)
+    Dedup.seedGramIndex(store, "p", "d", "g", corpus, "text", "doc_id")
+    // the batch re-sends doc 1 VERBATIM (same id) and adds a quote of it
+    val batch = Seq(
+      (1L, (1 to 40).map(i => "word" + i).mkString(" ")),
+      (100L, (1 to 12).map(i => "word" + i).mkString(" ")))
+      .toDF("doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // NO exclusion (a doc legitimately re-sent in a later batch): the
+    // re-sent duplicate self-matches at 1.0 and IS flagged — a blanket
+    // self-pair filter would wave it through into the clean output
+    val plain = rows(Dedup.containmentIncremental(store, "p", "d", "g",
+      batch, "text", "doc_id"))
+    assert(plain == Set((1L, 1L), (100L, 1L)))
+    // replay exclusion (this batch already seeded doc 1): corpus doc 1
+    // leaves the candidate side entirely — the batch's internal pairs
+    // stay out of scope, matching the no-crash run
+    val excl = rows(Dedup.containmentIncremental(store, "p", "d", "g",
+      batch, "text", "doc_id",
+      excludeCorpusIds = Some(Seq(1L).toDF("id"))))
+    assert(excl == Set.empty)
+  }
+
+  test("keepRarestFallback floor admission is bounded: one key at the " +
+      "floor df when even the floor overflows the budget") {
+    // two 40-doc identical groups + 100 distinct docs: every group fp has
+    // df 40 (fully capped under the tiny budget), floor df² = 1600 >
+    // budget → the floor admits max(1, budget/df²) = 1 key — exactly ONE
+    // group's pairs come back (the unbounded pre-r14 floor admitted both)
+    val distinct = (1L to 100L).map(i =>
+      (i, (1 to 20).map(j => s"t${i}_$j").mkString(" ")))
+    val groupA = (200L until 240L).map(i =>
+      (i, (1 to 20).map(j => "alpha" + j).mkString(" ")))
+    val groupB = (300L until 340L).map(i =>
+      (i, (1 to 20).map(j => "beta" + j).mkString(" ")))
+    val df = (distinct ++ groupA ++ groupB).toDF("doc_id", "text")
+    val pairs = Dedup.containmentVerifiedPairs(df, "text", "doc_id",
+      threshold = 0.8, candidateBudgetPerPosting = 1,
+      minCandidateBudget = 1, keepRarestFallback = true)
+    // one group of 40 identical docs → 40·39 ordered pairs; both groups
+    // would be 3120 (the bound under test), none would be 0 (the floor's
+    // always-post contract under test)
+    assert(pairs.count() == 40L * 39L)
+  }
+
   test("containmentIncremental shuffles are batch-sized: exchange count is corpus-size-independent") {
     def seededProbe(nCorpusDocs: Int) = {
       val corpus = (1L to nCorpusDocs.toLong)
