@@ -31,6 +31,13 @@ import graft.text.Dedup
   */
 object RecallMeasure {
 
+  private def rowsJsonStr(tag: String,
+                          rows: Array[org.apache.spark.sql.Row]): String =
+    rows.map(r =>
+      s"""{"cls":"${r.getString(0)}","n_exact":${r.getLong(1)},""" +
+        s""""n_hit":${r.getLong(2)},"recall_x10000":${r.getLong(3)}}""")
+      .mkString(s""""$tag":[""", ",", "]")
+
   private def bandTally(exact: DataFrame, banded: DataFrame,
                         classCol: DataFrame => DataFrame): DataFrame = {
     val e = classCol(exact).select(col("id_a"), col("id_b"), col("__cls"),
@@ -67,6 +74,13 @@ object RecallMeasure {
     // the scattered-chunk class from probabilistic to guaranteed
     // (modulo the df cap), at ~2/(w+1) fingerprint density (cost)
     val winnowW = if (args.length > 5) args(5).toInt else 8
+    // 7th arg "inc": also measure the INCREMENTAL banded probe
+    // (containmentIncrementalBanded over a seeded winnow index) against
+    // the exact incremental probe — the banded probe's adaptive cap is a
+    // DIFFERENT cut than the batch generator's (Σ df over batch
+    // fingerprints vs Σ df²·keys corpus-wide), so its recall is measured
+    // separately, not inferred
+    val incLeg = args.length > 6 && args(6) == "inc"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors().toString)
     val spark = SparkSession.builder()
@@ -128,13 +142,38 @@ object RecallMeasure {
     exactC.join(bandedC, Seq("id_a", "id_b"), "left_anti")
       .write.mode("overwrite").parquet(outPath + ".missed.parquet")
 
-    def rowsJson(tag: String, rows: Array[org.apache.spark.sql.Row]): String =
-      rows.map(r =>
-        s"""{"cls":"${r.getString(0)}","n_exact":${r.getLong(1)},""" +
-          s""""n_hit":${r.getLong(2)},"recall_x10000":${r.getLong(3)}}""")
-        .mkString(s""""$tag":[""", ",", "]")
-    val json = "{" + rowsJson("minhash_banding_by_jband", jRows) + "," +
-      rowsJson("containment_winnow_by_class", cRows) +
+    // ---- incremental banded probe recall (opt-in; corpus seeded once,
+    // planted quote batches probe both indexes)
+    val incJson = if (!incLeg) "" else {
+      val store = new graft.store.TableStore(spark,
+        java.nio.file.Files.createTempDirectory("graft_recall_inc").toString)
+      Dedup.seedGramIndex(store, "p", "d", "g", docs, "text", "doc_id")
+      Dedup.seedWinnowIndex(store, "fp", "fd", "g2", docs, "text", "doc_id",
+        w = winnowW)
+      val batch = contiguous.unionByName(scattered).localCheckpoint()
+      val exactInc = Dedup.containmentIncremental(store, "p", "d", "g",
+          batch, "text", "doc_id", threshold = 0.8,
+          maxProbeCandidatesPerPosting = 0)
+        .select(col("probe_id").as("id_a"), col("id").as("id_b"))
+        .localCheckpoint()
+      val t1 = System.nanoTime()
+      val bandedInc = Dedup.containmentIncrementalBanded(store, "fp", "fd",
+          "g2", batch, "text", "doc_id", w = winnowW, threshold = 0.8,
+          candidateBudgetPerPosting = budget)
+        .select(col("probe_id").as("id_a"), col("id").as("id_b"))
+        .localCheckpoint()
+      val incMs = (System.nanoTime() - t1) / 1000000L
+      val rows = bandTally(exactInc, bandedInc,
+        e => e.withColumn("__cls",
+          when(col("id_a") >= 3000000L, "planted_scattered")
+            .otherwise("planted_contiguous")))
+        .collect()
+      "," + rowsJsonStr("incremental_banded_by_class", rows) +
+        s""","banded_inc_ms":$incMs"""
+    }
+
+    val json = "{" + rowsJsonStr("minhash_banding_by_jband", jRows) + "," +
+      rowsJsonStr("containment_winnow_by_class", cRows) + incJson +
       s""","winnow_budget_per_posting":$budget,"rarest_fallback":$fallback,""" +
       s""""minhash_bands":$bands,"winnow_w":$winnowW,""" +
       s""""banded_containment_ms":$bandedMs,"sf_dir":"$srcDir"}"""

@@ -293,14 +293,32 @@ object Streaming {
     * refuses at sf10 volumes by design (BASELINE.md r13 addendum), while
     * the banded probe's volume is batch-bounded by construction, at the
     * winnowing recall contract (contiguous runs ≥ w+n−1 tokens,
-    * deterministic modulo the df cap). */
+    * deterministic modulo the df cap).
+    *
+    * `compactEvery > 0` runs store compaction over the four
+    * append-accumulating tables (postings, gram arrays, seed log, clean)
+    * every that-many batches — the LSM-style maintenance leg: file-level
+    * appends add one file per table per trigger, and after thousands of
+    * triggers listing + footer reads dominate the probe's map-only scans.
+    * Compaction rewrites the accumulated table (corpus-sized — the very
+    * cost appendFiles avoids per trigger), so the amortized extra cost is
+    * O(corpus / compactEvery) per trigger; it runs AFTER the clean commit,
+    * so a crash mid-compaction replays into the alreadyApplied short-
+    * circuit and the next compaction boundary retries — maintenance is
+    * best-effort, never correctness-bearing (seed-log/guard reads are
+    * version-agnostic). The per-trigger seed-log read is cheap either
+    * way: uncompacted, its `applied_batch = batchId` filter pushes down
+    * and single-batch appended files skip on footer min/max; compacted,
+    * it degrades to the same narrow two-column corpus scan the clean
+    * table's replay-guard aggregate already pays. */
   def containmentIngestGate(arrivals: DataFrame, textCol: String,
                             idCol: String, store: TableStore,
                             postingsTable: String, dfTable: String,
                             gramsTable: String, cleanTable: String,
                             checkpoint: String, threshold: Double = 0.8,
                             n: Int = 3, banded: Boolean = false,
-                            w: Int = 8, dfCap: Long = 4096): StreamingQuery =
+                            w: Int = 8, dfCap: Long = 4096,
+                            compactEvery: Int = 0): StreamingQuery =
     arrivals.writeStream
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", checkpoint)
@@ -384,6 +402,16 @@ object Streaming {
               .withColumn("applied_ckpt", lit(checkpoint))
             if (store.exists(cleanTable)) store.appendFiles(cleanTable, guarded)
             else store.overwrite(cleanTable, guarded, primaryKeys = Seq(idCol))
+          }
+          // best-effort file-count maintenance AFTER the clean commit
+          // (crash here replays into the alreadyApplied no-op) — see
+          // the compactEvery Scaladoc for the amortization math
+          if (compactEvery > 0 && batchId % compactEvery == compactEvery - 1) {
+            val nFiles = math.max(1,
+              batch.sparkSession.sparkContext.defaultParallelism)
+            Seq(postingsTable, gramsTable, seedLog, cleanTable)
+              .filter(store.exists)
+              .foreach(t => store.compact(t, n = nFiles))
           }
         }
       }

@@ -485,6 +485,52 @@ class StreamingMultimodalSpec extends AnyFunSuite {
     assert(clean == Seq(1L, 2L, 4L)) // id 1 exactly once — the resend was gated
   }
 
+  test("containmentIngestGate compactEvery: version history pruned, index " +
+      "still probes correctly after compaction") {
+    // four single-doc batches with compactEvery = 2: compaction fires
+    // after batches 1 and 3 — append-only versions are reconciled
+    // (retain 2) and the compacted index must keep answering probes
+    val docs = (1L to 4L).map(i =>
+      (i, (1 to 30).map(j => s"page${i}word$j").mkString(" ")))
+    val dir = Files.createTempDirectory("graft_cg6").toString
+    docs.zipWithIndex.foreach { case (d, i) =>
+      Seq(d).toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(dir)
+      val cutoff = System.currentTimeMillis() - (4 - i).toLong * 60000
+      java.nio.file.Files.list(java.nio.file.Paths.get(dir)).forEach { p =>
+        if (java.nio.file.Files.getLastModifiedTime(p).toMillis > cutoff)
+          java.nio.file.Files.setLastModifiedTime(p,
+            java.nio.file.attribute.FileTime.fromMillis(cutoff))
+      }
+    }
+    val storeRoot = Files.createTempDirectory("graft_cg6_st").toString
+    val store = new TableStore(spark, storeRoot)
+    val q = Streaming.containmentIngestGate(
+      spark.readStream.schema(Seq((1L, "x")).toDF("doc_id", "text").schema)
+        .option("maxFilesPerTrigger", 1).parquet(dir),
+      "text", "doc_id", store, "cpost", "cdf", "cgrams", "clean",
+      Files.createTempDirectory("graft_cg6_cp").toString, threshold = 0.8,
+      compactEvery = 2)
+    q.awaitTermination(120000)
+    assert(store.read("clean").select("doc_id").as[Long].collect().sorted
+      .toSeq == Seq(1L, 2L, 3L, 4L)) // all novel — everything kept
+    // compaction reconciled versions: append-only alone would retain every
+    // v=N dir (4+ per table); compact prunes to its retain window
+    import scala.jdk.CollectionConverters._
+    val vCount = java.nio.file.Files
+      .list(java.nio.file.Paths.get(storeRoot, "cpost"))
+      .iterator().asScala
+      .count(_.getFileName.toString.startsWith("v="))
+    assert(vCount <= 3, s"expected pruned version history, found $vCount dirs")
+    // the compacted index still answers: a quote of doc 2 is gated
+    val probe = graft.text.Dedup.containmentIncremental(store,
+        "cpost", "cdf", "cgrams",
+        Seq((9L, (1 to 12).map(j => s"page2word$j").mkString(" ")))
+          .toDF("doc_id", "text"),
+        "text", "doc_id", threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(probe == Seq((9L, 2L)))
+  }
+
   test("containmentIngestGate banded = true: winnowed index, same gate " +
       "semantics, fp-keyed tables") {
     import graft.text.Dedup
