@@ -984,6 +984,15 @@ object Oracles {
         |FROM documents WHERE doc_id < 50 AND doc_id % 4 != 0
         |ORDER BY doc_id""".stripMargin,
 
+    // planted recovery, deterministic: pigeonhole chunking is
+    // recall-COMPLETE for Hamming <= 10 and the one-token-edit markers
+    // measure <= 9 from their sources (q_dedup_simhash_pairs contract)
+    "q_dedup_inc_simhash" ->
+      """SELECT doc_id + 20000 AS doc_id,
+        |  true AS dup_of_corpus, false AS kept
+        |FROM documents WHERE doc_id < 50
+        |ORDER BY doc_id""".stripMargin,
+
     "q_pack_chunks" ->
       """WITH d AS (SELECT doc_id,
         |    len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens

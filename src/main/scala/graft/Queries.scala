@@ -1641,6 +1641,28 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** SimHash INCREMENTAL near-dedup ([[graft.text.Dedup.simhashIncremental]]):
+    * the corpus's 8-byte simhashes are seeded once, then the one-token-edit
+    * marker batch (ids +20000) probes them map-only. Recovery is
+    * DETERMINISTIC, not probabilistic — pigeonhole chunking is
+    * recall-complete for Hamming ≤ 10 and the planted markers measure ≤ 9
+    * from their sources at both oracle SFs (the green
+    * [[qDedupSimhashPairs]] condition on the same pairs) — so every
+    * marker flags `dup_of_corpus` and `kept` is false everywhere. */
+  def qDedupIncSimhash(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val batch = d.where(col("doc_id") < 50)
+      .withColumn("doc_id", col("doc_id") + 20000)
+      .withColumn("text", concat(col("text"), lit(" graftmarker")))
+    val store = new graft.store.TableStore(s,
+      java.nio.file.Files.createTempDirectory("graft_inc_sh").toString)
+    Dedup.seedSimhashes(store, "shs", d, "text", "doc_id")
+    Dedup.simhashIncremental(store, "shs", batch, "text", "doc_id",
+        maxHamming = 10)
+      .select("doc_id", "dup_of_corpus", "kept")
+      .orderBy("doc_id")
+  }
+
   def qSimBruteForce(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
     Similarity.bruteForceTopK(emb, emb.where(col("vec_id") < 5),
@@ -3144,6 +3166,7 @@ object Queries {
     "q_text_classifier" -> (qTextClassifier _),
     "q_dedup_inc_exact" -> (qDedupIncExact _),
     "q_dedup_inc_minhash" -> (qDedupIncMinhash _),
+    "q_dedup_inc_simhash" -> (qDedupIncSimhash _),
     "q_text_decontaminate" -> (qTextDecontaminate _),
     "q_pack_chunks" -> (qPackChunks _),
     "q_pack_shards" -> (qPackShards _),

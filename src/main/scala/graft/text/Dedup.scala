@@ -713,28 +713,36 @@ object Dedup {
     * d narrows the chunk keys (64/(d+1) bits), growing bucket occupancy —
     * the inherent simhash trade-off, so keep d small at corpus scale.
     * Full distance is verified within buckets only. */
-  def simhashPairs(df: DataFrame, textCol: String, idCol: String,
-                   maxHamming: Int = 3): DataFrame = {
+  /** Exploded (chunk, key) pigeonhole buckets of a 64-bit simhash under
+    * `maxHamming`: d+1 chunks, so any pair within Hamming distance d
+    * shares at least one EQUAL chunk — recall-complete candidate keys
+    * (Manku WWW'07), shared by [[simhashPairs]] and
+    * [[simhashIncremental]]. */
+  private def simhashChunks(sh: Column, maxHamming: Int): Column = {
     require(maxHamming >= 0 && maxHamming < 16,
       s"maxHamming=$maxHamming out of range: chunk keys would be under 4 bits")
     val chunks = maxHamming + 1
     val base = 64 / chunks
     val widths = (0 until chunks).map(c => if (c < 64 % chunks) base + 1 else base)
     val offsets = widths.scanLeft(0)(_ + _)
+    explode(array((0 until chunks).map { c =>
+      // width 64 (maxHamming=0, exact-hash grouping): JVM shifts are
+      // mod 64, so (1L<<64)-1 would be 0 — mask with all-ones instead
+      val mask = if (widths(c) >= 64) -1L else (1L << widths(c)) - 1
+      struct(lit(c).as("chunk"),
+        shiftright(sh, offsets(c)).bitwiseAND(lit(mask)).as("key"))
+    }: _*))
+  }
+
+  def simhashPairs(df: DataFrame, textCol: String, idCol: String,
+                   maxHamming: Int = 3): DataFrame = {
     graft.functions.GraftFunctions.register(df.sparkSession)
     val withSh = df
       .withColumn("__sh",
         call_function("graft_simhash", tokensCol(col(textCol), keepAccents = false)))
       .select(col(idCol).as("__id"), col("__sh"))
     val chunked = withSh.select(col("__id"), col("__sh"),
-      explode(array((0 until chunks).map { c =>
-        // width 64 (maxHamming=0, exact-hash grouping): JVM shifts are
-        // mod 64, so (1L<<64)-1 would be 0 — mask with all-ones instead
-        val mask = if (widths(c) >= 64) -1L else (1L << widths(c)) - 1
-        struct(lit(c).as("chunk"),
-          shiftright(col("__sh"), offsets(c))
-            .bitwiseAND(lit(mask)).as("key"))
-      }: _*)).as("__c"))
+      simhashChunks(col("__sh"), maxHamming).as("__c"))
       .select(col("__id"), col("__sh"), col("__c.chunk"), col("__c.key"))
       // pre-shuffle before aliasing → one reused Exchange (see minhashLsh)
       .repartition(col("chunk"), col("key"))
@@ -745,6 +753,87 @@ object Dedup {
       // filter before the pair-dedup (hamming is pair-pure; see minhashPairs)
       .where(col("hamming") <= maxHamming)
       .dropDuplicates("id_a", "id_b")
+  }
+
+  /** Register every document's 64-bit SimHash in the store — the bulk
+    * corpus-onboarding step ahead of [[simhashIncremental]] batches
+    * (8 bytes/doc of state, one corpus pass; the simhash sibling of
+    * [[seedMinhashSignatures]]). One row per doc, PK `id`. */
+  def seedSimhashes(store: graft.store.TableStore, shTable: String,
+                    corpus: DataFrame, textCol: String, idCol: String,
+                    buckets: Int = 0): Unit = {
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
+    val rows = corpus.select(col(idCol).cast("long").as("id"),
+      call_function("graft_simhash",
+        tokensCol(col(textCol), keepAccents = false)).as("sh"))
+    if (store.exists(shTable)) store.upsert(shTable, rows, Seq("id"))
+    else store.overwrite(shTable, rows, primaryKeys = Seq("id"), buckets = buckets)
+  }
+
+  /** SimHash INCREMENTAL near-dedup: flag a new batch against the
+    * persisted per-doc simhash store ([[seedSimhashes]]) — the
+    * ingest-time form of [[simhashPairs]], completing the incremental
+    * dedup family (exact / minhash / containment / simhash). Unlike the
+    * minhash form its candidate stage is RECALL-COMPLETE, not
+    * probabilistic: d+1 pigeonhole chunks guarantee any within-radius
+    * pair shares an equal chunk key, so a batch doc is flagged
+    * `dup_of_corpus` iff a stored doc is truly within `maxHamming`;
+    * within the batch the greedy smaller-id-wins rule applies among
+    * non-corpus-dup rows (the [[minhashIncremental]] decision shape).
+    *
+    * Scale: stored simhashes (8 bytes/doc, ~1/10⁵ of corpus text bytes)
+    * stream MAP-ONLY — the chunk explode is narrow (d+1 rows per stored
+    * doc), the batch chunk table broadcasts (batch-sized by contract),
+    * and only colliding candidates reach the Hamming verify; the corpus
+    * is never re-read, re-tokenized, or shuffled. Within-batch
+    * resolution self-joins only the batch. Kept rows' simhashes upsert
+    * (PK id) so the next batch sees them.
+    *
+    * Returns the batch plus `dup_of_corpus` and `kept`. */
+  def simhashIncremental(store: graft.store.TableStore, shTable: String,
+                         batch: DataFrame, textCol: String, idCol: String,
+                         maxHamming: Int = 3, buckets: Int = 0): DataFrame = {
+    graft.functions.GraftFunctions.register(batch.sparkSession)
+    val bsh = batch.withColumn("__sh",
+      call_function("graft_simhash",
+        tokensCol(col(textCol), keepAccents = false)))
+    val batchChunks = bsh
+      .select(col(idCol).cast("long").as("new_id"), col("__sh").as("sh_new"),
+        simhashChunks(col("__sh"), maxHamming).as("__c"))
+      .select(col("new_id"), col("sh_new"),
+        col("__c.chunk").as("chunk"), col("__c.key").as("key"))
+    val corpusDupIds =
+      if (store.exists(shTable)) {
+        val stored = store.read(shTable)
+        graft.functions.GraftFunctions.register(stored.sparkSession)
+        stored.select(col("id").as("old_id"), col("sh").as("sh_b"),
+            simhashChunks(col("sh"), maxHamming).as("__c"))
+          .select(col("old_id"), col("sh_b"),
+            col("__c.chunk").as("chunk"), col("__c.key").as("key"))
+          .join(broadcast(batchChunks), Seq("chunk", "key"))
+          .where(hammingDist(col("sh_new"), col("sh_b")) <= maxHamming)
+          .select(col("new_id")).distinct().withColumn("__cd", lit(true))
+      } else batchChunks.select(col("new_id")).limit(0).withColumn("__cd", lit(true))
+    // within-batch greedy resolution (simhashPairs rule), batch-sized
+    val bb = batchChunks.repartition(col("chunk"), col("key"))
+    val a = bb.select(col("chunk"), col("key"), col("new_id").as("id_a"), col("sh_new").as("sh_a"))
+    val b = bb.select(col("chunk"), col("key"), col("new_id").as("id_b"), col("sh_new").as("sh_b"))
+    val batchDupIds = a.join(b.hint("shuffle_hash"), Seq("chunk", "key"))
+      .where(col("id_a") < col("id_b"))
+      .where(hammingDist(col("sh_a"), col("sh_b")) <= maxHamming)
+      .select(col("id_b").as("new_id")).distinct().withColumn("__bd", lit(true))
+    val flagged = bsh
+      .withColumn("new_id", col(idCol).cast("long"))
+      .join(broadcast(corpusDupIds), Seq("new_id"), "left")
+      .join(broadcast(batchDupIds), Seq("new_id"), "left")
+      .withColumn("dup_of_corpus", coalesce(col("__cd"), lit(false)))
+      .withColumn("kept", !col("dup_of_corpus") && coalesce(col("__bd"), lit(false)) === false)
+      .localCheckpoint() // one materialization for store write + caller (inv. 7)
+    val survivors = flagged.where(col("kept"))
+      .select(col("new_id").as("id"), col("__sh").as("sh"))
+    if (store.exists(shTable)) store.upsert(shTable, survivors, Seq("id"))
+    else store.overwrite(shTable, survivors, primaryKeys = Seq("id"), buckets = buckets)
+    flagged.drop("new_id", "__sh", "__cd", "__bd")
   }
 
   // ----------------------------------------------------- n-gram jaccard

@@ -847,6 +847,74 @@ class TextSimSpec extends AnyFunSuite {
     assert(pairs.count() == 40L * 39L)
   }
 
+  test("simhashIncremental: within-radius batch docs flagged against the " +
+      "store (recall-complete), survivors registered for the next batch") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog and runs far away home"),
+      (2L, "completely different content about spark query engines and shuffles"))
+      .toDF("doc_id", "text")
+    val store = new graft.store.TableStore(spark,
+      java.nio.file.Files.createTempDirectory("graft_inc_sh").toString)
+    Dedup.seedSimhashes(store, "shs", corpus, "text", "doc_id")
+    val batch = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog and runs far away now"), // near-dup of 1
+      (101L, "a wholly novel page on streaming state stores and watermarks today"),
+      (102L, "a wholly novel page on streaming state stores and watermarks now")) // near-dup of 101 WITHIN the batch
+      .toDF("doc_id", "text")
+    val got = Dedup.simhashIncremental(store, "shs", batch, "text", "doc_id",
+        maxHamming = 10)
+      .select("doc_id", "dup_of_corpus", "kept")
+      .collect().map(r => (r.getLong(0), r.getBoolean(1), r.getBoolean(2))).toSet
+    assert(got == Set((100L, true, false), (101L, false, true),
+      (102L, false, false))) // 102 loses within-batch to smaller id 101
+    // the survivor registered: a replay of 101's text now flags as corpus dup
+    val again = Dedup.simhashIncremental(store, "shs",
+        Seq((200L, "a wholly novel page on streaming state stores and watermarks today"))
+          .toDF("doc_id", "text"), "text", "doc_id", maxHamming = 10)
+      .select("dup_of_corpus").as[Boolean].collect().toSeq
+    assert(again == Seq(true))
+    // corpus probe is map-only (the minhashIncremental contract): growing
+    // the corpus must not change the exchange count
+    def probeOn(n: Int) = {
+      val c = (1L to n.toLong).map(i =>
+        (i, (1 to 15).map(j => s"s${i}_$j").mkString(" "))).toDF("doc_id", "text")
+      val st = new graft.store.TableStore(spark,
+        java.nio.file.Files.createTempDirectory("graft_inc_sh_plan").toString)
+      Dedup.seedSimhashes(st, "shs", c, "text", "doc_id")
+      Dedup.simhashIncremental(st, "shs",
+        Seq((900L, (1 to 15).map(j => s"s3_$j").mkString(" "))).toDF("doc_id", "text"),
+        "text", "doc_id")
+    }
+    val small = probeOn(4); val big = probeOn(16)
+    small.collect(); big.collect()
+    assert(graft.ops.Scale.countExchanges(small) ==
+      graft.ops.Scale.countExchanges(big))
+  }
+
+  test("containmentIncrementalBanded shuffles are batch-sized: exchange " +
+      "count is corpus-size-independent") {
+    def seededProbe(nCorpusDocs: Int) = {
+      val corpus = (1L to nCorpusDocs.toLong)
+        .map(i => (i, (1 to 25).map(j => s"w${i}_$j").mkString(" ")))
+        .toDF("doc_id", "text")
+      val store = new graft.store.TableStore(spark,
+        java.nio.file.Files.createTempDirectory("graft_banded_plan").toString)
+      Dedup.seedWinnowIndex(store, "fp", "fd", "g", corpus, "text", "doc_id")
+      val batch = Seq((900L, (1 to 12).map(j => s"w3_$j").mkString(" ")))
+        .toDF("doc_id", "text")
+      Dedup.containmentIncrementalBanded(store, "fp", "fd", "g", batch,
+        "text", "doc_id")
+    }
+    val small = seededProbe(5); val big = seededProbe(20)
+    small.collect(); big.collect() // finalize (invariant 8)
+    val (nS, nB) = (graft.ops.Scale.countExchanges(small),
+      graft.ops.Scale.countExchanges(big))
+    assert(nS == nB, s"corpus growth changed the shuffle count: $nS vs $nB")
+    // every corpus table rides a broadcast probe; only batch-derived
+    // subtrees (fp explode, candidate dedup) shuffle
+    assert(nB <= 4, s"expected batch-sized shuffles only, got $nB")
+  }
+
   test("containmentIncremental shuffles are batch-sized: exchange count is corpus-size-independent") {
     def seededProbe(nCorpusDocs: Int) = {
       val corpus = (1L to nCorpusDocs.toLong)
