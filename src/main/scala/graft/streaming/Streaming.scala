@@ -324,39 +324,9 @@ object Streaming {
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val existing = if (store.exists(cleanTable))
-          Some(store.read(cleanTable)) else None
-        // ONE combined guard aggregate (two separate actions would scan
-        // the accumulated clean table twice per trigger); the scan reads
-        // only the two narrow guard columns via parquet pruning. Legacy
-        // tables without the guard columns are schema-checked, not
-        // blindly aggregated (AnalysisException otherwise) — they then
-        // fail fast in appendFiles' exact-schema contract.
-        val guard = existing
-          .filter(t => t.columns.contains("applied_ckpt") &&
-            t.columns.contains("applied_batch"))
-          .map(t => t.agg(max("applied_ckpt"), max("applied_batch")).head())
-        guard.filter(!_.isNullAt(0)).foreach { g =>
-          if (g.getString(0) != checkpoint)
-            throw new IllegalStateException(
-              s"clean table '$cleanTable' was accumulated under " +
-                s"checkpoint '${g.getString(0)}' but this query runs " +
-                s"under '$checkpoint' — resume with the original " +
-                "checkpoint dir, or start a fresh clean table.")
-        }
-        val alreadyApplied =
-          guard.exists(g => !g.isNullAt(1) && g.getLong(1) >= batchId)
-        if (!alreadyApplied) {
+        if (!replayApplied(store, cleanTable, checkpoint, batchId)) {
           val seedLog = cleanTable + "__seedlog"
-          // the ids a CRASHED earlier attempt of THIS batch already
-          // seeded — excluded from the probe's corpus side so the
-          // replayed survivor set equals the no-crash one (see Scaladoc)
-          val excl =
-            if (!store.exists(seedLog)) None
-            else Some(store.read(seedLog)
-              .where(col("applied_ckpt") === checkpoint &&
-                col("applied_batch") === batchId)
-              .select(col("id")))
+          val excl = seedLogExclusion(store, seedLog, checkpoint, batchId)
           val kept =
             if (!store.exists(postingsTable)) batch
             else {
@@ -380,16 +350,7 @@ object Streaming {
           // must finish BEFORE the seed log commits below
           val keptP = kept.select(col(idCol), col(textCol)).localCheckpoint()
           if (!keptP.isEmpty) {
-            // SEED LOG FIRST: commit "this batch seeded these ids"
-            // before any index append, so a crash anywhere after this
-            // point replays with the exclusion set already in place (a
-            // log write with no seed behind it is a harmless no-op
-            // exclusion — the corpus holds no such rows yet)
-            val logRows = keptP.select(col(idCol).cast("long").as("id"))
-              .withColumn("applied_batch", lit(batchId))
-              .withColumn("applied_ckpt", lit(checkpoint))
-            if (store.exists(seedLog)) store.appendFiles(seedLog, logRows)
-            else store.overwrite(seedLog, logRows, primaryKeys = Seq("id"))
+            appendSeedLog(store, seedLog, keptP, idCol, checkpoint, batchId)
             if (banded)
               graft.text.Dedup.seedWinnowIndex(store, postingsTable,
                 dfTable, gramsTable, keptP, textCol, idCol, n = n, w = w,
@@ -397,25 +358,156 @@ object Streaming {
             else
               graft.text.Dedup.seedGramIndex(store, postingsTable, dfTable,
                 gramsTable, keptP, textCol, idCol, n = n, appendOnly = true)
-            val guarded = keptP
-              .withColumn("applied_batch", lit(batchId))
-              .withColumn("applied_ckpt", lit(checkpoint))
-            if (store.exists(cleanTable)) store.appendFiles(cleanTable, guarded)
-            else store.overwrite(cleanTable, guarded, primaryKeys = Seq(idCol))
+            appendGuarded(store, cleanTable, keptP, idCol, checkpoint, batchId)
           }
-          // best-effort file-count maintenance AFTER the clean commit
-          // (crash here replays into the alreadyApplied no-op) — see
-          // the compactEvery Scaladoc for the amortization math
-          if (compactEvery > 0 && batchId % compactEvery == compactEvery - 1) {
-            val nFiles = math.max(1,
-              batch.sparkSession.sparkContext.defaultParallelism)
-            Seq(postingsTable, gramsTable, seedLog, cleanTable)
-              .filter(store.exists)
-              .foreach(t => store.compact(t, n = nFiles))
-          }
+          maybeCompact(store, compactEvery, batchId, batch,
+            Seq(postingsTable, gramsTable, seedLog, cleanTable))
         }
       }
       .start()
+
+  /** Shared foreachBatch replay guard of the ingest gates: ONE combined
+    * aggregate over the clean table's two narrow guard columns (parquet
+    * pruning keeps the scan cheap); a checkpoint mismatch fails fast
+    * (batchIds are only monotonic within one checkpoint — a bare
+    * `>= batchId` check against a table accumulated under an older
+    * checkpoint would silently drop every new batch); legacy tables
+    * without the guard columns are schema-checked, not blindly
+    * aggregated. Returns true when this batch already committed. */
+  private def replayApplied(store: TableStore, cleanTable: String,
+                            checkpoint: String, batchId: Long): Boolean = {
+    val guard = (if (store.exists(cleanTable)) Some(store.read(cleanTable))
+      else None)
+      .filter(t => t.columns.contains("applied_ckpt") &&
+        t.columns.contains("applied_batch"))
+      .map(t => t.agg(max("applied_ckpt"), max("applied_batch")).head())
+    guard.filter(!_.isNullAt(0)).foreach { g =>
+      if (g.getString(0) != checkpoint)
+        throw new IllegalStateException(
+          s"clean table '$cleanTable' was accumulated under " +
+            s"checkpoint '${g.getString(0)}' but this query runs " +
+            s"under '$checkpoint' — resume with the original " +
+            "checkpoint dir, or start a fresh clean table.")
+    }
+    guard.exists(g => !g.isNullAt(1) && g.getLong(1) >= batchId)
+  }
+
+  /** The ids a CRASHED earlier attempt of THIS (checkpoint, batch) already
+    * seeded — the replayed probe excludes exactly them so the survivor set
+    * equals the no-crash one (`excludeCorpusIds` on the incremental
+    * probes). */
+  private def seedLogExclusion(store: TableStore, seedLog: String,
+                               checkpoint: String,
+                               batchId: Long): Option[DataFrame] =
+    if (!store.exists(seedLog)) None
+    else Some(store.read(seedLog)
+      .where(col("applied_ckpt") === checkpoint &&
+        col("applied_batch") === batchId)
+      .select(col("id")))
+
+  /** SEED LOG FIRST: commit "this batch seeded these ids" before any index
+    * append, so a crash anywhere after this point replays with the
+    * exclusion set already in place (a log write with no seed behind it is
+    * a harmless no-op exclusion — the corpus holds no such rows yet). */
+  private def appendSeedLog(store: TableStore, seedLog: String,
+                            keptP: DataFrame, idCol: String,
+                            checkpoint: String, batchId: Long): Unit = {
+    val logRows = keptP.select(col(idCol).cast("long").as("id"))
+      .withColumn("applied_batch", lit(batchId))
+      .withColumn("applied_ckpt", lit(checkpoint))
+    if (store.exists(seedLog)) store.appendFiles(seedLog, logRows)
+    else store.overwrite(seedLog, logRows, primaryKeys = Seq("id"))
+  }
+
+  /** Clean-output append with the (checkpoint, batchId) replay guard
+    * riding its rows — commits atomically with the store's single
+    * meta-pointer write. */
+  private def appendGuarded(store: TableStore, cleanTable: String,
+                            keptP: DataFrame, idCol: String,
+                            checkpoint: String, batchId: Long): Unit = {
+    val guarded = keptP
+      .withColumn("applied_batch", lit(batchId))
+      .withColumn("applied_ckpt", lit(checkpoint))
+    if (store.exists(cleanTable)) store.appendFiles(cleanTable, guarded)
+    else store.overwrite(cleanTable, guarded, primaryKeys = Seq(idCol))
+  }
+
+  /** Best-effort file-count maintenance AFTER the clean commit (a crash
+    * here replays into the alreadyApplied no-op) — see the compactEvery
+    * Scaladoc for the amortization math. */
+  private def maybeCompact(store: TableStore, compactEvery: Int,
+                           batchId: Long, batch: DataFrame,
+                           tables: Seq[String]): Unit =
+    if (compactEvery > 0 && batchId % compactEvery == compactEvery - 1) {
+      val nFiles = math.max(1,
+        batch.sparkSession.sparkContext.defaultParallelism)
+      tables.filter(store.exists).foreach(t => store.compact(t, n = nFiles))
+    }
+
+  /** NEAR-DUP INGEST GATE: the [[containmentIngestGate]] protocol with a
+    * near-duplicate probe instead of containment — each arriving
+    * micro-batch is probed against the persisted signature store, corpus
+    * near-dups AND within-batch near-dups (greedy smaller-id-wins, the
+    * batch dedup rule — deterministic, so replays agree) are dropped,
+    * survivors seed the store APPEND-ONLY (O(batch) written per trigger;
+    * the probes are duplicate-tolerant by construction) and append to
+    * `cleanTable` under the same (checkpoint, batchId) replay guard, seed
+    * log, and `compactEvery` maintenance as the containment gate.
+    *
+    * `method = "minhash"`: banding candidates at `1 − (1 − j^r)^b` recall,
+    * estimated-Jaccard `threshold` — the web-scale near-dedup default
+    * (state ~8·numHashes bytes/doc). `method = "simhash"`: pigeonhole
+    * chunks, RECALL-COMPLETE within `maxHamming` (state 8 bytes/doc) —
+    * the cheaper, exactness-guaranteed radius form. Both probe the corpus
+    * store MAP-ONLY per trigger. */
+  def nearDupIngestGate(arrivals: DataFrame, textCol: String, idCol: String,
+                        store: TableStore, sigTable: String,
+                        cleanTable: String, checkpoint: String,
+                        method: String = "minhash",
+                        numHashes: Int = 64, bands: Int = 16,
+                        threshold: Double = 0.8, maxHamming: Int = 3,
+                        compactEvery: Int = 0): StreamingQuery = {
+    require(method == "minhash" || method == "simhash",
+      s"unknown near-dup method '$method' (minhash | simhash)")
+    arrivals.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!replayApplied(store, cleanTable, checkpoint, batchId)) {
+          val seedLog = cleanTable + "__seedlog"
+          val excl = seedLogExclusion(store, seedLog, checkpoint, batchId)
+          // registerSurvivors = false: the gate owns write ORDER (seed log
+          // must commit before any signature append) and write ECONOMICS
+          // (append-only, not the probe's default PK upsert)
+          val flagged =
+            if (method == "minhash")
+              graft.text.Dedup.minhashIncremental(store, sigTable, batch,
+                textCol, idCol, numHashes = numHashes, bands = bands,
+                threshold = threshold, excludeCorpusIds = excl,
+                registerSurvivors = false)
+            else
+              graft.text.Dedup.simhashIncremental(store, sigTable, batch,
+                textCol, idCol, maxHamming = maxHamming,
+                excludeCorpusIds = excl, registerSurvivors = false)
+          val keptP = flagged.where(col("kept"))
+            .select(col(idCol), col(textCol)).localCheckpoint()
+          if (!keptP.isEmpty) {
+            appendSeedLog(store, seedLog, keptP, idCol, checkpoint, batchId)
+            if (method == "minhash")
+              graft.text.Dedup.seedMinhashSignatures(store, sigTable, keptP,
+                textCol, idCol, numHashes = numHashes, appendOnly = true)
+            else
+              graft.text.Dedup.seedSimhashes(store, sigTable, keptP,
+                textCol, idCol, appendOnly = true)
+            appendGuarded(store, cleanTable, keptP, idCol, checkpoint, batchId)
+          }
+          maybeCompact(store, compactEvery, batchId, batch,
+            Seq(sigTable, seedLog, cleanTable))
+        }
+      }
+      .start()
+  }
 
   /** Continuous feature refresh: each micro-batch upserts into the store by
     * PK — replay-idempotent, like the reference's scheduled MERGE jobs. */

@@ -580,11 +580,26 @@ object Dedup {
     * signature-parameter change). One signature row per doc, PK `id`. */
   def seedMinhashSignatures(store: graft.store.TableStore, sigTable: String,
                             corpus: DataFrame, textCol: String, idCol: String,
-                            numHashes: Int = 64, buckets: Int = 0): Unit = {
+                            numHashes: Int = 64, buckets: Int = 0,
+                            appendOnly: Boolean = false): Unit = {
     val sigs = withSignature(corpus, textCol, numHashes)
       .select(col(idCol).cast("long").as("id"), col("__sig").as("sig"))
-    if (store.exists(sigTable)) store.upsert(sigTable, sigs, Seq("id"))
-    else store.overwrite(sigTable, sigs, primaryKeys = Seq("id"), buckets = buckets)
+    putSeed(store, sigTable, sigs, buckets, appendOnly)
+  }
+
+  /** Shared seeder write: overwrite on first call; then FILE-LEVEL append
+    * (O(batch) per call — the streaming-ingest economics, duplicate rows
+    * tolerated by the probes) or PK upsert (idempotent, but a
+    * corpus-sized snapshot rewrite per call — the r13 measured trap). */
+  private def putSeed(store: graft.store.TableStore, table: String,
+                      rows: DataFrame, buckets: Int,
+                      appendOnly: Boolean): Unit = {
+    require(!(appendOnly && buckets > 0),
+      "appendOnly seeding needs plain snapshots (buckets = 0)")
+    if (!store.exists(table))
+      store.overwrite(table, rows, primaryKeys = Seq("id"), buckets = buckets)
+    else if (appendOnly) store.appendFiles(table, rows)
+    else store.upsert(table, rows, Seq("id"))
   }
 
   private[graft] def withSignature(df: DataFrame, textCol: String, numHashes: Int): DataFrame = {
@@ -652,15 +667,22 @@ object Dedup {
   def minhashIncremental(store: graft.store.TableStore, sigTable: String,
                          batch: DataFrame, textCol: String, idCol: String,
                          numHashes: Int = 64, bands: Int = 16,
-                         threshold: Double = 0.8, buckets: Int = 0): DataFrame = {
+                         threshold: Double = 0.8, buckets: Int = 0,
+                         excludeCorpusIds: Option[DataFrame] = None,
+                         registerSurvivors: Boolean = true): DataFrame = {
     val bsig = withSignature(batch, textCol, numHashes)
     val batchBands = minhashBandsOfSigned(bsig, idCol, numHashes, bands)
     val corpusDupIds =
-      if (store.exists(sigTable))
-        minhashCorpusCandidates(store.read(sigTable), batchBands,
+      if (store.exists(sigTable)) {
+        val hits = minhashCorpusCandidates(store.read(sigTable), batchBands,
           numHashes, bands, threshold)
+        // replay exclusion (the containmentIncremental contract): remove
+        // the corpus docs an at-least-once caller knows THIS batch seeded
+        excludeCorpusIds.fold(hits)(ex => hits.join(
+            broadcast(ex.select(col("id").cast("long").as("old_id"))),
+            Seq("old_id"), "left_anti"))
           .select(col("new_id")).distinct().withColumn("__cd", lit(true))
-      else batchBands.select(col("new_id")).limit(0).withColumn("__cd", lit(true))
+      } else batchBands.select(col("new_id")).limit(0).withColumn("__cd", lit(true))
     // within-batch greedy resolution (minhashLsh rule), batch-sized
     val bb = batchBands.repartition(col("band"), col("key"))
     val a = bb.select(col("band"), col("key"), col("new_id").as("id_a"), col("sig_new").as("sig_a"))
@@ -677,10 +699,10 @@ object Dedup {
       .withColumn("dup_of_corpus", coalesce(col("__cd"), lit(false)))
       .withColumn("kept", !col("dup_of_corpus") && coalesce(col("__bd"), lit(false)) === false)
       .localCheckpoint() // one materialization for store write + caller (inv. 7)
-    val survivors = flagged.where(col("kept"))
-      .select(col("new_id").as("id"), col("__sig").as("sig"))
-    if (store.exists(sigTable)) store.upsert(sigTable, survivors, Seq("id"))
-    else store.overwrite(sigTable, survivors, primaryKeys = Seq("id"), buckets = buckets)
+    if (registerSurvivors)
+      putSeed(store, sigTable, flagged.where(col("kept"))
+        .select(col("new_id").as("id"), col("__sig").as("sig")),
+        buckets, appendOnly = false)
     flagged.drop("new_id", "__sig", "__cd", "__bd")
   }
 
@@ -761,13 +783,12 @@ object Dedup {
     * [[seedMinhashSignatures]]). One row per doc, PK `id`. */
   def seedSimhashes(store: graft.store.TableStore, shTable: String,
                     corpus: DataFrame, textCol: String, idCol: String,
-                    buckets: Int = 0): Unit = {
+                    buckets: Int = 0, appendOnly: Boolean = false): Unit = {
     graft.functions.GraftFunctions.register(corpus.sparkSession)
     val rows = corpus.select(col(idCol).cast("long").as("id"),
       call_function("graft_simhash",
         tokensCol(col(textCol), keepAccents = false)).as("sh"))
-    if (store.exists(shTable)) store.upsert(shTable, rows, Seq("id"))
-    else store.overwrite(shTable, rows, primaryKeys = Seq("id"), buckets = buckets)
+    putSeed(store, shTable, rows, buckets, appendOnly)
   }
 
   /** SimHash INCREMENTAL near-dedup: flag a new batch against the
@@ -792,7 +813,9 @@ object Dedup {
     * Returns the batch plus `dup_of_corpus` and `kept`. */
   def simhashIncremental(store: graft.store.TableStore, shTable: String,
                          batch: DataFrame, textCol: String, idCol: String,
-                         maxHamming: Int = 3, buckets: Int = 0): DataFrame = {
+                         maxHamming: Int = 3, buckets: Int = 0,
+                         excludeCorpusIds: Option[DataFrame] = None,
+                         registerSurvivors: Boolean = true): DataFrame = {
     graft.functions.GraftFunctions.register(batch.sparkSession)
     val bsh = batch.withColumn("__sh",
       call_function("graft_simhash",
@@ -806,12 +829,16 @@ object Dedup {
       if (store.exists(shTable)) {
         val stored = store.read(shTable)
         graft.functions.GraftFunctions.register(stored.sparkSession)
-        stored.select(col("id").as("old_id"), col("sh").as("sh_b"),
+        val hits = stored.select(col("id").as("old_id"), col("sh").as("sh_b"),
             simhashChunks(col("sh"), maxHamming).as("__c"))
           .select(col("old_id"), col("sh_b"),
             col("__c.chunk").as("chunk"), col("__c.key").as("key"))
           .join(broadcast(batchChunks), Seq("chunk", "key"))
           .where(hammingDist(col("sh_new"), col("sh_b")) <= maxHamming)
+        // replay exclusion — the containmentIncremental contract, verbatim
+        excludeCorpusIds.fold(hits)(ex => hits.join(
+            broadcast(ex.select(col("id").cast("long").as("old_id"))),
+            Seq("old_id"), "left_anti"))
           .select(col("new_id")).distinct().withColumn("__cd", lit(true))
       } else batchChunks.select(col("new_id")).limit(0).withColumn("__cd", lit(true))
     // within-batch greedy resolution (simhashPairs rule), batch-sized
@@ -829,10 +856,10 @@ object Dedup {
       .withColumn("dup_of_corpus", coalesce(col("__cd"), lit(false)))
       .withColumn("kept", !col("dup_of_corpus") && coalesce(col("__bd"), lit(false)) === false)
       .localCheckpoint() // one materialization for store write + caller (inv. 7)
-    val survivors = flagged.where(col("kept"))
-      .select(col("new_id").as("id"), col("__sh").as("sh"))
-    if (store.exists(shTable)) store.upsert(shTable, survivors, Seq("id"))
-    else store.overwrite(shTable, survivors, primaryKeys = Seq("id"), buckets = buckets)
+    if (registerSurvivors)
+      putSeed(store, shTable, flagged.where(col("kept"))
+        .select(col("new_id").as("id"), col("__sh").as("sh")),
+        buckets, appendOnly = false)
     flagged.drop("new_id", "__sh", "__cd", "__bd")
   }
 

@@ -573,6 +573,77 @@ class StreamingMultimodalSpec extends AnyFunSuite {
     assert(probe == Seq((5L, 1L, 1.0)))
   }
 
+  test("nearDupIngestGate (simhash): corpus near-dups AND within-batch " +
+      "near-dups gated; later-batch same-id resend gated; survivors seed append-only") {
+    val batch0 = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog and runs far away home"),
+      (2L, "completely different content about spark query engines and shuffles"))
+      .toDF("doc_id", "text")
+    val batch1 = Seq(
+      (3L, "the quick brown fox jumps over the lazy dog and runs far away now"), // near-dup of 1
+      (4L, "a wholly novel page on streaming state stores and watermarks today"),
+      (5L, "a wholly novel page on streaming state stores and watermarks now"), // within-batch near-dup of 4
+      (2L, "completely different content about spark query engines and shuffles")) // same-id resend
+      .toDF("doc_id", "text")
+    val dir = Files.createTempDirectory("graft_nd1").toString
+    batch0.coalesce(1).write.mode("append").parquet(dir)
+    val old = java.nio.file.attribute.FileTime.fromMillis(
+      System.currentTimeMillis() - 120000)
+    java.nio.file.Files.list(java.nio.file.Paths.get(dir)).forEach(p =>
+      java.nio.file.Files.setLastModifiedTime(p, old))
+    batch1.coalesce(1).write.mode("append").parquet(dir)
+    val store = new TableStore(spark,
+      Files.createTempDirectory("graft_nd1_st").toString)
+    val q = Streaming.nearDupIngestGate(
+      spark.readStream.schema(batch0.schema)
+        .option("maxFilesPerTrigger", 1).parquet(dir),
+      "text", "doc_id", store, "shs", "clean",
+      Files.createTempDirectory("graft_nd1_cp").toString,
+      method = "simhash", maxHamming = 10)
+    q.awaitTermination(120000)
+    // 3 near-dups 1; 5 loses within-batch to 4; resent 2 self-matches at 0
+    assert(store.read("clean").select("doc_id").as[Long].collect().sorted
+      .toSeq == Seq(1L, 2L, 4L))
+    // survivors seeded append-only: batch 1 added a second version via
+    // file links, never a corpus rewrite (version advanced per batch)
+    assert(store.currentVersion("shs") >= 1)
+  }
+
+  test("nearDupIngestGate (minhash): crash-replay keeps the no-crash " +
+      "outcome — the seeded survivor does not self-match itself out") {
+    // one batch: A (1), B (2, near-dup of A — within-batch loser), C (3,
+    // novel). The crashed attempt committed the seed log {1, 3} and the
+    // survivors' signatures, then died before the clean commit. The
+    // replayed probe must exclude {1, 3} from the corpus side — without
+    // it, A self-matches its own seeded signature at est-Jaccard 1.0 and
+    // is silently lost from the clean output forever.
+    val batch = Seq(
+      (1L, (1 to 30).map(i => "tok" + i).mkString(" ")),
+      (2L, (1 to 30).map(i => "tok" + i).mkString(" ") + " extra"),
+      (3L, (100 to 130).map(i => "other" + i).mkString(" ")))
+      .toDF("doc_id", "text")
+    val dir = Files.createTempDirectory("graft_nd2").toString
+    batch.coalesce(1).write.mode("append").parquet(dir)
+    val store = new TableStore(spark,
+      Files.createTempDirectory("graft_nd2_st").toString)
+    val cp = Files.createTempDirectory("graft_nd2_cp").toString
+    store.overwrite("clean__seedlog",
+      Seq(1L, 3L).toDF("id")
+        .withColumn("applied_batch", lit(0L))
+        .withColumn("applied_ckpt", lit(cp)),
+      primaryKeys = Seq("id"))
+    graft.text.Dedup.seedMinhashSignatures(store, "sigs",
+      batch.where($"doc_id".isin(1L, 3L)), "text", "doc_id")
+    val q = Streaming.nearDupIngestGate(
+      spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", 1).parquet(dir),
+      "text", "doc_id", store, "sigs", "clean", cp,
+      method = "minhash", threshold = 0.5)
+    q.awaitTermination(120000)
+    assert(store.read("clean").select("doc_id").as[Long].collect().sorted
+      .toSeq == Seq(1L, 3L)) // the no-crash outcome, exactly
+  }
+
   // ---- multimodal plumbing ----
 
   private lazy val assets = Multimodal.toAssets(
