@@ -30,7 +30,7 @@ import graft.streaming.Streaming
   * table corpus-sized).
   *
   * Usage: `runMain graft.datagen.StreamAnchor <sfDir> <out.json> [batches]
-  * [legs: all|containment|ks] [gate: exact|banded]` — the legs selector
+  * [legs: all|containment|neardup|ks] [gate: exact|banded]` — the legs selector
   * exists because the sf10 campaign needs the KS gate measured on its own
   * (r13: the containment leg's guard trip aborted the whole run before
   * the KS leg started), and `banded` anchors the winnowed-fingerprint
@@ -101,6 +101,23 @@ object StreamAnchor {
       progressJson(qc)
     } else "[]"
 
+    // ---- near-dup (simhash) ingest gate at corpus batch volumes: the
+    // cheapest ingest-hygiene form (8-byte/doc state) — anchored so the
+    // r14 gate family has a measured per-trigger row of its own
+    val nearDupJson = if (legs == "all" || legs == "neardup") {
+      val docs = spark.read.parquet(s"$srcDir/documents.parquet")
+        .select("doc_id", "text")
+      val ndDir = s"$work/nd_docs"
+      stage(docs, "doc_id", batches, ndDir)
+      val qn = Streaming.nearDupIngestGate(
+        spark.readStream.schema(docs.schema)
+          .option("maxFilesPerTrigger", 1).parquet(ndDir),
+        "text", "doc_id", store, "nd_shs", "nd_clean",
+        s"$work/cp_neardup", method = "simhash", maxHamming = 3)
+      qn.awaitTermination()
+      progressJson(qn)
+    } else "[]"
+
     // ---- incremental-KS drift gate at corpus batch volumes
     var lastReportRows = 0L
     val ksJson = if (legs == "all" || legs == "ks") {
@@ -121,6 +138,7 @@ object StreamAnchor {
     } else "[]"
 
     val json = s"""{"containment_gate":$containmentJson,""" +
+      s""""neardup_gate":$nearDupJson,""" +
       s""""ks_gate":$ksJson,"batches":$batches,"legs":"$legs",""" +
       s""""banded":$banded,""" +
       s""""ks_report_rows":$lastReportRows,"sf_dir":"$srcDir"}"""
