@@ -68,6 +68,10 @@ object StreamAnchor {
     val batches = if (args.length > 2) args(2).toInt else 5
     val legs = if (args.length > 3) args(3) else "all"
     val banded = args.length > 4 && args(4) == "banded"
+    // 6th arg: gate compactEvery (0 = off) — prices the LSM maintenance
+    // leg: the compacting trigger absorbs the corpus rewrite, the others
+    // stay batch-bounded
+    val compactEvery = if (args.length > 5) args(5).toInt else 0
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors().toString)
     val spark = SparkSession.builder()
@@ -96,7 +100,8 @@ object StreamAnchor {
         spark.readStream.schema(docs.schema)
           .option("maxFilesPerTrigger", 1).parquet(docDir),
         "text", "doc_id", store, "cpost", "cdf", "cgrams", "clean",
-        s"$work/cp_containment", threshold = 0.8, banded = banded)
+        s"$work/cp_containment", threshold = 0.8, banded = banded,
+        compactEvery = compactEvery)
       qc.awaitTermination()
       progressJson(qc)
     } else "[]"
@@ -140,7 +145,7 @@ object StreamAnchor {
     val json = s"""{"containment_gate":$containmentJson,""" +
       s""""neardup_gate":$nearDupJson,""" +
       s""""ks_gate":$ksJson,"batches":$batches,"legs":"$legs",""" +
-      s""""banded":$banded,""" +
+      s""""banded":$banded,"compact_every":$compactEvery,""" +
       s""""ks_report_rows":$lastReportRows,"sf_dir":"$srcDir"}"""
     Files.write(Paths.get(outPath),
       json.getBytes(java.nio.charset.StandardCharsets.UTF_8))

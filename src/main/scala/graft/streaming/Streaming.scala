@@ -279,7 +279,12 @@ object Streaming {
     * and its source arriving together, or two identical docs) keep their
     * no-crash outcome on replay instead of anti-joining each other out —
     * and a doc legitimately re-sent in a LATER batch still self-matches
-    * at 1.0 and is gated (r13 advice; both directions spec'd). The clean
+    * at 1.0 and is gated (r13 advice; both directions spec'd). ID
+    * CONTRACT: stream ids must be unique except for verbatim resends —
+    * a same-id arrival with DIFFERENT text that clears the gate appends
+    * a second row under that id (appendFiles does not dedup; treat ids
+    * as content-stable keys, or route updates through the upsert-based
+    * [[streamIntoStore]]). The clean
     * output stays exactly-once while the index degrades by at most one
     * batch of duplicate bytes. A checkpoint mismatch fails fast (batchIds
     * are only monotonic within one checkpoint).
@@ -459,7 +464,10 @@ object Streaming {
     * (state ~8·numHashes bytes/doc). `method = "simhash"`: pigeonhole
     * chunks, RECALL-COMPLETE within `maxHamming` (state 8 bytes/doc) —
     * the cheaper, exactness-guaranteed radius form. Both probe the corpus
-    * store MAP-ONLY per trigger. */
+    * store MAP-ONLY per trigger. Same ID CONTRACT as
+    * [[containmentIngestGate]]: ids unique except verbatim resends (which
+    * self-match and gate out); a same-id DIFFERENT-text arrival that
+    * clears the radius appends a second clean row under that id. */
   def nearDupIngestGate(arrivals: DataFrame, textCol: String, idCol: String,
                         store: TableStore, sigTable: String,
                         cleanTable: String, checkpoint: String,
