@@ -178,4 +178,140 @@ object Cluster {
       .select(col("id_b").as(idCol)).distinct()
     df.join(drop, Seq(idCol), "left_anti")
   }
+
+  // ------------------------------------------- incremental (ingest-time)
+
+  /** Symmetric int8 dequantization: `codes[i] · scale` — exact doubles
+    * (codes are ints, scale is one IEEE division), so the reconstructed
+    * vector and every cosine over it replay bit-identically in any
+    * engine (the [[Similarity.int8Quantize]] contract). */
+  private def deq(codes: Column, scale: Column): Column =
+    transform(codes, c => c.cast("double") * scale)
+
+  /** Per-doc EMBEDDING near-dup signature rows `(id, cluster, codes,
+    * scale)`: coarse cluster under the fixed quantized `centroids`
+    * ([[assignQuantized]] — exact integer argmin) + int8-quantized vector
+    * ([[Similarity.int8Quantize]]) — ~dim bytes + 12 of state per doc,
+    * ~8× smaller than the float vector, the signature the incremental
+    * SemDeDup probe compares symmetrically (stored AND batch side ride
+    * the same codes, so the decision is a pure function of the
+    * signatures). */
+  private def signatureRows(corpus: DataFrame, vecCol: String, idCol: String,
+                            centroids: Seq[Seq[Long]]): DataFrame =
+    Similarity.int8Quantize(
+        assignQuantized(corpus.select(col(idCol), col(vecCol)), vecCol, centroids),
+        vecCol, as = "codes", scaleCol = "scale")
+      .select(col(idCol).cast("long").as("id"), col("cluster"),
+        col("codes"), col("scale"))
+
+  /** Register every document's embedding signature in the store — the
+    * bulk corpus-onboarding step ahead of [[embeddingIncremental]]
+    * batches (the SemDeDup sibling of
+    * [[graft.text.Dedup.seedMinhashSignatures]]). One row per doc, PK
+    * `id`; `appendOnly = true` switches to O(batch) file-level appends
+    * (streaming economics — duplicate rows are tolerated by the probe;
+    * guard replays upstream). */
+  def seedEmbeddingSignatures(store: graft.store.TableStore, sigTable: String,
+                              corpus: DataFrame, vecCol: String, idCol: String,
+                              centroids: Seq[Seq[Long]], buckets: Int = 0,
+                              appendOnly: Boolean = false): Unit =
+    graft.text.Dedup.putSeed(store, sigTable,
+      signatureRows(corpus, vecCol, idCol, centroids), buckets, appendOnly)
+
+  /** EMBEDDING (SemDeDup) INCREMENTAL near-dedup: flag a new batch
+    * against the persisted per-doc signature store
+    * ([[seedEmbeddingSignatures]]) — the ingest-time form of
+    * [[semanticDupPairs]], extending the incremental dedup family
+    * (exact / minhash / containment / simhash) to the embedding modality
+    * a multimodal pipeline gates on. Decision rule at the batch
+    * boundary: a batch doc is a corpus dup iff a stored doc in the SAME
+    * coarse cluster has int8-reconstructed cosine ≥ `threshold` (6-dp
+    * rounded — the [[semanticDupPairs]] gate); within the batch the
+    * greedy smaller-id-wins rule applies among non-corpus-dup rows (the
+    * [[graft.text.Dedup.minhashIncremental]] decision shape). SemDeDup's
+    * cluster-boundary loss (a near-dup pair split across clusters is
+    * invisible) carries over unchanged — it is the measured q_sem_dedup
+    * trade, not a new one; raise recall with more probing clusters only
+    * by re-seeding under coarser centroids.
+    *
+    * Scale: stored signatures (~dim + 12 bytes/doc) stream MAP-ONLY —
+    * the batch signature table broadcasts while the batch stays under
+    * `broadcastMaxProbeDocs` (larger batches switch every batch-derived
+    * side to shuffled hash joins), only same-cluster candidates reach
+    * the cosine verify, and the corpus is never re-read, re-assigned, or
+    * shuffled. Within-batch resolution self-joins only the batch on the
+    * cluster key. Kept rows' signatures register (PK id) so the next
+    * batch sees them — default PK upsert (a corpus-sized snapshot
+    * rewrite per call; streaming callers use
+    * [[graft.streaming.Streaming.nearDupIngestGate]] with
+    * `method = "embedding"` or `appendOnly = true`).
+    *
+    * `excludeCorpusIds` is the at-least-once replay hook (the
+    * [[graft.text.Dedup.containmentIncremental]] contract, verbatim).
+    * Returns the batch plus `dup_of_corpus` and `kept`. */
+  def embeddingIncremental(store: graft.store.TableStore, sigTable: String,
+                           batch: DataFrame, vecCol: String, idCol: String,
+                           centroids: Seq[Seq[Long]],
+                           threshold: Double = 0.95,
+                           excludeCorpusIds: Option[DataFrame] = None,
+                           registerSurvivors: Boolean = true,
+                           appendOnly: Boolean = false,
+                           broadcastMaxProbeDocs: Long = 65536): DataFrame = {
+    graft.functions.GraftFunctions.register(batch.sparkSession)
+    // pinned: one assign+quantize pass feeds the corpus probe, the batch
+    // self-join, and the returned frame — and the broadcast gate's count
+    val bsig = Similarity.int8Quantize(
+        assignQuantized(batch, vecCol, centroids),
+        vecCol, as = "__codes", scaleCol = "__scale")
+      .withColumnRenamed("cluster", "__cluster")
+      .localCheckpoint()
+    val useBroadcast = bsig.count() <= broadcastMaxProbeDocs
+    def probeSide(df: DataFrame): DataFrame =
+      if (useBroadcast) broadcast(df) else df.hint("shuffle_hash")
+    val batchSigs = bsig.select(col(idCol).cast("long").as("new_id"),
+      col("__cluster").as("cluster"), col("__codes").as("c_new"),
+      col("__scale").as("s_new"))
+    val simGate = (cA: Column, sA: Column, cB: Column, sB: Column) =>
+      round(call_function("graft_cosine", deq(cA, sA), deq(cB, sB)), 6) >= threshold
+    val corpusDupIds =
+      if (store.exists(sigTable)) {
+        val stored = store.read(sigTable)
+        // kernels must resolve under the session analyzing the store-read
+        // frames too (foreachBatch hands a CLONED session — inv. 10c)
+        graft.functions.GraftFunctions.register(stored.sparkSession)
+        val hits = stored
+          .select(col("id").as("old_id"), col("cluster"),
+            col("codes").as("c_old"), col("scale").as("s_old"))
+          .join(probeSide(batchSigs), Seq("cluster"))
+          .where(simGate(col("c_new"), col("s_new"), col("c_old"), col("s_old")))
+        // replay exclusion — the containmentIncremental contract, verbatim
+        excludeCorpusIds.fold(hits)(ex => hits.join(
+            probeSide(ex.select(col("id").cast("long").as("old_id"))),
+            Seq("old_id"), "left_anti"))
+          .select(col("new_id")).distinct().withColumn("__cd", lit(true))
+      } else batchSigs.select(col("new_id")).limit(0).withColumn("__cd", lit(true))
+    // within-batch greedy resolution (semanticDupPairs rule), batch-sized
+    val bb = batchSigs.repartition(col("cluster"))
+    val a = bb.select(col("cluster"), col("new_id").as("id_a"),
+      col("c_new").as("c_a"), col("s_new").as("s_a"))
+    val b = bb.select(col("cluster"), col("new_id").as("id_b"),
+      col("c_new").as("c_b"), col("s_new").as("s_b"))
+    val batchDupIds = a.join(b.hint("shuffle_hash"), Seq("cluster"))
+      .where(col("id_a") < col("id_b"))
+      .where(simGate(col("c_a"), col("s_a"), col("c_b"), col("s_b")))
+      .select(col("id_b").as("new_id")).distinct().withColumn("__bd", lit(true))
+    val flagged = bsig
+      .withColumn("new_id", col(idCol).cast("long"))
+      .join(probeSide(corpusDupIds), Seq("new_id"), "left")
+      .join(probeSide(batchDupIds), Seq("new_id"), "left")
+      .withColumn("dup_of_corpus", coalesce(col("__cd"), lit(false)))
+      .withColumn("kept", !col("dup_of_corpus") && coalesce(col("__bd"), lit(false)) === false)
+      .localCheckpoint() // one materialization for store write + caller (inv. 7)
+    if (registerSurvivors)
+      graft.text.Dedup.putSeed(store, sigTable, flagged.where(col("kept"))
+        .select(col("new_id").as("id"), col("__cluster").as("cluster"),
+          col("__codes").as("codes"), col("__scale").as("scale")),
+        buckets = 0, appendOnly = appendOnly)
+    flagged.drop("new_id", "__cluster", "__codes", "__scale", "__cd", "__bd")
+  }
 }

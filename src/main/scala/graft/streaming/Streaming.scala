@@ -270,7 +270,12 @@ object Streaming {
     * batch short-circuits to a no-op BEFORE any write. A crash between
     * the index appends and the clean commit replays the index seeding —
     * postings/grams duplicates are tolerated by the probe (verify slice
-    * dedups per id) and df inflation is performance-only — AND the
+    * dedups per id) and the df delta-merge is SKIPPED on replay (`mergeDf
+    * = false` once the seed log shows this batch already started seeding:
+    * re-merging would inflate df by one batch, which the exact probe
+    * shrugs off but the banded index's recall-bearing df cap does not —
+    * r14 advice; the skip errs recall-safe, at worst a self-healing
+    * one-batch undercount) — AND the
     * replayed probe runs against an index already holding this batch's
     * own docs: a SEED LOG (`<cleanTable>__seedlog`, committed BEFORE any
     * index append) records which ids each (checkpoint, batch) seeded, and
@@ -355,14 +360,28 @@ object Streaming {
           // must finish BEFORE the seed log commits below
           val keptP = kept.select(col(idCol), col(textCol)).localCheckpoint()
           if (!keptP.isEmpty) {
+            // a crashed earlier attempt of THIS batch may already have
+            // delta-merged its df counts — re-merging would inflate df by
+            // one batch, and for the WINNOW index the df cap is
+            // recall-bearing (an inflated fp can cross dfCap and silently
+            // lose pairs beyond the measured contract, r14 advice). The
+            // seed log committing before any index append means "log rows
+            // exist for this batch" detects every crash point past the
+            // first write; skipping errs recall-safe (possible one-batch
+            // UNDERcount if the crash preceded the merge — keys look
+            // rarer, more candidates probed, self-healing).
+            // (missing df table = the crash preceded EVERY index write,
+            // even on replay — the merge then must run as a first write)
+            val isReplay = excl.exists(e => !e.isEmpty) && store.exists(dfTable)
             appendSeedLog(store, seedLog, keptP, idCol, checkpoint, batchId)
             if (banded)
               graft.text.Dedup.seedWinnowIndex(store, postingsTable,
                 dfTable, gramsTable, keptP, textCol, idCol, n = n, w = w,
-                appendOnly = true)
+                appendOnly = true, mergeDf = !isReplay)
             else
               graft.text.Dedup.seedGramIndex(store, postingsTable, dfTable,
-                gramsTable, keptP, textCol, idCol, n = n, appendOnly = true)
+                gramsTable, keptP, textCol, idCol, n = n, appendOnly = true,
+                mergeDf = !isReplay)
             appendGuarded(store, cleanTable, keptP, idCol, checkpoint, batchId)
           }
           maybeCompact(store, compactEvery, batchId, batch,
@@ -421,7 +440,13 @@ object Streaming {
       .withColumn("applied_batch", lit(batchId))
       .withColumn("applied_ckpt", lit(checkpoint))
     if (store.exists(seedLog)) store.appendFiles(seedLog, logRows)
-    else store.overwrite(seedLog, logRows, primaryKeys = Seq("id"))
+    // NO primary keys: log entries are NOT id-unique across batches (a
+    // same-id different-text arrival kept in a later batch appends a
+    // second row) — declaring PK id would let any future PK-reconciling
+    // path collapse rows and mis-scope a replay exclusion (r14 advice).
+    // The log's true identity is the whole (id, applied_ckpt,
+    // applied_batch) row; it is append-only by construction.
+    else store.overwrite(seedLog, logRows)
   }
 
   /** Clean-output append with the (checkpoint, batchId) replay guard
@@ -463,10 +488,17 @@ object Streaming {
     * estimated-Jaccard `threshold` — the web-scale near-dedup default
     * (state ~8·numHashes bytes/doc). `method = "simhash"`: pigeonhole
     * chunks, RECALL-COMPLETE within `maxHamming` (state 8 bytes/doc) —
-    * the cheaper, exactness-guaranteed radius form. Both probe the corpus
-    * store MAP-ONLY per trigger. Same ID CONTRACT as
+    * the cheaper, exactness-guaranteed radius form. `method =
+    * "embedding"`: incremental SemDeDup
+    * ([[graft.sim.Cluster.embeddingIncremental]]) — `textCol` is then the
+    * EMBEDDING column, `centroids` (the fixed quantized coarse set) is
+    * required, `threshold` is the 6-dp-rounded int8-reconstructed cosine,
+    * and the persisted signature is `(cluster, int8 codes, scale)`
+    * (~dim + 12 bytes/doc); recall is bounded by the SemDeDup
+    * cluster-boundary trade (q_sem_dedup contract). All three probe the
+    * corpus store MAP-ONLY per trigger. Same ID CONTRACT as
     * [[containmentIngestGate]]: ids unique except verbatim resends (which
-    * self-match and gate out); a same-id DIFFERENT-text arrival that
+    * self-match and gate out); a same-id DIFFERENT-payload arrival that
     * clears the radius appends a second clean row under that id. */
   def nearDupIngestGate(arrivals: DataFrame, textCol: String, idCol: String,
                         store: TableStore, sigTable: String,
@@ -474,9 +506,12 @@ object Streaming {
                         method: String = "minhash",
                         numHashes: Int = 64, bands: Int = 16,
                         threshold: Double = 0.8, maxHamming: Int = 3,
+                        centroids: Seq[Seq[Long]] = Nil,
                         compactEvery: Int = 0): StreamingQuery = {
-    require(method == "minhash" || method == "simhash",
-      s"unknown near-dup method '$method' (minhash | simhash)")
+    require(method == "minhash" || method == "simhash" || method == "embedding",
+      s"unknown near-dup method '$method' (minhash | simhash | embedding)")
+    require(method != "embedding" || centroids.nonEmpty,
+      "method = embedding needs the fixed quantized coarse centroids")
     arrivals.writeStream
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", checkpoint)
@@ -488,26 +523,36 @@ object Streaming {
           // registerSurvivors = false: the gate owns write ORDER (seed log
           // must commit before any signature append) and write ECONOMICS
           // (append-only, not the probe's default PK upsert)
-          val flagged =
-            if (method == "minhash")
+          val flagged = method match {
+            case "minhash" =>
               graft.text.Dedup.minhashIncremental(store, sigTable, batch,
                 textCol, idCol, numHashes = numHashes, bands = bands,
                 threshold = threshold, excludeCorpusIds = excl,
                 registerSurvivors = false)
-            else
+            case "simhash" =>
               graft.text.Dedup.simhashIncremental(store, sigTable, batch,
                 textCol, idCol, maxHamming = maxHamming,
                 excludeCorpusIds = excl, registerSurvivors = false)
+            case _ =>
+              graft.sim.Cluster.embeddingIncremental(store, sigTable, batch,
+                textCol, idCol, centroids, threshold = threshold,
+                excludeCorpusIds = excl, registerSurvivors = false)
+          }
           val keptP = flagged.where(col("kept"))
             .select(col(idCol), col(textCol)).localCheckpoint()
           if (!keptP.isEmpty) {
             appendSeedLog(store, seedLog, keptP, idCol, checkpoint, batchId)
-            if (method == "minhash")
-              graft.text.Dedup.seedMinhashSignatures(store, sigTable, keptP,
-                textCol, idCol, numHashes = numHashes, appendOnly = true)
-            else
-              graft.text.Dedup.seedSimhashes(store, sigTable, keptP,
-                textCol, idCol, appendOnly = true)
+            method match {
+              case "minhash" =>
+                graft.text.Dedup.seedMinhashSignatures(store, sigTable, keptP,
+                  textCol, idCol, numHashes = numHashes, appendOnly = true)
+              case "simhash" =>
+                graft.text.Dedup.seedSimhashes(store, sigTable, keptP,
+                  textCol, idCol, appendOnly = true)
+              case _ =>
+                graft.sim.Cluster.seedEmbeddingSignatures(store, sigTable,
+                  keptP, textCol, idCol, centroids, appendOnly = true)
+            }
             appendGuarded(store, cleanTable, keptP, idCol, checkpoint, batchId)
           }
           maybeCompact(store, compactEvery, batchId, batch,

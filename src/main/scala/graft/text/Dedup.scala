@@ -591,9 +591,9 @@ object Dedup {
     * (O(batch) per call — the streaming-ingest economics, duplicate rows
     * tolerated by the probes) or PK upsert (idempotent, but a
     * corpus-sized snapshot rewrite per call — the r13 measured trap). */
-  private def putSeed(store: graft.store.TableStore, table: String,
-                      rows: DataFrame, buckets: Int,
-                      appendOnly: Boolean): Unit = {
+  private[graft] def putSeed(store: graft.store.TableStore, table: String,
+                             rows: DataFrame, buckets: Int,
+                             appendOnly: Boolean): Unit = {
     require(!(appendOnly && buckets > 0),
       "appendOnly seeding needs plain snapshots (buckets = 0)")
     if (!store.exists(table))
@@ -631,14 +631,16 @@ object Dedup {
   private[graft] def minhashCorpusCandidates(storedSigs: DataFrame,
                                              batchBands: DataFrame,
                                              numHashes: Int, bands: Int,
-                                             threshold: Double): DataFrame = {
+                                             threshold: Double,
+                                             probeSide: DataFrame => DataFrame =
+                                               broadcast): DataFrame = {
     val rowsPerBand = numHashes / bands
     storedSigs
       .select(col("id").as("old_id"), col("sig").as("sig_b"),
         explode(bandKeys(col("sig"), bands, rowsPerBand)).as("__b"))
       .select(col("old_id"), col("sig_b"),
         col("__b.band").as("band"), col("__b.key").as("key"))
-      .join(broadcast(batchBands), Seq("band", "key"))
+      .join(probeSide(batchBands), Seq("band", "key"))
       .withColumn("__sim",
         call_function("graft_eq_positions", col("sig_new"), col("sig_b"))
           .cast("double") / lit(numHashes))
@@ -656,12 +658,21 @@ object Dedup {
     *
     * Scale: stored signatures (~8·numHashes bytes/doc, ~1/1000 of corpus
     * text bytes) stream map-only through [[minhashCorpusCandidates]] —
-    * explode to band keys is narrow, the batch band table is broadcast
-    * (batch-sized by contract: an ingest batch, not a second corpus), and
-    * only qualifying hits reach a shuffle. The corpus is never re-read,
-    * re-tokenized, re-signed, or shuffled. Within-batch resolution
-    * self-joins only the batch. Kept rows' signatures upsert (PK id,
-    * bucketed 1-Exchange merge) so the next batch sees them.
+    * explode to band keys is narrow, the batch band table broadcasts while
+    * the batch stays under `broadcastMaxProbeDocs` (broadcasting collects
+    * to the driver first — the containmentIncremental gate, found at sf10
+    * stream volumes; larger batches switch every batch-derived side to
+    * shuffled hash joins), and only qualifying hits reach a shuffle. The
+    * corpus is never re-read, re-tokenized, re-signed, or shuffled.
+    * Within-batch resolution self-joins only the batch. Kept rows'
+    * signatures register (PK id) so the next batch sees them — by default
+    * via PK upsert, which REWRITES the corpus-sized signature snapshot
+    * every call: fine for occasional batch ingests, the measured r13
+    * per-trigger trap for streaming callers. Streaming callers route
+    * through [[graft.streaming.Streaming.nearDupIngestGate]] (which owns
+    * write order + replay exclusion) or pass `appendOnly = true` for
+    * O(batch) file-level registration (appends do not dedup — the probes
+    * tolerate duplicate signature rows, but guard replays upstream).
     *
     * Returns the batch plus `dup_of_corpus` and `kept`. */
   def minhashIncremental(store: graft.store.TableStore, sigTable: String,
@@ -669,17 +680,24 @@ object Dedup {
                          numHashes: Int = 64, bands: Int = 16,
                          threshold: Double = 0.8, buckets: Int = 0,
                          excludeCorpusIds: Option[DataFrame] = None,
-                         registerSurvivors: Boolean = true): DataFrame = {
-    val bsig = withSignature(batch, textCol, numHashes)
+                         registerSurvivors: Boolean = true,
+                         appendOnly: Boolean = false,
+                         broadcastMaxProbeDocs: Long = 65536): DataFrame = {
+    // pinned: the signature pass feeds the corpus probe, the batch
+    // self-join, and the returned frame — and the broadcast gate's count
+    val bsig = withSignature(batch, textCol, numHashes).localCheckpoint()
+    val useBroadcast = bsig.count() <= broadcastMaxProbeDocs
+    def probeSide(df: DataFrame): DataFrame =
+      if (useBroadcast) broadcast(df) else df.hint("shuffle_hash")
     val batchBands = minhashBandsOfSigned(bsig, idCol, numHashes, bands)
     val corpusDupIds =
       if (store.exists(sigTable)) {
         val hits = minhashCorpusCandidates(store.read(sigTable), batchBands,
-          numHashes, bands, threshold)
+          numHashes, bands, threshold, probeSide)
         // replay exclusion (the containmentIncremental contract): remove
         // the corpus docs an at-least-once caller knows THIS batch seeded
         excludeCorpusIds.fold(hits)(ex => hits.join(
-            broadcast(ex.select(col("id").cast("long").as("old_id"))),
+            probeSide(ex.select(col("id").cast("long").as("old_id"))),
             Seq("old_id"), "left_anti"))
           .select(col("new_id")).distinct().withColumn("__cd", lit(true))
       } else batchBands.select(col("new_id")).limit(0).withColumn("__cd", lit(true))
@@ -694,15 +712,15 @@ object Dedup {
       .select(col("id_b").as("new_id")).distinct().withColumn("__bd", lit(true))
     val flagged = bsig
       .withColumn("new_id", col(idCol).cast("long"))
-      .join(broadcast(corpusDupIds), Seq("new_id"), "left")
-      .join(broadcast(batchDupIds), Seq("new_id"), "left")
+      .join(probeSide(corpusDupIds), Seq("new_id"), "left")
+      .join(probeSide(batchDupIds), Seq("new_id"), "left")
       .withColumn("dup_of_corpus", coalesce(col("__cd"), lit(false)))
       .withColumn("kept", !col("dup_of_corpus") && coalesce(col("__bd"), lit(false)) === false)
       .localCheckpoint() // one materialization for store write + caller (inv. 7)
     if (registerSurvivors)
       putSeed(store, sigTable, flagged.where(col("kept"))
         .select(col("new_id").as("id"), col("__sig").as("sig")),
-        buckets, appendOnly = false)
+        buckets, appendOnly)
     flagged.drop("new_id", "__sig", "__cd", "__bd")
   }
 
@@ -804,22 +822,36 @@ object Dedup {
     *
     * Scale: stored simhashes (8 bytes/doc, ~1/10⁵ of corpus text bytes)
     * stream MAP-ONLY — the chunk explode is narrow (d+1 rows per stored
-    * doc), the batch chunk table broadcasts (batch-sized by contract),
-    * and only colliding candidates reach the Hamming verify; the corpus
+    * doc), the batch chunk table broadcasts while the batch stays under
+    * `broadcastMaxProbeDocs` (larger batches switch every batch-derived
+    * side to shuffled hash joins — the containmentIncremental gate), and
+    * only colliding candidates reach the Hamming verify; the corpus
     * is never re-read, re-tokenized, or shuffled. Within-batch
-    * resolution self-joins only the batch. Kept rows' simhashes upsert
-    * (PK id) so the next batch sees them.
+    * resolution self-joins only the batch. Kept rows' simhashes register
+    * (PK id) so the next batch sees them — default PK upsert (a
+    * corpus-sized snapshot rewrite per call; streaming callers use
+    * [[graft.streaming.Streaming.nearDupIngestGate]] or `appendOnly =
+    * true` for O(batch) registration, duplicate rows tolerated by the
+    * probe — see [[minhashIncremental]]).
     *
     * Returns the batch plus `dup_of_corpus` and `kept`. */
   def simhashIncremental(store: graft.store.TableStore, shTable: String,
                          batch: DataFrame, textCol: String, idCol: String,
                          maxHamming: Int = 3, buckets: Int = 0,
                          excludeCorpusIds: Option[DataFrame] = None,
-                         registerSurvivors: Boolean = true): DataFrame = {
+                         registerSurvivors: Boolean = true,
+                         appendOnly: Boolean = false,
+                         broadcastMaxProbeDocs: Long = 65536): DataFrame = {
     graft.functions.GraftFunctions.register(batch.sparkSession)
+    // pinned: one simhash pass feeds probe + self-join + returned frame,
+    // and the broadcast gate's count is then cheap
     val bsh = batch.withColumn("__sh",
       call_function("graft_simhash",
         tokensCol(col(textCol), keepAccents = false)))
+      .localCheckpoint()
+    val useBroadcast = bsh.count() <= broadcastMaxProbeDocs
+    def probeSide(df: DataFrame): DataFrame =
+      if (useBroadcast) broadcast(df) else df.hint("shuffle_hash")
     val batchChunks = bsh
       .select(col(idCol).cast("long").as("new_id"), col("__sh").as("sh_new"),
         simhashChunks(col("__sh"), maxHamming).as("__c"))
@@ -833,11 +865,11 @@ object Dedup {
             simhashChunks(col("sh"), maxHamming).as("__c"))
           .select(col("old_id"), col("sh_b"),
             col("__c.chunk").as("chunk"), col("__c.key").as("key"))
-          .join(broadcast(batchChunks), Seq("chunk", "key"))
+          .join(probeSide(batchChunks), Seq("chunk", "key"))
           .where(hammingDist(col("sh_new"), col("sh_b")) <= maxHamming)
         // replay exclusion — the containmentIncremental contract, verbatim
         excludeCorpusIds.fold(hits)(ex => hits.join(
-            broadcast(ex.select(col("id").cast("long").as("old_id"))),
+            probeSide(ex.select(col("id").cast("long").as("old_id"))),
             Seq("old_id"), "left_anti"))
           .select(col("new_id")).distinct().withColumn("__cd", lit(true))
       } else batchChunks.select(col("new_id")).limit(0).withColumn("__cd", lit(true))
@@ -851,15 +883,15 @@ object Dedup {
       .select(col("id_b").as("new_id")).distinct().withColumn("__bd", lit(true))
     val flagged = bsh
       .withColumn("new_id", col(idCol).cast("long"))
-      .join(broadcast(corpusDupIds), Seq("new_id"), "left")
-      .join(broadcast(batchDupIds), Seq("new_id"), "left")
+      .join(probeSide(corpusDupIds), Seq("new_id"), "left")
+      .join(probeSide(batchDupIds), Seq("new_id"), "left")
       .withColumn("dup_of_corpus", coalesce(col("__cd"), lit(false)))
       .withColumn("kept", !col("dup_of_corpus") && coalesce(col("__bd"), lit(false)) === false)
       .localCheckpoint() // one materialization for store write + caller (inv. 7)
     if (registerSurvivors)
       putSeed(store, shTable, flagged.where(col("kept"))
         .select(col("new_id").as("id"), col("__sh").as("sh")),
-        buckets, appendOnly = false)
+        buckets, appendOnly)
     flagged.drop("new_id", "__sh", "__cd", "__bd")
   }
 
@@ -1343,7 +1375,8 @@ object Dedup {
                     dfTable: String, gramsTable: String,
                     corpus: DataFrame, textCol: String, idCol: String,
                     n: Int = 3, buckets: Int = 0,
-                    appendOnly: Boolean = false): Unit = {
+                    appendOnly: Boolean = false,
+                    mergeDf: Boolean = true): Unit = {
     graft.functions.GraftFunctions.register(corpus.sparkSession)
     val prepped = corpus
       .withColumn("__tokens", tokensCol(col(textCol)))
@@ -1352,7 +1385,7 @@ object Dedup {
       .withColumn("sz", size(col("grams")))
       .withColumn("__keys", col("grams"))
     seedContainmentTables(store, postingsTable, dfTable, gramsTable,
-      prepped, "gram", buckets, appendOnly)
+      prepped, "gram", buckets, appendOnly, mergeDf)
   }
 
   /** Seed the persisted WINNOWED containment index for
@@ -1375,7 +1408,8 @@ object Dedup {
                       dfTable: String, gramsTable: String,
                       corpus: DataFrame, textCol: String, idCol: String,
                       n: Int = 3, w: Int = 8, buckets: Int = 0,
-                      appendOnly: Boolean = false): Unit = {
+                      appendOnly: Boolean = false,
+                      mergeDf: Boolean = true): Unit = {
     graft.functions.GraftFunctions.register(corpus.sparkSession)
     val prepped = corpus
       .withColumn("__tokens", tokensCol(col(textCol)))
@@ -1384,17 +1418,30 @@ object Dedup {
         call_function("graft_winnow_hashes", col("__tokens"), lit(n), lit(w)).as("__keys"))
       .withColumn("sz", size(col("grams")))
     seedContainmentTables(store, fpTable, dfTable, gramsTable,
-      prepped, "fp", buckets, appendOnly)
+      prepped, "fp", buckets, appendOnly, mergeDf)
   }
 
   /** Shared seeding body of [[seedGramIndex]] / [[seedWinnowIndex]]:
     * postings = `__keys` exploded under `keyName`, df delta-merged by
-    * sum, gram arrays upserted/appended by id. */
+    * sum, gram arrays upserted/appended by id.
+    *
+    * `mergeDf = false` skips the df delta-merge — the at-least-once
+    * REPLAY hook (r14 advice): a replayed seeding that merged its counts
+    * again would inflate df by one batch, and while the exact probe's
+    * "df skew is performance-only" claim holds (prefix CHOICE is
+    * order-free), the winnow index's df CAP is recall-bearing — an
+    * inflated fingerprint df can cross dfCap/effCap and silently lose
+    * pairs beyond the measured recall contract. Skipping on replay errs
+    * in the recall-SAFE direction: if the crashed attempt never reached
+    * the df merge, df undercounts by one batch (keys look rarer → MORE
+    * candidates probed, never fewer), bounded and self-healing as later
+    * batches merge normally. */
   private def seedContainmentTables(store: graft.store.TableStore,
                                     postingsTable: String, dfTable: String,
                                     gramsTable: String, prepped: DataFrame,
                                     keyName: String, buckets: Int,
-                                    appendOnly: Boolean): Unit = {
+                                    appendOnly: Boolean,
+                                    mergeDf: Boolean = true): Unit = {
     require(!(appendOnly && buckets > 0),
       "appendOnly seeding needs plain snapshots (buckets = 0): bucketed " +
         "layouts carry catalog file metadata that file appends would skew")
@@ -1413,14 +1460,18 @@ object Dedup {
     // invariant 9 exists to prevent (recall would survive — prefix choice
     // is order-free — but the scale contract would silently void). The
     // merged table is vocab-sized, so the per-batch rewrite is bounded by
-    // the vocabulary, not the corpus.
-    val batchDf = postings.groupBy(keyName).agg(count(lit(1)).as("df"))
-    if (store.exists(dfTable))
-      store.overwrite(dfTable,
-        store.read(dfTable).unionByName(batchDf)
-          .groupBy(keyName).agg(sum("df").as("df")))
-    else store.overwrite(dfTable, batchDf,
-      primaryKeys = Seq(keyName), buckets = buckets)
+    // the vocabulary, not the corpus. mergeDf = false (replay hook) skips
+    // it — see the method Scaladoc for why inflation is the lossy direction.
+    if (mergeDf) {
+      val batchDf = postings.groupBy(keyName).agg(count(lit(1)).as("df"))
+      if (store.exists(dfTable))
+        store.overwrite(dfTable,
+          store.read(dfTable).unionByName(batchDf)
+            .groupBy(keyName).agg(sum("df").as("df")))
+      else store.overwrite(dfTable, batchDf,
+        primaryKeys = Seq(keyName), buckets = buckets)
+    } else require(store.exists(dfTable),
+      "mergeDf = false needs an existing df table (replay-only hook)")
     put(gramsTable, prepped.select("id", "grams", "sz"), Seq("id"))
   }
 
