@@ -993,6 +993,62 @@ object Oracles {
         |FROM documents WHERE doc_id < 50
         |ORDER BY doc_id""".stripMargin,
 
+    // incremental SemDeDup: FULL SQL replication (the q_sem_dedup oracle
+    // argument extended by the int8 signature stage) — integer-argmin
+    // cluster assignment, int8 codes/scale as correctly-rounded IEEE ops,
+    // reconstructed-cosine gate; corpus dup = same-cluster stored signature
+    // within 0.9, within-batch smaller-id-wins among all batch rows
+    "q_dedup_inc_embedding" ->
+      """WITH base AS (SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |bat AS (SELECT vec_id + 10000 AS vec_id,
+        |    list_transform(range(1, 65),
+        |      i -> CASE WHEN i = 1 THEN v[i] + 0.1 ELSE v[i] END) AS v
+        |  FROM base WHERE vec_id < 20),
+        |allv AS (SELECT 0 AS side, vec_id, v FROM base
+        |  UNION ALL SELECT 1 AS side, vec_id, v FROM bat),
+        |qv AS (SELECT side, vec_id, v,
+        |    list_transform(v, x -> CAST(round(x*1000000) AS BIGINT)) AS q
+        |  FROM allv),
+        |c AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cidx, q AS cq
+        |  FROM qv WHERE side = 0 AND vec_id < 8),
+        |d AS (SELECT qv.side, qv.vec_id, qv.v, c.cidx,
+        |    list_sum(list_transform(range(1, 65),
+        |      i -> (qv.q[i]-c.cq[i])*(qv.q[i]-c.cq[i]))) AS dist
+        |  FROM qv CROSS JOIN c),
+        |a AS (SELECT side, vec_id, v, cidx AS cluster FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY side, vec_id
+        |      ORDER BY dist, cidx) AS rn FROM d)
+        |  WHERE rn = 1),
+        |sg AS (SELECT side, vec_id, cluster,
+        |    CASE WHEN ma = 0 THEN list_transform(v, x -> CAST(0 AS DOUBLE))
+        |      ELSE list_transform(v,
+        |        x -> floor(x * 127.0 / ma + 0.5) * (ma / 127.0))
+        |    END AS d8
+        |  FROM (SELECT side, vec_id, cluster, v,
+        |      list_max(list_transform(v, x -> abs(x))) AS ma FROM a)),
+        |cd AS (SELECT DISTINCT b.vec_id
+        |  FROM sg b JOIN sg o
+        |    ON b.side = 1 AND o.side = 0 AND b.cluster = o.cluster
+        |  WHERE list_sum(list_transform(range(1,65), i -> b.d8[i]*o.d8[i]))
+        |    / (sqrt(list_sum(list_transform(range(1,65), i -> b.d8[i]*b.d8[i])))
+        |     * sqrt(list_sum(list_transform(range(1,65), i -> o.d8[i]*o.d8[i]))))
+        |    >= 0.9),
+        |bd AS (SELECT DISTINCT y.vec_id
+        |  FROM sg x JOIN sg y
+        |    ON x.side = 1 AND y.side = 1
+        |    AND x.cluster = y.cluster AND x.vec_id < y.vec_id
+        |  WHERE list_sum(list_transform(range(1,65), i -> x.d8[i]*y.d8[i]))
+        |    / (sqrt(list_sum(list_transform(range(1,65), i -> x.d8[i]*x.d8[i])))
+        |     * sqrt(list_sum(list_transform(range(1,65), i -> y.d8[i]*y.d8[i]))))
+        |    >= 0.9)
+        |SELECT b.vec_id,
+        |  (b.vec_id IN (SELECT vec_id FROM cd)) AS dup_of_corpus,
+        |  (b.vec_id NOT IN (SELECT vec_id FROM cd)
+        |    AND b.vec_id NOT IN (SELECT vec_id FROM bd)) AS kept
+        |FROM sg b WHERE b.side = 1 ORDER BY vec_id""".stripMargin,
+
     "q_pack_chunks" ->
       """WITH d AS (SELECT doc_id,
         |    len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens

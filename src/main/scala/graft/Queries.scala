@@ -1663,6 +1663,31 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** Embedding (SemDeDup) INCREMENTAL near-dedup
+    * ([[graft.sim.Cluster.embeddingIncremental]]): the embedding corpus's
+    * (cluster, int8 codes, scale) signatures are seeded once, then the
+    * perturbed-clone batch (+10000, the [[qSemDedup]] plant) probes them
+    * map-only within clusters. FULL SQL replication, not a planted
+    * prediction (the q_sem_dedup oracle argument extended by the int8
+    * stage): cluster assignment is the exact integer argmin, int8 codes
+    * and scale are each one correctly-rounded IEEE op, and the
+    * reconstructed-cosine gate replays bit-identically — including which
+    * clones the algorithm honestly loses to a cluster boundary, and any
+    * pair the int8 noise moves across the 0.9 threshold. */
+  def qDedupIncEmbedding(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val corpus = e.withColumn("embedding", col("embedding").cast("array<double>"))
+    val store = new graft.store.TableStore(s,
+      java.nio.file.Files.createTempDirectory("graft_inc_emb").toString)
+    val cents = fixedCentroids(e)
+    Cluster.seedEmbeddingSignatures(store, "sigs", corpus, "embedding",
+      "vec_id", cents)
+    Cluster.embeddingIncremental(store, "sigs", perturbedQueries(e),
+        "embedding", "vec_id", cents, threshold = 0.9)
+      .select("vec_id", "dup_of_corpus", "kept")
+      .orderBy("vec_id")
+  }
+
   def qSimBruteForce(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
     Similarity.bruteForceTopK(emb, emb.where(col("vec_id") < 5),
@@ -3167,6 +3192,7 @@ object Queries {
     "q_dedup_inc_exact" -> (qDedupIncExact _),
     "q_dedup_inc_minhash" -> (qDedupIncMinhash _),
     "q_dedup_inc_simhash" -> (qDedupIncSimhash _),
+    "q_dedup_inc_embedding" -> (qDedupIncEmbedding _),
     "q_text_decontaminate" -> (qTextDecontaminate _),
     "q_pack_chunks" -> (qPackChunks _),
     "q_pack_shards" -> (qPackShards _),

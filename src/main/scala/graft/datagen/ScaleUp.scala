@@ -38,11 +38,51 @@ import org.apache.spark.sql.functions._
   *    factor 100 (max 99·10⁷ + base); beyond that %09d widens and the
   *    fixed-width name format breaks — keep factor ≤ 100.
   *
-  * Usage: `runMain graft.datagen.ScaleUp /root/testdata/sf0.1 /tmp/testdata/sf1 10`
+  * Usage: `runMain graft.datagen.ScaleUp /root/testdata/sf0.1 /tmp/testdata/sf1 10
+  * [docmode] [tables]`
+  *
+  *  - `docmode = replicate` (default): the md5-shuffle replication above.
+  *  - `docmode = zipf`: documents.text is REGENERATED for every row
+  *    (replicas and originals alike) as OPEN-VOCABULARY Zipfian text —
+  *    each token is drawn rank ∝ 1/r (Zipf s=1) from a 10⁷-type
+  *    vocabulary via the inverse-CDF `rank = ⌊exp(u·ln V)⌋` on a
+  *    per-(doc, position) hash uniform, token counts preserved from the
+  *    source doc. Under Zipf sampling with a far-from-exhausted V the
+  *    number of observed DISTINCT types grows with corpus size (Heaps'
+  *    law: the rank where expected count reaches 1 is ~N/ln V, well
+  *    under V through sf10) — `vocabGrowth`'s tail is NON-flat, unlike
+  *    the closed-vocabulary replicate mode whose 3-gram space saturates.
+  *    This is the corpus the exact pair family's scaling exponents are
+  *    measured on (r14 verdict item 1): on closed vocab their
+  *    super-linearity is data-bound (Σdf² grows ~quadratically); on an
+  *    open vocabulary df stays Zipf-distributed with a growing rare tail,
+  *    so the rare-first prefix/candidate volume should stay near-linear —
+  *    measured, not asserted, by benching the dedup entries across zipf
+  *    factors. Hot keys still exist (the rank-1 token carries p ≈ 1/ln V
+  *    ≈ 6%), so the measurement is not a trivially-all-distinct corpus.
+  *  - `tables`: comma list to restrict output (e.g. `documents` for the
+  *    zipf pair-family campaign, where generating a 100× lineitem would
+  *    be wasted work); default `all`.
   */
 object ScaleUp {
 
   private val Offset = 10000000L
+
+  /** Zipf(s=1) token stream over a V-type vocabulary from a deterministic
+    * per-(doc, position) hash: u = hash/2³¹ ∈ [0,1), rank = ⌊exp(u·lnV)⌋
+    * ∈ [1, V] — P(rank ≤ r) = ln r / ln V, i.e. pmf ∝ 1/r. Expects a
+    * staged `__ntok` column (the source doc's token count). */
+  private def zipfTextExpr(vocab: Double): org.apache.spark.sql.Column = {
+    val lnV = math.log(vocab)
+    val m = 2147483648.0 // 2^31
+    val toks = transform(sequence(lit(1), col("__ntok")),
+      j => concat(lit("z"),
+        floor(exp(pmod(xxhash64(col("doc_id"), j, lit("zipf")), lit(2147483648L))
+          .cast("double") / m * lnV)).cast("long")))
+    // sequence(1, 0) would run DESCENDING (Spark picks step sign from the
+    // bounds) — guard empty docs explicitly
+    when(col("__ntok") > 0, concat_ws(" ", toks)).otherwise(lit(""))
+  }
 
   /** df ∪ (factor−1) key-shifted replicas; `rep` column left for payload
     * perturbation, dropped by the caller. Fails fast if any base key
@@ -77,6 +117,13 @@ object ScaleUp {
     val srcDir = args(0)
     val outDir = args(1)
     val factor = if (args.length > 2) args(2).toInt else 10
+    val docMode = if (args.length > 3) args(3) else "replicate"
+    require(docMode == "replicate" || docMode == "zipf",
+      s"unknown docmode '$docMode' (replicate | zipf)")
+    val tables: Set[String] =
+      if (args.length > 4 && args(4) != "all") args(4).split(",").toSet
+      else Set("region", "nation", "customer", "supplier", "part", "orders",
+        "lineitem", "events", "documents", "embeddings")
     // Fixed-width name contract (see Scaladoc): shifted keys must stay
     // ≤ 999,999,999 or Customer#%09d/Supplier#%09d widens to 10 digits and
     // every fixed-width consumer (q_er_fuzzy_join's substr-built dirty
@@ -99,7 +146,7 @@ object ScaleUp {
     spark.sparkContext.setLogLevel("WARN")
 
     def read(t: String): DataFrame = spark.read.parquet(s"$srcDir/$t.parquet")
-    def write(df: DataFrame, t: String): Unit = {
+    def write(df: => DataFrame, t: String): Unit = if (tables(t)) {
       df.write.mode("overwrite").parquet(s"$outDir/$t.parquet")
       println(s"[scaleup] $t: ${spark.read.parquet(s"$outDir/$t.parquet").count()} rows")
     }
@@ -122,19 +169,25 @@ object ScaleUp {
     write(replicate(read("events"), factor, Seq("event_id", "user_id"))
       .drop("rep"), "events")
 
-    // documents: md5-order token shuffle per (doc, rep>0); unigram-preserving
+    // documents: replicate = md5-order token shuffle per (doc, rep>0),
+    // unigram-preserving closed vocab; zipf = open-vocabulary regeneration
+    // for EVERY row (token counts preserved) — see class doc
     val docs = replicate(read("documents"), factor, Seq("doc_id"))
     val toks = filter(split(col("text"), "\\s+"), t => t =!= "")
-    val shuffled = concat_ws(" ",
-      transform(
-        array_sort(transform(toks,
-          t => struct(md5(concat_ws("|", t, col("doc_id"), col("rep"))).as("k"),
-            t.as("t")))),
-        s => s.getField("t")))
+    val newText = if (docMode == "zipf") zipfTextExpr(1e7) else {
+      val shuffled = concat_ws(" ",
+        transform(
+          array_sort(transform(toks,
+            t => struct(md5(concat_ws("|", t, col("doc_id"), col("rep"))).as("k"),
+              t.as("t")))),
+          s => s.getField("t")))
+      when(col("rep") === 0, col("text")).otherwise(shuffled)
+    }
     write(docs
-      .withColumn("text", when(col("rep") === 0, col("text")).otherwise(shuffled))
+      .withColumn("__ntok", size(toks))
+      .withColumn("text", newText)
       .withColumn("n_chars", length(col("text")))
-      .drop("rep"), "documents")
+      .drop("rep", "__ntok"), "documents")
 
     // embeddings: ±0.1 per-component hash jitter for rep > 0
     val emb = replicate(read("embeddings"), factor, Seq("vec_id"))

@@ -115,6 +115,67 @@ class ClusterSpec extends AnyFunSuite {
     assert(kept == Set(1L, 2L, 13L))
   }
 
+  test("embeddingIncremental: corpus near-dup flagged, within-batch smaller " +
+      "id wins, survivor visible to next batch, replay exclusion honored") {
+    val cents = Seq(Seq(1000000L, 0L, 0L, 0L), Seq(0L, 1000000L, 0L, 0L))
+    val corpus = vecs(
+      1L -> Seq(1.0, 0.01, 0.0, 0.0),  // cluster 0
+      2L -> Seq(0.01, 1.0, 0.0, 0.0))  // cluster 1
+    val store = new graft.store.TableStore(spark,
+      java.nio.file.Files.createTempDirectory("graft_inc_emb").toString)
+    Cluster.seedEmbeddingSignatures(store, "sigs", corpus, "v", "id", cents)
+    assert(store.read("sigs").columns.toSet ==
+      Set("id", "cluster", "codes", "scale"))
+    val batch = vecs(
+      10L -> Seq(0.99, 0.02, 0.0, 0.0),  // near-dup of 1, same cluster
+      11L -> Seq(0.6, 0.0, 0.8, 0.0),    // novel, cluster 0, cos vs 1 ≈ 0.6
+      12L -> Seq(0.61, 0.0, 0.79, 0.0),  // within-batch near-dup of 11
+      13L -> Seq(0.0, 0.0, 0.0, 1.0))    // novel, orthogonal to everything
+    val out = Cluster.embeddingIncremental(store, "sigs", batch, "v", "id",
+        cents, threshold = 0.95)
+      .select("id", "dup_of_corpus", "kept")
+      .as[(Long, Boolean, Boolean)].collect().toSet
+    assert(out == Set((10L, true, false), (11L, false, true),
+      (12L, false, false), (13L, false, true)))
+    // survivors registered: a near-clone of 11 in the NEXT batch is a corpus dup
+    val out2 = Cluster.embeddingIncremental(store, "sigs",
+        vecs(20L -> Seq(0.6, 0.01, 0.8, 0.0)), "v", "id", cents, threshold = 0.95)
+      .select("dup_of_corpus").as[Boolean].collect().toSeq
+    assert(out2 == Seq(true))
+    // replay exclusion: probing again with the ids THIS batch seeded
+    // excluded keeps the no-crash outcome (11/13 survive, not self-matched
+    // out); without exclusion every previously-kept row self-matches at 1.0
+    val excl = Seq(11L, 13L).toDF("id")
+    val replay = Cluster.embeddingIncremental(store, "sigs", batch, "v", "id",
+        cents, threshold = 0.95, excludeCorpusIds = Some(excl),
+        registerSurvivors = false)
+      .select("id", "dup_of_corpus", "kept")
+      .as[(Long, Boolean, Boolean)].collect().toSet
+    assert(replay == out)
+    val noExcl = Cluster.embeddingIncremental(store, "sigs", batch, "v", "id",
+        cents, threshold = 0.95, registerSurvivors = false)
+    assert(noExcl.where(col("kept")).count() == 0) // all self-match at 1.0
+  }
+
+  test("embeddingIncremental corpus probe is map-only: exchange count is " +
+      "corpus-size-independent") {
+    val cents = Seq(Seq(1000000L, 0L), Seq(-1000000L, 0L))
+    def probeOn(n: Int) = {
+      val c = (1L to n.toLong)
+        .map(i => (i, Seq(math.cos(i * 0.1), math.sin(i * 0.1))))
+        .toDF("id", "v")
+      val st = new graft.store.TableStore(spark,
+        java.nio.file.Files.createTempDirectory("graft_inc_emb_plan").toString)
+      Cluster.seedEmbeddingSignatures(st, "sigs", c, "v", "id", cents)
+      Cluster.embeddingIncremental(st, "sigs",
+        vecs(900L -> Seq(1.0, 0.0)), "v", "id", cents)
+    }
+    val small = probeOn(4); val big = probeOn(32)
+    small.collect(); big.collect()
+    assert(graft.ops.Scale.countExchanges(small) ==
+      graft.ops.Scale.countExchanges(big))
+  }
+
   test("PQ.encode: hand-computed codes per subspace, tie to lowest index") {
     import graft.sim.{PQ, PQModel}
     // 4-dim vectors, m=2 subspaces of 2 dims; codebooks in micro-units

@@ -644,6 +644,81 @@ class StreamingMultimodalSpec extends AnyFunSuite {
       .toSeq == Seq(1L, 3L)) // the no-crash outcome, exactly
   }
 
+  test("nearDupIngestGate (embedding): corpus and within-batch semantic " +
+      "near-dups gated; survivors' signatures visible to the next trigger") {
+    val cents = Seq(Seq(1000000L, 0L, 0L, 0L), Seq(0L, 1000000L, 0L, 0L))
+    val batch0 = Seq(
+      (1L, Seq(1.0, 0.01, 0.0, 0.0)),   // cluster 0
+      (2L, Seq(0.01, 1.0, 0.0, 0.0)))   // cluster 1
+      .toDF("doc_id", "vec")
+    val batch1 = Seq(
+      (3L, Seq(0.99, 0.02, 0.0, 0.0)),  // semantic near-dup of 1
+      (4L, Seq(0.6, 0.0, 0.8, 0.0)),    // novel (cos vs 1 ≈ 0.6)
+      (5L, Seq(0.61, 0.0, 0.79, 0.0)))  // within-batch near-dup of 4
+      .toDF("doc_id", "vec")
+    val dir = Files.createTempDirectory("graft_nd3").toString
+    batch0.coalesce(1).write.mode("append").parquet(dir)
+    val old = java.nio.file.attribute.FileTime.fromMillis(
+      System.currentTimeMillis() - 120000)
+    java.nio.file.Files.list(java.nio.file.Paths.get(dir)).forEach(p =>
+      java.nio.file.Files.setLastModifiedTime(p, old))
+    batch1.coalesce(1).write.mode("append").parquet(dir)
+    val store = new TableStore(spark,
+      Files.createTempDirectory("graft_nd3_st").toString)
+    val q = Streaming.nearDupIngestGate(
+      spark.readStream.schema(batch0.schema)
+        .option("maxFilesPerTrigger", 1).parquet(dir),
+      "vec", "doc_id", store, "esigs", "clean",
+      Files.createTempDirectory("graft_nd3_cp").toString,
+      method = "embedding", threshold = 0.95, centroids = cents)
+    q.awaitTermination(120000)
+    assert(store.read("clean").select("doc_id").as[Long].collect().sorted
+      .toSeq == Seq(1L, 2L, 4L)) // 3 near-dups 1; 5 loses within-batch to 4
+    // the persisted signature is (cluster, int8 codes, scale) — and seeding
+    // was append-only (one new version per trigger, never a rewrite)
+    assert(store.read("esigs").columns.toSet ==
+      Set("id", "cluster", "codes", "scale"))
+    assert(store.currentVersion("esigs") >= 1)
+    // a survivor's signature answers the NEXT batch: clone of 4 is flagged
+    val probe = graft.sim.Cluster.embeddingIncremental(store, "esigs",
+        Seq((9L, Seq(0.6, 0.01, 0.8, 0.0))).toDF("doc_id", "vec"),
+        "vec", "doc_id", cents, threshold = 0.95, registerSurvivors = false)
+    assert(probe.select("dup_of_corpus").as[Boolean].collect().toSeq == Seq(true))
+  }
+
+  test("nearDupIngestGate (embedding): crash-replay keeps the no-crash " +
+      "outcome via the seed-log exclusion") {
+    // the minhash crash-replay scenario on the embedding method: the
+    // crashed attempt committed the seed log {1, 3} and the survivors'
+    // signatures, then died before the clean commit — the replayed probe
+    // must exclude exactly those ids or 1 self-matches at cosine 1.0
+    val cents = Seq(Seq(1000000L, 0L, 0L, 0L), Seq(0L, 1000000L, 0L, 0L))
+    val batch = Seq(
+      (1L, Seq(1.0, 0.01, 0.0, 0.0)),
+      (2L, Seq(0.999, 0.012, 0.0, 0.0)),  // within-batch loser to 1
+      (3L, Seq(0.01, 1.0, 0.0, 0.0)))     // novel, other cluster
+      .toDF("doc_id", "vec")
+    val dir = Files.createTempDirectory("graft_nd4").toString
+    batch.coalesce(1).write.mode("append").parquet(dir)
+    val store = new TableStore(spark,
+      Files.createTempDirectory("graft_nd4_st").toString)
+    val cp = Files.createTempDirectory("graft_nd4_cp").toString
+    store.overwrite("clean__seedlog",
+      Seq(1L, 3L).toDF("id")
+        .withColumn("applied_batch", lit(0L))
+        .withColumn("applied_ckpt", lit(cp)))
+    graft.sim.Cluster.seedEmbeddingSignatures(store, "esigs",
+      batch.where($"doc_id".isin(1L, 3L)), "vec", "doc_id", cents)
+    val q = Streaming.nearDupIngestGate(
+      spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", 1).parquet(dir),
+      "vec", "doc_id", store, "esigs", "clean", cp,
+      method = "embedding", threshold = 0.95, centroids = cents)
+    q.awaitTermination(120000)
+    assert(store.read("clean").select("doc_id").as[Long].collect().sorted
+      .toSeq == Seq(1L, 3L)) // the no-crash outcome, exactly
+  }
+
   // ---- multimodal plumbing ----
 
   private lazy val assets = Multimodal.toAssets(
