@@ -1742,6 +1742,27 @@ object Oracles {
         |SELECT vec_id AS id, CAST(cidx AS INT) AS cluster FROM r WHERE rn = 1
         |ORDER BY id""".stripMargin,
 
+    // IVF drift statistic: distance to the ASSIGNED centroid is the argmin
+    // distance, so aggregate the winning row's exact integer dist per
+    // cluster; sum div n on non-negative BIGINTs is engine-identical
+    "q_sim_ivf_drift" ->
+      """WITH q AS (SELECT vec_id,
+        |    list_transform(embedding,
+        |      x -> CAST(round(CAST(x AS DOUBLE)*1000000) AS BIGINT)) AS v
+        |  FROM embeddings),
+        |c AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cidx, v AS cv
+        |  FROM q WHERE vec_id < 8),
+        |d AS (SELECT q.vec_id, c.cidx,
+        |    list_sum(list_transform(range(1, 65),
+        |      i -> (q.v[i]-c.cv[i])*(q.v[i]-c.cv[i]))) AS dist
+        |  FROM q CROSS JOIN c),
+        |r AS (SELECT vec_id, cidx, dist,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, cidx) AS rn
+        |  FROM d)
+        |SELECT CAST(cidx AS INT) AS cluster, count(*) AS n,
+        |  (CAST(sum(dist) AS BIGINT) // count(*)) AS mean_sqdist
+        |FROM r WHERE rn = 1 GROUP BY cidx ORDER BY cluster""".stripMargin,
+
     // tokenizer fertility: chars per proxy-BPE token, integer DIV of
     // exact BIGINT sums (regex replay of the green q_text_fingerprint
     // n_tokens_bpe convention).

@@ -1420,6 +1420,23 @@ object Queries {
     graft.sim.IvfIndex.postings(store, "postings").orderBy("id")
   }
 
+  /** IVF drift statistic ([[graft.sim.IvfIndex.driftStats]]): per-cluster
+    * posting count and mean integer squared distance to the assigned
+    * centroid over the stored index — the recall-decay alarm an operator
+    * watches on a frozen coarse quantizer. Distance to the ASSIGNED
+    * centroid is the argmin distance, so the oracle replays the
+    * q_cluster_assign argmin and aggregates its winning distance;
+    * integer `sum div n` (non-negative) is engine-identical. */
+  def qSimIvfDrift(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val cs = fixedCentroids(emb)
+    val store = new graft.store.TableStore(s,
+      java.nio.file.Files.createTempDirectory("graft_ivf_drift").toString)
+    graft.sim.IvfIndex.assignIncremental(store, "postings", emb,
+      "vec_id", "embedding", cs)
+    graft.sim.IvfIndex.driftStats(store, "postings", cs).orderBy("cluster")
+  }
+
   /** Tokenizer fertility per language: chars per (regex-proxy BPE) token
     * as a fixed-point integer — the chars/token audit every multilingual
     * tokenizer evaluation reports (fertility differences across scripts).
@@ -3295,6 +3312,7 @@ object Queries {
     "q_store_version_diff" -> (qStoreVersionDiff _),
     "q_data_card" -> (qDataCard _),
     "q_sim_inc_index" -> (qSimIncIndex _),
+    "q_sim_ivf_drift" -> (qSimIvfDrift _),
     "q_token_fertility" -> (qTokenFertility _),
     "q_pipe_curation" -> (qPipeCuration _),
     "q_pipe_sft_prep" -> (qPipeSftPrep _),

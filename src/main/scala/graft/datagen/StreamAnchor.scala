@@ -30,7 +30,14 @@ import graft.streaming.Streaming
   * table corpus-sized).
   *
   * Usage: `runMain graft.datagen.StreamAnchor <sfDir> <out.json> [batches]
-  * [legs: all|containment|neardup|ks] [gate: exact|banded]` — the legs selector
+  * [legs: all|containment|neardup|ks|killrestart] [gate: exact|banded]` —
+  * the `killrestart` leg (r15) measures the EXACTLY-ONCE claim end-to-end:
+  * it runs the containment gate with an injected crash at the worst point
+  * of trigger 1 (after the seed log + index appends, before the clean
+  * commit — `Streaming.crashHook`), restarts the query from its real
+  * checkpoint, and asserts the clean table AND the df table equal a
+  * parallel no-crash control run, reporting per-trigger costs of all
+  * three query incarnations. The legs selector
   * exists because the sf10 campaign needs the KS gate measured on its own
   * (r13: the containment leg's guard trip aborted the whole run before
   * the KS leg started), and `banded` anchors the winnowed-fingerprint
@@ -142,9 +149,52 @@ object StreamAnchor {
       progressJson(qk)
     } else "[]"
 
+    // ---- kill-restart: the exactly-once contract measured end-to-end
+    val killJson = if (legs == "killrestart") {
+      val docs = spark.read.parquet(s"$srcDir/documents.parquet")
+        .select("doc_id", "text")
+      val krDir = s"$work/kr_docs"
+      stage(docs, "doc_id", batches, krDir)
+      def gate(store: TableStore, prefix: String, cp: String) =
+        Streaming.containmentIngestGate(
+          spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1).parquet(krDir),
+          "text", "doc_id", store, s"${prefix}post", s"${prefix}df",
+          s"${prefix}grams", s"${prefix}clean", cp, threshold = 0.8,
+          banded = banded)
+      val qc = gate(store, "kc_", s"$work/cp_kr_control")
+      qc.awaitTermination()
+      // crash once, at trigger 1, between the index appends and the clean
+      // commit — the window where the index already holds the batch
+      Streaming.crashHook = (_, b) =>
+        if (b == 1L) {
+          Streaming.crashHook = (_, _) => ()
+          sys.error("injected crash between index append and clean commit")
+        }
+      val q1 = gate(store, "kk_", s"$work/cp_kr_crash")
+      try q1.awaitTermination()
+      catch { case _: org.apache.spark.sql.streaming.StreamingQueryException => () }
+      finally Streaming.crashHook = (_, _) => ()
+      val crashedJson = progressJson(q1)
+      val q2 = gate(store, "kk_", s"$work/cp_kr_crash")
+      q2.awaitTermination()
+      val a = store.read("kk_clean").select("doc_id")
+      val b = store.read("kc_clean").select("doc_id")
+      val cleanMatch = a.join(b, Seq("doc_id"), "left_anti").isEmpty &&
+        b.join(a, Seq("doc_id"), "left_anti").isEmpty
+      val dfExact = {
+        val l = store.read("kk_df"); val r = store.read("kc_df")
+        l.exceptAll(r).isEmpty && r.exceptAll(l).isEmpty
+      }
+      s"""{"control":${progressJson(qc)},"crashed":$crashedJson,""" +
+        s""""restarted":${progressJson(q2)},"clean_match":$cleanMatch,""" +
+        s""""df_match":$dfExact,"n_clean":${b.count()}}"""
+    } else "null"
+
     val json = s"""{"containment_gate":$containmentJson,""" +
       s""""neardup_gate":$nearDupJson,""" +
-      s""""ks_gate":$ksJson,"batches":$batches,"legs":"$legs",""" +
+      s""""ks_gate":$ksJson,"killrestart":$killJson,""" +
+      s""""batches":$batches,"legs":"$legs",""" +
       s""""banded":$banded,"compact_every":$compactEvery,""" +
       s""""ks_report_rows":$lastReportRows,"sf_dir":"$srcDir"}"""
     Files.write(Paths.get(outPath),

@@ -99,4 +99,72 @@ object IvfIndex {
       .select(col("query_id"), col("id").as("neighbor_id"),
         col("cosine_sim"), col("rank"))
   }
+
+  /** DRIFT VISIBILITY (r15 — the alarm an operator watches so a frozen
+    * coarse quantizer cannot silently lose recall): per-cluster posting
+    * count and mean integer squared distance to the ASSIGNED centroid,
+    * under the same micro-unit quantization as assignment. As the
+    * ingested distribution drifts away from the centroids the index was
+    * fit on, `mean_sqdist` trends UP (vectors land ever farther inside
+    * their nearest — increasingly wrong — bucket) while recall of
+    * [[searchStored]] decays; alarm on the trend and run [[refit]].
+    *
+    * Determinism: distances are exact integers; the mean is integer
+    * `sum div n` (non-negative, engine-identical) — SQL-replayable
+    * (q_sim_ivf_drift). Scale: ONE map-only scan of the posting store +
+    * a k-row aggregate; centroids ride as a broadcast literal. */
+  def driftStats(store: TableStore, table: String,
+                 centroids: Seq[Seq[Long]]): DataFrame = {
+    val cLit = centroidsLit(centroids)
+    store.read(table)
+      .withColumn("__d", Cluster.sqDistLong(Cluster.quantize(col("v")),
+        element_at(cLit, col("cluster") + 1)))
+      .groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n"), sum(col("__d")).as("__sd"))
+      .select(col("cluster"), col("n"),
+        expr("__sd div n").as("mean_sqdist"))
+  }
+
+  /** CENTROID REFIT (r15 — the bounded fix for quantizer drift): re-run
+    * [[Cluster.kmeans]] over a deterministic hash-sample of the stored
+    * postings, re-assign EVERY stored vector map-only against the new
+    * centroids, and PK-upsert ONLY the rows whose bucket changed. Returns
+    * the new quantized centroids — pass them to every subsequent
+    * [[assignIncremental]]/[[searchStored]]/[[driftStats]] call (the
+    * centroids remain driver state by construction, exactly as in a
+    * Faiss-style IVF retrain: the coarse quantizer is replaced wholesale,
+    * never patched).
+    *
+    * Cost model (maintenance-priced, NOT per-trigger): the k-means fit
+    * touches only the ≤ `sampleN` hash-sampled rows (init + iters scans);
+    * re-assignment is one map-only pass over the store; the upsert
+    * rewrites the snapshot once (the store's documented upsert economics)
+    * carrying only changed rows through the merge shuffle. Run it when
+    * [[driftStats]] alarms — the measured recall-vs-growth curve
+    * (`datagen.IvfDriftMeasure`, BASELINE.md r15) prices how much recall
+    * an unrefit index loses first.
+    *
+    * Determinism: the sample is an id-hash gate (layout-independent), the
+    * fit is [[Cluster.kmeans]]' deterministic smallest-id init, and
+    * re-assignment is the exact integer argmin. */
+  def refit(store: TableStore, table: String, k: Int,
+            sampleN: Int = 10000, maxIters: Int = 10): Seq[Seq[Long]] = {
+    val stored = store.read(table)
+    val n = stored.count()
+    require(n > 0, s"$table is empty — nothing to refit")
+    // deterministic id-hash sample of ~sampleN rows (every m-th hash slot)
+    val m = math.max(1L, n / math.max(1L, sampleN.toLong))
+    val sample = stored.where(pmod(xxhash64(col("id")), lit(m)) === 0)
+    val model = Cluster.kmeans(sample.select(col("id"), col("v")),
+      "id", "v", k, maxIters)
+    val next = model.centroids
+      .map(_.map(x => math.round(x * 1e6)).toVector).toVector
+    val reassigned = Cluster.assignQuantized(
+        stored.select(col("id"), col("cluster").as("__old"), col("v")),
+        "v", next)
+      .where(col("cluster") =!= col("__old"))
+      .select(col("id"), col("cluster"), col("v"))
+    if (!reassigned.isEmpty) store.upsert(table, reassigned, Seq("id"))
+    next
+  }
 }

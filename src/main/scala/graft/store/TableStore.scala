@@ -31,8 +31,54 @@ import org.apache.spark.sql.types.{DataType, StructType}
   * natural upgrade is bucketed snapshots so consecutive upserts reuse the
   * same hash partitioning; the layout (dir-per-version) maps 1:1 onto an
   * object store.
+  *
+  * == Concurrency contract (multi-writer, r15) ==
+  *
+  * Writes commit through ONE meta-pointer file per table, so the unit of
+  * isolation is the TABLE:
+  *
+  *  - '''Same JVM''' (two streaming gates, two threads, two TableStore
+  *    instances over the same root): every mutating op serializes on a
+  *    process-wide (normalized root, table) monitor — concurrent writers
+  *    to the SAME table interleave safely (each sees the other's commit;
+  *    no lost update), and writers to different tables don't contend.
+  *    This is the two-foreachBatch-gates-one-Spark-app case: gates may
+  *    share a store as long as their TABLES are disjoint (they are — each
+  *    gate owns its index/clean/seedlog prefix), and even a misconfigured
+  *    shared table degrades to serialized commits, not corruption.
+  *  - '''Cross process''': the monitor cannot reach another JVM. Each
+  *    commit re-reads the meta pointer under the lock immediately before
+  *    writing it and FAILS FAST (`ConcurrentModificationException`) when
+  *    the version moved since the op read it — a lost update is detected,
+  *    not silently absorbed. The residual window (two processes writing
+  *    the same `v=N+1` dir before either commits) is not defensible on a
+  *    plain filesystem without atomic rename-based logs; the operating
+  *    contract is therefore ONE WRITING PROCESS PER STORE ROOT (readers
+  *    unlimited — snapshots are immutable). `expectedVersion` remains the
+  *    caller-level optimistic-CAS face on overwrite/upsert.
   */
 final class TableStore(spark: SparkSession, root: String) {
+
+  /** Process-wide write serialization + commit-time lost-update detection
+    * — see the class-doc concurrency contract. */
+  private def withWriteLock[T](table: String)(body: => T): T = {
+    val key = Paths.get(root).toAbsolutePath.normalize.toString + "#" + table
+    TableStore.writeLocks.computeIfAbsent(key, _ => new Object)
+      .synchronized(body)
+  }
+
+  /** Fail fast when the on-disk meta pointer moved between this op's
+    * entry read and its commit — a concurrent writer in ANOTHER process
+    * (same-process writers are excluded by the lock). */
+  private def commitGuard(table: String, readVersion: Option[Int]): Unit = {
+    val now = meta(table).map(_.version)
+    if (now != readVersion)
+      throw new java.util.ConcurrentModificationException(
+        s"$table: version moved ${readVersion.getOrElse(-1)} -> " +
+          s"${now.getOrElse(-1)} during this write — a concurrent writer " +
+          "in another process committed first; re-read and retry (the " +
+          "contract is one writing process per store root)")
+  }
 
   private def tableDir(table: String): Path = Paths.get(root, table)
   private def versionDir(table: String, v: Int): Path =
@@ -91,12 +137,13 @@ final class TableStore(spark: SparkSession, root: String) {
 
   def exists(table: String): Boolean = meta(table).isDefined
 
-  def setProperties(table: String, props: Map[String, String]): Unit = {
-    val m = meta(table).getOrElse(sys.error(s"no such table: $table"))
-    // metadata-delta minimization (utils.py:1482-1487): only rewrite on change
-    if (props.toSet.subsetOf(m.properties.toSet)) ()
-    else writeMeta(table, m.copy(properties = m.properties ++ props))
-  }
+  def setProperties(table: String, props: Map[String, String]): Unit =
+    withWriteLock(table) {
+      val m = meta(table).getOrElse(sys.error(s"no such table: $table"))
+      // metadata-delta minimization (utils.py:1482-1487): only rewrite on change
+      if (props.toSet.subsetOf(m.properties.toSet)) ()
+      else writeMeta(table, m.copy(properties = m.properties ++ props))
+    }
 
   // ----------------------------------------------------------------- read
 
@@ -124,9 +171,10 @@ final class TableStore(spark: SparkSession, root: String) {
     * "append" rewrites the table; intended for validation/monitoring logs
     * (rows per run, not data volume). For data-volume appends use
     * [[appendFiles]]. */
-  def append(table: String, df: DataFrame): Unit =
+  def append(table: String, df: DataFrame): Unit = withWriteLock(table) {
     if (exists(table)) overwrite(table, read(table).unionByName(df))
     else overwrite(table, df)
+  }
 
   /** FILE-LEVEL append: the new snapshot version is hardlinks of every
     * previous data file plus `df`'s files written alongside — O(batch)
@@ -148,7 +196,7 @@ final class TableStore(spark: SparkSession, root: String) {
     * count grows per append; [[compact]] reconciles. Time travel is
     * preserved: hardlinked files survive source-version pruning via inode
     * refcounts, exactly like [[replacePartitions]]. */
-  def appendFiles(table: String, df: DataFrame): Unit = {
+  def appendFiles(table: String, df: DataFrame): Unit = withWriteLock(table) {
     val m = meta(table).getOrElse(sys.error(s"no such table: $table"))
     require(m.buckets == 0 && m.partitionCols.isEmpty,
       s"$table: appendFiles supports plain snapshots only; bucketed " +
@@ -175,6 +223,7 @@ final class TableStore(spark: SparkSession, root: String) {
     // are UUID-fresh, so they never collide with the linked files
     df.select(m.schema.fieldNames.toIndexedSeq.map(org.apache.spark.sql.functions.col): _*)
       .write.mode("append").parquet(newDir.toString)
+    commitGuard(table, Some(m.version))
     writeMeta(table, m.copy(version = v))
   }
 
@@ -234,7 +283,8 @@ final class TableStore(spark: SparkSession, root: String) {
                 description: String = "", mergeSchema: Boolean = false,
                 overwriteSchema: Boolean = false,
                 expectedVersion: Option[Int] = None,
-                buckets: Int = 0, partitionBy: Seq[String] = Nil): Unit = {
+                buckets: Int = 0, partitionBy: Seq[String] = Nil): Unit =
+    withWriteLock(table) {
     val current = meta(table)
     checkExpected(table, current.map(_.version), expectedVersion)
     val out = current match {
@@ -264,13 +314,14 @@ final class TableStore(spark: SparkSession, root: String) {
     require(nb == 0 || pcols.isEmpty,
       s"$table: bucketed and hive-partitioned layouts are mutually exclusive")
     writeSnapshot(table, out, v, nb, pks, partitionCols = pcols)
+    commitGuard(table, current.map(_.version))
     writeMeta(table, Meta(v, out.schema.json, pks,
       if (timestampKeys.nonEmpty) timestampKeys else current.map(_.timestampKeys).getOrElse(Nil),
       nb,
       if (description.nonEmpty) description else current.map(_.description).getOrElse(""),
       current.map(_.properties).getOrElse(Map.empty),
       pcols))
-  }
+    }
 
   /** S8 — upsert by primary key (MERGE whenMatchedUpdate +
     * whenNotMatchedInsert, `utils.py:1748-1758`): current ∪ incoming →
@@ -279,7 +330,7 @@ final class TableStore(spark: SparkSession, root: String) {
     * `utils.py:1727-1737`). Idempotent: replaying a batch yields the same
     * table. */
   def upsert(table: String, df: DataFrame, primaryKeys: Seq[String] = Nil,
-             expectedVersion: Option[Int] = None): Unit = {
+             expectedVersion: Option[Int] = None): Unit = withWriteLock(table) {
     meta(table) match {
       case None =>
         require(primaryKeys.nonEmpty, "first write needs primaryKeys")
@@ -293,6 +344,7 @@ final class TableStore(spark: SparkSession, root: String) {
         val v = m.version + 1
         writeSnapshot(table, merged, v, m.buckets, pks, shuffleToBuckets = false,
           partitionCols = m.partitionCols)
+        commitGuard(table, Some(m.version))
         writeMeta(table, m.copy(version = v, schemaJson = merged.schema.json))
     }
   }
@@ -348,14 +400,16 @@ final class TableStore(spark: SparkSession, root: String) {
   /** S9 — replaceWhere: rewrite only the rows NOT matching the predicate,
     * union the incoming batch (partition-scoped overwrite semantics,
     * `storage_operations.py:161-202`). */
-  def replaceWhere(table: String, df: DataFrame, predicate: String): Unit = {
-    val m = meta(table).getOrElse(sys.error(s"no such table: $table"))
-    val kept = read(table).where(s"NOT ($predicate)")
-    val out = kept.unionByName(df, allowMissingColumns = true)
-    val v = m.version + 1
-    writeSnapshot(table, out, v, m.buckets, m.primaryKeys)
-    writeMeta(table, m.copy(version = v, schemaJson = out.schema.json))
-  }
+  def replaceWhere(table: String, df: DataFrame, predicate: String): Unit =
+    withWriteLock(table) {
+      val m = meta(table).getOrElse(sys.error(s"no such table: $table"))
+      val kept = read(table).where(s"NOT ($predicate)")
+      val out = kept.unionByName(df, allowMissingColumns = true)
+      val v = m.version + 1
+      writeSnapshot(table, out, v, m.buckets, m.primaryKeys)
+      commitGuard(table, Some(m.version))
+      writeMeta(table, m.copy(version = v, schemaJson = out.schema.json))
+    }
 
   /** Change-data view between two snapshot versions: one row per primary
     * key whose state differs, tagged `__change` ∈ added / removed /
@@ -418,7 +472,8 @@ final class TableStore(spark: SparkSession, root: String) {
     * even for a nondeterministic `df` (one evaluation, no collect), and
     * hive-escaped values (spaces etc.) match by construction — both
     * versions' dir names come from the same Spark writer encoding. */
-  def replacePartitions(table: String, df: DataFrame): Unit = {
+  def replacePartitions(table: String, df: DataFrame): Unit =
+    withWriteLock(table) {
     val m = meta(table).getOrElse(sys.error(s"no such table: $table"))
     require(m.partitionCols.nonEmpty,
       s"$table is not hive-partitioned; use overwrite/replaceWhere")
@@ -451,12 +506,14 @@ final class TableStore(spark: SparkSession, root: String) {
           .foreach(f => Files.createLink(target.resolve(f.getFileName.toString), f))
       }
     }
+    commitGuard(table, Some(m.version))
     writeMeta(table, m.copy(version = v))
-  }
+    }
 
   /** S12 — compaction: rewrite current version with `n` files and prune
     * versions older than `retain`. */
-  def compact(table: String, n: Int = 1, retain: Int = 2): Unit = {
+  def compact(table: String, n: Int = 1, retain: Int = 2): Unit =
+    withWriteLock(table) {
     val m = meta(table).getOrElse(sys.error(s"no such table: $table"))
     val v = m.version + 1
     // bucketed tables keep their bucket count (that IS the file layout);
@@ -464,6 +521,7 @@ final class TableStore(spark: SparkSession, root: String) {
     if (m.buckets > 0) writeSnapshot(table, read(table), v, m.buckets, m.primaryKeys)
     else read(table).repartition(n).write.mode("overwrite")
       .parquet(versionDir(table, v).toString)
+    commitGuard(table, Some(m.version))
     writeMeta(table, m.copy(version = v))
     val dir = tableDir(table)
     Files.list(dir).iterator().asScala
@@ -473,7 +531,7 @@ final class TableStore(spark: SparkSession, root: String) {
         spark.sql(s"DROP TABLE IF EXISTS ${catalogName(table, p.getFileName.toString.drop(2).toInt)}")
         deleteRecursively(p)
       }
-  }
+    }
 
   /** Optimistic concurrency (the Delta `txnVersion` face): a writer that
     * read version V passes `expectedVersion = Some(V)` (or None for a
@@ -496,6 +554,12 @@ final class TableStore(spark: SparkSession, root: String) {
 }
 
 object TableStore {
+  /** One monitor per (normalized store root, table) — plain Objects, so
+    * the mapping function never computes dependent entries (CLAUDE.md
+    * invariant 10b) and entries are tiny enough to live forever. */
+  private val writeLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
   final case class Meta(
       version: Int,
       schemaJson: String,

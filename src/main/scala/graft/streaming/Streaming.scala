@@ -16,6 +16,16 @@ import graft.store.TableStore
   */
 object Streaming {
 
+  /** HARNESS fault injection for the ingest gates: invoked with
+    * (cleanTable, batchId) after the seed log + index appends, BEFORE the
+    * clean commit — the worst-case crash point of the gate protocol (the
+    * index holds this batch, the guard does not). `datagen.StreamAnchor`'s
+    * kill-restart leg and the crash-replay specs throw from here to turn
+    * the exactly-once claim into an end-to-end measurement through the
+    * real checkpoint-restart machinery; default no-op, never set in
+    * production. */
+  @volatile private[graft] var crashHook: (String, Long) => Unit = (_, _) => ()
+
   val eventSchema: StructType = StructType.fromDDL(
     "event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, value DOUBLE, props STRING")
 
@@ -382,6 +392,7 @@ object Streaming {
               graft.text.Dedup.seedGramIndex(store, postingsTable, dfTable,
                 gramsTable, keptP, textCol, idCol, n = n, appendOnly = true,
                 mergeDf = !isReplay)
+            crashHook(cleanTable, batchId)
             appendGuarded(store, cleanTable, keptP, idCol, checkpoint, batchId)
           }
           maybeCompact(store, compactEvery, batchId, batch,
@@ -553,6 +564,7 @@ object Streaming {
                 graft.sim.Cluster.seedEmbeddingSignatures(store, sigTable,
                   keptP, textCol, idCol, centroids, appendOnly = true)
             }
+            crashHook(cleanTable, batchId)
             appendGuarded(store, cleanTable, keptP, idCol, checkpoint, batchId)
           }
           maybeCompact(store, compactEvery, batchId, batch,

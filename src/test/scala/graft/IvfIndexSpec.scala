@@ -114,6 +114,68 @@ class IvfIndexSpec extends AnyFunSuite {
     assert(streamed == oneShot)
   }
 
+  test("driftStats alarms on ingested drift; refit restores the fresh-fit " +
+      "recall row (and equals a from-scratch fit)") {
+    // world at fit time: 4 axis blobs (+ 5 "anchor" rows at the five true
+    // centers, ids 1-5, so the refit k-means' smallest-id init is exactly
+    // one seed per cluster and Lloyd converges deterministically)
+    val anchors = Seq(
+      (1L, Seq(1.0, 0.0, 0.0, 0.0)), (2L, Seq(0.0, 1.0, 0.0, 0.0)),
+      (3L, Seq(0.0, 0.0, 1.0, 0.0)), (4L, Seq(0.0, 0.0, 0.0, 1.0)),
+      (5L, Seq(0.7, 0.7, 0.0, 0.0))) // the blob center NOT in the old fit
+    val base = (10L to 49L).map { i =>
+      val g = (i % 4).toInt
+      val v = Array.fill(4)(0.0); v(g) = 1.0; v((g + 1) % 4) = 0.01 * (i % 7)
+      (i, v.toSeq)
+    }
+    // drifted blob between old centroids 0 and 1: the ±0.02 wobble splits
+    // members across the two buckets — exactly the drift mode that loses
+    // IVF recall (neighbors of one query land in different buckets)
+    val blob = (100L to 109L).map { i =>
+      val e = if (i % 2 == 0) 0.02 else -0.02
+      (i, Seq(0.7 + e, 0.7 - e, 0.0, 0.0))
+    }
+    val store = freshStore()
+    val baseDf = (anchors.filter(_._1 <= 4) ++ base).toDF("vec_id", "embedding")
+    IvfIndex.assignIncremental(store, "p", baseDf, "vec_id", "embedding", centroids)
+    val before = IvfIndex.driftStats(store, "p", centroids)
+      .as[(Int, Long, Long)].collect().map(r => r._1 -> r._3).toMap
+    // drift arrives (plus the blob-center anchor, id 5)
+    IvfIndex.assignIncremental(store, "p",
+      (anchors.filter(_._1 == 5) ++ blob).toDF("vec_id", "embedding"),
+      "vec_id", "embedding", centroids)
+    val after = IvfIndex.driftStats(store, "p", centroids)
+      .as[(Int, Long, Long)].collect().map(r => r._1 -> r._3).toMap
+    // the buckets that swallowed the blob show the alarm: mean sqdist UP
+    assert(after(0) > before(0) && after(1) > before(1))
+    // recall under the FROZEN quantizer: a query at the blob center probes
+    // one bucket and finds only that half of its true neighbors
+    val query = Seq((9000L, Seq(0.71, 0.70, 0.0, 0.0))).toDF("vec_id", "embedding")
+    def blobHits(cents: Seq[Seq[Long]]) =
+      IvfIndex.searchStored(store, "p", query, "vec_id", "embedding",
+          cents, k = 10, nProbe = 1)
+        .where(col("neighbor_id") >= 100 || col("neighbor_id") === 5)
+        .count()
+    val frozen = blobHits(centroids)
+    assert(frozen <= 6, s"frozen-quantizer recall unexpectedly high: $frozen")
+    // refit: k-means over the stored corpus, changed rows re-bucketed
+    val next = IvfIndex.refit(store, "p", k = 5)
+    val refit = blobHits(next)
+    assert(refit >= 9, s"refit did not restore recall: $refit")
+    // and the refit index IS the fresh-fit index: a from-scratch fit over
+    // the same corpus yields identical centroids and identical postings
+    val all = (anchors ++ base ++ blob).toDF("vec_id", "embedding")
+    val freshModel = Cluster.kmeans(all, "vec_id", "embedding", k = 5)
+    val freshCents = freshModel.centroids
+      .map(_.map(x => math.round(x * 1e6)).toVector).toVector
+    assert(next == freshCents)
+    val freshStore2 = freshStore()
+    IvfIndex.assignIncremental(freshStore2, "p", all, "vec_id", "embedding",
+      freshCents)
+    assert(IvfIndex.postings(store, "p").as[(Long, Int)].collect().toSet ==
+      IvfIndex.postings(freshStore2, "p").as[(Long, Int)].collect().toSet)
+  }
+
   test("assignIncremental output is partition-layout independent") {
     val df = vecs.toDF("vec_id", "embedding")
     val a = IvfIndex.assignIncremental(freshStore(), "p",

@@ -309,6 +309,33 @@ class StoreSpec extends AnyFunSuite {
     assert(dirs == Set("v=3"), s"leftover snapshot dirs: $dirs")
   }
 
+  test("multi-writer contract: concurrent same-JVM writers (even via two " +
+      "store instances over one root) serialize — no lost updates") {
+    // the two-foreachBatch-gates-one-app scenario (r14 verdict item 7):
+    // every commit must survive, one version per commit, whichever
+    // TableStore instance issued it (the write lock is keyed on the
+    // NORMALIZED root, not the instance)
+    val root = Files.createTempDirectory("graft_store_race").toString
+    val s1 = new TableStore(spark, root)
+    val s2 = new TableStore(spark, root + "/.") // same dir, different spelling
+    s1.overwrite("race", Seq((0L, 0L)).toDF("id", "x"), primaryKeys = Seq("id"))
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = Seq(s1, s2).zipWithIndex.map { case (st, t) =>
+      new Thread(() => try {
+        (1 to 12).foreach { i =>
+          st.upsert("race", Seq((t * 1000L + i, i.toLong)).toDF("id", "x"), Seq("id"))
+        }
+      } catch { case e: Throwable => errs.add(e) })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(errs.isEmpty, s"concurrent writer failed: ${errs.peek()}")
+    assert(s1.read("race").count() == 25)       // 1 seed + 24 upserted rows
+    assert(s1.currentVersion("race") == 24)     // one version per commit
+    // different tables never contend: a writer on another table proceeds
+    s2.overwrite("other", Seq((1L, 1L)).toDF("id", "x"), primaryKeys = Seq("id"))
+    assert(s2.read("other").count() == 1)
+  }
+
   test("replaceWhere rewrites only the matching slice") {
     val store = freshStore()
     store.overwrite("r", Seq((1, "2024-01", 1.0), (2, "2024-02", 2.0))
