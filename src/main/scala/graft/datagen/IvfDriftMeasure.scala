@@ -2,7 +2,7 @@ package graft.datagen
 
 import java.nio.file.{Files, Paths}
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.sim.{Cluster, IvfIndex, Similarity}
@@ -28,22 +28,31 @@ import graft.store.TableStore
   * Then [[IvfIndex.refit]] re-fits on the grown store and the final row
   * re-measures everything.
   *
-  * What the measurement actually shows (r15, sf0.1 —
-  * `bench/ivf_drift_sf0.1_r15.json`): under TRANSLATION drift at this
-  * magnitude, fixed-nProbe recall does NOT decay (drifted queries'
-  * neighbors concentrate with them: 0.72 fresh → 0.90 at step 5, back to
-  * 0.76 after refit) — the reliable operator signal is the DRIFT ALARM:
-  * `mean_sqdist` climbs monotonically +36% over 5 steps while occupancy
-  * skews (max bucket share 7.2% → 12.0%), and refit returns the alarm to
-  * +8.6% over fresh on a 6× corpus. The recall-LOSS drift mode (a new
-  * blob straddling an old bucket BOUNDARY, splitting true neighbors
-  * across buckets) is pinned deterministically by IvfIndexSpec's
-  * drift/refit test (frozen ≤ 6/10 neighbors found, refit ≥ 9/10,
-  * refit ≡ from-scratch fit bit-for-bit). Both failure modes alarm
-  * through the same [[IvfIndex.driftStats]] numbers.
+  * What the measurement actually shows (r15, sf0.1) — the two drift
+  * modes fail DIFFERENTLY and trip DIFFERENT driftStats signals:
+  *
+  *  - `translate` (`bench/ivf_drift_sf0.1_r15.json`): fixed-nProbe
+  *    recall does NOT decay (drifted queries' neighbors concentrate with
+  *    them: 0.72 fresh → 0.90 at step 5, back to 0.76 after refit) — the
+  *    operator signal is `mean_sqdist` climbing monotonically +36% over
+  *    5 steps (occupancy skews mildly, 7.2% → 12.0%); refit returns the
+  *    alarm to +8.6% over fresh on a 6× corpus.
+  *  - `newblob` (`bench/ivf_drift_newblob_sf0.1_r15.json`, nProbe 1):
+  *    recall LOSS is real — blob queries find 0.53–0.58 of their true
+  *    neighbors under the frozen quantizer (the blob splits ~50/50
+  *    across the two parent buckets; max bucket share spikes 7.2% →
+  *    29.2% at the first step) and [[IvfIndex.refit]] recovers to 0.73.
+  *    `mean_sqdist` DROPS in this mode (boundary blobs sit at half-gap
+  *    distance, closer than typical corpus mass) — the alarm that fires
+  *    is the OCCUPANCY skew, which is why [[IvfIndex.driftStats]]
+  *    reports per-cluster `n` alongside the distance trend: watch both.
+  *
+  * The deterministic toy pinning of the recall-loss mode (frozen ≤ 6/10
+  * neighbors found, refit ≥ 9/10, refit ≡ from-scratch fit bit-for-bit)
+  * is IvfIndexSpec's drift/refit test.
   *
   * Usage: `runMain graft.datagen.IvfDriftMeasure <sfDir> <out.json>
-  * [steps] [k] [nProbe]`
+  * [steps] [k] [nProbe] [mode: translate|newblob]`
   */
 object IvfDriftMeasure {
 
@@ -59,6 +68,46 @@ object IvfDriftMeasure {
         + (pmod(xxhash64(col("vec_id"), i, lit(step)), lit(1001)) - 500) / 10000.0)
     df.select((col("vec_id") + lit(step.toLong * 1000000L)).as("vec_id"),
       shifted.as("embedding"))
+  }
+
+  /** The recall-LOSS drift mode: each step's batch is a NEW blob centered
+    * on the MIDPOINT of two fitted centroids (pair rotates with the step),
+    * spread in the bucket-BOUNDARY PLANE (per-vector jitter with its
+    * component along the inter-centroid axis projected out) plus a tiny
+    * random side displacement along the axis. The frozen quantizer then
+    * splits the blob ~50/50 across the two parent buckets while a
+    * member's true nearest neighbors — determined entirely by the
+    * in-plane jitter — are UNCORRELATED with its side, so a fixed-nProbe
+    * probe from inside the blob finds only the half that shares its
+    * bucket. This is the drift mode IvfIndexSpec pins at toy scale
+    * (frozen ≤ 6/10 planted neighbors, refit ≥ 9/10), measured here at
+    * corpus scale. */
+  private def newBlob(df: DataFrame, step: Int,
+                      cents: Seq[Seq[Long]]): DataFrame = {
+    val k = cents.size
+    val a = cents(((step - 1) * 2) % k).map(_ / 1e6)
+    val b = cents(((step - 1) * 2 + 1) % k).map(_ / 1e6)
+    val mid = a.zip(b).map { case (x, y) => (x + y) / 2.0 }
+    val axis = a.zip(b).map { case (x, y) => y - x }
+    val norm = math.sqrt(axis.map(x => x * x).sum)
+    val u = axis.map(_ / norm)
+    val midLit = array(mid.map(lit): _*)
+    val uLit = array(u.map(lit): _*)
+    def jComp(i: Column) = // deterministic per-(vector, component) jitter
+      (pmod(xxhash64(col("vec_id"), i, lit(step)), lit(1001)) - 500) / 10000.0
+    // j · u (the along-axis jitter component, to be projected out)
+    val dot = (0 until mid.size)
+      .map(i => jComp(lit(i)) * u(i)).reduce(_ + _)
+    // ±0.005 side displacement: flips the argmin between the equidistant
+    // parents but is an order of magnitude under the in-plane spread
+    val side = (pmod(xxhash64(col("vec_id"), lit(step)), lit(2)) * 2 - 1) / 200.0
+    val blob = zip_with(
+      midLit,
+      sequence(lit(0), lit(mid.size - 1)),
+      (m, i) => m + jComp(i)
+        + (side - dot) * element_at(uLit, (i + 1).cast("int")))
+    df.select((col("vec_id") + lit(step.toLong * 1000000L)).as("vec_id"),
+      blob.as("embedding"))
   }
 
   /** recall@k of the stored-index search vs exact brute force over the
@@ -98,6 +147,8 @@ object IvfDriftMeasure {
     val steps = if (args.length > 2) args(2).toInt else 5
     val k = if (args.length > 3) args(3).toInt else 16
     val nProbe = if (args.length > 4) args(4).toInt else 4
+    val mode = if (args.length > 5) args(5) else "translate"
+    require(mode == "translate" || mode == "newblob", s"unknown mode $mode")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors().toString)
     val spark = SparkSession.builder()
@@ -138,14 +189,15 @@ object IvfDriftMeasure {
 
     var newest = base
     (1 to steps).foreach { g =>
-      newest = jitter(base, g).localCheckpoint()
+      newest = (if (mode == "newblob") newBlob(base, g, cents)
+                else jitter(base, g)).localCheckpoint()
       IvfIndex.assignIncremental(store, "p", newest, "vec_id", "embedding", cents)
       measure("frozen", g, newest)
     }
     cents = IvfIndex.refit(store, "p", k)
     measure("refit", steps, newest)
 
-    val json = s"""{"sf_dir":"$srcDir","steps":$steps,"k":$k,""" +
+    val json = s"""{"sf_dir":"$srcDir","mode":"$mode","steps":$steps,"k":$k,""" +
       s""""n_probe":$nProbe,"rows":[${rows.mkString(",")}]}"""
     Files.write(Paths.get(outPath),
       json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
