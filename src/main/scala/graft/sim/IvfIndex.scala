@@ -36,25 +36,52 @@ object IvfIndex {
   /** Assign `batch` to its IVF buckets and register the postings
     * (`id, cluster, v`) in the store — seeds the table partitioned by
     * `cluster` on first use, PK-upserts afterwards (idempotent replay,
-    * evolving corpus). Returns the batch's `(id, cluster)` assignments. */
+    * evolving corpus). Returns the batch's `(id, cluster)` assignments.
+    *
+    * `appendOnly = true` is the STREAMING ingest form (r15): each call is
+    * a hive-partitioned [[TableStore.appendFiles]] — O(batch) data +
+    * O(files) hardlinks, partition pruning intact — instead of the
+    * default PK upsert, which rewrites the corpus-sized snapshot EVERY
+    * call (the measured r13 per-trigger trap; CLAUDE.md invariant 12).
+    * Appends do not dedup: an at-least-once replay appends duplicate
+    * posting rows, and assignment is deterministic, so replays produce
+    * EXACT duplicates — every consumer here ([[postings]],
+    * [[searchStored]], [[driftStats]]) collapses them by id, which makes
+    * blind replays safe without a seed-log guard; a same-id re-send with
+    * a DIFFERENT vector is caller error in this mode (use the upsert form
+    * for mutable vectors). [[compactPostings]] physically reconciles
+    * accumulated duplicate rows and per-append small files. */
   def assignIncremental(store: TableStore, table: String, batch: DataFrame,
                         idCol: String, vecCol: String,
-                        centroids: Seq[Seq[Long]]): DataFrame = {
+                        centroids: Seq[Seq[Long]],
+                        appendOnly: Boolean = false): DataFrame = {
     val assigned = Cluster.assignQuantized(
         batch.select(col(idCol), col(vecCol)), vecCol, centroids)
       .select(col(idCol).cast("long").as("id"), col("cluster"),
         col(vecCol).cast("array<double>").as("v"))
-    if (store.exists(table)) store.upsert(table, assigned, Seq("id"))
-    else store.overwrite(table, assigned, primaryKeys = Seq("id"),
-      partitionBy = Seq("cluster"))
+    if (!store.exists(table))
+      store.overwrite(table, assigned, primaryKeys = Seq("id"),
+        partitionBy = Seq("cluster"))
+    else if (appendOnly) store.appendFiles(table, assigned)
+    else store.upsert(table, assigned, Seq("id"))
     assigned.select(col("id"), col("cluster"))
   }
 
   /** Read back the full posting map `(id, cluster)` — equals a one-shot
     * [[Cluster.assignQuantized]] over everything ever ingested, however
-    * many increments built it. */
+    * many increments built it. Collapses the exact-duplicate rows an
+    * append-only replay leaves behind. */
   def postings(store: TableStore, table: String): DataFrame =
-    store.read(table).select(col("id"), col("cluster"))
+    store.read(table).select(col("id"), col("cluster")).distinct()
+
+  /** LSM-style maintenance for an append-only posting store: ONE
+    * layout-preserving snapshot rewrite that collapses replay-duplicate
+    * rows and reconciles per-append small files (the run-it-every-N-
+    * triggers sibling of [[TableStore.compact]], which reconciles files
+    * but never dedups rows). Maintenance-priced — never on the
+    * per-trigger path. */
+  def compactPostings(store: TableStore, table: String): Unit =
+    store.overwrite(table, store.read(table).dropDuplicates("id"))
 
   /** Top-k cosine search against the STORED index: each query probes its
     * `nProbe` nearest centroid buckets (exact integer distances, same
@@ -90,6 +117,9 @@ object IvfIndex {
       .where(col("cluster").isin(probedClusters: _*))
       .join(broadcast(probes), Seq("cluster"))
       .where(col("id") =!= col("query_id"))
+      // collapse append-only replay duplicates BEFORE ranking — exact
+      // duplicate postings would otherwise occupy two of the k ranks
+      .dropDuplicates("query_id", "id")
       .withColumn("cosine_sim",
         round(Similarity.cosine(col("v"), col("__qv")), 6))
     val rankW = Window.partitionBy(col("query_id"))
@@ -117,6 +147,8 @@ object IvfIndex {
                  centroids: Seq[Seq[Long]]): DataFrame = {
     val cLit = centroidsLit(centroids)
     store.read(table)
+      // append-only replay duplicates would inflate n and the mean
+      .dropDuplicates("id")
       .withColumn("__d", Cluster.sqDistLong(Cluster.quantize(col("v")),
         element_at(cLit, col("cluster") + 1)))
       .groupBy(col("cluster"))
@@ -149,7 +181,10 @@ object IvfIndex {
     * re-assignment is the exact integer argmin. */
   def refit(store: TableStore, table: String, k: Int,
             sampleN: Int = 10000, maxIters: Int = 10): Seq[Seq[Long]] = {
-    val stored = store.read(table)
+    // append-only replay duplicates: collapse so the re-assignment upsert
+    // never carries one PK twice (physical reconciliation of unchanged
+    // duplicate rows is compactPostings' job, not refit's)
+    val stored = store.read(table).dropDuplicates("id")
     val n = stored.count()
     require(n > 0, s"$table is empty — nothing to refit")
     // deterministic id-hash sample of ~sampleN rows (every m-th hash slot)

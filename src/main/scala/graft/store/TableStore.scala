@@ -187,21 +187,27 @@ final class TableStore(spark: SparkSession, root: String) {
     * because every trigger rewrote the corpus-sized postings/grams
     * snapshots.
     *
-    * Contract: plain snapshots only (bucketed layouts carry catalog file
-    * metadata and hive layouts have [[replacePartitions]]); the incoming
-    * schema must match the stored schema exactly (mixed-schema files in
-    * one version dir corrupt reads); and THE CALLER OWNS PK UNIQUENESS —
-    * this op does not dedup, so an at-least-once replay appends duplicate
-    * rows (guard replays, or make consumers duplicate-tolerant). File
-    * count grows per append; [[compact]] reconciles. Time travel is
+    * Contract: plain or hive-partitioned snapshots (bucketed layouts
+    * carry catalog file metadata — they upsert); the incoming schema must
+    * match the stored schema exactly (mixed-schema files in one version
+    * dir corrupt reads); and THE CALLER OWNS PK UNIQUENESS — this op does
+    * not dedup, so an at-least-once replay appends duplicate rows (guard
+    * replays, or make consumers duplicate-tolerant). File count grows per
+    * append; [[compact]] reconciles (layout-preserving). Time travel is
     * preserved: hardlinked files survive source-version pruning via inode
-    * refcounts, exactly like [[replacePartitions]]. */
+    * refcounts, exactly like [[replacePartitions]].
+    *
+    * Hive-partitioned form (r15, the streaming-IVF ingest shape): every
+    * previous partition dir's files are hardlinked into the matching new
+    * dir and the batch appends with `partitionBy` — O(batch) data +
+    * O(files) links, partition pruning intact, untouched partitions share
+    * inodes with the previous version. Contrast [[replacePartitions]],
+    * which REPLACES the touched partitions' contents. */
   def appendFiles(table: String, df: DataFrame): Unit = withWriteLock(table) {
     val m = meta(table).getOrElse(sys.error(s"no such table: $table"))
-    require(m.buckets == 0 && m.partitionCols.isEmpty,
-      s"$table: appendFiles supports plain snapshots only; bucketed " +
-        "tables upsert (catalog-registered file layout), hive-partitioned " +
-        "tables use replacePartitions")
+    require(m.buckets == 0,
+      s"$table: appendFiles supports plain or hive-partitioned snapshots; " +
+        "bucketed tables upsert (catalog-registered file layout)")
     val d = SchemaDiff.diff(m.schema, df.schema)
     require(d.isCompatible,
       s"$table: appendFiles needs the stored schema exactly (${d.describe})")
@@ -216,13 +222,26 @@ final class TableStore(spark: SparkSession, root: String) {
     // finding; see the StoreSpec crash-consistency test)
     if (Files.exists(newDir)) deleteRecursively(newDir)
     Files.createDirectories(newDir)
-    Files.list(oldDir).iterator().asScala
-      .filter(f => Files.isRegularFile(f) && !f.getFileName.toString.startsWith("_"))
-      .foreach(f => Files.createLink(newDir.resolve(f.getFileName.toString), f))
+    // hardlink the previous version's data files, preserving any hive
+    // partition dir structure (walk stops at regular files)
+    def linkInto(src: Path, dst: Path): Unit =
+      Files.list(src).iterator().asScala.foreach { f =>
+        val name = f.getFileName.toString
+        if (Files.isDirectory(f) && name.contains("=")) {
+          val sub = dst.resolve(name)
+          Files.createDirectories(sub)
+          linkInto(f, sub)
+        } else if (Files.isRegularFile(f) && !name.startsWith("_"))
+          Files.createLink(dst.resolve(name), f)
+      }
+    linkInto(oldDir, newDir)
     // column order normalized to the stored schema; writer part-file names
     // are UUID-fresh, so they never collide with the linked files
-    df.select(m.schema.fieldNames.toIndexedSeq.map(org.apache.spark.sql.functions.col): _*)
-      .write.mode("append").parquet(newDir.toString)
+    val out = df.select(m.schema.fieldNames.toIndexedSeq.map(col): _*)
+    if (m.partitionCols.nonEmpty)
+      out.write.mode("append").partitionBy(m.partitionCols: _*)
+        .parquet(newDir.toString)
+    else out.write.mode("append").parquet(newDir.toString)
     commitGuard(table, Some(m.version))
     writeMeta(table, m.copy(version = v))
   }
@@ -517,8 +536,18 @@ final class TableStore(spark: SparkSession, root: String) {
     val m = meta(table).getOrElse(sys.error(s"no such table: $table"))
     val v = m.version + 1
     // bucketed tables keep their bucket count (that IS the file layout);
-    // only unbucketed snapshots compact to n files
+    // hive-partitioned tables keep their dir layout — a flat rewrite here
+    // would silently break partition pruning AND the next
+    // replacePartitions (which hardlinks "untouched" partitions from the
+    // previous version's dirs: none exist in a flat snapshot, so every
+    // untouched row would be dropped — the r15 StoreSpec regression);
+    // hashing on the partition cols lands each value in one task → one
+    // file per partition dir
     if (m.buckets > 0) writeSnapshot(table, read(table), v, m.buckets, m.primaryKeys)
+    else if (m.partitionCols.nonEmpty)
+      read(table).repartition(n, m.partitionCols.map(col): _*)
+        .write.mode("overwrite").partitionBy(m.partitionCols: _*)
+        .parquet(versionDir(table, v).toString)
     else read(table).repartition(n).write.mode("overwrite")
       .parquet(versionDir(table, v).toString)
     commitGuard(table, Some(m.version))

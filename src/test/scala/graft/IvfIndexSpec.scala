@@ -49,6 +49,42 @@ class IvfIndexSpec extends AnyFunSuite {
     assert(IvfIndex.postings(store, "p").count() == 40)
   }
 
+  test("appendOnly ingest == upsert ingest; blind replays are safe " +
+      "(duplicate-tolerant probes) and compactPostings reconciles") {
+    val df = vecs.toDF("vec_id", "embedding")
+    val up = freshStore()
+    IvfIndex.assignIncremental(up, "p", df, "vec_id", "embedding", centroids)
+    val ap = freshStore()
+    IvfIndex.assignIncremental(ap, "p",
+      df.where(col("vec_id") <= 20), "vec_id", "embedding", centroids)
+    IvfIndex.assignIncremental(ap, "p",
+      df.where(col("vec_id") > 20), "vec_id", "embedding", centroids,
+      appendOnly = true)
+    // an at-least-once replay of the second batch — file-level append, no
+    // seed-log guard needed: assignment is deterministic, so the replay
+    // appends EXACT duplicates and every consumer collapses them by id
+    IvfIndex.assignIncremental(ap, "p",
+      df.where(col("vec_id") > 20), "vec_id", "embedding", centroids,
+      appendOnly = true)
+    assert(ap.read("p").count() == 60) // raw rows: 40 + 20 replayed
+    def results(s: TableStore) = {
+      val q = df.where(col("vec_id") === 5)
+        .select(lit(1005L).as("vec_id"),
+          transform(col("embedding"), x => x + lit(0.001)).as("embedding"))
+      (IvfIndex.postings(s, "p").as[(Long, Int)].collect().toSet,
+        IvfIndex.searchStored(s, "p", q, "vec_id", "embedding", centroids,
+          k = 3, nProbe = 2).as[(Long, Long, Double, Int)].collect().toSeq,
+        IvfIndex.driftStats(s, "p", centroids)
+          .as[(Int, Long, Long)].collect().toSet)
+    }
+    assert(results(ap) == results(up))
+    // physical reconciliation: one layout-preserving rewrite collapses the
+    // replay duplicates; logical results unchanged
+    IvfIndex.compactPostings(ap, "p")
+    assert(ap.read("p").count() == 40)
+    assert(results(ap) == results(up))
+  }
+
   test("searchStored: planted clone ranks 1; scan reads only probed partitions") {
     val df = vecs.toDF("vec_id", "embedding")
     val store = freshStore()

@@ -336,6 +336,67 @@ class StoreSpec extends AnyFunSuite {
     assert(s2.read("other").count() == 1)
   }
 
+  test("appendFiles on a hive-partitioned table: O(batch) write, hardlinked " +
+      "history, partition layout intact") {
+    import org.apache.spark.sql.functions.col
+    val root = Files.createTempDirectory("graft_store").toString
+    val store = new TableStore(spark, root)
+    val df = (1L to 300L).map(i => (i, (i % 3 + 1).toInt, i * 1.0)).toDF("id", "month", "amt")
+    store.overwrite("pa", df, primaryKeys = Seq("id"), partitionBy = Seq("month"))
+    val v0 = store.currentVersion("pa")
+    def partFiles(v: Int, month: Int) = {
+      import scala.jdk.CollectionConverters._
+      val d = java.nio.file.Paths.get(root, "pa", s"v=$v", s"month=$month")
+      java.nio.file.Files.list(d).iterator().asScala.toSeq
+        .filter(f => f.getFileName.toString.endsWith(".parquet"))
+        .map(f => f.getFileName.toString -> java.nio.file.Files.getLastModifiedTime(f))
+        .toMap
+    }
+    val m1Before = partFiles(v0, 1)
+    Thread.sleep(20)
+    // batch touches months 2 and 4 (4 is a NEW partition value)
+    store.appendFiles("pa",
+      Seq((9001L, 2, -1.0), (9002L, 4, -2.0)).toDF("id", "month", "amt"))
+    val after = store.read("pa")
+    assert(after.count() == 302)
+    assert(after.where(col("month") === 2).count() == 101) // appended, not replaced
+    assert(after.where(col("month") === 4).count() == 1)   // new partition dir
+    // untouched AND touched previous files ride as hardlinks (same names,
+    // same mtimes — appendFiles rewrites nothing)
+    val v1 = store.currentVersion("pa")
+    assert(partFiles(v1, 1) == m1Before)
+    assert(partFiles(v1, 2).keySet.intersect(partFiles(v0, 2).keySet)
+      == partFiles(v0, 2).keySet)
+    // time travel: the previous version has no appended rows
+    assert(store.readVersion("pa", v0).count() == 300)
+    // partition pruning still works on the appended snapshot: the month
+    // predicate reads only that partition's dirs
+    val scanned = after.where(col("month") === 4).select("id")
+      .queryExecution.executedPlan.toString
+    assert(store.read("pa").where(col("month") === 4)
+      .select("id").as[Long].collect().toSeq == Seq(9002L), scanned)
+  }
+
+  test("compact preserves the hive partition layout — replacePartitions " +
+      "after compact keeps untouched rows (r15 regression)") {
+    import org.apache.spark.sql.functions.col
+    val store = freshStore()
+    val df = (1L to 90L).map(i => (i, (i % 3 + 1).toInt, i * 1.0)).toDF("id", "month", "amt")
+    store.overwrite("pc", df, primaryKeys = Seq("id"), partitionBy = Seq("month"))
+    store.appendFiles("pc", Seq((9001L, 2, -1.0)).toDF("id", "month", "amt"))
+    store.compact("pc", n = 1, retain = 1)
+    // the compacted snapshot still has hive dirs (pruning + the
+    // replacePartitions contract depend on them)
+    assert(store.read("pc").count() == 91)
+    val newMonth2 = Seq((9100L, 2, -9.0)).toDF("id", "month", "amt")
+    store.replacePartitions("pc", newMonth2)
+    val after = store.read("pc")
+    assert(after.where(col("month") === 2).count() == 1)   // replaced wholesale
+    assert(after.where(col("month") === 1).count() == 30)  // NOT silently dropped
+    assert(after.where(col("month") === 3).count() == 30)
+    assert(after.count() == 61)
+  }
+
   test("replaceWhere rewrites only the matching slice") {
     val store = freshStore()
     store.overwrite("r", Seq((1, "2024-01", 1.0), (2, "2024-02", 2.0))
