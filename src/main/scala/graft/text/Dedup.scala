@@ -169,6 +169,16 @@ object Dedup {
   private[graft] def tokensCol(text: Column, keepAccents: Boolean = true): Column =
     graft.functions.GraftFunctions.tokens(text, keepAccents, dropEmpty = false)
 
+  /** Partition count for the kernel fan-out exchanges: the session's
+    * shuffle parallelism, PINNED as an explicit count — a bare
+    * `repartition(col)` is REPARTITION_BY_COL, which AQE's byte-based
+    * coalescing collapses to one partition on small text (measured r15:
+    * an 842 KB text exchange coalesced to 1 task and serialized the
+    * minhash kernel it existed to parallelize — byte-based sizing cannot
+    * see downstream per-row CPU). An explicit count is exempt. */
+  private def fanOutParts(df: DataFrame): Int =
+    df.sparkSession.sessionState.conf.numShufflePartitions
+
   /** [[tokensCol]] with empty tokens dropped in the kernel — replaces the
     * `filter(tokensCol(_), t ≠ "")` HOF of the feature-stream callers
     * (Dsir/Classifier/UnigramLM/BigramLM/InvertedIndex). */
@@ -231,7 +241,15 @@ object Dedup {
                      numHashes: Int, bands: Int): DataFrame = {
     val rowsPerBand = numHashes / bands
     graft.functions.GraftFunctions.register(df.sparkSession)
-    df.withColumn("__tokens", tokensCol(col(textCol)))
+    // Fan the kernel stage out on the id key BEFORE tokenize/hash: fused
+    // to the scan, the kernels inherit the INPUT LAYOUT's parallelism —
+    // one unsplittable file (single parquet row group) serializes the
+    // whole signature pipeline onto one core (guide §2.5 input skew;
+    // measured r15: every sf0.1 table is one row group, so kernel stages
+    // ran 1-task). One text-sized exchange is minor next to the gram/band
+    // shuffles these ops already pay, at any scale.
+    df.repartition(fanOutParts(df), col(idCol))
+      .withColumn("__tokens", tokensCol(col(textCol)))
       .withColumn("__gh", call_function("graft_ngram_hashes", col("__tokens"), lit(3)))
       .withColumn("__sig", call_function("graft_minhash_long", col("__gh"), lit(numHashes)))
       .select(col(idCol).as("__id"), col("__sig"),
@@ -318,10 +336,14 @@ object Dedup {
                            candidateEst: Double = 0.35): DataFrame = {
     graft.functions.GraftFunctions.register(df.sparkSession)
     val rowsPerBand = numHashes / bands
-    val prepped = df
+    // one fanned-out kernel pass, materialized (see ngramJaccardPairs):
+    // the signature/band subtree and the verify-arrays subtree both read
+    // the checkpointed (id, grams) table
+    val prepped = df.repartition(fanOutParts(df), col(idCol))
       .withColumn("__tokens", tokensCol(col(textCol)))
       .select(col(idCol).as("__id"),
         call_function("graft_ngram_hashes", col("__tokens"), lit(n)).as("__gh"))
+      .localCheckpoint()
     val bd = prepped
       .withColumn("__sig",
         call_function("graft_minhash_long", col("__gh"), lit(numHashes)))
@@ -777,7 +799,8 @@ object Dedup {
   def simhashPairs(df: DataFrame, textCol: String, idCol: String,
                    maxHamming: Int = 3): DataFrame = {
     graft.functions.GraftFunctions.register(df.sparkSession)
-    val withSh = df
+    // fan the kernel off the scan (see banded)
+    val withSh = df.repartition(fanOutParts(df), col(idCol))
       .withColumn("__sh",
         call_function("graft_simhash", tokensCol(col(textCol), keepAccents = false)))
       .select(col(idCol).as("__id"), col("__sh"))
@@ -979,10 +1002,21 @@ object Dedup {
                         n: Int = 3, threshold: Double = 0.5,
                         maxCandidatesPerPosting: Long = 64): DataFrame = {
     graft.functions.GraftFunctions.register(df.sparkSession)
-    val prepped = df
+    // ONE kernel pass, fanned out and materialized: the id repartition
+    // lifts tokenize+ngram off the scan (single-row-group inputs would
+    // serialize them — see banded), and the eager localCheckpoint runs
+    // the kernels ONCE so the df-table, prefix and verify subtrees read
+    // the compact (id, grams) table instead of re-tokenizing per subtree
+    // (measured r15 at sf0.1: 4 single-threaded kernel passes — guard
+    // histogram + grams + dfTab + arrays — were ~4.0 s of this entry's
+    // 4.3 s; post-change one parallel pass). The materialization is
+    // O(corpus grams) — the same rows the arrays exchange already
+    // shuffles — and recomputes per call (no cross-run state).
+    val prepped = df.repartition(fanOutParts(df), col(idCol))
       .withColumn("__tokens", tokensCol(col(textCol)))
       .select(col(idCol).as("__id"),
         call_function("graft_ngram_hashes", col("__tokens"), lit(n)).as("__gh"))
+      .localCheckpoint()
     // (id, sz, gram) scalar stream; NgramHashes output is distinct per doc,
     // so count(*) per gram IS the document frequency
     val grams = prepped
@@ -1067,10 +1101,12 @@ object Dedup {
                        n: Int = 3, threshold: Double = 0.8,
                        maxCandidatesPerPosting: Long = 64): DataFrame = {
     graft.functions.GraftFunctions.register(df.sparkSession)
-    val prepped = df
+    // one fanned-out kernel pass, materialized (see ngramJaccardPairs)
+    val prepped = df.repartition(fanOutParts(df), col(idCol))
       .withColumn("__tokens", tokensCol(col(textCol)))
       .select(col(idCol).as("__id"),
         call_function("graft_ngram_hashes", col("__tokens"), lit(n)).as("__gh"))
+      .localCheckpoint()
     val grams = prepped
       .select(col("__id"), size(col("__gh")).as("__sz"),
         explode(col("__gh")).as("__key"))
@@ -1175,11 +1211,15 @@ object Dedup {
                                keepRarestFallback: Boolean = false,
                                minCandidateBudget: Long = 2000000L): DataFrame = {
     graft.functions.GraftFunctions.register(df.sparkSession)
-    val prepped = df
+    // one fanned-out kernel pass, materialized (see ngramJaccardPairs):
+    // the adaptive-cap histogram collect, the fp-posting subtrees and the
+    // verify-arrays subtree all read the checkpointed table
+    val prepped = df.repartition(fanOutParts(df), col(idCol))
       .withColumn("__tokens", tokensCol(col(textCol)))
       .select(col(idCol).as("__id"),
         call_function("graft_ngram_hashes", col("__tokens"), lit(n)).as("__gh"),
         call_function("graft_winnow_hashes", col("__tokens"), lit(n), lit(w)).as("__fp"))
+      .localCheckpoint()
     val fps = prepped
       .select(col("__id"), size(col("__gh")).as("__sz"),
         explode(col("__fp")).as("__key"))
