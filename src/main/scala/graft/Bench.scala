@@ -30,6 +30,16 @@ object Bench {
       // (env-tunable for A/B runs)
       .config("spark.sql.files.maxPartitionBytes",
         sys.env.getOrElse("SPARK_GRAFT_MAX_PART_BYTES", "4m"))
+      // AQE coalescing floor (r15): the default 1m floor collapses every
+      // dimension-sized shuffle (stat count tables, candidate pair lists
+      // — ~1.8 MB of decimal rows ≈ 300-500 ms of single-core aggregate
+      // work) onto ONE task. 64k re-spreads exactly those CPU-dense small
+      // shuffles; byte-sized stages above advisory/parallelism targets
+      // are untouched. Env-tunable: on a cluster whose per-task overhead
+      // dwarfs 64 KB of rows, raise it back (guide §2.2 — partition
+      // sizing is a bytes-per-task-overhead trade, not a constant).
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+        sys.env.getOrElse("SPARK_GRAFT_MIN_PART_SIZE", "64k"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // JVM/codegen + parquet-reader warmup so the first measured query

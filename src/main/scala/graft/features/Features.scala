@@ -714,10 +714,10 @@ object Features {
         expr(s"CAST(CAST($valueCol AS decimal(18,2)) * 100 AS $d0)").as("__v"))
       .where(col("__v").isNotNull)
       .groupBy("__v").agg(count(lit(1)).as("__c"))
-    val ranged = v.repartitionByRange(nParts, col("__v"))
-      .sortWithinPartitions(col("__v"))
-      .withColumn("__part", spark_partition_id())
-      .localCheckpoint()
+    // deterministic ordered buckets (see medianOfCounts, r15); the
+    // count table itself is pinned once — it feeds the bounds, offsets
+    // and cumsum subtrees
+    val ranged = graft.ops.Scale.orderedBuckets(v.localCheckpoint(), "__v", 4 * nParts)
     val offsets = broadcast(ranged.groupBy("__part")
       .agg(sum("__c").as("__pc"))
       .withColumn("__offset", coalesce(
@@ -779,10 +779,11 @@ object Features {
     * range-partition prefix-sum topology — 1 row `(n, med)`. */
   private def medianOfCounts(counts: DataFrame): DataFrame = {
     val nParts = counts.sparkSession.sessionState.conf.numShufflePartitions
-    val ranged = counts.repartitionByRange(nParts, col("__v"))
-      .sortWithinPartitions(col("__v"))
-      .withColumn("__part", spark_partition_id())
-      .localCheckpoint()
+    // deterministic ordered buckets replace repartitionByRange +
+    // spark_partition_id (r15): no range-sampling pass, no invariant-7
+    // localCheckpoint — the bucket is a pure monotone function of __v,
+    // so the offsets and cumsum subtrees recompute it freely
+    val ranged = graft.ops.Scale.orderedBuckets(counts, "__v", 4 * nParts)
     val offsets = broadcast(ranged.groupBy("__part")
       .agg(sum("__c").as("__pc"))
       .withColumn("__offset", coalesce(
@@ -902,12 +903,9 @@ object Features {
 
   private def cdfFromCounts(v: DataFrame): DataFrame = {
     val nParts = v.sparkSession.sessionState.conf.numShufflePartitions
-    // one materialization of the sampled range partitioning feeds both
-    // the offsets and the cumsum subtrees (CLAUDE.md invariant 7)
-    val ranged = v.repartitionByRange(nParts, col("__v"))
-      .sortWithinPartitions(col("__v"))
-      .withColumn("__part", spark_partition_id())
-      .localCheckpoint()
+    // deterministic ordered buckets (see medianOfCounts, r15); the count
+    // table is pinned once for the bounds/offsets/cumsum subtrees
+    val ranged = graft.ops.Scale.orderedBuckets(v.localCheckpoint(), "__v", 4 * nParts)
     val offsets = broadcast(
       ranged.groupBy("__part")
         .agg(sum("__ca").as("__pa"), sum("__cb").as("__pb"))

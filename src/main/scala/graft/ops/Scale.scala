@@ -100,6 +100,43 @@ object Scale {
     walk(df.queryExecution.executedPlan)
   }
 
+  /** Deterministic ordered bucketing for the prefix-sum topologies
+    * (median / CDF / gini / lorenz / quartiles): adds an INT `__part`
+    * column that is a MONOTONE function of the numeric `valueCol` —
+    * linear interpolation of the value against its broadcast (min, max)
+    * bounds into `buckets` buckets. This serves exactly the role
+    * `repartitionByRange + spark_partition_id` played (an ordered
+    * partition of the value domain for per-bucket local windows +
+    * broadcast offset cumsum) WITHOUT its three fixed costs: the range
+    * sampling pass, the nondeterministic partition ids, and the
+    * invariant-7 `localCheckpoint` those ids force when the frame feeds
+    * two subtrees (measured r15: sampling + checkpoint jobs were most of
+    * q_feat_mad's 3.3 s at sf0.1 — the data itself is a value-distinct
+    * count table). The bucket expression is deterministic, so both
+    * consuming subtrees may recompute it freely.
+    *
+    * Monotone, not balanced: equal work per bucket is NOT guaranteed —
+    * a value distribution concentrated in a sliver of its own range
+    * (heavy outlier tail) degrades toward fewer effective buckets, which
+    * costs parallelism, never correctness (range sampling was balanced;
+    * this is the trade for zero extra passes). Pass `buckets` ≈ 4× the
+    * shuffle parallelism to smooth moderate skew; values must be
+    * non-null. Doubles are monotone over the decimal/long inputs used
+    * here, and ties land in the same bucket by construction. */
+  def orderedBuckets(df: DataFrame, valueCol: String, buckets: Int): DataFrame = {
+    require(buckets > 0, "buckets must be positive")
+    val v = col(valueCol).cast("double")
+    val bounds = broadcast(df.agg(
+      min(v).as("__lo"), max(v).as("__hi")))
+    df.crossJoin(bounds)
+      .withColumn("__part",
+        when(col("__hi") <= col("__lo"), lit(0))
+          .otherwise(least(
+            floor((v - col("__lo")) / (col("__hi") - col("__lo")) * buckets),
+            lit(buckets - 1L)).cast("int")))
+      .drop("__lo", "__hi")
+  }
+
   /** Repartition to a target in-memory partition size given a total size
     * estimate — the sizing rule `spark.sql.files.maxPartitionBytes`
     * applies at scan time, applied here for shuffled intermediates. */

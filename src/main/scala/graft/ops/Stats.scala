@@ -484,10 +484,9 @@ object Stats {
           .as("__v"))
       .where(col("__v") >= 0)
       .groupBy("__v").agg(count(lit(1)).cast(d0).as("__c"))
-    val ranged = v.repartitionByRange(nParts, col("__v"))
-      .sortWithinPartitions(col("__v"))
-      .withColumn("__part", spark_partition_id())
-      .localCheckpoint()
+    // deterministic ordered buckets (see Features.medianOfCounts, r15);
+    // the count table is pinned once for the bounds/offsets/cumsum subtrees
+    val ranged = Scale.orderedBuckets(v.localCheckpoint(), "__v", 4 * nParts)
     val offsets = broadcast(ranged.groupBy("__part")
       .agg(sum("__c").as("__pc"))
       .withColumn("__offset", coalesce(
@@ -533,10 +532,9 @@ object Stats {
           .as("__v"))
       .where(col("__v") >= 0)
       .groupBy("__v").agg(count(lit(1)).cast(d0).as("__c"))
-    val ranged = v.repartitionByRange(nParts, col("__v"))
-      .sortWithinPartitions(col("__v"))
-      .withColumn("__part", spark_partition_id())
-      .localCheckpoint()
+    // deterministic ordered buckets (see Features.medianOfCounts, r15);
+    // the count table is pinned once for the bounds/offsets/cumsum subtrees
+    val ranged = Scale.orderedBuckets(v.localCheckpoint(), "__v", 4 * nParts)
     val offsets = broadcast(ranged.groupBy("__part")
       .agg(sum("__c").as("__pc"), sum(expr("__v * __c")).as("__pw"))
       .withColumn("__oc", coalesce(
