@@ -30,16 +30,16 @@ object Bench {
       // (env-tunable for A/B runs)
       .config("spark.sql.files.maxPartitionBytes",
         sys.env.getOrElse("SPARK_GRAFT_MAX_PART_BYTES", "4m"))
-      // AQE coalescing floor (r15): the default 1m floor collapses every
-      // dimension-sized shuffle (stat count tables, candidate pair lists
-      // — ~1.8 MB of decimal rows ≈ 300-500 ms of single-core aggregate
-      // work) onto ONE task. 64k re-spreads exactly those CPU-dense small
-      // shuffles; byte-sized stages above advisory/parallelism targets
-      // are untouched. Env-tunable: on a cluster whose per-task overhead
-      // dwarfs 64 KB of rows, raise it back (guide §2.2 — partition
-      // sizing is a bytes-per-task-overhead trade, not a constant).
+      // AQE coalescing floor, env-tunable for A/B runs. MEASURED r15 and
+      // left at the Spark default: 64k re-spread the ~1.8 MB stat-table
+      // shuffles (q_stat_lorenz 2.5 -> 1.7 s) but DOUBLED the iterative
+      // join family back-to-back on a quiet box (q_graph_pagerank
+      // 3.3 -> 6.3 s, q_graph_degree 1.3 -> 2.2 s) — many-stage queries
+      // pay per-task scheduling on every tiny exchange. Net across the
+      // suite: negative; the stat entries were instead fixed structurally
+      // (Scale.orderedBuckets).
       .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
-        sys.env.getOrElse("SPARK_GRAFT_MIN_PART_SIZE", "64k"))
+        sys.env.getOrElse("SPARK_GRAFT_MIN_PART_SIZE", "1m"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // JVM/codegen + parquet-reader warmup so the first measured query

@@ -3115,7 +3115,11 @@ object Queries {
 
   /** In/out degree over the directed customer→supplier trading graph. */
   def qGraphDegree(s: SparkSession, dir: String): DataFrame =
-    Graph.degrees(Graph.tradeEdges(t(s, dir, "orders"), t(s, dir, "lineitem")))
+    // tagged LONG keys through the degree aggregates, labels restored at
+    // output (bijective decode — identical rows; Graph.tradeEdgesTagged)
+    Graph.degrees(Graph.tradeEdgesTagged(t(s, dir, "orders"), t(s, dir, "lineitem")))
+      .select(Graph.decodeTradeNode(col("node")).as("node"),
+        col("out_degree"), col("in_degree"))
       .orderBy("node")
 
   /** 3-iteration fixed-point PageRank (micro-unit integer ranks, exact
@@ -3123,9 +3127,13 @@ object Queries {
     * oracle replays the identical integer recurrence as three unrolled
     * CTEs. */
   def qGraphPagerank(s: SparkSession, dir: String): DataFrame =
+    // tagged LONG keys through all three rank iterations (every round
+    // re-shuffles the edge list on the node key), labels restored at
+    // output — identical integer recurrence, identical rows
     Graph.pageRankMicros(
-        Graph.bidirectedTradeEdges(t(s, dir, "orders"), t(s, dir, "lineitem")),
+        Graph.bidirectedTradeEdgesTagged(t(s, dir, "orders"), t(s, dir, "lineitem")),
         iters = 3)
+      .select(Graph.decodeTradeNode(col("node")).as("node"), col("rank_micros"))
       .orderBy("node")
 
   // =====================================================================

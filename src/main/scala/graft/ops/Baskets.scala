@@ -22,11 +22,22 @@ object Baskets {
     * not a signal-bearing co-purchase. */
   def basketItems(lines: DataFrame, basketCol: String, itemCol: String,
                   maxBasketSize: Int = 64): DataFrame = {
-    val m = lines.select(col(basketCol).as("basket"), col(itemCol).as("item"))
-      .distinct()
-    val sized = m.groupBy("basket").agg(count(lit(1)).as("__sz"))
+    // ONE basket-keyed exchange (r15; was three): hashpartitioning(basket)
+    // already satisfies the (basket, item) dedup's clustering (subset
+    // rule), and the size cap rides a basket-window count instead of a
+    // groupBy + join-back — so the dedup, the cap, and the downstream
+    // basket-keyed pair self-joins all reuse this single shuffle. The
+    // count is pinned (fan-out): the pair generation downstream is
+    // CPU-quadratic per basket, exactly what AQE's byte-based coalescing
+    // under-parallelizes.
+    val nParts = lines.sparkSession.sessionState.conf.numShufflePartitions
+    lines.select(col(basketCol).as("basket"), col(itemCol).as("item"))
+      .repartition(nParts, col("basket"))
+      .dropDuplicates("basket", "item")
+      .withColumn("__sz", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("basket")))
       .where(col("__sz") <= maxBasketSize)
-    m.join(sized.select("basket"), Seq("basket"))
+      .drop("__sz")
   }
 
   /** Undirected item co-purchase graph: one edge per DISTINCT unordered

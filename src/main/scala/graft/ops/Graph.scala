@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Graph centrality over relation-derived edge lists (extension beyond
@@ -22,17 +22,41 @@ object Graph {
     * shuffle for the orderkey join (lineitem-side partitioned), one for
     * the distinct. */
   def tradeEdges(orders: DataFrame, lineitem: DataFrame): DataFrame =
+    tradeEdgesTagged(orders, lineitem).select(
+      decodeTradeNode(col("src")).as("src"),
+      decodeTradeNode(col("dst")).as("dst"))
+
+  /** [[tradeEdges]] with LONG node keys — `c:k → 2k`, `s:k → 2k+1` (the
+    * tag bit keeps the two key spaces disjoint, as the string prefixes
+    * did). Every exchange, sort, hash and aggregate of the centrality
+    * ops downstream then moves 8-byte keys instead of variable-length
+    * strings (guide §2.3 narrower types — measured r15: the 3-iteration
+    * PageRank re-shuffles the edge list every round, so the key width is
+    * paid 3×); [[decodeTradeNode]] restores the public labels at output,
+    * a bijection, so distinct-on-tagged ≡ distinct-on-strings. */
+  def tradeEdgesTagged(orders: DataFrame, lineitem: DataFrame): DataFrame =
     orders.join(lineitem, col("o_orderkey") === col("l_orderkey"))
       .select(
-        concat(lit("c:"), col("o_custkey")).as("src"),
-        concat(lit("s:"), col("l_suppkey")).as("dst"))
+        (col("o_custkey").cast("long") * 2).as("src"),
+        (col("l_suppkey").cast("long") * 2 + 1).as("dst"))
       .distinct()
+
+  /** Inverse of the [[tradeEdgesTagged]] key encoding. */
+  def decodeTradeNode(node: Column): Column =
+    when(pmod(node, lit(2L)) === 0, concat(lit("c:"), shiftright(node, 1)))
+      .otherwise(concat(lit("s:"), shiftright(node, 1)))
 
   /** Both directions of [[tradeEdges]] — makes the bipartite trade graph
     * symmetric so rank mass actually circulates (a one-directional
     * bipartite graph reaches its fixed point after a single step). */
   def bidirectedTradeEdges(orders: DataFrame, lineitem: DataFrame): DataFrame = {
     val e = tradeEdges(orders, lineitem).localCheckpoint()
+    e.unionByName(e.select(col("dst").as("src"), col("src").as("dst")))
+  }
+
+  /** [[bidirectedTradeEdges]] over the tagged LONG keys. */
+  def bidirectedTradeEdgesTagged(orders: DataFrame, lineitem: DataFrame): DataFrame = {
+    val e = tradeEdgesTagged(orders, lineitem).localCheckpoint()
     e.unionByName(e.select(col("dst").as("src"), col("src").as("dst")))
   }
 
