@@ -190,7 +190,12 @@ object Graph {
     // shuffle and ENOSPC'd an 80 GB disk; hash-building the edge side
     // streams wedges through unsorted). Per-partition build = E/shuffle
     // partitions — size partitions so that fits executor memory, the
-    // same knob every hash join at 100 TB needs.
+    // same knob every hash join at 100 TB needs. MEASURED r15 and kept:
+    // broadcasting the edge side instead (removing the wedge exchange
+    // entirely) LOST 4.5 -> 6.7 s at sf0.1 — 45M wedge probes into one
+    // 600k-entry broadcast map cache-miss where the partitioned builds
+    // (E/partitions ≈ 19k entries) stay cache-resident, and the wedge
+    // shuffle they replace is cheap sequential I/O.
     val tris = wedges.join(
       oriented.select(col("src").as("x"), col("dst").as("y")).hint("shuffle_hash"),
       Seq("x", "y"))

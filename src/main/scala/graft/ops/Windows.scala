@@ -66,6 +66,12 @@ object Windows {
                        ns: Seq[Int] = Seq(3, 6)): DataFrame = {
     val w = entityWindow(partitionCol, orderCol)
     val ops = rollingNumericCols(w, numericCols, ns) ++ rollingMinMaxCols(w, minMaxCols, ns)
+    // MEASURED r15 and left alone: pinning the window's entity exchange
+    // at full parallelism (repartition(nParts, partition)) cut the one
+    // CPU-dense pipeline (holding_products 1.85 -> 1.64 s) but cost the
+    // three light pipelines more than it saved (+0.2-0.5 s each in task
+    // overhead) — net negative A/B'd back-to-back; AQE's coalescing is
+    // the right default for this op's mixed callers.
     if (ops.isEmpty) df else df.select(col("*") +: ops: _*)
   }
 
