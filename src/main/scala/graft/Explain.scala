@@ -24,10 +24,19 @@ object Explain {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // SPARK_GRAFT_EXPLAIN_DIR: also write each plan to <dir>/<name>.txt —
+    // the round's plans/ evidence files, without pane-scraping sbt output
+    val outDir = sys.env.get("SPARK_GRAFT_EXPLAIN_DIR")
+    outDir.foreach(d => java.nio.file.Files.createDirectories(java.nio.file.Paths.get(d)))
     names.foreach { n =>
       println(s"\n========== $n ==========")
-      println(SparkEntry.queries(n)(spark, sfDir).queryExecution.explainString(
-        org.apache.spark.sql.execution.FormattedMode))
+      val plan = SparkEntry.queries(n)(spark, sfDir).queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+      println(plan)
+      outDir.foreach { d =>
+        java.nio.file.Files.write(java.nio.file.Paths.get(d, s"$n.txt"),
+          plan.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      }
     }
     spark.stop()
   }

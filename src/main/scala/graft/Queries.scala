@@ -807,20 +807,32 @@ object Queries {
     // verdict's bench-hygiene note (8.75 of the entry's 9 s was the two
     // guard-disabled exact generators re-running per timed pass). The
     // BANDED legs still run live: they ARE the production paths whose
-    // recall this entry asserts.
+    // recall this entry asserts — but they SHARE one materialized kernel
+    // pass (r15, guide §2.3 "don't recompute"): both legs sign the same
+    // corpus, and the per-leg prepped stage re-ran tokenize+ngram over it
+    // twice. The shared frame carries (__id, __gh, __fp) — a superset of
+    // both legs' inputs — and is rebuilt per call (no cross-run state).
+    graft.functions.GraftFunctions.register(s)
+    val prepped = corpus
+      .repartition(s.sessionState.conf.numShufflePartitions, col("doc_id"))
+      .withColumn("__tokens", graft.functions.GraftFunctions.tokens(
+        col("text"), keepAccents = true, dropEmpty = false))
+      .select(col("doc_id").as("__id"),
+        call_function("graft_ngram_hashes", col("__tokens"), lit(3)).as("__gh"),
+        call_function("graft_winnow_hashes", col("__tokens"), lit(3), lit(8)).as("__fp"))
+      .localCheckpoint()
     Dedup.recallReportFromPairs(
         stagedEntry(s, "exactContain09|" + dir) {
           Dedup.containmentPairs(corpus, "text", "doc_id",
             n = 3, threshold = 0.9).localCheckpoint()
         },
-        Dedup.containmentVerifiedPairs(corpus, "text", "doc_id",
-          n = 3, w = 8, threshold = 0.9),
+        Dedup.containmentVerifiedPairsFromPrepped(prepped, threshold = 0.9),
         stagedEntry(s, "exactJaccard09|" + dir) {
           Dedup.ngramJaccardPairs(corpus, "text", "doc_id",
             n = 3, threshold = 0.9).localCheckpoint()
         },
-        Dedup.minhashVerifiedPairs(corpus, "text", "doc_id",
-          numHashes = 64, bands = 16, n = 3, threshold = 0.9))
+        Dedup.minhashVerifiedPairsFromPrepped(prepped, numHashes = 64,
+          bands = 16, threshold = 0.9))
       .orderBy("method")
   }
 

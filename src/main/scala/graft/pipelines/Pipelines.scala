@@ -49,7 +49,11 @@ object Pipelines {
       Dates.shiftDate(col("event_dt"), "yyyy-MM", days = 0, months = 1))
     val clean = TextNorm.normalizeTable(shifted)
 
-    // aggregations (:595-607) + ratio (:609-613)
+    // aggregations (:595-607) + ratio (:609-613). NOT pre-partitioned on
+    // id_customer (the holdingProducts one-exchange shape): measured r15,
+    // the raw-row exchange without map-side partial aggregation cost this
+    // light pipeline 0.39 -> 1.26 s — partial-agg rows are far narrower
+    // than raw rows here (guide §2.3 "aggregate before you shuffle").
     val agged = Aggregations.calculateAggregations(clean,
         groupbyColumns = Seq("id_customer", "release_dt"),
         numericOps = Seq("trx_cnt" -> Seq("sum"), "amt_trx" -> Seq("sum"),
@@ -94,7 +98,9 @@ object Pipelines {
       Dates.shiftDate(col("event_dt"), "yyyy-MM", days = 0, months = 1))
     val clean = TextNorm.normalizeTable(shifted)
 
-    // grouped agg (:213-261): credits_cnt + {c}_sum + max(categorical)
+    // grouped agg (:213-261): credits_cnt + {c}_sum + max(categorical).
+    // NOT pre-partitioned (see transactions — measured-negative on the
+    // light pipelines, 0.40 -> 1.07 s).
     val agged = Aggregations.creditAggregations(clean,
       numericCols = Seq("bureau_score", "total_banking_debt", "bureau_inquiries_12m"),
       categoricalCols = Seq("rating_num"))
@@ -150,7 +156,9 @@ object Pipelines {
       "time_to_close_in_months" ->
         Dates.monthsBetweenRounded(col("closing_date"), col("event_dt")).cast("int")))
 
-    // grouped agg (:263-311) with post-renames (:624-627)
+    // grouped agg (:263-311) with post-renames (:624-627). NOT
+    // pre-partitioned (see transactions — measured-negative on the light
+    // pipelines, 0.38 -> 1.16 s).
     val agged = Aggregations.creditAggregations(timed,
         numericCols = Seq("amt_total_balance", "amt_paid", "amt_total_credit",
           "amt_installment", "credit_duration_in_months", "time_to_close_in_months"),
@@ -209,7 +217,22 @@ object Pipelines {
       "credito_hipotecario" -> "mortgage_loan",
       "tarjeta_de_credito" -> "credit_card",
       "credito_productivo" -> "productive_credit")
-    val agged = Aggregations.calculateAggregations(clean,
+    // ONE exchange for the whole tail (r15, guide §2.4): hash-place the
+    // raw rows on id_customer BEFORE the aggregation — hashpartitioning
+    // on a subset of the grouping keys satisfies the groupBy's clustered
+    // distribution, and the rolling window partitions by id_customer too,
+    // so the agg's own (id_customer, release_dt) exchange AND the window's
+    // id_customer exchange both disappear. Measured 2.34 -> 1.66 s at
+    // reference scale. The trade only pays HERE because this pipeline's
+    // pivot makes partial-agg rows WIDER than the raw rows (9 agg slots ×
+    // 4 pivot categories); on the three light pipelines the same shape
+    // was measured-NEGATIVE (raw rows cross the wire un-partially-
+    // aggregated, 0.4 -> 1.2 s — guide §2.3) and is deliberately not
+    // applied there. (Also distinct from the measured-negative window-pin
+    // experiment in withRollingStats: no parallelism pinned, AQE still
+    // coalesces the one exchange.)
+    val agged = Aggregations.calculateAggregations(
+        clean.repartition(col("id_customer")),
         groupbyColumns = Seq("id_customer", "release_dt"),
         numericOps = Seq("products_cnt" -> Seq("max"),
           "amount" -> Seq("sum", "avg", "min", "max")),

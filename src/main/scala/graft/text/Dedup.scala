@@ -335,7 +335,6 @@ object Dedup {
                            n: Int = 3, threshold: Double = 0.5,
                            candidateEst: Double = 0.35): DataFrame = {
     graft.functions.GraftFunctions.register(df.sparkSession)
-    val rowsPerBand = numHashes / bands
     // one fanned-out kernel pass, materialized (see ngramJaccardPairs):
     // the signature/band subtree and the verify-arrays subtree both read
     // the checkpointed (id, grams) table
@@ -344,6 +343,21 @@ object Dedup {
       .select(col(idCol).as("__id"),
         call_function("graft_ngram_hashes", col("__tokens"), lit(n)).as("__gh"))
       .localCheckpoint()
+    minhashVerifiedPairsFromPrepped(prepped, numHashes, bands, threshold,
+      candidateEst)
+  }
+
+  /** [[minhashVerifiedPairs]] over an ALREADY-MATERIALIZED `(__id, __gh)`
+    * kernel frame — the sharing point for callers that run several banded
+    * generators on ONE corpus (the recall report runs this and the winnow
+    * containment generator side by side; without the shared frame each
+    * leg re-ran the tokenize+ngram kernel pass over the same documents).
+    * `prepped` must be pinned (localCheckpoint) by the caller — both the
+    * band subtree and the verify-arrays subtree read it. */
+  private[graft] def minhashVerifiedPairsFromPrepped(
+      prepped: DataFrame, numHashes: Int, bands: Int,
+      threshold: Double, candidateEst: Double = 0.35): DataFrame = {
+    val rowsPerBand = numHashes / bands
     val bd = prepped
       .withColumn("__sig",
         call_function("graft_minhash_long", col("__gh"), lit(numHashes)))
@@ -1220,6 +1234,20 @@ object Dedup {
         call_function("graft_ngram_hashes", col("__tokens"), lit(n)).as("__gh"),
         call_function("graft_winnow_hashes", col("__tokens"), lit(n), lit(w)).as("__fp"))
       .localCheckpoint()
+    containmentVerifiedPairsFromPrepped(prepped, threshold, dfCap,
+      candidateBudgetPerPosting, keepRarestFallback, minCandidateBudget)
+  }
+
+  /** [[containmentVerifiedPairs]] over an ALREADY-MATERIALIZED
+    * `(__id, __gh, __fp)` kernel frame — the sharing point for callers
+    * that run several banded generators on one corpus (see
+    * [[minhashVerifiedPairsFromPrepped]]). `prepped` must be pinned
+    * (localCheckpoint) by the caller. */
+  private[graft] def containmentVerifiedPairsFromPrepped(
+      prepped: DataFrame, threshold: Double,
+      dfCap: Long = 4096, candidateBudgetPerPosting: Long = 8,
+      keepRarestFallback: Boolean = false,
+      minCandidateBudget: Long = 2000000L): DataFrame = {
     val fps = prepped
       .select(col("__id"), size(col("__gh")).as("__sz"),
         explode(col("__fp")).as("__key"))
@@ -1418,14 +1446,15 @@ object Dedup {
                     appendOnly: Boolean = false,
                     mergeDf: Boolean = true): Unit = {
     graft.functions.GraftFunctions.register(corpus.sparkSession)
-    val prepped = corpus
+    // one fanned-out kernel pass (see seedContainmentTables): the
+    // repartition lifts tokenize+ngram off the (often single-split) scan
+    val prepped = corpus.repartition(fanOutParts(corpus), col(idCol))
       .withColumn("__tokens", tokensCol(col(textCol)))
       .select(col(idCol).cast("long").as("id"),
         call_function("graft_ngram_hashes", col("__tokens"), lit(n)).as("grams"))
       .withColumn("sz", size(col("grams")))
-      .withColumn("__keys", col("grams"))
     seedContainmentTables(store, postingsTable, dfTable, gramsTable,
-      prepped, "gram", buckets, appendOnly, mergeDf)
+      prepped, keysCol = "grams", "gram", buckets, appendOnly, mergeDf)
   }
 
   /** Seed the persisted WINNOWED containment index for
@@ -1451,14 +1480,15 @@ object Dedup {
                       appendOnly: Boolean = false,
                       mergeDf: Boolean = true): Unit = {
     graft.functions.GraftFunctions.register(corpus.sparkSession)
-    val prepped = corpus
+    // one fanned-out kernel pass (see seedContainmentTables)
+    val prepped = corpus.repartition(fanOutParts(corpus), col(idCol))
       .withColumn("__tokens", tokensCol(col(textCol)))
       .select(col(idCol).cast("long").as("id"),
         call_function("graft_ngram_hashes", col("__tokens"), lit(n)).as("grams"),
         call_function("graft_winnow_hashes", col("__tokens"), lit(n), lit(w)).as("__keys"))
       .withColumn("sz", size(col("grams")))
     seedContainmentTables(store, fpTable, dfTable, gramsTable,
-      prepped, "fp", buckets, appendOnly, mergeDf)
+      prepped, keysCol = "__keys", "fp", buckets, appendOnly, mergeDf)
   }
 
   /** Shared seeding body of [[seedGramIndex]] / [[seedWinnowIndex]]:
@@ -1479,14 +1509,25 @@ object Dedup {
   private def seedContainmentTables(store: graft.store.TableStore,
                                     postingsTable: String, dfTable: String,
                                     gramsTable: String, prepped: DataFrame,
+                                    keysCol: String,
                                     keyName: String, buckets: Int,
                                     appendOnly: Boolean,
                                     mergeDf: Boolean = true): Unit = {
     require(!(appendOnly && buckets > 0),
       "appendOnly seeding needs plain snapshots (buckets = 0): bucketed " +
         "layouts carry catalog file metadata that file appends would skew")
-    val postings = prepped
-      .select(explode(col("__keys")).as(keyName), col("id"), col("sz"))
+    // ONE materialized kernel pass: seeding issues THREE write actions
+    // (postings, df, gram arrays), and without the pin each action re-ran
+    // tokenize + NgramHashes (+ WinnowHashes) over the whole batch —
+    // measured r15 at sf0.1 (q_dedup_inc_containment event log): three
+    // single-task corpus passes of 0.69/0.55/0.27 s per seeding call. The
+    // callers fan the kernel out first (explicit-count repartition on id,
+    // AQE-coalescing-exempt), so the one pass is also parallel. The pin is
+    // batch-sized (the same rows the gram-array write persists) and lives
+    // only for this call — no cross-run state.
+    val mat = prepped.localCheckpoint()
+    val postings = mat
+      .select(explode(col(keysCol)).as(keyName), col("id"), col("sz"))
     def put(table: String, rows: DataFrame, pks: Seq[String]): Unit =
       if (!store.exists(table))
         store.overwrite(table, rows, primaryKeys = pks, buckets = buckets)
@@ -1512,7 +1553,7 @@ object Dedup {
         primaryKeys = Seq(keyName), buckets = buckets)
     } else require(store.exists(dfTable),
       "mergeDf = false needs an existing df table (replay-only hook)")
-    put(gramsTable, prepped.select("id", "grams", "sz"), Seq("id"))
+    put(gramsTable, mat.select("id", "grams", "sz"), Seq("id"))
   }
 
   /** INCREMENTAL containment probe: flag each document of a NEW batch
